@@ -1,0 +1,31 @@
+"""Relational / data-quality operators (lazy DataFrame transformations)."""
+
+from bdq_spark.operators.diff import (
+    compare_dataframes,
+    display_compare_dataframes_results,
+    uncache_compare_dataframes_results,
+)
+from bdq_spark.operators.integrity import fact_dim_broken_relationship
+from bdq_spark.operators.latest import (
+    get_latest_records,
+    get_latest_records_window,
+    get_latest_records_with_pk_confict_detection_flag,
+    get_latest_records_with_pk_conflict_detection_flag,
+)
+from bdq_spark.operators.pk import (
+    validate_primary_key_candidate,
+    validate_primary_key_candidate_combinations,
+)
+
+__all__ = [
+    "compare_dataframes",
+    "uncache_compare_dataframes_results",
+    "display_compare_dataframes_results",
+    "fact_dim_broken_relationship",
+    "get_latest_records_window",
+    "get_latest_records",
+    "get_latest_records_with_pk_confict_detection_flag",
+    "get_latest_records_with_pk_conflict_detection_flag",
+    "validate_primary_key_candidate",
+    "validate_primary_key_candidate_combinations",
+]

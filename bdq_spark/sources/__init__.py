@@ -1,0 +1,5 @@
+"""Data sources — parquet star-schema loaders for the driver testdata."""
+
+from bdq_spark.sources.testdata import TABLES, load_table, load_tables, register_views
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given SF dir on Spark AND the matching
+``oracle_sql()`` on DuckDB, then compares row count, column names, and an
+order-insensitive value multiset.  Usage::
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(v)
+    return repr(v)
+
+
+def row_key(row, col_order):
+    return tuple(norm_cell(row[i]) for i in col_order)
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from bdq_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+
+    for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_cols = sdf.columns
+            spark_rows = sdf.collect()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (rows-only check)")
+            if len(spark_rows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = [d[0] for d in rel.description]
+            duck_rows = rel.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount {len(spark_rows)} != {len(duck_rows)}")
+
+        if not problems:
+            s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
+            d_order = [duck_cols.index(c) for c in sorted(duck_cols)]
+            s_multi = Counter(row_key(r, s_order) for r in spark_rows)
+            d_multi = Counter(row_key(tuple(r), d_order) for r in duck_rows)
+            if s_multi != d_multi:
+                sample_s = list((s_multi - d_multi).items())[:3]
+                sample_d = list((d_multi - s_multi).items())[:3]
+                problems.append(
+                    f"value mismatch; spark-only={sample_s} duck-only={sample_d}"
+                )
+
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK    {name}: {len(spark_rows)} rows")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURE(S):")
+        for name, why in failures:
+            print(f"  {name}: {why}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
