@@ -24,7 +24,15 @@ from bdq_spark.operators import (
     validate_primary_key_candidate,
     validate_primary_key_candidate_combinations,
 )
-from bdq_spark.plans import DAG, Node
+from bdq_spark.plans import (
+    DAG,
+    CatalogPersistedStateStore,
+    Node,
+    SparkPipeline,
+    SparkUILogger,
+    Step,
+    register_spark_pipeline_step_implementation,
+)
 from bdq_spark.schema import (
     compare_schemas,
     dict_compare,
@@ -67,4 +75,9 @@ __all__ = [
     # orchestration
     "DAG",
     "Node",
+    "SparkPipeline",
+    "Step",
+    "register_spark_pipeline_step_implementation",
+    "CatalogPersistedStateStore",
+    "SparkUILogger",
 ]

@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -10,6 +11,7 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    warehouse = tempfile.mkdtemp(prefix="bdq_spark_wh_")
     session = (
         SparkSession.builder.master("local[4]")
         .appName("bdq_spark-tests")
@@ -17,7 +19,7 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir", "/tmp/bdq_spark_warehouse")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.scheduler.mode", "FAIR")
         .getOrCreate()
     )

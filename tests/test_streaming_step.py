@@ -1,0 +1,131 @@
+"""Streaming foreachBatch step — availableNow file-source micro-batches,
+checkpoint/restart relative_batch_id semantics, listener unblock."""
+
+import shutil
+
+import pytest
+
+from bdq_spark.plans import SparkPipeline
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return src, ckpt
+
+
+def _write_batch(spark, src, start, end, part):
+    spark.range(start, end).coalesce(1).write.mode("overwrite").parquet(
+        str(src / part)
+    )
+
+
+def test_for_each_batch_available_now(spark, stream_dirs, tmp_path):
+    src, ckpt = stream_dirs
+    _write_batch(spark, src, 0, 50, "p1")
+
+    seen = []
+
+    ppn = SparkPipeline("streaming1", spark=spark)
+    ppn.spark_streaming_checkpoint_location = str(ckpt)
+
+    @ppn.step_spark_temp_view(outputs="stream_in")
+    def stream_in(step):
+        return spark.readStream.schema("id long").parquet(f"{src}/*")
+
+    @ppn.step_spark_for_each_batch(
+        input_table="stream_in",
+        depends_on=[stream_in],
+        outputs="stream_out",
+        trigger_availableNow=True,
+    )
+    def handle_batch(df, batch_id, relative_batch_id, step):
+        seen.append((batch_id, relative_batch_id, df.count()))
+        # foreachBatch runs in a cloned session: temp views registered here
+        # are invisible to the main session — write a real catalog table
+        df.write.mode("append").saveAsTable("stream_out")
+
+    ppn(max_concurrent_steps=4)
+
+    assert ppn.is_success
+    assert len(seen) >= 1
+    assert sum(c for _, _, c in seen) == 50
+    # relative ids count from 0 in-run
+    assert [r for _, r, _ in seen] == list(range(len(seen)))
+    first_run_max_batch = max(b for b, _, _ in seen)
+
+    # restart with new data: durable batch_id continues, relative restarts at 0
+    seen.clear()
+    _write_batch(spark, src, 50, 80, "p2")
+
+    ppn2 = SparkPipeline("streaming1", spark=spark)
+    ppn2.spark_streaming_checkpoint_location = str(ckpt)
+
+    @ppn2.step_spark_temp_view(outputs="stream_in")
+    def stream_in2(step):
+        return spark.readStream.schema("id long").parquet(f"{src}/*")
+
+    # same step name as before => same checkpoint dir
+    @ppn2.step_spark_for_each_batch(
+        input_table="stream_in",
+        depends_on=[stream_in2],
+        outputs="stream_out",
+        trigger_availableNow=True,
+    )
+    def handle_batch(df, batch_id, relative_batch_id, step):  # noqa: F811
+        seen.append((batch_id, relative_batch_id, df.count()))
+        df.write.mode("append").saveAsTable("stream_out")
+
+    ppn2(max_concurrent_steps=4)
+    assert ppn2.is_success
+    assert sum(c for _, _, c in seen) == 30  # only the new files
+    assert all(b > first_run_max_batch for b, _, _ in seen)  # durable ids advance
+    assert [r for _, r, _ in seen] == list(range(len(seen)))  # relative resets
+
+
+def test_for_each_batch_requires_exactly_one_trigger(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    ppn = SparkPipeline("badtrigger", spark=spark)
+    ppn.spark_streaming_checkpoint_location = str(ckpt)
+
+    with pytest.raises(ValueError, match="Exactly one"):
+        @ppn.step_spark_for_each_batch(
+            input_table="whatever", outputs="o1",
+            trigger_once=True, trigger_availableNow=True,
+        )
+        def s(df, batch_id, relative_batch_id, step):
+            pass
+
+
+def test_for_each_batch_requires_checkpoint_location(spark):
+    ppn = SparkPipeline("nockpt", spark=spark)
+    with pytest.raises(ValueError, match="checkpoint"):
+        @ppn.step_spark_for_each_batch(
+            input_table="whatever", outputs="o2", trigger_availableNow=True
+        )
+        def s(df, batch_id, relative_batch_id, step):
+            pass
+
+
+def test_for_each_batch_stream_error_propagates(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    _write_batch(spark, src, 0, 10, "p1")
+    ppn = SparkPipeline("strerr", spark=spark)
+    ppn.spark_streaming_checkpoint_location = str(ckpt)
+
+    @ppn.step_spark_temp_view(outputs="err_in")
+    def err_in(step):
+        return spark.readStream.schema("id long").parquet(f"{src}/*")
+
+    @ppn.step_spark_for_each_batch(
+        input_table="err_in", depends_on=[err_in], outputs="err_out",
+        trigger_availableNow=True,
+    )
+    def failing_batch(df, batch_id, relative_batch_id, step):
+        raise RuntimeError("batch exploded")
+
+    with pytest.raises(ValueError, match="have failed"):
+        ppn()
+    assert "failing_batch" in ppn.error_steps
