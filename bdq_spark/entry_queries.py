@@ -436,3 +436,277 @@ def dedup_events_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", "event_type", "event_id", F.unix_millis("ts").alias("ts_ms"), "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Extensions — text analysis (SURVEY §2.4 / BASELINE north star)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "doc_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_c,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+             AS punct_cnt,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.functions import text as TXT
+
+    df = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        TXT.char_count(c).alias("n_chars_c"),
+        TXT.token_count(c).alias("n_tokens"),
+        TXT.punct_count(c).alias("punct_cnt"),
+        TXT.doc_fingerprint(c).alias("fingerprint"),
+    )
+
+
+def _sw_sql(words: list) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(list_filter(string_split_regex(lower(text), "
+        f"'[^a-z0-9]+'), x -> x <> ''), x -> list_contains([{arr}], x)))"
+    )
+
+
+def _lang_oracle() -> str:
+    from bdq_spark.functions.text import STOPWORDS
+
+    c = {lang: _sw_sql(words) for lang, words in STOPWORDS.items()}
+    return f"""
+    SELECT doc_id,
+      CASE
+        WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) * 20
+             > length(text) THEN 'zh'
+        WHEN {c['en']} >= {c['es']} AND {c['en']} >= {c['de']}
+             AND {c['en']} >= {c['fr']} THEN 'en'
+        WHEN {c['es']} >= {c['de']} AND {c['es']} >= {c['fr']} THEN 'es'
+        WHEN {c['de']} >= {c['fr']} THEN 'de'
+        ELSE 'fr'
+      END AS lang_pred
+    FROM documents
+    """
+
+
+@_register("doc_language", None)
+def doc_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.functions import text as TXT
+
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", TXT.language_id(F.col("text")).alias("lang_pred"))
+
+
+ORACLE_SQL["doc_language"] = _lang_oracle()
+
+
+@_register(
+    "doc_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+        length(text)::DOUBLE AS chars,
+        (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE AS tokens,
+        (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+          AS punct_cnt
+      FROM documents),
+    c AS (
+      SELECT doc_id, chars, tokens,
+        least(chars / 500.0, 1.0) AS len_comp,
+        CASE WHEN chars / greatest(tokens, 1.0) >= 2.0
+              AND chars / greatest(tokens, 1.0) <= 12.0 THEN 1.0 ELSE 0.0 END
+          AS tok_comp,
+        1.0 - least(punct_cnt / greatest(chars, 1.0) * 4.0, 1.0) AS punct_comp,
+        least(({sw_en} + {sw_es} + {sw_de} + {sw_fr}) / 5.0, 1.0) AS sw_comp
+      FROM t)
+    SELECT doc_id,
+      CASE WHEN tokens = 0 THEN 0.0
+           ELSE round(len_comp * 0.3 + tok_comp * 0.2
+                      + punct_comp * 0.25 + sw_comp * 0.25, 6) END AS quality
+    FROM c
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.functions import text as TXT
+
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
+def _fill_quality_oracle() -> None:
+    from bdq_spark.functions.text import STOPWORDS
+
+    ORACLE_SQL["doc_quality"] = ORACLE_SQL["doc_quality"].format(
+        sw_en=_sw_sql(STOPWORDS["en"]),
+        sw_es=_sw_sql(STOPWORDS["es"]),
+        sw_de=_sw_sql(STOPWORDS["de"]),
+        sw_fr=_sw_sql(STOPWORDS["fr"]),
+    )
+
+
+_fill_quality_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Extensions — deduplication
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_fingerprint_documents",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "near_dup_jaccard",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+          END AS shingles
+        FROM words) t, UNNEST(t.shingles) AS u(shingle)
+      WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8
+    """,
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@_register("minhash_lsh_near_dup")  # rows-only: xxhash64 not in DuckDB
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"),
+        n=3, num_hashes=64, bands=16, verify_threshold=0.8,
+    )
+
+
+@_register("simhash_fingerprints")  # rows-only: xxhash64 not in DuckDB
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extensions — vector similarity search
+# ---------------------------------------------------------------------------
+
+@_register(
+    "knn_embeddings",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))), 6)
+               AS cosine
+      FROM embeddings e CROSS JOIN q),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_bruteforce(emb, queries, k=10)
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+@_register("knn_lsh_embeddings")  # rows-only: approximate by construction
+def knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_lsh(emb, queries, k=10, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Extensions — multimodal plumbing (stubbed codecs, real distribution)
+# ---------------------------------------------------------------------------
+
+@_register("multimodal_decode")  # rows-only: stubbed codec, no SQL equivalent
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.multimodal import attach_media_metadata, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    media = attach_media_metadata(
+        docs, content_column="payload", media_type="image", id_column="doc_id"
+    )
+    return decode_images(media)

@@ -1,0 +1,182 @@
+"""Text-analysis column expressions for LLM-data pipelines.
+
+All pure built-in expressions (JVM-side, codegen'd, zero UDFs) so they
+run at full scan speed on 100 TB of documents — the design principle the
+reference applies to its quality operators
+(`/root/reference/bdq/functions.py` uses only built-ins; SURVEY.md §2.3
+"UDF: none").  Extension mandate: BASELINE.json north_star (language-ID,
+quality scoring, token counting, fingerprinting).
+
+Engine-parity notes (for the DuckDB oracles): ``md5``, ``\\s+`` splits
+and ASCII-punctuation classes behave identically in Spark (Java regex)
+and DuckDB (RE2) — ``\\p{Punct}`` (Java) == ``[[:punct:]]`` (RE2); CJK
+ranges are ``[\\u4e00-\\u9fff]`` (Java) == ``[\\x{4e00}-\\x{9fff}]``
+(RE2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "token_count",
+    "word_tokens",
+    "char_count",
+    "punct_count",
+    "punct_ratio",
+    "stopword_count",
+    "stopword_ratio",
+    "cjk_count",
+    "language_id",
+    "quality_score",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+#: Tiny deterministic per-language stopword lists for n-gram/stopword
+#: language scoring.  Order of the dict defines the argmax tie priority.
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "les", "des", "et", "une", "est", "pour", "dans", "au", "sur"],
+}
+
+
+def normalize_text(c: ColumnOrName) -> Column:
+    """Lowercase, collapse whitespace runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+
+
+def char_count(c: ColumnOrName) -> Column:
+    """Unicode character count."""
+    return F.length(_col(c))
+
+
+def token_count(c: ColumnOrName) -> Column:
+    """Whitespace-delimited token count; empty/blank text counts 0."""
+    t = F.trim(_col(c))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_tokens(c: ColumnOrName) -> Column:
+    """Lowercased alphanumeric word array (non-alnum runs are separators).
+
+    Splits on ``[^a-z0-9]+`` after lowercasing; leading/trailing empty
+    strings are removed so the array holds only real words.
+    """
+    arr = F.split(F.lower(_col(c)), "[^a-z0-9]+")
+    return F.filter(arr, lambda x: x != "")
+
+
+def punct_count(c: ColumnOrName) -> Column:
+    """Count of ASCII punctuation chars (Java ``\\p{Punct}`` class)."""
+    col = _col(c)
+    return char_count(col) - F.length(F.regexp_replace(col, r"\p{Punct}", ""))
+
+
+def punct_ratio(c: ColumnOrName) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    col = _col(c)
+    return punct_count(col) / F.greatest(char_count(col), F.lit(1))
+
+
+def stopword_count(c: ColumnOrName, stopwords: List[str]) -> Column:
+    """Number of tokens that are in ``stopwords``."""
+    words = word_tokens(c)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
+
+
+def stopword_ratio(c: ColumnOrName, stopwords: List[str] = None) -> Column:
+    """Stopword tokens / total word tokens (0 for wordless text)."""
+    words = word_tokens(c)
+    sw_cnt = stopword_count(c, stopwords or STOPWORDS["en"])
+    return sw_cnt / F.greatest(F.size(words), F.lit(1))
+
+
+def cjk_count(c: ColumnOrName) -> Column:
+    """Count of CJK-unified-ideograph characters."""
+    return F.length(F.regexp_replace(_col(c), "[^一-鿿]", ""))
+
+
+def language_id(c: ColumnOrName) -> Column:
+    """Heuristic language ID over {zh, en, es, de, fr}.
+
+    ``zh`` when >5% of characters are CJK ideographs; otherwise argmax of
+    per-language stopword hit counts with ties resolved in STOPWORDS
+    order (en > es > de > fr).  Fully deterministic and expressible in
+    ANSI SQL for the oracle.
+    """
+    col = _col(c)
+    counts = {
+        lang: stopword_count(col, words) for lang, words in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    expr = F.lit(langs[-1])
+    # build CASE from the lowest priority upward
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = None
+        for other in langs[i + 1:]:
+            ge = counts[lang] >= counts[other]
+            cond = ge if cond is None else (cond & ge)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return F.when(
+        cjk_count(col) * 20 > char_count(col), F.lit("zh")
+    ).otherwise(expr)
+
+
+def quality_score(c: ColumnOrName) -> Column:
+    """Deterministic 0-1 quality heuristic for documents.
+
+    Rewards reasonable length (saturating at 500 chars), moderate mean
+    token length (2-12 chars), low punctuation share and the presence of
+    stopwords — the classic cheap pre-filters applied before expensive
+    model-based scoring in training-data pipelines.
+    """
+    col = _col(c)
+    chars = char_count(col).cast("double")
+    tokens = token_count(col).cast("double")
+    length_component = F.least(chars / F.lit(500.0), F.lit(1.0))
+    mean_token_len = chars / F.greatest(tokens, F.lit(1.0))
+    token_len_ok = (
+        (mean_token_len >= 2.0) & (mean_token_len <= 12.0)
+    ).cast("double")
+    punct_component = F.lit(1.0) - F.least(
+        punct_ratio(col) * 4.0, F.lit(1.0)
+    )
+    any_sw = F.lit(0.0)
+    for words in STOPWORDS.values():
+        any_sw = any_sw + stopword_count(col, words).cast("double")
+    sw_component = F.least(any_sw / F.lit(5.0), F.lit(1.0))
+    score = (
+        length_component * 0.3
+        + token_len_ok * 0.2
+        + punct_component * 0.25
+        + sw_component * 0.25
+    )
+    return F.when(tokens == 0, F.lit(0.0)).otherwise(F.round(score, 6))
+
+
+def doc_fingerprint(c: ColumnOrName) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+
+    md5 exists in both Spark and DuckDB, so fingerprints are
+    oracle-checkable; at scale the 32-hex string (or ``unhex`` to 16
+    bytes) is the exact-dedup join key.
+    """
+    return F.md5(normalize_text(c))

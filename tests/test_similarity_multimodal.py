@@ -1,0 +1,121 @@
+"""Similarity search + multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdq_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_images,
+    extract_image_features,
+    sample_video_frames,
+)
+from bdq_spark.operators.similarity import (
+    cosine_similarity,
+    knn_bruteforce,
+    knn_lsh,
+    lsh_bucket_vectors,
+)
+
+
+@pytest.fixture()
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_cosine_similarity_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [2.0, 3.0, 4.0]), ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        "a:array<double>, b:array<double>",
+    )
+    got = df.select(F.round(cosine_similarity(F.col("a"), F.col("b")), 6).alias("c")).collect()
+    assert abs(got[0].c - 0.992583) < 1e-6  # matches DuckDB list_cosine_similarity
+    assert got[1].c == 0.0
+
+    zero = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a:array<double>, b:array<double>")
+    assert zero.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).first().c == 0.0
+
+
+def test_knn_bruteforce_self_query(spark, embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_bruteforce(embeddings, queries, k=5)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, neigh in by_q.items():
+        assert len(neigh) == 5
+        ranked = sorted(neigh, key=lambda r: r.rank)
+        # a vector's nearest neighbor is itself at cosine 1.0
+        assert ranked[0].neighbor_id == qid
+        assert ranked[0].cosine == 1.0
+        # ranks are strictly ordered by cosine desc
+        cosines = [r.cosine for r in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_buckets_deterministic_and_bounded(spark, embeddings):
+    b1 = lsh_bucket_vectors(embeddings, num_planes=6)
+    b2 = lsh_bucket_vectors(embeddings, num_planes=6)
+    m1 = {r.id: r.bucket for r in b1.collect()}
+    m2 = {r.id: r.bucket for r in b2.collect()}
+    assert m1 == m2  # deterministic hyperplanes, no stored model
+    assert all(0 <= v < 64 for v in m1.values())
+    assert len(set(m1.values())) > 4  # vectors actually spread across buckets
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, embeddings):
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_bruteforce(embeddings, queries, k=3)
+    approx = knn_lsh(embeddings, queries, k=3, num_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # self-match always survives (identical vector -> identical bucket)
+    assert all((q, q) in a for q in [r.query_id for r in queries.collect()])
+    recall = len(e & a) / len(e)
+    assert recall > 0.3, f"LSH recall suspiciously low: {recall}"
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, bytes(range(10, 200))),
+        (2, b"\x05" * 2500),
+        (3, b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id:long, content:binary")
+    return attach_media_metadata(df, id_column="media_id")
+
+
+def test_media_bundle_schema(media):
+    assert media.columns == ["media_id", "media_type", "mime", "meta", "content"]
+    row = media.filter(F.col("media_id") == 2).first()
+    assert row.meta["size_bytes"] == "2500"
+
+
+def test_decode_images_stub(media):
+    got = {r.media_id: r for r in decode_images(media).collect()}
+    assert got[1].decode_ok and got[1].width > 0
+    assert not got[3].decode_ok  # empty payload flagged, not crashed
+    assert set(got) == {1, 2, 3}
+
+
+def test_extract_image_features_shape(media):
+    got = extract_image_features(media, dim=16).collect()
+    assert all(len(r.feature) == 16 for r in got)
+    nonempty = [r for r in got if r.media_id != 3]
+    for r in nonempty:
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # L1-normalized
+
+
+def test_sample_video_frames_fanout(media):
+    got = sample_video_frames(media, every_n_bytes=1000).collect()
+    per_id = {}
+    for r in got:
+        per_id.setdefault(r.media_id, []).append(r)
+    assert len(per_id[2]) == 3  # 2500 bytes -> 3 frames
+    assert [r.frame_idx for r in sorted(per_id[2], key=lambda x: x.frame_idx)] == [0, 1, 2]
+    assert 3 not in per_id  # empty payload emits no frames

@@ -1,0 +1,189 @@
+"""Text analysis + dedup operator tests on synthetic and driver data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdq_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    normalize_text,
+    quality_score,
+    token_count,
+    word_tokens,
+)
+from bdq_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingle,
+    simhash,
+    simhash_pairs,
+)
+from bdq_spark.operators.text_analysis import filter_by_quality, profile_documents
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and the cat"),
+        (2, "The quick brown fox jumps over the lazy dog and the cat"),  # dup of 1
+        (3, "the  QUICK brown   fox jumps over the lazy dog and the cat"),  # norm-dup
+        (4, "The quick brown fox jumps over the lazy dog and the rat"),  # near-dup
+        (5, "El perro come en la casa y el gato es un animal que vive"),
+        (6, "Der Hund ist ein Tier und die Katze ist nicht ein Hund"),
+        (7, "Le chat est dans les maisons et une souris est pour le chien"),
+        (8, "这是一个中文文档的例子 其中包含很多汉字"),
+        (9, "completely different words entirely unrelated content here"),
+        (10, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id:long, text:string")
+
+
+def test_normalize_and_tokens(spark):
+    df = spark.createDataFrame([("  Hello   WORLD  x ",)], "t:string")
+    got = df.select(
+        normalize_text("t").alias("n"),
+        token_count("t").alias("c"),
+        word_tokens("t").alias("w"),
+    ).first()
+    assert got.n == "hello world x"
+    assert got.c == 3
+    assert got.w == ["hello", "world", "x"]
+    empty = spark.createDataFrame([("",), ("   ",)], "t:string")
+    assert [r.c for r in empty.select(token_count("t").alias("c")).collect()] == [0, 0]
+
+
+def test_language_id(spark, docs):
+    got = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", language_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[5] == "es"
+    assert got[6] == "de"
+    assert got[7] == "fr"
+    assert got[8] == "zh"
+
+
+def test_language_id_on_driver_documents(spark):
+    # NOTE: the driver testdata's `lang` column is synthetic noise — every
+    # document is the same English-ish word salad regardless of label, so
+    # label accuracy is not a meaningful target.  The operator should
+    # deterministically classify them all as English.
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    langs = df.select(language_id("text").alias("l")).distinct().collect()
+    assert {r.l for r in langs} == {"en"}
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("good", "This is a reasonably long document with many normal words "
+                     "and the usual structure of a sentence for the reader."),
+            ("junk", "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+            ("empty", ""),
+        ],
+        "name:string, text:string",
+    )
+    got = {r.name: r.q for r in df.select(
+        "name", quality_score("text").alias("q")).collect()}
+    assert got["good"] > got["junk"] > got["empty"]
+    assert got["good"] > 0.5
+    assert got["empty"] == 0.0
+
+
+def test_profile_documents_shape(spark, docs):
+    out = profile_documents(docs)
+    assert set(out.columns) >= {
+        "doc_id", "text", "n_chars_computed", "n_tokens", "punct_cnt",
+        "punct_pct", "stop_ratio", "lang_pred", "quality", "fingerprint",
+    }
+    assert out.count() == 10
+    assert filter_by_quality(docs, 0.4).count() < 10
+
+
+def test_exact_dedup_and_fingerprint(spark, docs):
+    # full-row duplicates: 1 and 2 have identical text; dedup by text
+    kept = exact_dedup(docs, ["text"], tiebreaker_columns=["doc_id"])
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 2 not in ids  # deterministic min-id winner
+
+    # fingerprint dedup also collapses 3 (case/whitespace variant)
+    fps = fingerprint_dedup(docs)
+    by_keeper = {r.keeper_id: r.dup_count for r in fps.collect()}
+    assert by_keeper[1] == 3  # docs 1, 2, 3 share a normalized fingerprint
+    assert fps.count() == 8  # 10 docs -> 8 distinct contents
+
+
+def test_shingles_and_jaccard_near_dup(spark, docs):
+    sh = shingle(docs, n=3)
+    assert sh.filter(F.col("id") == 10).count() == 0  # empty doc drops out
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    pairset = {(r.id_a, r.id_b) for r in pairs}
+    # exact dups (1,2) and normalized dup (1,3),(2,3) at J=1.0;
+    # near-dup 4 (one word changed) above 0.5 against each of 1,2,3
+    assert (1, 2) in pairset and (1, 3) in pairset and (2, 3) in pairset
+    assert (1, 4) in pairset
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(1, 2)] == 1.0
+    assert 0.5 <= jac[(1, 4)] < 1.0
+    # unrelated docs never pair
+    assert not any(9 in p or 5 in p for p in pairset)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cands = minhash_lsh_candidates(docs, n=3, num_hashes=64, bands=16)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in cands.collect()}
+    assert got[(1, 2)] == 1.0  # identical docs always collide
+    assert (1, 3) in got
+    assert (1, 4) in got  # near-dup collides in some band w.h.p.
+    assert all(not (9 in k) for k in got)  # unrelated never collides
+
+    verified = minhash_lsh_candidates(
+        docs, n=3, num_hashes=64, bands=16, verify_threshold=0.9
+    )
+    vp = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (1, 2) in vp and (1, 4) not in vp  # exact-verify drops the near-dup
+
+
+def test_simhash_pairs(spark, docs):
+    sigs = {r.id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical text, identical fingerprint
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(
+        docs, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert all(not (9 in k or 8 in k) for k in pairs)
+
+    # SimHash needs realistic doc lengths: a one-word change in a long doc
+    # flips few bits (short docs have marginal votes on every bit)
+    base = (
+        "data pipelines at scale require careful partitioning of every join "
+        "and aggregation because shuffles dominate the cost of wide "
+        "transformations while narrow maps stream freely through the "
+        "executors and the optimizer prunes columns predicates and "
+        "partitions wherever the plan allows it to do so"
+    )
+    long_docs = spark.createDataFrame(
+        [(21, base), (22, base.replace("optimizer", "planner")), (23, base)],
+        "doc_id:long, text:string",
+    )
+    lp = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(
+        long_docs, max_hamming=6).collect()}
+    assert lp[(21, 23)] == 0
+    assert (21, 22) in lp and 0 < lp[(21, 22)] <= 6
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),   # ~parallel to 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [1.0, 0.0, 0.0]),      # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id:long, embedding:array<float>")
+    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_cosine_pairs(
+        df, threshold=0.95).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    assert not any(3 in k for k in pairs)
