@@ -710,3 +710,110 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, content_column="payload", media_type="image", id_column="doc_id"
     )
     return decode_images(media)
+
+
+# ---------------------------------------------------------------------------
+# Extensions — declarative quality rules (single-pass aggregation)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "quality_rules_lineitem",
+    """
+    SELECT count(*) AS record_count,
+           SUM(CASE WHEN NOT COALESCE(l_quantity <= 30, FALSE) THEN 1 ELSE 0 END)
+             AS qty_le_30,
+           SUM(CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END)
+             AS discount_le_5pct,
+           SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END)
+             AS price_positive,
+           SUM(CASE WHEN NOT COALESCE(l_tax BETWEEN 0 AND 0.08, FALSE) THEN 1 ELSE 0 END)
+             AS tax_in_range
+    FROM lineitem
+    """,
+)
+def quality_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.rules import Rule, violation_summary
+
+    rules = [
+        Rule("qty_le_30", "l_quantity <= 30"),
+        Rule("discount_le_5pct", "l_discount <= 0.05"),
+        Rule("price_positive", "l_extendedprice > 0"),
+        Rule("tax_in_range", "l_tax BETWEEN 0 AND 0.08"),
+    ]
+    return violation_summary(load_table(spark, sf_dir, "lineitem"), rules)
+
+
+# ---------------------------------------------------------------------------
+# Extensions — event-time windows (streaming-native, batch-checkable)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_daily_by_type",
+    """
+    SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.streaming import tumbling_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        ev,
+        "ts",
+        "1 day",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
+        ],
+        group_by=["event_type"],
+    )
+    return out.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@_register(
+    "events_user_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 1 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts) + INTERVAL 1 HOUR) AS session_end_ms,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.streaming import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        ev, "ts", "1 hour", [F.count(F.lit(1)).alias("n_events")],
+        group_by=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("window_start").alias("session_start_ms"),
+        F.unix_millis("window_end").alias("session_end_ms"),
+        "n_events",
+    )

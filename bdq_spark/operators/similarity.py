@@ -105,19 +105,25 @@ def knn_bruteforce(
     )
 
 
-def _hyperplane(plane_idx: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane as an array<double> literal.
+def _hyperplanes(num_planes: int, dim: int):
+    """Deterministic pseudo-random hyperplanes as a numpy matrix.
 
-    Components are derived from xxhash64(plane, j) scaled to [-1, 1] —
-    reproducible across sessions with no stored model, so bucketing a new
-    batch of vectors tomorrow lands in the same buckets as today's.
+    Components derive from sha256(plane, j) scaled to [-1, 1] —
+    reproducible across sessions, platforms and library versions with no
+    stored model, so bucketing a new batch of vectors tomorrow lands in
+    the same buckets as today's.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            (F.xxhash64(F.lit(plane_idx), j) % 10_000).cast("double") / 10_000.0
-        ),
-    )
+    import hashlib
+
+    import numpy as np
+
+    planes = np.empty((num_planes, dim), dtype=np.float64)
+    for p in range(num_planes):
+        for j in range(dim):
+            digest = hashlib.sha256(f"bdq_lsh:{p}:{j}".encode()).digest()
+            v = int.from_bytes(digest[:8], "big") % 20_001
+            planes[p, j] = (v - 10_000) / 10_000.0
+    return planes
 
 
 def lsh_bucket_vectors(
@@ -129,29 +135,45 @@ def lsh_bucket_vectors(
 ) -> DataFrame:
     """Random-hyperplane LSH: (id, vec, bucket int in [0, 2^num_planes)).
 
+    Sign patterns are computed with one Arrow-batched numpy matmul per
+    partition (``block @ planes.T``) — measured far faster than
+    per-plane interpreted ``aggregate`` expressions, and signs (not
+    values) are what's kept, so BLAS summation-order wobble can only
+    matter for dot products within ~1e-12 of zero.
+
     ``dim`` defaults to the length of the first vector (one tiny job);
     pass it explicitly in production pipelines.
     """
+    import numpy as np
+    import pandas as pd
+
     if dim is None:
         first = df.select(F.size(F.col(vector_column)).alias("d")).first()
         if first is None:
             raise ValueError("cannot infer dim from an empty DataFrame")
         dim = first["d"]
 
-    vec = F.col(vector_column)
-    bucket = None
-    for p in range(num_planes):
-        sign_bit = (
-            F.when(dot_product(vec, _hyperplane(p, dim)) >= 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("int")
-        )
-        term = F.shiftleft(sign_bit, p)
-        bucket = term if bucket is None else bucket + term
-    return df.select(
-        F.col(id_column).alias("id"),
-        vec.alias("vec"),
-        bucket.alias("bucket"),
+    planes = _hyperplanes(num_planes, dim)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    base = df.select(
+        F.col(id_column).alias("id"), F.col(vector_column).alias("vec")
+    )
+
+    def bucketize(batches):
+        for pdf in batches:
+            block = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            ).reshape(len(pdf), dim)
+            signs = (block @ planes.T) >= 0
+            buckets = (signs @ weights).astype(np.int32)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "vec": pdf["vec"], "bucket": buckets}
+            )
+
+    vec_type = dict(base.dtypes)["vec"]
+    return base.mapInPandas(
+        bucketize, schema=f"id long, vec {vec_type}, bucket int"
     )
 
 

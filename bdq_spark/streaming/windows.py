@@ -1,0 +1,129 @@
+"""Event-time windowed aggregation + watermark helpers.
+
+All helpers accept BOTH batch and streaming DataFrames: ``F.window`` /
+``F.session_window`` are event-time operators that Catalyst evaluates
+identically in either mode; the watermark is applied only when the input
+is streaming (batch frames have no late-data concept).  That makes every
+operator testable against a DuckDB oracle in batch mode and deployable
+unchanged behind ``writeStream``.
+
+Scale notes: windowed aggregations shuffle on (keys, window); state-store
+size in streaming mode is bounded by the watermark horizon.  Session
+windows use Spark's native merging session-window state — no
+``applyInPandasWithState`` needed for this shape.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_watermark",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "dedup_within_watermark",
+]
+
+AggSpec = Sequence[Column]
+
+
+def with_watermark(df: DataFrame, ts_column: str, delay: str) -> DataFrame:
+    """Apply a watermark when streaming; no-op on batch frames."""
+    if df.isStreaming:
+        return df.withWatermark(ts_column, delay)
+    return df
+
+
+def _windowed(
+    df: DataFrame,
+    window_col: Column,
+    ts_column: str,
+    group_by: Optional[List[str]],
+    aggs: AggSpec,
+    watermark: Optional[str],
+) -> DataFrame:
+    if not aggs:
+        raise ValueError("aggs must be a non-empty sequence of aggregate Columns")
+    src = with_watermark(df, ts_column, watermark) if watermark else df
+    keys = [window_col.alias("window"), *(group_by or [])]
+    out = src.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(group_by or []),
+        *[c for c in out.columns if c not in ("window", *(group_by or []))],
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_column: str,
+    duration: str,
+    aggs: AggSpec,
+    group_by: Optional[List[str]] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Fixed non-overlapping event-time windows (e.g. ``'1 day'``)."""
+    return _windowed(
+        df, F.window(F.col(ts_column), duration), ts_column, group_by, aggs, watermark
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_column: str,
+    duration: str,
+    slide: str,
+    aggs: AggSpec,
+    group_by: Optional[List[str]] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Overlapping windows of ``duration`` advancing every ``slide``."""
+    return _windowed(
+        df,
+        F.window(F.col(ts_column), duration, slide),
+        ts_column,
+        group_by,
+        aggs,
+        watermark,
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_column: str,
+    gap: str,
+    aggs: AggSpec,
+    group_by: Optional[List[str]] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Dynamic sessions closed after ``gap`` of event-time inactivity."""
+    return _windowed(
+        df,
+        F.session_window(F.col(ts_column), gap),
+        ts_column,
+        group_by,
+        aggs,
+        watermark,
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    subset: List[str],
+    ts_column: str,
+    delay: str,
+) -> DataFrame:
+    """Drop duplicates on ``subset`` arriving within the watermark horizon.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` (state expires after
+    ``delay`` — bounded memory, unlike plain streaming dropDuplicates).
+    Batch: plain ``dropDuplicates`` (the horizon is the whole dataset).
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_column, delay).dropDuplicatesWithinWatermark(subset)
+    return df.dropDuplicates(subset)

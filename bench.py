@@ -55,8 +55,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
         # operators may cache intermediates (minhash signatures, shingle
         # sets); drop them so later queries aren't timed under the
-        # accumulated memory/GC pressure of earlier ones
+        # accumulated memory/GC pressure of earlier ones, and take the
+        # stop-the-world GC hit between queries rather than inside one
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(

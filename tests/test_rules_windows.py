@@ -1,0 +1,150 @@
+"""Rule engine + event-time window helper tests."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdq_spark.operators.rules import (
+    Rule,
+    annotate_rules,
+    check_rules,
+    observe_rules,
+    quarantine_rules,
+    violation_summary,
+)
+from bdq_spark.streaming import (
+    dedup_within_watermark,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    rows = [
+        (1, 25, "a@x.com"),
+        (2, -3, "b@x.com"),     # bad age
+        (3, 40, None),          # bad email (null predicate -> violation)
+        (4, 200, "nope"),       # bad age + bad email
+        (5, 30, "e@x.com"),
+    ]
+    return spark.createDataFrame(rows, "id:int, age:int, email:string")
+
+
+RULES = [
+    Rule("age_valid", "age BETWEEN 0 AND 150"),
+    Rule("email_has_at", "email LIKE '%@%'"),
+]
+
+
+def test_check_rules_single_pass(people):
+    res = check_rules(people, RULES)
+    assert res["record_count"] == 5
+    assert res["violations"] == {"age_valid": 2, "email_has_at": 2}
+    assert res["failed_records"] == 3  # rows 2, 3, 4
+
+
+def test_annotate_and_quarantine(people):
+    ann = {r.id: r["__failed_rules"] for r in annotate_rules(people, RULES).collect()}
+    assert ann[1] == []
+    assert ann[2] == ["age_valid"]
+    assert ann[3] == ["email_has_at"]  # NULL email counts as violation
+    assert sorted(ann[4]) == ["age_valid", "email_has_at"]
+
+    clean, bad = quarantine_rules(people, RULES)
+    assert {r.id for r in clean.collect()} == {1, 5}
+    assert {r.id for r in bad.collect()} == {2, 3, 4}
+    assert "__failed_rules" in bad.columns and "__failed_rules" not in clean.columns
+
+
+def test_observe_rules_zero_extra_scan(people, tmp_path):
+    df, obs = observe_rules(people, RULES)
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the only action
+    got = obs.get
+    assert got["record_count"] == 5
+    assert got["age_valid"] == 2
+    assert got["email_has_at"] == 2
+
+
+def test_rule_validation():
+    from bdq_spark.operators.rules import _validate
+
+    with pytest.raises(ValueError, match="non-empty"):
+        _validate([])
+    with pytest.raises(ValueError, match="duplicate"):
+        _validate([Rule("x", "1=1"), Rule("x", "2=2")])
+
+
+@pytest.fixture()
+def ev(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), "click", 1.0),
+        (2, datetime(2024, 1, 1, 10, 0), "click", 2.0),
+        (3, datetime(2024, 1, 1, 23, 59), "view", 3.0),
+        (4, datetime(2024, 1, 2, 0, 1), "click", 4.0),
+        (5, datetime(2024, 1, 3, 12, 0), "view", 5.0),
+    ]
+    return spark.createDataFrame(rows, "event_id:long, ts:timestamp, typ:string, value:double")
+
+
+def test_tumbling_window_agg(ev):
+    out = tumbling_window_agg(
+        ev, "ts", "1 day", [F.count(F.lit(1)).alias("n")],
+    ).orderBy("window_start").collect()
+    assert [(r.window_start.day, r.n) for r in out] == [(1, 3), (2, 1), (3, 1)]
+    assert all((r.window_end - r.window_start).days == 1 for r in out)
+
+
+def test_tumbling_with_group_by(ev):
+    out = tumbling_window_agg(
+        ev, "ts", "1 day", [F.count(F.lit(1)).alias("n")], group_by=["typ"],
+    ).collect()
+    got = {(r.window_start.day, r.typ): r.n for r in out}
+    assert got[(1, "click")] == 2 and got[(1, "view")] == 1
+
+
+def test_sliding_window_agg(ev):
+    out = sliding_window_agg(
+        ev, "ts", "2 days", "1 day", [F.count(F.lit(1)).alias("n")],
+    ).collect()
+    got = {r.window_start.day: r.n for r in out if r.window_start.month == 1}
+    # window [Dec31-Jan2) catches 3, [Jan1-Jan3) catches 4, [Jan2-Jan4) 2, [Jan3-Jan5) 1
+    assert got[1] == 4 and got[2] == 2 and got[3] == 1
+
+
+def test_session_window_agg(ev):
+    out = session_window_agg(
+        ev, "ts", "1 hour", [F.count(F.lit(1)).alias("n")],
+    ).orderBy("window_start").collect()
+    # sessions: {1}, {2}, {3,4} (2-min gap), {5}
+    assert [r.n for r in out] == [1, 1, 2, 1]
+
+
+def test_dedup_within_watermark_batch(ev):
+    doubled = ev.union(ev)
+    out = dedup_within_watermark(doubled, ["event_id"], "ts", "1 hour")
+    assert out.count() == 5
+
+
+def test_tumbling_window_streaming(spark, ev, tmp_path):
+    src = tmp_path / "src"
+    ev.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    agg = tumbling_window_agg(
+        stream, "ts", "1 day", [F.count(F.lit(1)).alias("n")],
+        watermark="1 hour",
+    )
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumble_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM tumble_test ORDER BY window_start").collect()
+    assert [(r.window_start.day, r.n) for r in got] == [(1, 3), (2, 1), (3, 1)]
