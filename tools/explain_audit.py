@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Physical-plan audit for the driver queries.
+
+Checks the plan properties that matter at 100 TB:
+
+- parquet scans prune columns (``ReadSchema`` should not contain columns
+  the query never touches);
+- filters reach the scan (``PushedFilters`` non-empty where applicable);
+- small dimension joins broadcast (``BroadcastHashJoin``);
+- no Cartesian products outside the intentional KNN cross joins.
+
+Usage: ``python tools/explain_audit.py [query ...]``
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# queries where a full-column scan or cartesian join is by design
+FULL_SCAN_OK = {
+    "compare_orders_diff",      # diff compares every column by contract
+    "latest_events_conflict",   # distinct over all selected columns
+    "multimodal_decode",        # payload is the data
+    "fk_broken_sampled",        # sample_records carries full fact rows by contract
+}
+CARTESIAN_OK = {"knn_embeddings", "knn_lsh_embeddings", "embedding_near_dup_pairs"}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from bdq_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    only = set(sys.argv[1:])
+
+    problems = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            plan = plan_of(fn(spark, SF_DIR))
+        except Exception as e:
+            problems.append((name, f"explain failed: {e}"))
+            continue
+
+        notes = []
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        wide_scans = [s for s in scans if s.count(",") >= 9]
+        if wide_scans and name not in FULL_SCAN_OK:
+            notes.append(f"wide scan ({wide_scans[0][:60]}...)")
+        if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+            notes.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in CARTESIAN_OK:
+            notes.append("BroadcastNestedLoopJoin")
+        n_exchange = len(re.findall(r"Exchange", plan))
+        n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
+        n_smj = len(re.findall(r"SortMergeJoin", plan))
+        n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+
+        status = "WARN" if notes else "ok"
+        print(
+            f"{status:4s} {name:34s} exchanges={n_exchange:2d} "
+            f"bhj={n_bcast} smj={n_smj} pushed_scans={n_pushed}"
+            + (f"  <- {'; '.join(notes)}" if notes else "")
+        )
+        if notes:
+            problems.append((name, "; ".join(notes)))
+
+    print()
+    if problems:
+        print(f"{len(problems)} plan warning(s)")
+    else:
+        print("all plans clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
