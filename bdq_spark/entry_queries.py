@@ -817,3 +817,299 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("window_end").alias("session_end_ms"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# O9 — minimal composite-PK search (DAG-executed, superset-pruned)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "pk_minimal_combinations",
+    """
+    WITH t AS (SELECT count(*) AS total FROM lineitem),
+    u AS (
+      SELECT 'l_orderkey' AS combo,
+             (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem))
+               = (SELECT total FROM t) AS is_unique
+      UNION ALL
+      SELECT 'l_partkey,l_suppkey',
+             (SELECT count(*) FROM (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+               = (SELECT total FROM t)
+      UNION ALL
+      SELECT 'l_orderkey,l_partkey',
+             (SELECT count(*) FROM (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+               = (SELECT total FROM t)
+      UNION ALL
+      SELECT 'l_orderkey,l_partkey,l_suppkey',
+             (SELECT count(*) FROM (
+                SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem))
+               = (SELECT total FROM t))
+    SELECT ua.combo FROM u ua
+    LEFT JOIN u ub
+      ON ub.is_unique AND ub.combo <> ua.combo
+     AND list_has_all(string_split(ua.combo, ','), string_split(ub.combo, ','))
+    WHERE ua.is_unique AND ub.combo IS NULL
+    ORDER BY ua.combo
+    """,
+)
+def pk_minimal_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators import validate_primary_key_candidate_combinations
+
+    df = load_table(spark, sf_dir, "lineitem")
+    combos = [
+        ("l_orderkey",),
+        ("l_partkey", "l_suppkey"),
+        ("l_orderkey", "l_partkey"),
+        ("l_orderkey", "l_partkey", "l_suppkey"),
+    ]
+    solutions = validate_primary_key_candidate_combinations(
+        df, combos, max_workers=4
+    )
+    rows = sorted(",".join(c) for c in solutions)
+    return spark.createDataFrame([(r,) for r in rows], "combo: string")
+
+
+# ---------------------------------------------------------------------------
+# O12 — compare_schemas (pure-Python operator surfaced as rows)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "schema_diff_orders",
+    """
+    SELECT * FROM (VALUES
+      ('o_comment',       'added',   NULL,       NULL),
+      ('o_clerk',         'removed', NULL,       NULL),
+      ('o_totalprice',    'changed', 'double',   'decimal(12,2)')
+    ) AS t(column_name, change, before_type, after_type)
+    """,
+)
+def schema_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.schema import compare_schemas
+
+    orders = load_table(spark, sf_dir, "orders")
+    s1 = orders.withColumn("o_comment", F.lit("x")).schema
+    s2 = (
+        orders.withColumn("o_clerk", F.lit("c"))
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(12,2)"))
+        .schema
+    )
+    diff = compare_schemas(s1, s2)
+    rows = (
+        [(c, "added", None, None) for c in sorted(diff["added"])]
+        + [(c, "removed", None, None) for c in sorted(diff["removed"])]
+        + [
+            (c, "changed", v["before"], v["after"])
+            for c, v in sorted(diff["changed"].items())
+        ]
+    )
+    return spark.createDataFrame(
+        rows, "column_name:string, change:string, before_type:string, after_type:string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# O17 — column-name combination generator
+# ---------------------------------------------------------------------------
+
+@_register(
+    "column_combinations",
+    """
+    SELECT * FROM (VALUES
+      (1, 'f,g'), (2, 'f,g,a'), (3, 'f,g,b'), (4, 'f,g,c'),
+      (5, 'f,g,a,b'), (6, 'f,g,a,c'), (7, 'f,g,b,c'), (8, 'f,g,a,b,c')
+    ) AS t(ord, combo)
+    """,
+)
+def column_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.schema import get_column_names_combinations
+
+    combos = list(
+        get_column_names_combinations(
+            dynamic_column_names=["a", "b", "c"], fixed_column_names=["f", "g"]
+        )
+    )
+    return spark.createDataFrame(
+        [(i + 1, ",".join(c)) for i, c in enumerate(combos)], "ord:int, combo:string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1-E6 — DAG executor + SparkPipeline temp-view dataflow
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dag_states",
+    """
+    SELECT * FROM (VALUES
+      ('a', 'SUCCESS'), ('b', 'ERROR'), ('c', 'SKIPPED'),
+      ('d', 'SUCCESS'), ('e', 'SKIPPED')
+    ) AS t(node, state)
+    """,
+)
+def dag_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.plans import DAG
+
+    graph = DAG()
+
+    @graph.node()
+    def a():
+        return 1
+
+    @graph.node(depends_on=[a])
+    def b():
+        raise RuntimeError("intentional")
+
+    @graph.node(depends_on=[b])
+    def c():
+        return 3
+
+    @graph.node(depends_on=[a])
+    def d():
+        return graph.BREAK if False else 4
+
+    @graph.node(depends_on=[a])
+    def e():
+        return graph.BREAK
+
+    graph.execute(max_workers=4)
+    rows = sorted((n.name, n.state) for n in graph.nodes)
+    return spark.createDataFrame(rows, "node:string, state:string")
+
+
+@_register(
+    "pipeline_odd_even",
+    """
+    WITH combined AS (
+      SELECT range AS id FROM range(1, 10)
+      UNION ALL SELECT range FROM range(100, 110)
+      UNION ALL SELECT range FROM range(1000, 2000))
+    SELECT CASE WHEN id % 2 = 1 THEN 'odd' ELSE 'even' END AS parity,
+           count(*) AS n,
+           CAST(sum(id) AS BIGINT) AS total
+    FROM combined GROUP BY 1
+    """,
+)
+def pipeline_odd_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.plans import SparkPipeline
+
+    ppn = SparkPipeline("entry_oddeven", spark=spark)
+
+    @ppn.step_spark_temp_view(outputs="eq_src1")
+    def eq_src1(step):
+        return spark.range(1, 10)
+
+    @ppn.step_spark_temp_view(outputs="eq_src2")
+    def eq_src2(step):
+        return spark.range(100, 110)
+
+    @ppn.step_spark_temp_view(outputs="eq_src3")
+    def eq_src3(step):
+        return spark.range(1000, 2000)
+
+    @ppn.step_spark_temp_view(depends_on=["eq_src1", "eq_src2", "eq_src3"])
+    def eq_combined(step):
+        return (
+            spark.table("eq_src1")
+            .union(spark.table("eq_src2"))
+            .union(spark.table("eq_src3"))
+        )
+
+    @ppn.step_spark_temp_view(depends_on=[eq_combined], outputs="eq_parity")
+    def eq_parity(step):
+        return (
+            spark.table("eq_combined")
+            .groupBy(
+                F.when(F.col("id") % 2 == 1, F.lit("odd"))
+                .otherwise(F.lit("even"))
+                .alias("parity")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("total"))
+        )
+
+    ppn(max_concurrent_steps=4)
+    return spark.table("eq_parity")
+
+
+# ---------------------------------------------------------------------------
+# E8/E10 — streaming foreachBatch + state store round trip (rows-only)
+# ---------------------------------------------------------------------------
+
+@_register("streaming_foreach_batch")  # rows-only: side-effecting micro-batches
+def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bdq_spark.plans import SparkPipeline
+
+    # FileStreamSource needs a DIRECTORY; the testdata tables are single
+    # parquet files, so stage the input into a temp dir first
+    src = tempfile.mkdtemp(prefix="entry_feb_src_")
+    ckpt = tempfile.mkdtemp(prefix="entry_feb_ckpt_")
+    region = load_table(spark, sf_dir, "region")
+    region.write.mode("overwrite").parquet(src)
+    counts = []
+
+    ppn = SparkPipeline("entry_feb", spark=spark)
+    ppn.spark_streaming_checkpoint_location = ckpt
+
+    @ppn.step_spark_temp_view(outputs="feb_in")
+    def feb_in(step):
+        return spark.readStream.schema(region.schema).parquet(src)
+
+    @ppn.step_spark_for_each_batch(
+        input_table="feb_in",
+        depends_on=[feb_in],
+        outputs="feb_out",
+        trigger_availableNow=True,
+    )
+    def feb_out(df, batch_id, relative_batch_id, step):
+        counts.append((batch_id, relative_batch_id, df.count()))
+        df.limit(0).createOrReplaceTempView("__feb_sink")
+
+    try:
+        ppn(max_concurrent_steps=4)
+    except ValueError:
+        # the step's trailing re-read of the "feb_out" view happens in the
+        # main session and may legitimately fail; a failed STREAM however
+        # means zero batches — surface that instead of masking it
+        if not counts:
+            raise
+    total = sum(c for _, _, c in counts)
+    return spark.createDataFrame(
+        [(len(counts), total)], "n_batches:long, rows_processed:long"
+    )
+
+
+@_register("statestore_roundtrip")  # rows-only: catalog side effects
+def statestore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    import uuid
+
+    from bdq_spark.plans import CatalogPersistedStateStore
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS entry_state")
+    # unique table per invocation: the session catalog is in-memory but
+    # warehouse directories persist, so a fixed name collides across runs
+    table = f"rt_{uuid.uuid4().hex[:12]}"
+    store = CatalogPersistedStateStore(
+        catalog_name=None,
+        database_name="entry_state",
+        table_name=table,
+        schema="pipeline_name string, start_ts timestamp, metrics string",
+        event_ts_column="start_ts",
+        json_encoded_columns=["metrics"],
+        spark=spark,
+    )
+    store.save(
+        {"pipeline_name": "p", "start_ts": datetime(2024, 1, 1), "metrics": {"n": 1}}
+    )
+    store.save(
+        {"pipeline_name": "p", "start_ts": datetime(2024, 6, 1), "metrics": {"n": 2}}
+    )
+    latest = store.load()
+    return spark.createDataFrame(
+        [(latest["pipeline_name"], latest["metrics"]["n"])],
+        "pipeline_name:string, latest_n:long",
+    )
