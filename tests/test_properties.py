@@ -1,0 +1,202 @@
+"""Property-based tests (hypothesis) — cross-checking operators against
+independent pure-Python references on randomized inputs."""
+
+import hashlib
+import json
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bdq_spark.functions import NULL_STR_REPR, surrogate_key_hash, surrogate_key_string
+from bdq_spark.schema import dict_compare
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+text_values = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        max_size=24,
+    ),
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-(2**31), 2**31 - 1), text_values, text_values),
+        min_size=1,
+        max_size=8,
+    ),
+    rtrim=st.booleans(),
+    upper=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_surrogate_key_matches_python_reference(spark, rows, rtrim, upper):
+    """The 160-bit surrogate hash must equal a from-scratch Python
+    implementation of the contract for arbitrary inputs."""
+    df = spark.createDataFrame(rows, "a:long, b:string, c:string")
+    got = df.select(
+        surrogate_key_string(["a", "b", "c"], rtrim=rtrim, upper=upper).alias("s"),
+        surrogate_key_hash(["a", "b", "c"], rtrim=rtrim).alias("h"),
+    ).collect()
+
+    def render(v, do_upper):
+        if v is None:
+            return NULL_STR_REPR
+        s = str(v)
+        if do_upper:
+            s = s.upper()
+        if rtrim:
+            s = s.rstrip(" ")  # Spark rtrim strips SPACES only, not \r\n\t
+        return s
+
+    for (a, b, c), row in zip(rows, got):
+        # string rendering: [x, y, z] via Spark's array->string cast
+        parts_u = [render(a, upper), render(b, upper), render(c, upper)]
+        assert row.s == "[" + ", ".join(parts_u) + "]"
+        # hash contract: sha224 of the upper=True rendering, first 40 hex
+        parts_h = [render(a, True), render(b, True), render(c, True)]
+        expected = hashlib.sha224(
+            ("[" + ", ".join(parts_h) + "]").encode("utf-8")
+        ).hexdigest()[:40]
+        assert bytes(row.h).hex() == expected
+
+
+@given(
+    d1=st.dictionaries(st.text(max_size=6), st.integers(0, 5), max_size=6),
+    d2=st.dictionaries(st.text(max_size=6), st.integers(0, 5), max_size=6),
+)
+@settings(max_examples=50, deadline=None)
+def test_dict_compare_properties(d1, d2):
+    res = dict_compare(d1, d2)
+    # partition property: every key of either dict lands in exactly one bucket
+    buckets = [
+        set(res["added"]),
+        set(res["removed"]),
+        set(res["changed"]),
+        set(res["not_changed"]),
+    ]
+    all_keys = set(d1) | set(d2)
+    assert set().union(*buckets) == all_keys
+    for i, x in enumerate(buckets):
+        for y in buckets[i + 1:]:
+            assert not (x & y)
+    # direction quirk: added comes from d1, removed from d2
+    assert res["added"] == set(d1) - set(d2)
+    assert res["removed"] == set(d2) - set(d1)
+    # symmetry: swapping inputs swaps added/removed and before/after
+    rev = dict_compare(d2, d1)
+    assert rev["added"] == res["removed"]
+    assert {k: (v["after"], v["before"]) for k, v in rev["changed"].items()} == {
+        k: (v["before"], v["after"]) for k, v in res["changed"].items()
+    }
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=2, max_size=6
+    )
+)
+@settings(**SETTINGS)
+def test_jaccard_matches_python_reference(spark, docs):
+    from bdq_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id:long, text:string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    }
+
+    def shingles(text):
+        words = [w for w in "".join(
+            ch if ch.isalnum() else " " for ch in text.lower()
+        ).split() if w]
+        if not words:
+            return set()
+        if len(words) < 2:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + 2]) for i in range(len(words) - 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                if inter == 0:
+                    assert (i, j) not in got  # no shared shingle -> no pair
+                else:
+                    expected = inter / (len(sets[i]) + len(sets[j]) - inter)
+                    assert abs(got[(i, j)] - expected) < 1e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(-5, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_latest_records_matches_python_reference(spark, rows):
+    from bdq_spark.operators import get_latest_records
+
+    df = spark.createDataFrame(rows, "k:int, v:int, x:int")
+    got = {
+        (r.k): (r.v, r.x)
+        for r in get_latest_records(df, ["k"], ["v", "x"]).collect()
+    }
+    expected = {}
+    for k, v, x in rows:
+        if k not in expected or (v, x) > expected[k]:
+            expected[k] = (v, x)
+    assert got == expected
+
+
+@given(
+    values=st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+    bound=st.integers(-50, 50),
+)
+@settings(**SETTINGS)
+def test_check_rules_counts_match_python(spark, values, bound):
+    from bdq_spark.operators.rules import Rule, check_rules
+
+    df = spark.createDataFrame([(v,) for v in values], "v:int")
+    res = check_rules(df, [Rule("le_bound", f"v <= {bound}")])
+    expected_bad = sum(1 for v in values if not (v <= bound))
+    assert res["record_count"] == len(values)
+    assert res["violations"]["le_bound"] == expected_bad
+    assert res["failed_records"] == expected_bad
+
+
+def test_statestore_json_roundtrip_property():
+    from bdq_spark.plans.statestore import PersistedStateStoreBase as P
+
+    @given(
+        st.recursive(
+            st.one_of(
+                st.none(),
+                st.booleans(),
+                st.integers(-(2**53), 2**53),
+                st.text(max_size=12),
+                st.datetimes(
+                    min_value=datetime(1970, 1, 1), max_value=datetime(2100, 1, 1)
+                ),
+            ),
+            lambda inner: st.one_of(
+                st.lists(inner, max_size=4),
+                st.dictionaries(st.text(max_size=6), inner, max_size=4),
+            ),
+            max_leaves=12,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def roundtrip(obj):
+        assert P._from_json(P._to_json(obj)) == obj
+
+    roundtrip()
