@@ -104,15 +104,38 @@ def compare_dataframes(
         changed = changed.cache()
         not_changed = not_changed.cache()
 
+    # the four eager counts (part of the reference's API contract,
+    # `/root/reference/bdq/dataframe.py:70-79`) are computed in ONE pass:
+    # classify each joined row and count by class — a single aggregation
+    # job instead of four separate materializations of the join.  At
+    # scale this is 1 shuffle instead of 4.
+    any_change = F.lit(False)
+    for name in value_columns:
+        any_change = any_change | ~F.col(f"df1.{name}").eqNullSafe(
+            F.col(f"df2.{name}")
+        )
+    status = (
+        F.when(F.col(f"df1.{k0}").isNull(), F.lit("added"))
+        .when(F.col(f"df2.{k0}").isNull(), F.lit("removed"))
+        .when(any_change, F.lit("changed"))
+        .otherwise(F.lit("not_changed"))
+    )
+    count_row = joined.agg(
+        *[
+            F.sum(F.when(status == s, 1).otherwise(0)).alias(s)
+            for s in ("added", "removed", "changed", "not_changed")
+        ]
+    ).first()
+
     return {
         "added": added,
-        "added_count": added.count(),
+        "added_count": count_row["added"] or 0,
         "removed": removed,
-        "removed_count": removed.count(),
+        "removed_count": count_row["removed"] or 0,
         "changed": changed,
-        "changed_count": changed.count(),
+        "changed_count": count_row["changed"] or 0,
         "not_changed": not_changed,
-        "not_changed_count": not_changed.count(),
+        "not_changed_count": count_row["not_changed"] or 0,
     }
 
 
