@@ -447,8 +447,8 @@ def dedup_events_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            length(text) AS n_chars_c,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS n_tokens,
            length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
              AS punct_cnt,
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
@@ -513,8 +513,8 @@ ORACLE_SQL["doc_language"] = _lang_oracle()
     WITH t AS (
       SELECT doc_id, text,
         length(text)::DOUBLE AS chars,
-        (CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE AS tokens,
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE
+          AS tokens,
         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
           AS punct_cnt
       FROM documents),
@@ -1112,4 +1112,121 @@ def statestore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(latest["pipeline_name"], latest["metrics"]["n"])],
         "pipeline_name:string, latest_n:long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics breadth — cube / rollup / pivot (Catalyst multi-grouping)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "lineitem_cube",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@_register(
+    "orders_rollup_by_year",
+    """
+    SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), '<all>') AS order_year,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    """,
+)
+def orders_rollup_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year_i", F.year("o_orderdate")
+    )
+    return (
+        o.rollup("order_year_i", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("order_year_i").cast("string"), F.lit("<all>")).alias(
+                "order_year"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@_register(
+    "orders_pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    )
+
+
+@_register(
+    "supplier_part_join_agg",
+    """
+    SELECT s_name, count(*) AS n_lineitems,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_nationkey < 10
+    GROUP BY s_name
+    """,
+)
+def supplier_part_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
     )

@@ -65,11 +65,13 @@ def char_count(c: ColumnOrName) -> Column:
 
 
 def token_count(c: ColumnOrName) -> Column:
-    """Whitespace-delimited token count; empty/blank text counts 0."""
-    t = F.trim(_col(c))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
-    )
+    """Whitespace-delimited token count; empty/blank text counts 0.
+
+    Counts non-empty split results rather than trimming first — Spark's
+    ``trim`` strips only SPACES, so tab/newline-only text would otherwise
+    produce phantom tokens.
+    """
+    return F.size(F.filter(F.split(_col(c), r"\s+"), lambda x: x != ""))
 
 
 def word_tokens(c: ColumnOrName) -> Column:

@@ -94,3 +94,20 @@ def test_compare_dataframes_cached_all_usable(spark):
     assert res["changed"].storageLevel.useMemory
     uncache_compare_dataframes_results(res)
     assert not res["changed"].storageLevel.useMemory
+
+
+def test_display_results(spark, capsys):
+    from bdq_spark.operators import display_compare_dataframes_results
+
+    df1, df2 = _dfs(spark)
+    res = compare_dataframes(df1, df2, ["id1", "id2"])
+    shown = []
+    display_compare_dataframes_results(res, display_function=shown.append)
+    out = capsys.readouterr().out
+    assert "Added records count: 1" in out
+    assert "Removed records count: 1" in out
+    assert "Changed records count: 1" in out
+    assert "Not changed records count: 1" in out
+    # default flags: added/removed/changed shown, not_changed hidden
+    assert len(shown) == 3
+    assert shown[0] is res["added"]
