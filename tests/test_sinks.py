@@ -1,0 +1,51 @@
+"""Partitioned/bucketed sink tests — verifying the physical layout
+actually delivers pruning and shuffle-free joins."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from bdq_spark.sources.sinks import write_bucketed, write_partitioned
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_write_partitioned_enables_pruning(spark, tmp_path):
+    df = spark.range(0, 1000).withColumn("part", F.col("id") % 5)
+    path = str(tmp_path / "parted")
+    write_partitioned(df, path, ["part"])
+
+    back = spark.read.parquet(path).filter(F.col("part") == 3)
+    assert back.count() == 200
+    plan = _plan(back)
+    # the partition filter must reach the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan
+    assert "part" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+
+
+def test_write_bucketed_join_without_shuffle(spark):
+    spark.sql("DROP TABLE IF EXISTS bk_left")
+    spark.sql("DROP TABLE IF EXISTS bk_right")
+    left = spark.range(0, 500).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 500).withColumn("w", F.col("id") * 3)
+    write_bucketed(left, "bk_left", ["id"], 4, sort_by=["id"])
+    write_bucketed(right, "bk_right", ["id"], 4, sort_by=["id"])
+
+    j = spark.table("bk_left").join(spark.table("bk_right"), "id")
+    assert j.count() == 500
+
+    # co-bucketed join: no Exchange on either side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark.table("bk_left").join(spark.table("bk_right"), "id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
