@@ -1230,3 +1230,38 @@ def supplier_part_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension — custom stateful operator (applyInPandasWithState; the batch
+# path shares the fold logic, making the semantics oracle-checkable)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "stateful_running_counter",
+    """
+    SELECT user_id AS key, count(*) AS n_events,
+           round(sum(value), 2) AS total,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_running_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.streaming import running_counter
+
+    ev = load_table(spark, sf_dir, "events")
+    out = running_counter(ev, key_column="user_id", value_column="value")
+    # all inputs are exact 2-decimal values, so rounding the float sum to
+    # 2 decimals recovers the exact total independent of summation order
+    return out.select("key", "n_events", F.round("total", 2).alias("total"), "max_value")
+
+
+@_register("knn_ivf_embeddings")  # rows-only: approximate by construction
+def knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.operators.ivf import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf(emb, queries, k=10, n_clusters=8, n_probe=2)

@@ -6,6 +6,7 @@ free — watermarks, event-time windows, within-watermark dedup — as thin,
 batch-compatible combinators.
 """
 
+from bdq_spark.streaming.stateful import running_counter
 from bdq_spark.streaming.windows import (
     dedup_within_watermark,
     session_window_agg,
@@ -20,4 +21,5 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_within_watermark",
+    "running_counter",
 ]

@@ -1,0 +1,53 @@
+"""IVF ANN tests — determinism, recall vs brute force, probe scaling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdq_spark.operators.ivf import assign_ivf_cells, knn_ivf, train_ivf_centroids
+from bdq_spark.operators.similarity import knn_bruteforce
+
+
+@pytest.fixture()
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_centroids_deterministic(spark, embeddings):
+    import numpy as np
+
+    c1 = train_ivf_centroids(embeddings, n_clusters=8)
+    c2 = train_ivf_centroids(embeddings, n_clusters=8)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 64)
+    # centroids are unit-norm (cosine geometry)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_assignment_covers_corpus(spark, embeddings):
+    cents = train_ivf_centroids(embeddings, n_clusters=8)
+    cells = assign_ivf_cells(embeddings, cents)
+    assert cells.count() == embeddings.count()  # n_probe=1: one cell each
+    spread = cells.groupBy("cluster").count().count()
+    assert spread >= 4  # vectors actually distribute over cells
+
+    probed = assign_ivf_cells(embeddings.limit(10), cents, n_probe=3)
+    assert probed.count() == 30  # one row per probe
+
+
+def test_knn_ivf_recall_and_self_match(spark, embeddings):
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_bruteforce(embeddings, queries, k=5)
+    approx = knn_ivf(embeddings, queries, k=5, n_clusters=8, n_probe=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # a vector always lands in its own best cell -> self-match guaranteed
+    assert all((q, q) in a for q in [r.query_id for r in queries.collect()])
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+    # probing every cell == exact brute force
+    full = knn_ivf(embeddings, queries, k=5, n_clusters=8, n_probe=8)
+    f = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert f == e
