@@ -21,7 +21,7 @@ Scale design: every evaluation mode is a SINGLE pass over the data —
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
@@ -128,17 +128,26 @@ def quarantine_rules(
 
 def observe_rules(
     df: DataFrame, rules: List[Rule], name: str = "rules"
-) -> Tuple[DataFrame, Observation]:
+) -> Tuple[DataFrame, Optional[Observation]]:
     """Attach rule-violation counters to a DataFrame via ``observe``.
 
-    The counters are computed as a side effect of whatever action the
-    caller runs next (typically a write) — zero additional scans.  Use
-    ``observation.get`` after the action.
+    Batch: counters are computed as a side effect of whatever action the
+    caller runs next (typically a write) — zero additional scans; read
+    them from the returned ``Observation.get``.
+
+    Streaming: ``Observation`` objects are unsupported, so the metrics
+    are attached as a NAMED observation (returned observation is None);
+    read them per micro-batch from
+    ``StreamingQueryProgress.observedMetrics[name]`` (mirrors the
+    reference's streaming metric path,
+    `/root/reference/bdq/spark_pipeline.py:403-409`).
     """
     rules = _validate(rules)
+    aggs = [F.count(F.lit(1)).alias("record_count"), *_violation_aggs(rules)]
+    if df.isStreaming:
+        return df.observe(name, *aggs), None
     obs = Observation(name)
-    out = df.observe(obs, F.count(F.lit(1)).alias("record_count"), *_violation_aggs(rules))
-    return out, obs
+    return df.observe(obs, *aggs), obs
 
 
 def violation_summary(df: DataFrame, rules: List[Rule]) -> DataFrame:

@@ -83,3 +83,12 @@ def test_latest_records_aggregate_strategy(spark):
 
     with pytest.raises(ValueError, match="unknown strategy"):
         get_latest_records(df, ["pk"], ["change_ts"], strategy="nope")
+
+
+def test_conflict_flag_aggregate_strategy_matches_window(spark):
+    from bdq_spark.operators import get_latest_records_with_pk_confict_detection_flag as f
+
+    df = _increment_df(spark)
+    w = {tuple(r) for r in f(df, ["pk"], ["change_ts"]).collect()}
+    a = {tuple(r) for r in f(df, ["pk"], ["change_ts"], strategy="aggregate").collect()}
+    assert w == a

@@ -148,3 +148,30 @@ def test_tumbling_window_streaming(spark, ev, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT * FROM tumble_test ORDER BY window_start").collect()
     assert [(r.window_start.day, r.n) for r in got] == [(1, 3), (2, 1), (3, 1)]
+
+
+def test_observe_rules_streaming(spark, tmp_path):
+    from bdq_spark.operators.rules import Rule, observe_rules
+
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 200), (4, 30)], "id:long, age:int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema("id long, age int").parquet(f"{src}/*")
+    observed, obs = observe_rules(
+        stream, [Rule("age_ok", "age BETWEEN 0 AND 150")], name="stream_rules"
+    )
+    assert obs is None  # streaming path: named observation
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "rckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    progress = q.lastProgress
+    metrics = progress["observedMetrics"]["stream_rules"]
+    assert metrics["record_count"] == 4
+    assert metrics["age_ok"] == 2  # -5 and 200 violate
