@@ -1265,3 +1265,35 @@ def knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_ivf(emb, queries, k=10, n_clusters=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Extension — BPE-ish token counting (LLM-token-count proxy)
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle() -> str:
+    from bdq_spark.functions.text import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''").replace("\\", "\\\\")
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{pat}')) AS n_bpe_tokens,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS n_ws_tokens
+    FROM documents
+    """
+
+
+@_register("doc_bpe_tokens", None)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bdq_spark.functions.text import bpe_ish_token_count, token_count
+
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+ORACLE_SQL["doc_bpe_tokens"] = _bpe_oracle()

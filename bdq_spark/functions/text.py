@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_text",
     "token_count",
+    "bpe_ish_tokens",
+    "bpe_ish_token_count",
+    "BPE_ISH_PATTERN",
     "word_tokens",
     "char_count",
     "punct_count",
@@ -172,6 +175,29 @@ def quality_score(c: ColumnOrName) -> Column:
         + sw_component * 0.25
     )
     return F.when(tokens == 0, F.lit(0.0)).otherwise(F.round(score, 6))
+
+
+#: BPE-style pretokenizer pattern (GPT-2-like, simplified to avoid
+#: lookahead so RE2 engines — DuckDB oracles — match Java regex exactly):
+#: contractions, space-prefixed letter runs, digit runs, punct runs.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_ish_tokens(c: ColumnOrName) -> Column:
+    """BPE-style pretokenization (array<string>) over lowercased text.
+
+    Approximates how a byte-pair-encoding tokenizer's pretokenizer splits
+    text — contractions split off, runs of letters/digits/punctuation kept
+    whole with their leading space — giving a much better LLM-token-count
+    estimate than whitespace splitting (which undercounts punctuation-
+    heavy text and merges ``don't`` into one token).
+    """
+    return F.regexp_extract_all(F.lower(_col(c)), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(c: ColumnOrName) -> Column:
+    """Number of BPE-ish pretokens (the cheap LLM-token-count proxy)."""
+    return F.size(bpe_ish_tokens(c))
 
 
 def doc_fingerprint(c: ColumnOrName) -> Column:

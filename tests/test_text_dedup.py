@@ -187,3 +187,19 @@ def test_embedding_cosine_pairs(spark):
     assert pairs[(1, 4)] == 1.0
     assert (1, 2) in pairs
     assert not any(3 in k for k in pairs)
+
+
+def test_bpe_ish_tokens(spark):
+    from bdq_spark.functions.text import bpe_ish_token_count, bpe_ish_tokens
+
+    df = spark.createDataFrame(
+        [("Don't panic! It's 42.",), ("",), ("price: $19.99",)], "t:string"
+    )
+    rows = df.select(
+        bpe_ish_tokens("t").alias("toks"), bpe_ish_token_count("t").alias("n")
+    ).collect()
+    assert rows[0].toks == ["don", "'t", " panic", "!", " it", "'s", " 42", "."]
+    assert rows[0].n == 8
+    assert rows[1].n == 0
+    # BPE-ish counts punctuation/number tokens whitespace splitting merges
+    assert rows[2].toks == ["price", ":", " $", "19", ".", "99"]
