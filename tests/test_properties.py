@@ -200,3 +200,70 @@ def test_statestore_json_roundtrip_property():
         assert P._from_json(P._to_json(obj)) == obj
 
     roundtrip()
+
+
+@given(
+    rows1=st.lists(
+        st.tuples(st.integers(0, 6), st.one_of(st.none(), st.integers(0, 3)),
+                  st.one_of(st.none(), st.sampled_from("abc"))),
+        max_size=10, unique_by=lambda r: r[0],
+    ),
+    rows2=st.lists(
+        st.tuples(st.integers(0, 6), st.one_of(st.none(), st.integers(0, 3)),
+                  st.one_of(st.none(), st.sampled_from("abc"))),
+        max_size=10, unique_by=lambda r: r[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_compare_dataframes_matches_python_reference(spark, rows1, rows2):
+    from bdq_spark.operators import compare_dataframes
+
+    ddl = "k:int, v:int, w:string"
+    df1 = spark.createDataFrame(rows1, ddl)
+    df2 = spark.createDataFrame(rows2, ddl)
+    res = compare_dataframes(df1, df2, ["k"])
+
+    m1 = {r[0]: (r[1], r[2]) for r in rows1}
+    m2 = {r[0]: (r[1], r[2]) for r in rows2}
+    exp_added = set(m2) - set(m1)
+    exp_removed = set(m1) - set(m2)
+    shared = set(m1) & set(m2)
+    exp_changed = {k for k in shared if m1[k] != m2[k]}
+    exp_not_changed = shared - exp_changed
+
+    assert res["added_count"] == len(exp_added)
+    assert res["removed_count"] == len(exp_removed)
+    assert res["changed_count"] == len(exp_changed)
+    assert res["not_changed_count"] == len(exp_not_changed)
+    assert {r.k for r in res["added"].collect()} == exp_added
+    assert {r.k for r in res["removed"].collect()} == exp_removed
+    changed_rows = {r.k: r.changed for r in res["changed"].collect()}
+    assert set(changed_rows) == exp_changed
+    for k, cmap in changed_rows.items():
+        expected_cols = {c for c, (a, b) in zip(
+            ("v", "w"), zip(m1[k], m2[k])) if a != b}
+        assert set(cmap.keys()) == expected_cols
+        for c in cmap:
+            before, after = cmap[c].before, cmap[c].after
+            i = 0 if c == "v" else 1
+            assert before == (None if m1[k][i] is None else str(m1[k][i]))
+            assert after == (None if m2[k][i] is None else str(m2[k][i]))
+
+
+@given(
+    docs=st.lists(st.text(alphabet="xy z", min_size=0, max_size=30),
+                  min_size=1, max_size=5)
+)
+@settings(**SETTINGS)
+def test_minhash_signature_invariants(spark, docs):
+    from bdq_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, t) for i, t in enumerate(docs)] + [(100 + i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id:long, text:string")
+    sigs = {r.id: tuple(r.sig) for r in minhash_signatures(df, num_hashes=16).collect()}
+    for i, t in enumerate(docs):
+        has_words = any(w for w in t.replace("z", " ").split())
+        if i in sigs:
+            # identical text => identical signature, regardless of id
+            assert sigs[i] == sigs[100 + i]
+            assert len(sigs[i]) == 16

@@ -9,12 +9,22 @@ Checks the plan properties that matter at 100 TB:
 - small dimension joins broadcast (``BroadcastHashJoin``);
 - no Cartesian products outside the intentional KNN cross joins.
 
-Usage: ``python tools/explain_audit.py [query ...]``
+Usage::
+
+    python tools/explain_audit.py [query ...]   # audit (and diff vs snapshot)
+    python tools/explain_audit.py --snapshot    # write plans_golden.json
+
+The committed snapshot (``plans_golden.json``) records each query's plan
+fingerprint (exchange/join/pushdown counts); the audit prints a DRIFT
+marker when a fingerprint changes, so plan regressions (a lost broadcast,
+an extra shuffle) show up in review diffs.
 """
 
 from __future__ import annotations
 
 import io
+import json
+import os
 import re
 import sys
 from contextlib import redirect_stdout
@@ -22,6 +32,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.01"
+SNAPSHOT_PATH = os.path.join(os.path.dirname(__file__), "..", "plans_golden.json")
 
 # queries where a full-column scan or cartesian join is by design
 FULL_SCAN_OK = {
@@ -47,8 +58,16 @@ def main() -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    write_snapshot = "--snapshot" in args
+    only = set(a for a in args if not a.startswith("--"))
 
+    golden = {}
+    if not write_snapshot and os.path.exists(SNAPSHOT_PATH):
+        with open(SNAPSHOT_PATH) as f:
+            golden = json.load(f)
+
+    fingerprints = {}
     problems = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -72,6 +91,28 @@ def main() -> int:
         n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
         n_smj = len(re.findall(r"SortMergeJoin", plan))
         n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        fp = {
+            "exchanges": n_exchange,
+            "broadcast_hash_joins": n_bcast,
+            "sort_merge_joins": n_smj,
+            "pushed_scans": n_pushed,
+            "cartesian": "CartesianProduct" in plan,
+        }
+        fingerprints[name] = fp
+
+        drift = ""
+        if golden and not only:
+            if name not in golden:
+                drift = "DRIFT: new query (re-run --snapshot)"
+            elif golden[name] != fp:
+                diffs = [
+                    f"{k} {golden[name][k]}->{fp[k]}"
+                    for k in fp
+                    if golden[name].get(k) != fp[k]
+                ]
+                drift = "DRIFT: " + ", ".join(diffs)
+        if drift:
+            notes.append(drift)
 
         status = "WARN" if notes else "ok"
         print(
@@ -81,6 +122,13 @@ def main() -> int:
         )
         if notes:
             problems.append((name, "; ".join(notes)))
+
+    if write_snapshot:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(fingerprints, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"\nsnapshot written: {len(fingerprints)} queries")
+        return 0
 
     print()
     if problems:
