@@ -695,6 +695,22 @@ def knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, queries, k=10, num_planes=4)
 
 
+@_register("knn_multiprobe_embeddings")  # rows-only: approximate by construction
+def knn_multiprobe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: higher recall at the same corpus bucketing.
+
+    Extension op (SURVEY §2.4 vector similarity); probing strategy after
+    Lv et al., "Multi-Probe LSH" (VLDB 2007).
+    """
+    from bdq_spark.operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_lsh(emb, queries, k=10, num_planes=6, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Extensions — multimodal plumbing (stubbed codecs, real distribution)
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ __all__ = [
     "cosine_similarity",
     "knn_bruteforce",
     "lsh_bucket_vectors",
+    "lsh_probe_buckets",
     "knn_lsh",
 ]
 
@@ -177,11 +178,82 @@ def lsh_bucket_vectors(
     )
 
 
+def lsh_probe_buckets(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    num_planes: int = 8,
+    n_probe: int = 1,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Multi-probe bucket expansion: up to ``n_probe`` rows per vector.
+
+    Standard multi-probe LSH (Lv et al., VLDB'07 — query-directed probing,
+    restricted to single-bit perturbations): the first probe is the exact
+    sign bucket; subsequent probes flip one sign bit each, in ascending
+    order of the hyperplane margin ``|v . h_p|``.  A small margin means the
+    vector sits near that hyperplane, so the flipped bucket is the most
+    likely home of a missed true neighbor.  ``n_probe`` is clamped to
+    ``num_planes + 1`` (exact bucket + one flip per plane).
+
+    Probing the query side N ways costs N broadcast-hash lookups instead
+    of re-bucketing the corpus N times — the corpus keeps exactly one row
+    per vector, which is what makes this the scale-path recall knob.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        first = df.select(F.size(F.col(vector_column)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = first["d"]
+
+    n_probe = max(1, min(n_probe, num_planes + 1))
+    planes = _hyperplanes(num_planes, dim)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    base = df.select(
+        F.col(id_column).alias("id"), F.col(vector_column).alias("vec")
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            ).reshape(len(pdf), dim)
+            margins = block @ planes.T
+            signs = margins >= 0
+            exact = (signs @ weights).astype(np.int64)
+            # ascending |margin|: nearest hyperplanes flipped first
+            order = np.argsort(np.abs(margins), axis=1)
+            all_buckets = [exact]
+            for p in range(n_probe - 1):
+                flip_bit = weights[order[:, p]]
+                all_buckets.append(np.bitwise_xor(exact, flip_bit))
+            out = pd.DataFrame(
+                {
+                    "id": np.tile(pdf["id"].to_numpy(), n_probe),
+                    "vec": list(pdf["vec"]) * n_probe,
+                    "bucket": np.concatenate(all_buckets).astype(np.int32),
+                }
+            )
+            yield out
+
+    vec_type = dict(base.dtypes)["vec"]
+    return base.mapInPandas(
+        probe, schema=f"id long, vec {vec_type}, bucket int"
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     num_planes: int = 8,
+    n_probe: int = 1,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -191,24 +263,36 @@ def knn_lsh(
     """Approximate top-k: exact ranking within matching LSH buckets.
 
     Recall < 1.0 by construction (a true neighbor can land in a different
-    bucket); raise recall by lowering ``num_planes`` or adding probes.
+    bucket); raise recall by lowering ``num_planes`` or raising
+    ``n_probe`` (multi-probe: each extra probe checks the query's
+    next-nearest sign bucket, see :func:`lsh_probe_buckets`).
     Output: ``query_id, neighbor_id, rank, cosine``.
     """
     from pyspark.sql import Window
 
     cb = lsh_bucket_vectors(corpus, corpus_vec, corpus_id, num_planes, dim)
-    qb = lsh_bucket_vectors(queries, query_vec, query_id, num_planes, dim)
+    qb = lsh_probe_buckets(
+        queries, query_vec, query_id, num_planes, n_probe, dim
+    )
 
-    scored = (
+    # a corpus vector can match the same query through several probes;
+    # dedup the candidate pair before the (expensive) cosine
+    candidates = (
         cb.alias("c")
         .join(F.broadcast(qb.alias("q")), F.col("c.bucket") == F.col("q.bucket"))
         .select(
             F.col("q.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
-            F.round(
-                cosine_similarity(F.col("q.vec"), F.col("c.vec")), 6
-            ).alias("cosine"),
+            F.col("q.vec").alias("qv"),
+            F.col("c.vec").alias("cv"),
         )
+    )
+    if n_probe > 1:
+        candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

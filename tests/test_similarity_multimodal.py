@@ -119,3 +119,52 @@ def test_sample_video_frames_fanout(media):
     assert len(per_id[2]) == 3  # 2500 bytes -> 3 frames
     assert [r.frame_idx for r in sorted(per_id[2], key=lambda x: x.frame_idx)] == [0, 1, 2]
     assert 3 not in per_id  # empty payload emits no frames
+
+
+def test_lsh_probe_buckets_expansion(spark, embeddings):
+    from bdq_spark.operators.similarity import lsh_probe_buckets
+
+    sub = embeddings.limit(10)
+    p1 = lsh_probe_buckets(sub, num_planes=6, n_probe=1)
+    p3 = lsh_probe_buckets(sub, num_planes=6, n_probe=3)
+    m1 = {}
+    for r in p1.collect():
+        m1.setdefault(r.id, set()).add(r.bucket)
+    m3 = {}
+    for r in p3.collect():
+        m3.setdefault(r.id, set()).add(r.bucket)
+    for vid, buckets in m3.items():
+        # probe sets are distinct single-bit perturbations of the exact bucket
+        assert len(buckets) == 3
+        assert m1[vid] <= buckets
+        (exact,) = m1[vid]
+        for b in buckets - {exact}:
+            assert bin(b ^ exact).count("1") == 1
+
+    # n_probe clamps at num_planes + 1 (all single-bit flips exhausted)
+    pmax = lsh_probe_buckets(sub, num_planes=4, n_probe=99)
+    counts = pmax.groupBy("id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_knn_multiprobe_recall_monotone(spark, embeddings):
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(embeddings, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = knn_lsh(
+            embeddings, queries, k=5, num_planes=6, n_probe=n_probe
+        ).collect()
+        pairs = {(r.query_id, r.neighbor_id) for r in got}
+        # no duplicate (query, neighbor) rows despite multi-probe overlap
+        assert len(pairs) == len(got)
+        return len(exact & pairs) / len(exact)
+
+    r1, r3, r7 = recall(1), recall(3), recall(7)
+    assert r1 <= r3 <= r7, (r1, r3, r7)
+    assert r7 > r1  # extra probes actually recover missed neighbors
