@@ -49,8 +49,14 @@ from bdq_spark.plans.ui_logger import SparkUILogger
 __all__ = [
     "SparkPipeline",
     "Step",
+    "StepTimeoutError",
     "register_spark_pipeline_step_implementation",
 ]
+
+
+class StepTimeoutError(TimeoutError):
+    """A step exceeded its ``timeout_seconds``; its Spark jobs were
+    cancelled via the step's job group."""
 
 
 # ---------------------------------------------------------------------------
@@ -135,9 +141,16 @@ class Step:
         depends_on: Optional[List[Union[Callable, str]]] = None,
         outputs: Optional[List[str]] = None,
         spark_metrics_supported: bool = False,
+        retries: int = 0,
+        retry_delay_seconds: float = 0.0,
+        timeout_seconds: Optional[float] = None,
     ):
         if func is None or not callable(func):
             raise ValueError("func must be a callable")
+        if retries < 0:
+            raise ValueError("retries must be >= 0")
+        if timeout_seconds is not None and timeout_seconds <= 0:
+            raise ValueError("timeout_seconds must be > 0")
 
         self.name = func.__name__
         self.pipeline = pipeline
@@ -146,6 +159,11 @@ class Step:
         self.outputs = validate_step_outputs(func, outputs)
         self.metrics: Dict[str, Any] = {}
         self._spark_metrics_supported = spark_metrics_supported
+        self.retries = retries
+        self.retry_delay_seconds = retry_delay_seconds
+        self.timeout_seconds = timeout_seconds
+        #: attempts made during the most recent run (1 = no retry needed)
+        self.attempts = 0
 
         if self._lazy_function_spark_metrics:
             if not spark_metrics_supported:
@@ -223,6 +241,8 @@ class Step:
         return self.name
 
     def __call__(self):
+        import time
+
         inner = self.function
 
         @functools.wraps(inner)
@@ -234,7 +254,72 @@ class Step:
             ):
                 return inner(step)
 
-        return execute_step_decorated_function(tagged, self, self.outputs, Any)
+        self.attempts = 0
+        last_exc: Optional[BaseException] = None
+        for attempt in range(self.retries + 1):
+            self.attempts = attempt + 1
+            try:
+                if self.timeout_seconds is None:
+                    return execute_step_decorated_function(
+                        tagged, self, self.outputs, Any
+                    )
+                return self._run_with_timeout(tagged)
+            except Exception as e:
+                last_exc = e
+                if attempt < self.retries:
+                    self.log.warning(
+                        "attempt %d/%d of step %s failed (%s); retrying in %.1fs",
+                        attempt + 1, self.retries + 1, self.name, e,
+                        self.retry_delay_seconds,
+                    )
+                    if self.retry_delay_seconds:
+                        time.sleep(self.retry_delay_seconds)
+        assert last_exc is not None
+        raise last_exc
+
+    def _run_with_timeout(self, tagged: Callable):
+        """Run the step body on a watchdog-supervised thread.
+
+        The body's Spark jobs are tagged with a per-attempt job group
+        (job groups are thread-local, so this does not disturb sibling
+        steps); on timeout the group is cancelled so the cluster stops
+        working on the doomed attempt.  The Python thread itself cannot
+        be killed — it is a daemon and unwinds when its cancelled Spark
+        action raises.
+        """
+        import concurrent.futures
+
+        sc = self.pipeline._spark.sparkContext
+        group = f"{self.pipeline.name}#{self.name}#attempt{self.attempts}"
+
+        def body():
+            sc.setJobGroup(group, f"step {self.name}", interruptOnCancel=True)
+            try:
+                return execute_step_decorated_function(
+                    tagged, self, self.outputs, Any
+                )
+            finally:
+                sc.setJobGroup("", "")
+
+        pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix=f"step-{self.name}-timeout"
+        )
+        try:
+            future = pool.submit(body)
+            try:
+                return future.result(timeout=self.timeout_seconds)
+            except concurrent.futures.TimeoutError:
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # pragma: no cover - py4j edge
+                    pass
+                raise StepTimeoutError(
+                    f"step {self.name} exceeded timeout of "
+                    f"{self.timeout_seconds}s (attempt {self.attempts}); "
+                    f"job group {group} cancelled"
+                ) from None
+        finally:
+            pool.shutdown(wait=False)
 
 
 # ---------------------------------------------------------------------------
@@ -504,11 +589,18 @@ def step_python(
     *,
     outputs: Optional[List[str]] = None,
     depends_on: Optional[list] = None,
+    retries: int = 0,
+    retry_delay_seconds: float = 0.0,
+    timeout_seconds: Optional[float] = None,
 ) -> Callable[[Callable], Step]:
     """Step whose outputs are arbitrary Python values."""
 
     def wrap(func):
-        return Step(func, pipeline=pipeline, depends_on=depends_on, outputs=outputs)
+        return Step(
+            func, pipeline=pipeline, depends_on=depends_on, outputs=outputs,
+            retries=retries, retry_delay_seconds=retry_delay_seconds,
+            timeout_seconds=timeout_seconds,
+        )
 
     return wrap
 
@@ -519,6 +611,9 @@ def step_spark(
     *,
     outputs: Optional[List[str]] = None,
     depends_on: Optional[list] = None,
+    retries: int = 0,
+    retry_delay_seconds: float = 0.0,
+    timeout_seconds: Optional[float] = None,
 ) -> Callable[[Callable], Step]:
     """Step that must return DataFrame(s) matching ``outputs``."""
 
@@ -527,7 +622,11 @@ def step_spark(
         def logic(step: Step):
             return execute_step_decorated_function(func, step, outputs, DataFrame)
 
-        return Step(logic, pipeline=pipeline, depends_on=depends_on, outputs=outputs)
+        return Step(
+            logic, pipeline=pipeline, depends_on=depends_on, outputs=outputs,
+            retries=retries, retry_delay_seconds=retry_delay_seconds,
+            timeout_seconds=timeout_seconds,
+        )
 
     return wrap
 
@@ -538,6 +637,9 @@ def step_spark_temp_view(
     *,
     outputs: Optional[List[str]] = None,
     depends_on: Optional[list] = None,
+    retries: int = 0,
+    retry_delay_seconds: float = 0.0,
+    timeout_seconds: Optional[float] = None,
 ) -> Callable[[Callable], Step]:
     """As ``step_spark``, then registers each returned DF as a temp view
     named after its output and re-reads it — the inter-step dataflow."""
@@ -554,7 +656,11 @@ def step_spark_temp_view(
                 registered.append(spark.table(name))
             return registered
 
-        return Step(logic, pipeline=pipeline, depends_on=depends_on, outputs=outputs)
+        return Step(
+            logic, pipeline=pipeline, depends_on=depends_on, outputs=outputs,
+            retries=retries, retry_delay_seconds=retry_delay_seconds,
+            timeout_seconds=timeout_seconds,
+        )
 
     return wrap
 
@@ -684,6 +790,9 @@ def step_spark_table(
     options: Optional[dict] = None,
     table_properties: Optional[dict] = None,
     auto_create_table: bool = True,
+    retries: int = 0,
+    retry_delay_seconds: float = 0.0,
+    timeout_seconds: Optional[float] = None,
 ) -> Callable[[Callable], Step]:
     """Materializing sink step (catalog tables).
 
@@ -725,6 +834,9 @@ def step_spark_table(
             depends_on=depends_on,
             outputs=outputs,
             spark_metrics_supported=True,
+            retries=retries,
+            retry_delay_seconds=retry_delay_seconds,
+            timeout_seconds=timeout_seconds,
         )
 
     return wrap
@@ -768,6 +880,8 @@ def step_spark_for_each_batch(
     trigger_interval: Optional[str] = None,
     options: Optional[dict] = None,
     output_mode: Optional[str] = None,
+    retries: int = 0,
+    retry_delay_seconds: float = 0.0,
 ) -> Callable[[Callable], Step]:
     """Streaming step: ``foreachBatch`` over a (streaming) input table.
 
@@ -875,7 +989,10 @@ def step_spark_for_each_batch(
                     pass  # output may be a temp view or not exist yet
             return [spark.table(n) for n in outputs]
 
-        step = Step(logic, pipeline=pipeline, depends_on=resolved_deps, outputs=outputs)
+        step = Step(
+            logic, pipeline=pipeline, depends_on=resolved_deps, outputs=outputs,
+            retries=retries, retry_delay_seconds=retry_delay_seconds,
+        )
         step.streaming_query_name = f"{step.pipeline.name}#{step.name}"
         step.streaming_checkpoint_location = _streaming_checkpoint_location(
             pipeline, func

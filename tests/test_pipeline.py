@@ -211,3 +211,119 @@ def test_step_python_arbitrary_values(spark):
 
     ppn()
     assert consume.result == ["hello world"]
+
+
+def test_step_retry_succeeds_after_flaky_failures(spark):
+    ppn = SparkPipeline("retry_ok", spark=spark)
+    calls = {"n": 0}
+
+    @ppn.step_python(retries=3)
+    def flaky(step):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(f"transient failure {calls['n']}")
+        return "finally"
+
+    result = ppn()
+    assert "flaky" in result
+    assert flaky.result == ["finally"]
+    assert flaky.attempts == 3
+    assert calls["n"] == 3
+
+
+def test_step_retries_exhausted_marks_error(spark):
+    ppn = SparkPipeline("retry_fail", spark=spark)
+
+    @ppn.step_python(retries=2, retry_delay_seconds=0.01)
+    def always_broken(step):
+        raise RuntimeError("permanent")
+
+    with pytest.raises(ValueError, match="have failed"):
+        ppn()
+    assert always_broken.result_state == "ERROR"
+    assert always_broken.attempts == 3  # initial + 2 retries
+    assert "permanent" in str(always_broken.exception)
+
+
+def test_step_timeout_fails_fast(spark):
+    import time
+
+    from bdq_spark.plans.pipeline import StepTimeoutError
+
+    ppn = SparkPipeline("timeout", spark=spark)
+
+    @ppn.step_python(timeout_seconds=0.5)
+    def sleeper(step):
+        time.sleep(10)
+        return "never"
+
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="have failed"):
+        ppn()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 5, f"timeout did not fail fast: {elapsed}s"
+    assert isinstance(sleeper.exception, StepTimeoutError)
+    assert sleeper.result_state == "ERROR"
+
+
+def test_step_timeout_with_retry_eventually_succeeds(spark):
+    import time
+
+    ppn = SparkPipeline("timeout_retry", spark=spark)
+    calls = {"n": 0}
+
+    @ppn.step_python(timeout_seconds=1.0, retries=1)
+    def slow_then_fast(step):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(5)
+        return calls["n"]
+
+    result = ppn()
+    assert "slow_then_fast" in result
+    assert slow_then_fast.attempts == 2
+    assert slow_then_fast.result == [2]
+
+
+def test_step_timeout_cancels_spark_jobs(spark):
+    """A timed-out step's in-flight Spark job is cancelled via its job
+    group — the cluster stops working on the doomed attempt."""
+    import time
+
+    ppn = SparkPipeline("timeout_cancel", spark=spark)
+
+    @ppn.step_spark(timeout_seconds=2.0)
+    def heavy(step):
+        # ~forever in local mode without cancellation: cartesian square
+        # of 50M ids forced through an action inside the step body
+        big = spark.range(0, 50_000_000)
+        df = big.crossJoin(big.selectExpr("id AS id2")).filter("id + id2 = -1")
+        df.count()
+        return df
+
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="have failed"):
+        ppn()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"cancellation ineffective: step held on {elapsed}s"
+    # the cancelled action must not leave active jobs behind
+    deadline = time.monotonic() + 30
+    sc = spark.sparkContext
+    while time.monotonic() < deadline:
+        active = sc.statusTracker().getActiveJobsIds()
+        if not active:
+            break
+        time.sleep(0.5)
+    assert not sc.statusTracker().getActiveJobsIds()
+
+
+def test_step_policy_validation(spark):
+    ppn = SparkPipeline("policy_validation", spark=spark)
+    with pytest.raises(ValueError, match="retries"):
+        @ppn.step_python(retries=-1)
+        def bad_retries(step):
+            return 1
+    with pytest.raises(ValueError, match="timeout_seconds"):
+        @ppn.step_python(timeout_seconds=0)
+        def bad_timeout(step):
+            return 1
