@@ -330,6 +330,128 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           epoch_ms(o_orderdate) AS o_orderdate_ms,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (o_orderpriority standing in for o_shippriority).
+
+    Scale notes: all three predicates push to the parquet scans; the
+    mktsegment-filtered customer projection is 2 columns wide; join order
+    (orders x customer first, lineitem last) and algorithms are left to
+    Catalyst/AQE — at 100 TB both sides shuffle on their join keys and
+    AQE picks broadcast when the filtered side turns out small.
+    """
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(3,2)"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            # o_orderdate is TIMESTAMP_NTZ in the parquet; session TZ is UTC
+            # so the cast matches DuckDB's naive epoch_ms
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, revenue by nation in one region.
+
+    Scale notes: nation x region is tiny at ANY scale factor (25 x 5
+    rows) so it is broadcast explicitly into supplier and customer; the
+    fact-side joins (orders, lineitem) stay declarative for AQE.  The
+    non-equi-ish c_nationkey = s_nationkey constraint rides on the
+    supplier equi-join as a second key pair, not a post-filter, so it
+    participates in the shuffle hash.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    s_asia = s.join(asia_nations, s.s_nationkey == F.col("n_nationkey"))
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(3,2)"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s_asia,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@_register(
     "top_customers_by_revenue",
     """
     SELECT c_custkey, c_name,
