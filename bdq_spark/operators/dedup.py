@@ -116,8 +116,16 @@ def shingle(
     same exchange the trailing ``distinct`` needs.  ``concat_ws`` skips
     NULL leads, which makes the short-doc row (all tokens joined) fall
     out of the same expression.
+
+    The input is repartitioned BY ID before tokenization: document
+    tables often scan as few large file-splits (one ~50 MB parquet =
+    1-2 tasks), which would serialize the regex tokenize + explode on
+    2 cores; hashing up front both restores full parallelism and
+    satisfies the window's clustering, so the exchange moves from the
+    (large) exploded token stream to the (compact) raw documents —
+    strictly less data shuffled.
     """
-    toks = df.select(
+    toks = df.repartition(F.col(id_column)).select(
         F.col(id_column).alias("id"),
         F.posexplode(word_tokens(F.col(text_column))).alias("pos", "tok"),
     )
@@ -141,8 +149,18 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
     Cost is proportional to |pairs| × doc size, not to the full corpus
     pair space — this is the verify stage of candidates-then-verify.
+    The shingle set is semi-join-pruned to documents that appear in a
+    pair BEFORE the intersection join: the candidate set is tiny next to
+    the corpus, so this turns two corpus-sized shuffles into
+    candidate-sized ones.
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = sh.join(pair_ids, "id", "left_semi")
     a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -173,20 +191,40 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_doc_freq: Optional[int] = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Document pairs with n-gram Jaccard similarity >= ``threshold``.
 
-    Inverted-index join: pairs are generated only for documents sharing
-    at least one shingle, then scored exactly:
+    Inverted-index join scored exactly:
     ``J = |A∩B| / (|A| + |B| - |A∩B|)``.  Output:
     ``id_a, id_b, jaccard`` with ``id_a < id_b``.
 
-    ``max_shingle_doc_freq`` drops shingles appearing in more than N
-    documents before pair generation — at 100 TB this is essential: a
-    boilerplate shingle shared by 1M docs would otherwise emit 10^12
-    pairs into one shuffle partition.
+    Two lossless prunings keep the pair space sub-quadratic at 100 TB:
+
+    - **Prefix filtering** (Bayardo et al., "Scaling Up All Pairs
+      Similarity Search", WWW'07): under any global shingle order, two
+      docs with J >= t MUST share a shingle within each one's first
+      ``|d| - ceil(t*|d|) + 1`` shingles.  Only that prefix (rarest
+      shingles first, so the index hits the least-shared keys) enters
+      the candidate join — at t=0.8 that's ~20% of the index and a
+      ~25x smaller pair blow-up; survivors are re-scored exactly, so
+      the result set is identical.
+    - **Length filter**: J >= t requires ``t*|B| <= |A|``; size-
+      incompatible candidates drop before exact scoring.
+
+    Shingles are carried as ``xxhash64`` longs through the joins (8-byte
+    shuffle keys instead of ~25-byte strings; a counting collision needs
+    two distinct shingles of the SAME document pair colliding in 2^64 —
+    negligible).
+
+    ``max_shingle_doc_freq`` additionally drops shingles appearing in
+    more than N documents before pair generation — a boilerplate shingle
+    shared by 1M docs would otherwise emit 10^12 pairs into one shuffle
+    partition.
     """
-    sh = shingle(df, text_column, id_column, n)
+    sh = shingle(df, text_column, id_column, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
     if max_shingle_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
         sh = (
@@ -196,6 +234,50 @@ def ngram_jaccard_pairs(
     sh = sh.cache()
 
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    if prefix_filter:
+        # global order = (document frequency asc, key): rare shingles
+        # first makes the indexed prefix maximally selective
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+        ordered = sh.join(freq, "shingle").withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df_cnt", "shingle")
+            ),
+        )
+        doc_size = F.count(F.lit(1)).over(Window.partitionBy("id"))
+        # |d| - ceil(t*|d|) + 1, with an epsilon so float error can only
+        # LENGTHEN the prefix (lossless direction), never shorten it
+        prefix_len = (
+            F.floor((1 - F.lit(threshold)) * doc_size + F.lit(1e-9)) + 1
+        )
+        index = (
+            ordered.withColumn("__prefix_len", prefix_len)
+            .filter(F.col("__pos") <= F.col("__prefix_len"))
+            .select("id", "shingle")
+        )
+        a = index.alias("a")
+        b = index.alias("b")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+        cand = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                (F.lit(threshold) * F.col("size_b") <= F.col("size_a"))
+                & (F.lit(threshold) * F.col("size_a") <= F.col("size_b"))
+            )
+            .select("id_a", "id_b")
+        )
+        return _jaccard_for_pairs(cand, sh).filter(
+            F.col("jaccard") >= threshold
+        )
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -231,6 +313,7 @@ def minhash_signatures(
     id_column: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document MinHash signature: (id, sig array<bigint>[num_hashes]).
 
@@ -238,6 +321,11 @@ def minhash_signatures(
     element-wise min over the document's shingles — computed as one
     explode + one groupBy with ``num_hashes`` partial-min aggregates
     (single shuffle, map-side combined).
+
+    ``shingles`` (an ``(id, shingle)`` DataFrame, e.g. a cached
+    :func:`shingle` result) skips re-shingling when the caller already
+    has one — :func:`minhash_lsh_candidates` shares its verify-stage
+    shingle set this way.
     """
     # textbook affine family: h_i(x) = (a_i * h(x) + b_i) mod p over ONE
     # base string hash — 64 long multiply-adds per shingle instead of 64
@@ -248,7 +336,7 @@ def minhash_signatures(
         ((2 * i + 1) * 2_654_435_761 % p, (i * 40_503 + 97) % p)
         for i in range(num_hashes)
     ]
-    sh = shingle(df, text_column, id_column, n)
+    sh = shingles if shingles is not None else shingle(df, text_column, id_column, n)
     base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
     hashed = sh.select(
         "id",
@@ -288,7 +376,14 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    sig = minhash_signatures(df, text_column, id_column, n, num_hashes).cache()
+    # with verify on, the shingle set is needed twice (signatures + exact
+    # re-score) — compute it once and share the cached copy
+    sh = None
+    if verify_threshold is not None:
+        sh = shingle(df, text_column, id_column, n).cache()
+    sig = minhash_signatures(
+        df, text_column, id_column, n, num_hashes, shingles=sh
+    ).cache()
 
     banded = sig.select(
         "id",
@@ -340,7 +435,6 @@ def minhash_lsh_candidates(
     if verify_threshold is not None:
         # exact-verify ONLY the LSH survivors — |candidates| × doc-size
         # work, instead of re-scoring the whole corpus pair space
-        sh = shingle(df, text_column, id_column, n).cache()
         out = _jaccard_for_pairs(out.select("id_a", "id_b"), sh).join(
             out, ["id_a", "id_b"]
         ).select("id_a", "id_b", "est_jaccard", "jaccard").filter(
@@ -362,8 +456,12 @@ def simhash(
     fingerprint sets each bit where the vote is positive.  Implemented
     with explode + 64 conditional-sum aggregates — one shuffle, no UDF.
     """
+    # repartition by id before tokenize for the same file-split
+    # parallelism reason as :func:`shingle`; the groupBy then needs no
+    # further exchange
     toks = (
-        df.select(
+        df.repartition(F.col(id_column))
+        .select(
             F.col(id_column).alias("id"),
             F.explode(word_tokens(F.col(text_column))).alias("tok"),
         )
