@@ -1394,6 +1394,68 @@ def stateful_running_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "n_events", F.round("total", 2).alias("total"), "max_value")
 
 
+@_register(
+    "profile_orders_numeric",
+    """
+    WITH stats AS (
+      SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+             count(*) - count(o_orderkey) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+             CAST(max(o_orderkey) AS DOUBLE) AS max_val,
+             ROUND(AVG(CAST(o_orderkey AS DOUBLE)), 2) AS mean
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+             ROUND(AVG(CAST(o_custkey AS DOUBLE)), 2)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   / count(o_totalprice), 2)
+      FROM orders
+    )
+    SELECT * FROM stats
+    """,
+)
+def profile_orders_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (single aggregation pass) on orders' numeric cols.
+
+    Oracle subset: exact distinct counts and 2-decimal-rounded means so
+    DuckDB agrees (the operator's default HLL distinct and
+    percentile_approx sketches are engine-specific by design; the
+    full-profile path is covered by unit tests).
+    """
+    from bdq_spark.operators import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    prof = profile_table(orders, columns=cols, approx_distinct=False)
+    # exact decimal mean for o_totalprice (money): sum(dec)/count — the
+    # double avg's partial-agg order would flap the hash; joined lazily
+    # as a broadcast 1-row side
+    money = orders.agg(
+        (F.sum(_dec("o_totalprice", 14)) / F.count("o_totalprice"))
+        .cast("double")
+        .alias("__money_mean")
+    )
+    return prof.crossJoin(F.broadcast(money)).select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.col("min_value").cast("double").alias("min_val"),
+        F.col("max_value").cast("double").alias("max_val"),
+        F.when(F.col("column") == "o_totalprice", F.round("__money_mean", 2))
+        .otherwise(F.round("mean", 2))
+        .alias("mean"),
+    )
+
+
 @_register("knn_ivf_embeddings")  # rows-only: approximate by construction
 def knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bdq_spark.operators.ivf import knn_ivf

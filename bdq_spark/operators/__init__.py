@@ -16,6 +16,7 @@ from bdq_spark.operators.pk import (
     validate_primary_key_candidate,
     validate_primary_key_candidate_combinations,
 )
+from bdq_spark.operators.profile import profile_table
 
 __all__ = [
     "compare_dataframes",
@@ -28,4 +29,5 @@ __all__ = [
     "get_latest_records_with_pk_conflict_detection_flag",
     "validate_primary_key_candidate",
     "validate_primary_key_candidate_combinations",
+    "profile_table",
 ]

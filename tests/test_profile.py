@@ -1,0 +1,89 @@
+"""Single-pass column profiler tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdq_spark.operators import profile_table
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "a", None),
+            (2, 20.0, "b", "x"),
+            (3, None, "a", "y"),
+            (4, 40.0, None, "y"),
+        ],
+        "id:int, v:double, s:string, t:string",
+    )
+
+
+def test_profile_shape_and_stats(spark, sample):
+    rows = {r.column: r for r in profile_table(sample, approx_distinct=False).collect()}
+    assert list(rows) == ["id", "v", "s", "t"]
+
+    assert rows["id"].dtype == "int"
+    assert rows["id"].n_rows == 4
+    assert rows["id"].n_nulls == 0
+    assert rows["id"].null_rate == 0.0
+    assert rows["id"].n_distinct == 4
+    assert rows["id"].min_value == "1"
+    assert rows["id"].max_value == "4"
+    assert rows["id"].mean == 2.5
+
+    assert rows["v"].n_nulls == 1
+    assert rows["v"].null_rate == 0.25
+    assert rows["v"].n_distinct == 3  # NULL excluded, COUNT(DISTINCT) semantics
+    assert abs(rows["v"].mean - (70.0 / 3)) < 1e-9
+    assert rows["v"].percentiles is not None and len(rows["v"].percentiles) == 3
+
+    # non-numeric: moments/percentiles NULL, min/max lexicographic
+    assert rows["s"].mean is None
+    assert rows["s"].stddev is None
+    assert rows["s"].percentiles is None
+    assert rows["s"].min_value == "a"
+    assert rows["s"].max_value == "b"
+    assert rows["s"].n_distinct == 2
+
+
+def test_profile_job_count_independent_of_columns(spark, sample):
+    """The whole profile is ONE aggregation pass — the number of Spark
+    jobs must not grow with the number of profiled columns (a
+    per-column implementation would launch one job per column)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for(columns):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        profile_table(sample, columns=columns, approx_distinct=False).collect()
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    assert jobs_for(["id"]) == jobs_for(["id", "v", "s", "t"])
+
+
+def test_profile_column_subset_and_validation(spark, sample):
+    got = profile_table(sample, columns=["v", "id"]).collect()
+    assert [r.column for r in got] == ["v", "id"]
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        profile_table(sample, columns=["nope"])
+    with pytest.raises(ValueError, match="rsd"):
+        profile_table(sample, rsd=1.5)
+
+
+def test_profile_empty_dataframe(spark):
+    df = spark.createDataFrame([], "a:int, b:string")
+    rows = {r.column: r for r in profile_table(df, approx_distinct=False).collect()}
+    assert rows["a"].n_rows == 0
+    assert rows["a"].null_rate is None
+    assert rows["a"].n_distinct == 0
+    assert rows["a"].min_value is None
+
+
+def test_profile_approx_distinct_close(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 100).alias("m")
+    )
+    rows = {r.column: r for r in profile_table(df, rsd=0.02).collect()}
+    assert abs(rows["id"].n_distinct - 10_000) / 10_000 < 0.1
+    assert abs(rows["m"].n_distinct - 100) / 100 < 0.1
