@@ -1395,6 +1395,43 @@ def stateful_running_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "salted_join_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join, oracle-checked against the plain join.
+
+    Salting is semantically invisible (SURVEY §2.4 scale mandate: "salting
+    for skew") — this entry proves it by hashing identically to the
+    unsalted SQL.
+    """
+    from bdq_spark.operators import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(3,2)"))
+    return (
+        salted_join(l, o, ["o_orderkey"], "inner", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
     "profile_orders_numeric",
     """
     WITH stats AS (
