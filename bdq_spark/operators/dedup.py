@@ -252,28 +252,38 @@ def ngram_jaccard_pairs(
             F.floor((1 - F.lit(threshold)) * doc_size + F.lit(1e-9)) + 1
         )
         index = (
-            ordered.withColumn("__prefix_len", prefix_len)
+            ordered.withColumn("__size", doc_size)
+            .withColumn("__prefix_len", prefix_len)
             .filter(F.col("__pos") <= F.col("__prefix_len"))
-            .select("id", "shingle")
+            .select("id", "shingle", "__pos", "__size")
         )
         a = index.alias("a")
         b = index.alias("b")
+        size_a, size_b = F.col("a.__size"), F.col("b.__size")
+        # positional filter (PPJoin, Xiao et al. WWW'08): at a prefix
+        # match on positions (pa, pb) under a COMMON global order, the
+        # overlap can't exceed 1 + min(remaining suffix of each side);
+        # J >= t needs overlap >= ceil(t/(1+t) * (|A|+|B|)) (epsilon in
+        # the lossless direction: never round the requirement up past
+        # the exact value).  Plus the length filter t*|B| <= |A| <= |B|/t.
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold)) * (size_a + size_b)
+            - F.lit(1e-9)
+        )
+        ubound = (
+            F.lit(1)
+            + F.least(size_a - F.col("a.__pos"), size_b - F.col("b.__pos"))
+        )
         cand = (
             a.join(b, "shingle")
-            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(
+                (F.col("a.id") < F.col("b.id"))
+                & (F.lit(threshold) * size_b <= size_a)
+                & (F.lit(threshold) * size_a <= size_b)
+                & (ubound >= alpha)
+            )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
-        )
-        sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
-        sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
-        cand = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(
-                (F.lit(threshold) * F.col("size_b") <= F.col("size_a"))
-                & (F.lit(threshold) * F.col("size_a") <= F.col("size_b"))
-            )
-            .select("id_a", "id_b")
         )
         return _jaccard_for_pairs(cand, sh).filter(
             F.col("jaccard") >= threshold
