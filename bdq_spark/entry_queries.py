@@ -1432,6 +1432,43 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_click_purchase",
+    """
+    SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+           epoch_ms(p.pts) AS purchase_ts_ms, p.pvalue AS purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT user_id, ts AS pts, value AS pvalue
+          FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts >= p.pts
+    """,
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window, single shuffle, no range-join blow-up):
+    each click event annotated with the user's most recent prior purchase.
+    Oracle: DuckDB's native ASOF LEFT JOIN — ties inclusive on both sides.
+    """
+    from bdq_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pvalue")
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_time="ts", right_time="pts"
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis("pts").alias("purchase_ts_ms"),
+        F.col("pvalue").alias("purchase_value"),
+    )
+
+
+@_register(
     "profile_orders_numeric",
     """
     WITH stats AS (

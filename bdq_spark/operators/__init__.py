@@ -16,6 +16,7 @@ from bdq_spark.operators.pk import (
     validate_primary_key_candidate,
     validate_primary_key_candidate_combinations,
 )
+from bdq_spark.operators.asof import asof_join
 from bdq_spark.operators.joins import salted_join
 from bdq_spark.operators.profile import profile_table
 
@@ -32,4 +33,5 @@ __all__ = [
     "validate_primary_key_candidate_combinations",
     "profile_table",
     "salted_join",
+    "asof_join",
 ]

@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from bdq_spark.operators.similarity import cosine_similarity
 
-__all__ = ["train_ivf_centroids", "assign_ivf_cells", "knn_ivf"]
+__all__ = [
+    "train_ivf_centroids",
+    "assign_ivf_cells",
+    "knn_ivf",
+    "save_ivf_index",
+    "load_ivf_index",
+]
 
 
 def _l2_normalize(mat: np.ndarray) -> np.ndarray:
@@ -123,6 +129,32 @@ def assign_ivf_cells(
     return base.mapInPandas(
         assign, schema=f"id long, vec {vec_type}, cluster int"
     )
+
+
+def save_ivf_index(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist trained centroids as a tiny parquet so later sessions (or
+    repeated KNN queries) skip k-means entirely.
+
+    One row per cell: ``(cluster int, centroid array<double>)``.  The
+    index is a few KB even at 100 TB corpus scale (centroid count is an
+    index parameter, not a data-volume function), so readers can always
+    broadcast it.
+    """
+    rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(np.asarray(centroids))
+    ]
+    df = spark.createDataFrame(rows, "cluster int, centroid array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> np.ndarray:
+    """Read centroids saved by :func:`save_ivf_index` back into the
+    ``(n_clusters, dim)`` ndarray that :func:`assign_ivf_cells` /
+    :func:`knn_ivf` consume."""
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    if not rows:
+        raise ValueError(f"empty IVF index at {path}")
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
 
 def knn_ivf(

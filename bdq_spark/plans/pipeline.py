@@ -256,26 +256,43 @@ class Step:
 
         self.attempts = 0
         last_exc: Optional[BaseException] = None
-        for attempt in range(self.retries + 1):
-            self.attempts = attempt + 1
-            try:
-                if self.timeout_seconds is None:
-                    return execute_step_decorated_function(
-                        tagged, self, self.outputs, Any
-                    )
-                return self._run_with_timeout(tagged)
-            except Exception as e:
-                last_exc = e
-                if attempt < self.retries:
-                    self.log.warning(
-                        "attempt %d/%d of step %s failed (%s); retrying in %.1fs",
-                        attempt + 1, self.retries + 1, self.name, e,
-                        self.retry_delay_seconds,
-                    )
-                    if self.retry_delay_seconds:
-                        time.sleep(self.retry_delay_seconds)
-        assert last_exc is not None
-        raise last_exc
+        succeeded = False
+        started = time.perf_counter()
+        try:
+            for attempt in range(self.retries + 1):
+                self.attempts = attempt + 1
+                try:
+                    if self.timeout_seconds is None:
+                        result = execute_step_decorated_function(
+                            tagged, self, self.outputs, Any
+                        )
+                    else:
+                        result = self._run_with_timeout(tagged)
+                except Exception as e:
+                    last_exc = e
+                    if attempt < self.retries:
+                        self.log.warning(
+                            "attempt %d/%d of step %s failed (%s); retrying in %.1fs",
+                            attempt + 1, self.retries + 1, self.name, e,
+                            self.retry_delay_seconds,
+                        )
+                        if self.retry_delay_seconds:
+                            time.sleep(self.retry_delay_seconds)
+                else:
+                    succeeded = True
+                    return result
+            assert last_exc is not None
+            raise last_exc
+        finally:
+            # runtime observability: recorded on success AND failure, and
+            # persisted with the observe metrics (state is saved even when
+            # the pipeline raises), so reruns can see what a failed step
+            # cost and how many attempts it burned
+            self.metrics["runtime.duration_seconds"] = round(
+                time.perf_counter() - started, 3
+            )
+            self.metrics["runtime.attempts"] = self.attempts
+            self.metrics["runtime.succeeded"] = succeeded
 
     def _run_with_timeout(self, tagged: Callable):
         """Run the step body on a watchdog-supervised thread.

@@ -3,7 +3,13 @@
 import pytest
 from pyspark.sql import functions as F
 
-from bdq_spark.operators.ivf import assign_ivf_cells, knn_ivf, train_ivf_centroids
+from bdq_spark.operators.ivf import (
+    assign_ivf_cells,
+    knn_ivf,
+    load_ivf_index,
+    save_ivf_index,
+    train_ivf_centroids,
+)
 from bdq_spark.operators.similarity import knn_bruteforce
 
 
@@ -51,3 +57,29 @@ def test_knn_ivf_recall_and_self_match(spark, embeddings):
     full = knn_ivf(embeddings, queries, k=5, n_clusters=8, n_probe=8)
     f = {(r.query_id, r.neighbor_id) for r in full.collect()}
     assert f == e
+
+
+def test_ivf_index_persistence(spark, embeddings, tmp_path):
+    import numpy as np
+
+    cents = train_ivf_centroids(embeddings, n_clusters=8)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(spark, cents, path)
+    loaded = load_ivf_index(spark, path)
+    assert np.allclose(cents, loaded)
+
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fresh = knn_ivf(embeddings, queries, k=5, n_clusters=8, n_probe=2)
+    reused = knn_ivf(embeddings, queries, k=5, n_probe=2, centroids=loaded)
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, reused.collect())
+    )
+
+    with pytest.raises(ValueError, match="empty IVF index"):
+        empty = str(tmp_path / "empty_index")
+        spark.createDataFrame(
+            [], "cluster int, centroid array<double>"
+        ).write.parquet(empty)
+        load_ivf_index(spark, empty)

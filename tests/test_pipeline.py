@@ -229,6 +229,39 @@ def test_step_retry_succeeds_after_flaky_failures(spark):
     assert flaky.result == ["finally"]
     assert flaky.attempts == 3
     assert calls["n"] == 3
+    # runtime observability: a retried-then-successful step reports all
+    # attempts and success
+    assert flaky.metrics["runtime.attempts"] == 3
+    assert flaky.metrics["runtime.succeeded"] is True
+    assert flaky.metrics["runtime.duration_seconds"] >= 0
+
+
+def test_runtime_metrics_persisted_to_state_store(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdq_state")
+    ppn = SparkPipeline("runtime_m", spark=spark, state_store_database="bdq_state")
+
+    @ppn.step_python()
+    def quick(step):
+        return 1
+
+    @ppn.step_python(retries=1, retry_delay_seconds=0.01, depends_on=[quick])
+    def doomed(step):
+        raise RuntimeError("nope")
+
+    with pytest.raises(ValueError, match="have failed"):
+        ppn()
+    m = ppn.metrics
+    assert m["quick.runtime.succeeded"] is True
+    assert m["quick.runtime.attempts"] == 1
+    assert m["doomed.runtime.succeeded"] is False
+    assert m["doomed.runtime.attempts"] == 2
+
+    # failure-path state save includes the runtime metrics
+    reload = SparkPipeline("runtime_m", spark=spark, state_store_database="bdq_state")
+    last = reload.last_run_metrics
+    assert last["doomed.runtime.succeeded"] is False
+    assert last["doomed.runtime.attempts"] == 2
+    assert last["quick.runtime.duration_seconds"] >= 0
 
 
 def test_step_retries_exhausted_marks_error(spark):
