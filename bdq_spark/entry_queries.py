@@ -1432,6 +1432,80 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_hash_split",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             ('0x' || substr(md5(chr(31) || o_orderkey::VARCHAR), 1, 8))::BIGINT
+               % 1000000 AS bucket
+      FROM orders
+    )
+    SELECT CASE WHEN bucket < 900000 THEN 'train'
+                WHEN bucket < 950000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM b
+    GROUP BY split
+    """,
+)
+def orders_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-stable train/val/test split (md5-bucket, no RNG): the oracle
+    recomputes the exact same hash arithmetic in DuckDB, proving the
+    assignment is engine-portable — the property ``randomSplit`` lacks."""
+    from bdq_spark.operators import hash_split
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return (
+        hash_split(
+            orders, {"train": 0.9, "val": 0.05, "test": 0.05}, ["o_orderkey"]
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@_register(
+    "range_join_price_tiers",
+    """
+    SELECT t.tier, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l
+    JOIN (SELECT i AS tier, i * 1000.0 AS lo, i * 1000.0 + 999.99 AS hi
+          FROM generate_series(0, 119) t(i)) t
+      ON l.l_extendedprice BETWEEN t.lo AND t.hi
+    GROUP BY t.tier
+    """,
+)
+def range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (no BroadcastNestedLoopJoin): lineitem prices
+    matched to 1000-wide price tiers via the band equi-join, then revenue
+    per tier.  Oracle: the raw BETWEEN join in DuckDB."""
+    from bdq_spark.operators import range_join
+
+    tiers = spark.range(0, 120).select(
+        F.col("id").alias("tier"),
+        (F.col("id") * 1000.0).alias("lo"),
+        (F.col("id") * 1000.0 + 999.99).alias("hi"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return (
+        range_join(li, tiers, "l_extendedprice", "lo", "hi", band_width=1000.0)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@_register(
     "asof_click_purchase",
     """
     SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,

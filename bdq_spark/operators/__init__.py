@@ -17,8 +17,14 @@ from bdq_spark.operators.pk import (
     validate_primary_key_candidate_combinations,
 )
 from bdq_spark.operators.asof import asof_join
-from bdq_spark.operators.joins import salted_join
+from bdq_spark.operators.joins import range_join, salted_join
 from bdq_spark.operators.profile import profile_table
+from bdq_spark.operators.splits import (
+    deterministic_sample,
+    hash_bucket_column,
+    hash_split,
+    hash_split_column,
+)
 
 __all__ = [
     "compare_dataframes",
@@ -33,5 +39,10 @@ __all__ = [
     "validate_primary_key_candidate_combinations",
     "profile_table",
     "salted_join",
+    "range_join",
     "asof_join",
+    "hash_bucket_column",
+    "hash_split_column",
+    "hash_split",
+    "deterministic_sample",
 ]

@@ -30,7 +30,7 @@ from typing import List
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "range_join"]
 
 _ALLOWED = {"inner", "left", "left_outer", "left_semi", "left_anti"}
 
@@ -83,3 +83,97 @@ def salted_join(
         # semi/anti keep only left columns; the salt rides on the left
         return out.drop(_SALT)
     return out.drop(_SALT)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lower: str,
+    upper: str,
+    on: List[str] | None = None,
+    band_width: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval join: each left row joined to every right row whose
+    ``[lower, upper]`` interval contains ``left.point`` (inclusive, SQL
+    BETWEEN semantics), optionally also matching equi-keys ``on``.
+
+    Catalyst executes a raw ``l.p BETWEEN r.lo AND r.hi`` join as a
+    BroadcastNestedLoopJoin — O(|L| x |R|) work unless one side is tiny.
+    This operator makes it a plain equi-join via BANDING:
+
+    - pick a band width ``w`` (defaults to the right side's mean interval
+      width, one small driver-side aggregate);
+    - each right interval is exploded into the bands it overlaps
+      (``sequence(floor(lo/w), floor(hi/w))`` — a narrow transformation);
+    - each left point lives in exactly ONE band (``floor(p/w)``), so the
+      equi-join on ``on + [band]`` meets every true pair exactly once —
+      no post-join dedup shuffle — and the BETWEEN filter removes
+      same-band false candidates.
+
+    Cost model: right shuffle volume grows by the bands-per-interval
+    factor (≈ ``width/w + 1``), while candidate pairs shrink from
+    |L| x |R| to pairs sharing a band.  Pick ``w`` near the typical
+    interval width; a too-small ``w`` over-replicates the right side, a
+    too-large one over-matches candidates.  Join type is inner.
+
+    ``point``/``lower``/``upper`` must be numeric (cast timestamps to
+    ``unix_micros`` first).  Null points/bounds and empty intervals
+    (``lower > upper``) never match.  Right payload columns colliding
+    with left names are renamed with ``suffix``.
+    """
+    on = [on] if isinstance(on, str) else list(on or [])
+    for side, df, needed in (
+        ("left", left, on + [point]),
+        ("right", right, on + [lower, upper]),
+    ):
+        missing = [c for c in needed if c not in df.columns]
+        if missing:
+            raise ValueError(f"{side} side is missing columns: {missing}")
+    if band_width is None:
+        row = right.select(
+            F.avg(F.col(upper) - F.col(lower)).alias("w")
+        ).first()
+        band_width = float(row["w"] or 1.0)
+        if band_width <= 0:
+            band_width = 1.0
+    if band_width <= 0:
+        raise ValueError("band_width must be > 0")
+
+    band = "__bdq_band"
+    w = F.lit(float(band_width))
+    out_names = {
+        c: (c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in on
+    }
+
+    l_banded = left.filter(F.col(point).isNotNull()).withColumn(
+        band, F.floor(F.col(point) / w)
+    )
+    r_banded = (
+        right.filter(
+            F.col(lower).isNotNull()
+            & F.col(upper).isNotNull()
+            & (F.col(lower) <= F.col(upper))
+        )
+        .select(
+            *[F.col(c) for c in on],
+            *[F.col(c).alias(out_names[c]) for c in right.columns if c not in on],
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lower) / w), F.floor(F.col(upper) / w)
+                )
+            ).alias(band),
+        )
+    )
+    return (
+        l_banded.join(r_banded, on + [band])
+        .filter(
+            F.col(point).between(
+                F.col(out_names[lower]), F.col(out_names[upper])
+            )
+        )
+        .drop(band)
+    )

@@ -1,0 +1,112 @@
+"""Deterministic, key-stable dataset splitting and sampling.
+
+Training-data pipelines need train/val/test assignment that is (a)
+reproducible across runs and engines — no RNG, no seed files — and (b)
+stable per KEY, so re-ingesting, re-partitioning, or deduplicating a
+100 TB corpus never migrates an example across the split boundary (the
+classic eval-leakage bug with ``randomSplit``, which reshuffles
+assignment every run and every repartition).
+
+Mechanism: bucket = first 8 hex chars of ``md5(salt <US> key...)`` as an
+integer, mod 1e6; cumulative weight thresholds map buckets to named
+splits.  Everything is a built-in column expression — JVM-side, zero
+shuffle, streams through the scan — and the exact same arithmetic is
+expressible in ANSI SQL (DuckDB oracle-checked), so the split is
+portable across engines.  md5 is used as a uniform hash, not for
+security.  The reference has no sampling/splitting surface at all
+(SURVEY.md §2.3); this is a §2.4-class extension.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket_column", "hash_split_column", "hash_split", "deterministic_sample"]
+
+#: bucket-space resolution; fractions are honored to 1e-6
+N_BUCKETS = 1_000_000
+
+#: ASCII unit separator between salt and key parts (collision guard)
+_SEP = "\x1f"
+
+#: rendering for NULL key parts (mirrors the surrogate-key convention)
+_NULL = "@~<null>~@"
+
+
+def hash_bucket_column(key_columns: List[str], salt: str = "") -> Column:
+    """Uniform bucket in ``[0, N_BUCKETS)`` from the md5 of the rendered
+    key, deterministic across runs, partitionings, and engines."""
+    if not key_columns:
+        raise ValueError("key_columns must name at least one column")
+    parts: List[Column] = [F.lit(salt)]
+    for c in key_columns:
+        parts.append(F.lit(_SEP))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit(_NULL)))
+    rendered = F.concat(*parts)
+    return (
+        F.conv(F.substring(F.md5(rendered), 1, 8), 16, 10).cast("long")
+        % N_BUCKETS
+    )
+
+
+def hash_split_column(
+    key_columns: List[str], weights: Dict[str, float], salt: str = ""
+) -> Column:
+    """Named-split label column from normalized ``weights`` (e.g.
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}``).  Insertion order of
+    ``weights`` defines the bucket layout — keep it fixed for stability."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    bucket = hash_bucket_column(key_columns, salt=salt)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        threshold = int(round(acc * N_BUCKETS))
+        cond = bucket < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Dict[str, float],
+    key_columns: List[str],
+    split_column: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Attach a key-stable split label column; no shuffle, no RNG."""
+    return df.withColumn(
+        split_column, hash_split_column(key_columns, weights, salt=salt)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_columns: List[str],
+    salt: str = "",
+) -> DataFrame:
+    """Key-stable ~``fraction`` sample: a key is in or out forever (and
+    in every engine), unlike ``df.sample`` which redraws per run.
+    Nested samples with the same salt: a 1% sample is a subset of a 10%
+    sample (bucket < threshold nests)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(round(fraction * N_BUCKETS))
+    return df.filter(
+        hash_bucket_column(key_columns, salt=salt) < F.lit(threshold)
+    )

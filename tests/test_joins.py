@@ -55,3 +55,77 @@ def test_salted_join_validation(spark, skewed):
         salted_join(fact, dim, ["k"], salt_buckets=0)
     with pytest.raises(ValueError, match="missing join columns"):
         salted_join(fact, dim, ["nope"])
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+from bdq_spark.operators import range_join  # noqa: E402
+
+
+@pytest.fixture()
+def points_intervals(spark):
+    # deterministic pseudo-random points and variable-width intervals,
+    # including touching boundaries, empty and null intervals
+    points = spark.range(0, 500).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 37) % 1000 + (F.col("id") % 7) / 10.0).alias("p"),
+    )
+    intervals = spark.range(0, 80).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 53) % 950).cast("double").alias("lo"),
+        (((F.col("id") * 53) % 950) + (F.col("id") % 5) * 25).cast("double").alias("hi"),
+    )
+    return points, intervals
+
+
+def test_range_join_matches_naive(spark, points_intervals):
+    points, intervals = points_intervals
+    naive = points.join(
+        intervals, F.col("p").between(F.col("lo"), F.col("hi"))
+    ).select("pid", "iid")
+    for w in (10.0, 50.0, 500.0, None):  # None = auto band width
+        banded = range_join(points, intervals, "p", "lo", "hi", band_width=w)
+        got = {(r.pid, r.iid) for r in banded.select("pid", "iid").collect()}
+        want = {(r.pid, r.iid) for r in naive.collect()}
+        assert got == want, f"band_width={w}"
+
+
+def test_range_join_boundaries_inclusive(spark):
+    points = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 9.99), (4, 20.01), (5, None)],
+        "pid long, p double",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 10.0, 20.0), (200, 30.0, 25.0), (300, None, 50.0)],
+        "iid long, lo double, hi double",
+    )
+    out = range_join(points, intervals, "p", "lo", "hi", band_width=5.0)
+    assert {(r.pid, r.iid) for r in out.select("pid", "iid").collect()} == {
+        (1, 100),  # lower boundary inclusive
+        (2, 100),  # upper boundary inclusive
+    }  # empty (lo>hi) and null intervals / null points never match
+
+
+def test_range_join_with_equi_keys_and_collisions(spark):
+    points = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 15.0), ("b", 3, 5.0)],
+        "grp string, pid long, p double",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 10.0, "lowA"), ("b", 10.0, 20.0, "hiB"), ("c", 0.0, 99.0, "allC")],
+        "grp string, lo double, hi double, p string",  # 'p' collides with left
+    )
+    out = range_join(points, intervals, "p", "lo", "hi", on=["grp"], band_width=10.0)
+    rows = {(r.grp, r.pid, r.p_right) for r in out.collect()}
+    assert rows == {("a", 1, "lowA")}  # pid 2 out of a's range, b/c keys don't pair
+    assert "p_right" in out.columns and "lo" in out.columns
+
+
+def test_range_join_validation(spark, points_intervals):
+    points, intervals = points_intervals
+    with pytest.raises(ValueError, match="missing columns"):
+        range_join(points, intervals, "nope", "lo", "hi")
+    with pytest.raises(ValueError, match="band_width"):
+        range_join(points, intervals, "p", "lo", "hi", band_width=-1.0)

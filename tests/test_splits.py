@@ -1,0 +1,88 @@
+"""Deterministic split/sample tests: stability across runs and
+partitionings, proportion accuracy, sample nesting, null keys."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdq_spark.operators import (
+    deterministic_sample,
+    hash_split,
+)
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(0, 20_000).select(F.col("id").alias("k"))
+
+
+WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def test_split_proportions_and_coverage(spark, ids):
+    counts = dict(
+        hash_split(ids, WEIGHTS, ["k"])
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    n = sum(counts.values())
+    assert n == 20_000  # exactly one split per row
+    assert abs(counts["train"] / n - 0.9) < 0.01
+    assert abs(counts["val"] / n - 0.05) < 0.005
+    assert abs(counts["test"] / n - 0.05) < 0.005
+
+
+def test_split_stable_across_runs_and_partitionings(spark, ids):
+    a = dict(hash_split(ids, WEIGHTS, ["k"]).select("k", "split").collect())
+    b = dict(
+        hash_split(ids.repartition(17), WEIGHTS, ["k"])
+        .select("k", "split")
+        .collect()
+    )
+    assert a == b  # randomSplit would fail this
+
+    # a different salt reshuffles assignment
+    c = dict(
+        hash_split(ids, WEIGHTS, ["k"], salt="v2").select("k", "split").collect()
+    )
+    assert a != c
+
+
+def test_sample_nesting_and_fraction(spark, ids):
+    small = {r.k for r in deterministic_sample(ids, 0.02, ["k"]).collect()}
+    large = {r.k for r in deterministic_sample(ids, 0.20, ["k"]).collect()}
+    assert small <= large  # nested: smaller fraction is a subset
+    assert abs(len(large) / 20_000 - 0.20) < 0.02
+    assert abs(len(small) / 20_000 - 0.02) < 0.01
+
+    # repartition-invariant
+    again = {
+        r.k for r in deterministic_sample(ids.repartition(13), 0.20, ["k"]).collect()
+    }
+    assert again == large
+
+
+def test_null_and_multi_column_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a"), (None, None)],
+        "x int, y string",
+    )
+    out = hash_split(df, WEIGHTS, ["x", "y"]).collect()
+    assert len(out) == 4
+    assert all(r.split in WEIGHTS for r in out)
+    # null renders distinctly from the string 'None'/'': all four keys
+    # hash independently and deterministically
+    again = hash_split(df, WEIGHTS, ["x", "y"]).collect()
+    assert sorted(map(tuple, out), key=repr) == sorted(map(tuple, again), key=repr)
+
+
+def test_validation(spark, ids):
+    with pytest.raises(ValueError, match="key_columns"):
+        hash_split(ids, WEIGHTS, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(ids, {}, ["k"])
+    with pytest.raises(ValueError, match=">= 0"):
+        hash_split(ids, {"a": -1.0, "b": 2.0}, ["k"])
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(ids, 1.5, ["k"])
