@@ -1431,6 +1431,32 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("doc_sequence_packing")  # rows-only: FFD order is not SQL-expressible
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (sharded first-fit-decreasing) of
+    the documents table; output is the per-pack summary.  Deterministic
+    but not SQL-expressible, so the gate records a rows-only check; the
+    packing invariants (coverage, budget, oversize isolation) are pytest
+    asserts in tests/test_packing.py."""
+    from bdq_spark.functions.text import token_count
+    from bdq_spark.operators import pack_documents
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    )
+    return (
+        pack_documents(docs, "n_tokens", 512, "doc_id", n_shards=16)
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+        )
+    )
+
+
 @_register(
     "orders_hash_split",
     """

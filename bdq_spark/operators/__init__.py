@@ -18,6 +18,7 @@ from bdq_spark.operators.pk import (
 )
 from bdq_spark.operators.asof import asof_join
 from bdq_spark.operators.joins import range_join, salted_join
+from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import profile_table
 from bdq_spark.operators.splits import (
     deterministic_sample,
@@ -45,4 +46,5 @@ __all__ = [
     "hash_split_column",
     "hash_split",
     "deterministic_sample",
+    "pack_documents",
 ]

@@ -1,0 +1,114 @@
+"""Token-budget sequence packing for LLM training pipelines.
+
+Before batching, training corpora are PACKED: documents are grouped
+into fixed-token-budget sequences so attention windows waste no
+padding.  Bin packing is inherently sequential, so the scale design
+splits it in two:
+
+- **shard** (distributed): documents are hash-assigned to
+  ``n_shards`` deterministic shards (reusing the md5 bucket from
+  :mod:`bdq_spark.operators.splits` — stable across runs/engines).
+  Shard count bounds per-task memory: a shard holds ``~N/n_shards``
+  (id, token_count) pairs — two longs per doc, so even 10^10 docs at
+  ``n_shards=10_000`` is ~16 MB per task.
+- **pack** (per-shard, exact): first-fit-decreasing inside one
+  ``applyInPandas`` group per shard.  FFD is within 11/9·OPT + 6/9
+  bins of optimal per shard; sharding costs at most one partially
+  filled bin per shard versus global packing.
+
+Documents larger than the budget become single-doc packs flagged
+``oversize`` (the caller decides to split or drop them — packing never
+silently truncates).
+
+Output is the assignment relation ``(doc id, token count, shard,
+pack_id, oversize)`` — one row per input document, ``pack_id`` globally
+unique.  Downstream, the actual sequence assembly is a groupBy(pack_id)
+away and stays distributed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bdq_spark.operators.splits import hash_bucket_column
+
+__all__ = ["pack_documents"]
+
+#: pack_id = shard * _SHARD_SPAN + local bin index; one shard can hold
+#: at most _SHARD_SPAN bins (2^40 — unreachable in practice)
+_SHARD_SPAN = 1 << 40
+
+
+def pack_documents(
+    df: DataFrame,
+    token_column: str,
+    budget: int,
+    id_column: str,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign every document to a pack whose token sum is <= ``budget``.
+
+    Returns ``(id_column, token_column, shard int, pack_id long,
+    oversize boolean)`` with exactly one row per input document.
+    Deterministic: same inputs produce the same packs regardless of
+    partitioning (shard assignment is an md5 bucket of the id; packing
+    order inside a shard is (tokens desc, id asc)).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    for c in (token_column, id_column):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+
+    base = df.select(
+        F.col(id_column).alias("__id"),
+        F.col(token_column).cast("long").alias("__tokens"),
+        (hash_bucket_column([id_column]) % n_shards).cast("int").alias("shard"),
+    )
+
+    id_type = base.schema["__id"].dataType.simpleString()
+    out_schema = (
+        f"__id {id_type}, __tokens long, shard int, "
+        "pack_id long, oversize boolean"
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(
+            ["__tokens", "__id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_space: list[int] = []  # remaining budget per bin
+        assigned: list[int] = []
+        oversize: list[bool] = []
+        for tokens in pdf["__tokens"]:
+            t = int(tokens) if tokens is not None and tokens == tokens else 0
+            if t > budget:
+                bin_space.append(-1)  # full: nothing else joins this bin
+                assigned.append(len(bin_space) - 1)
+                oversize.append(True)
+                continue
+            # first-fit over open bins (tokens are descending, so bins
+            # fill front-to-back; scan cost stays near-linear)
+            for i, space in enumerate(bin_space):
+                if space >= t:
+                    bin_space[i] = space - t
+                    assigned.append(i)
+                    break
+            else:
+                bin_space.append(budget - t)
+                assigned.append(len(bin_space) - 1)
+            oversize.append(False)
+        pdf["pack_id"] = [shard * _SHARD_SPAN + b for b in assigned]
+        pdf["oversize"] = oversize
+        return pdf[["__id", "__tokens", "shard", "pack_id", "oversize"]]
+
+    return (
+        base.groupBy("shard")
+        .applyInPandas(pack_shard, schema=out_schema)
+        .withColumnRenamed("__id", id_column)
+        .withColumnRenamed("__tokens", token_column)
+    )
