@@ -18,6 +18,7 @@ from bdq_spark.operators.pk import (
 )
 from bdq_spark.operators.asof import asof_join
 from bdq_spark.operators.joins import range_join, salted_join
+from bdq_spark.operators.contamination import contamination_check
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import profile_table
 from bdq_spark.operators.splits import (
@@ -47,4 +48,5 @@ __all__ = [
     "hash_split",
     "deterministic_sample",
     "pack_documents",
+    "contamination_check",
 ]

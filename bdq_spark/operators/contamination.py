@@ -1,0 +1,90 @@
+"""Benchmark / eval-set contamination detection.
+
+Before training, every eval or benchmark document must be checked for
+n-gram overlap against the training corpus (decontamination) — a
+cross-corpus variant of near-dup detection: for each TEST document,
+what fraction of its distinct word n-grams appears anywhere in TRAIN?
+
+Spark-first shape (contrast the pairwise Jaccard join in
+:mod:`bdq_spark.operators.dedup`, which is quadratic in candidates):
+
+- both corpora are shingled with the shared
+  :func:`bdq_spark.operators.dedup.shingle` (distinct word n-grams per
+  doc);
+- TRAIN collapses to a distinct shingle SET — doc identity is
+  irrelevant, so the big side sheds its id column and its duplicates
+  before the join;
+- one LEFT JOIN test-shingles → train-set marks hits, then a per-doc
+  aggregate computes the overlap ratio.  Cost: one shuffle per shingle
+  stream + the join — linear, never pairwise.
+- ``hash_join_keys=True`` (default) joins on ``xxhash64(shingle)``
+  instead of the raw string: 8-byte fixed keys shrink shuffle width on
+  a 100 TB corpus; a false hit needs a 64-bit collision between a test
+  and train shingle (~2^-64 per pair — negligible, and it only nudges
+  the ratio up by one shingle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bdq_spark.operators.dedup import shingle
+
+__all__ = ["contamination_check"]
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_join_keys: bool = True,
+) -> DataFrame:
+    """Per test-document n-gram overlap against the train corpus.
+
+    Output, one row per test document with >= 1 shingle:
+    ``(id_column, n_shingles, n_overlap, overlap_ratio, contaminated)``
+    where ``overlap_ratio = n_overlap / n_shingles`` (rounded to 6
+    decimals) and ``contaminated = overlap_ratio >= threshold``.
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [0, 1]")
+
+    test_sh = shingle(test, text_column, id_column, n=n)
+    train_sh = shingle(train, text_column, id_column, n=n)
+
+    key = (
+        (lambda c: F.xxhash64(c)) if hash_join_keys else (lambda c: c)
+    )
+    train_set = train_sh.select(
+        key(F.col("shingle")).alias("__k")
+    ).distinct()
+    probe = test_sh.select(
+        F.col("id"), key(F.col("shingle")).alias("__k")
+    )
+
+    ratio = F.round(
+        F.col("n_overlap") / F.col("n_shingles"), 6
+    ).alias("overlap_ratio")
+    return (
+        probe.join(
+            train_set.withColumn("__hit", F.lit(1)), "__k", "left"
+        )
+        .groupBy(F.col("id").alias(id_column))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .select(
+            id_column,
+            "n_shingles",
+            "n_overlap",
+            ratio,
+            (F.col("n_overlap") / F.col("n_shingles") >= F.lit(threshold)).alias(
+                "contaminated"
+            ),
+        )
+    )

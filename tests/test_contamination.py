@@ -1,0 +1,83 @@
+"""Contamination-check semantics: exact copies, partial overlap,
+clean docs, hashed vs raw join keys, threshold flagging."""
+
+import pytest
+
+from bdq_spark.operators import contamination_check
+
+
+@pytest.fixture()
+def corpora(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "machine learning models need large clean datasets"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            # verbatim copy of train doc 1 -> ratio 1.0
+            (100, "the quick brown fox jumps over the lazy dog"),
+            # shares a prefix with train doc 2: 4 of its 6 shingles
+            (101, "machine learning models need large clean pastures today"),
+            # disjoint vocabulary -> ratio 0.0
+            (102, "seven purple umbrellas floated silently downstream"),
+            # short doc (< n words): single full-string shingle, not in train
+            (103, "hello world"),
+        ],
+        "doc_id long, text string",
+    )
+    return train, test
+
+
+def test_overlap_ratios_and_flag(spark, corpora):
+    train, test = corpora
+    out = {
+        r.doc_id: r
+        for r in contamination_check(train, test, threshold=0.8).collect()
+    }
+    assert out[100].overlap_ratio == 1.0 and out[100].contaminated
+    assert out[100].n_shingles == out[100].n_overlap == 7
+    assert 0.0 < out[101].overlap_ratio < 0.8 and not out[101].contaminated
+    assert out[102].overlap_ratio == 0.0 and not out[102].contaminated
+    assert out[103].n_shingles == 1 and out[103].n_overlap == 0
+    assert len(out) == 4
+
+
+def test_hashed_and_raw_keys_agree(spark, corpora):
+    train, test = corpora
+    hashed = sorted(
+        map(tuple, contamination_check(train, test, hash_join_keys=True).collect())
+    )
+    raw = sorted(
+        map(tuple, contamination_check(train, test, hash_join_keys=False).collect())
+    )
+    assert hashed == raw
+
+
+def test_threshold_validation(spark, corpora):
+    train, test = corpora
+    with pytest.raises(ValueError, match="threshold"):
+        contamination_check(train, test, threshold=1.5)
+
+
+def test_planted_near_dups_detected(spark):
+    """documents.parquet contains planted near-dup pairs; splitting the
+    corpus must surface cross-split planted copies as contaminated."""
+    from bdq_spark.operators import hash_split
+    from bdq_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    split = hash_split(docs, {"train": 0.8, "test": 0.2}, ["doc_id"])
+    train = split.filter(F.col("split") == "train").drop("split")
+    test = split.filter(F.col("split") == "test").drop("split")
+    out = contamination_check(train, test, n=3, threshold=0.8)
+    rows = out.collect()
+    assert len(rows) == test.count()
+    # at least one planted near-dup pair straddles the 80/20 split
+    assert any(r.contaminated for r in rows)
+    # but contamination is the exception, not the rule
+    frac = sum(r.contaminated for r in rows) / len(rows)
+    assert frac < 0.5
