@@ -1432,6 +1432,41 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_repetition",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(w)),
+                              i -> array_to_string(w[i:i+1], ' ')) AS gs
+        FROM words WHERE len(w) >= 2) t, UNNEST(t.gs) AS u(gram)
+      WHERE gram <> ''),
+    counts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+           round(MAX(cnt)::DOUBLE / SUM(cnt), 6) AS top_gram_frac,
+           round(COUNT(*)::DOUBLE / SUM(cnt), 6) AS distinct_gram_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top bigram occupancy,
+    distinct-gram ratio) per document — one shuffle; the gram counting
+    and per-doc rollup reuse the window's doc-id partitioning."""
+    from bdq_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(
+        load_table(spark, sf_dir, "documents"), n=2
+    )
+
+
+@_register(
     "doc_contamination",
     """
     WITH b AS (

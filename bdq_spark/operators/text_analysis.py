@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from bdq_spark.functions import text as TXT
 
-__all__ = ["profile_documents", "detect_language", "filter_by_quality"]
+__all__ = ["profile_documents", "detect_language", "filter_by_quality", "repetition_stats"]
 
 
 def profile_documents(df: DataFrame, text_column: str = "text") -> DataFrame:
@@ -52,3 +52,53 @@ def filter_by_quality(
     directly on the scan and benefits from whole-stage codegen.
     """
     return df.filter(TXT.quality_score(F.col(text_column)) >= min_quality)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document word n-gram repetition signals (Gopher-rules style,
+    Rae et al. 2021 §A1.1 adapted to word streams): the occupancy of the
+    single most frequent n-gram and the distinct-gram ratio.  High top
+    occupancy / low distinct ratio flag boilerplate and degenerate
+    repetition that per-doc length/punctuation stats miss.
+
+    Output, one row per document with >= 1 full n-gram window (shorter
+    docs drop out): ``(id_column, n_grams, top_gram_count,
+    top_gram_frac, distinct_gram_ratio)``.
+
+    Scale shape: ONE shuffle.  The lead-window n-gram build hash-
+    partitions by doc id; both downstream aggregations — per (id, gram)
+    counts, then the per-id max/sum/distinct — group on supersets of
+    that clustering, so Catalyst inserts no further exchange, and the
+    gram counting still partial-aggregates map-side.
+    """
+    from pyspark.sql import Window
+
+    from bdq_spark.functions.text import word_tokens
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = df.repartition(F.col(id_column)).select(
+        F.col(id_column).alias("id"),
+        F.posexplode(word_tokens(F.col(text_column))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    full = leads[-1].isNotNull() if leads else F.lit(True)
+    grams = (
+        toks.withColumn("gram", F.concat_ws(" ", F.col("tok"), *leads))
+        .withColumn("__full", full)
+        .filter(F.col("__full") & (F.col("gram") != ""))
+        .select("id", "gram")
+    )
+    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy(F.col("id").alias(id_column)).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_gram_count"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_gram_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("distinct_gram_ratio"),
+    )

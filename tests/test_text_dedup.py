@@ -203,3 +203,45 @@ def test_bpe_ish_tokens(spark):
     assert rows[1].n == 0
     # BPE-ish counts punctuation/number tokens whitespace splitting merges
     assert rows[2].toks == ["price", ":", " $", "19", ".", "99"]
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_unigram_golden(spark):
+    from bdq_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),                # 4 unigrams, top 'a' x3
+            (2, "x y z"),                  # all distinct
+            (3, "w w w w w w w w"),        # fully degenerate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, n=1).collect()}
+    assert out[1].n_grams == 4 and out[1].top_gram_count == 3
+    assert out[1].top_gram_frac == 0.75 and out[1].distinct_gram_ratio == 0.5
+    assert out[2].top_gram_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2].distinct_gram_ratio == 1.0
+    assert out[3].top_gram_frac == 1.0 and out[3].distinct_gram_ratio == 0.125
+
+
+def test_repetition_stats_bigram_and_dropout(spark):
+    from bdq_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "stop me stop me stop me"),  # bigrams: 5, 'stop me' x3
+            (2, "hello"),                    # < n words: drops out
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_grams == 5 and rows[1].top_gram_count == 3
+    assert rows[1].top_gram_frac == 0.6
+
+    with pytest.raises(ValueError, match="n must be"):
+        repetition_stats(df, n=0)
