@@ -1432,6 +1432,49 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_stratified_sample",
+    """
+    WITH b AS (
+      SELECT lang, length(text) AS n_chars,
+             ('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    WHERE bucket < CASE lang
+                     WHEN 'en' THEN 250000
+                     WHEN 'zh' THEN 1000000
+                     ELSE 500000
+                   END
+    GROUP BY lang
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-stable stratified sampling (deterministic sampleBy): the
+    dominant language downsampled to 25%, zh kept whole, the rest at the
+    50% default — the oracle recomputes the identical md5-bucket
+    thresholds, proving per-stratum assignment is engine-portable."""
+    from bdq_spark.operators import deterministic_sample_by
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    return (
+        deterministic_sample_by(
+            docs, "lang", {"en": 0.25, "zh": 1.0}, ["doc_id"],
+            default_fraction=0.5,
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@_register(
     "doc_repetition",
     """
     WITH words AS (

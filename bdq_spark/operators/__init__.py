@@ -23,6 +23,7 @@ from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import profile_table
 from bdq_spark.operators.splits import (
     deterministic_sample,
+    deterministic_sample_by,
     hash_bucket_column,
     hash_split,
     hash_split_column,
@@ -47,6 +48,7 @@ __all__ = [
     "hash_split_column",
     "hash_split",
     "deterministic_sample",
+    "deterministic_sample_by",
     "pack_documents",
     "contamination_check",
 ]

@@ -24,7 +24,13 @@ from typing import Dict, List
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket_column", "hash_split_column", "hash_split", "deterministic_sample"]
+__all__ = [
+    "hash_bucket_column",
+    "hash_split_column",
+    "hash_split",
+    "deterministic_sample",
+    "deterministic_sample_by",
+]
 
 #: bucket-space resolution; fractions are honored to 1e-6
 N_BUCKETS = 1_000_000
@@ -110,3 +116,35 @@ def deterministic_sample(
     return df.filter(
         hash_bucket_column(key_columns, salt=salt) < F.lit(threshold)
     )
+
+
+def deterministic_sample_by(
+    df: DataFrame,
+    stratum_column: str,
+    fractions: Dict[str, float],
+    key_columns: List[str],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Key-stable stratified sampling — ``df.sampleBy`` without the RNG:
+    each stratum keeps ~its fraction, rebalancing a skewed corpus (e.g.
+    downsample the dominant language) reproducibly across runs and
+    engines.  Strata missing from ``fractions`` keep ``default_fraction``
+    (0 = drop).  Same nesting property as :func:`deterministic_sample`
+    per stratum; the stratum value participates via the column, not the
+    hash, so a row's bucket is stable even if its stratum is re-labeled.
+    """
+    for frac in list(fractions.values()) + [default_fraction]:
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError("fractions must be in [0, 1]")
+    if stratum_column not in df.columns:
+        raise ValueError(f"column {stratum_column!r} not in DataFrame")
+
+    bucket = hash_bucket_column(key_columns, salt=salt)
+    threshold = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for value, frac in fractions.items():
+        threshold = F.when(
+            F.col(stratum_column).eqNullSafe(F.lit(value)),
+            F.lit(int(round(frac * N_BUCKETS))),
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

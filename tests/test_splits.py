@@ -86,3 +86,44 @@ def test_validation(spark, ids):
         hash_split(ids, {"a": -1.0, "b": 2.0}, ["k"])
     with pytest.raises(ValueError, match="fraction"):
         deterministic_sample(ids, 1.5, ["k"])
+
+
+def test_stratified_sample_fractions_and_stability(spark):
+    from bdq_spark.operators import deterministic_sample, deterministic_sample_by
+
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 < 8, "en")
+        .when(F.col("id") % 10 < 9, "de")
+        .otherwise(None)
+        .alias("lang"),
+    )
+    out = deterministic_sample_by(
+        df, "lang", {"en": 0.1, "de": 1.0}, ["k"], default_fraction=0.5
+    )
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(counts["en"] / 24_000 - 0.1) < 0.01    # downsampled majority
+    assert counts["de"] == 3_000                      # kept whole
+    assert abs(counts[None] / 3_000 - 0.5) < 0.05     # null stratum -> default
+
+    # stable across partitionings
+    a = {r.k for r in out.collect()}
+    b = {
+        r.k
+        for r in deterministic_sample_by(
+            df.repartition(11), "lang", {"en": 0.1, "de": 1.0}, ["k"],
+            default_fraction=0.5,
+        ).collect()
+    }
+    assert a == b
+
+    # per-stratum sampling agrees with the flat sampler at equal fraction
+    en = df.filter(F.col("lang") == "en")
+    flat = {r.k for r in deterministic_sample(en, 0.1, ["k"]).collect()}
+    strat = {r.k for r in out.collect() if r.lang == "en"}
+    assert strat == flat
+
+    with pytest.raises(ValueError, match="fractions"):
+        deterministic_sample_by(df, "lang", {"en": 1.2}, ["k"])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        deterministic_sample_by(df, "nope", {"en": 0.5}, ["k"])
