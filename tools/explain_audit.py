@@ -41,7 +41,15 @@ FULL_SCAN_OK = {
     "multimodal_decode",        # payload is the data
     "fk_broken_sampled",        # sample_records carries full fact rows by contract
 }
-CARTESIAN_OK = {"knn_embeddings", "knn_lsh_embeddings", "embedding_near_dup_pairs"}
+# queries where an unconditioned join is the intended plan: brute-force
+# scoring (knn/near-dup verify) or a broadcast single-row aggregate
+# attached to a tiny result (profile's exact decimal mean)
+CARTESIAN_OK = {
+    "knn_embeddings",
+    "knn_lsh_embeddings",
+    "embedding_near_dup_pairs",
+    "profile_orders_numeric",
+}
 
 
 def plan_of(df) -> str:
