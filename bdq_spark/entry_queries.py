@@ -452,6 +452,112 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "nation_pair_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    CROSS JOIN LATERAL (SELECT ns.n_name AS supp_nation,
+                               nc.n_name AS cust_nation,
+                               year(l_shipdate) AS l_year) x
+    WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+       OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by ship year.
+
+    The nation filter is pushed into the two broadcast dimension joins
+    (supplier-side and customer-side nation lookups are independent tiny
+    broadcasts), so the fact-side shuffles carry only matching rows.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    ns = F.broadcast(n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ))
+    nc = F.broadcast(n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ))
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(3,2)"))
+    return (
+        l.join(s.join(ns, F.col("s_nationkey") == F.col("s_nkey")),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.join(nc, F.col("c_nationkey") == F.col("c_nkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "returned_items_top_customers",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+
+    The returnflag filter is pushed to the lineitem scan; the top-k is a
+    TakeOrderedAndProject (no global sort materialization), tie-broken
+    on c_custkey so the LIMIT is deterministic across engines.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(3,2)"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
     "top_customers_by_revenue",
     """
     SELECT c_custkey, c_name,
