@@ -1667,6 +1667,62 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(train, test, n=3, threshold=0.8)
 
 
+@_register(
+    "doc_contamination_weighted",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 1000000 AS bucket
+      FROM documents),
+    words AS (
+      SELECT doc_id, bucket,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM b),
+    sh AS (
+      SELECT DISTINCT doc_id, bucket, shingle FROM (
+        SELECT doc_id, bucket,
+          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+          END AS shingles
+        FROM words) t, UNNEST(t.shingles) AS u(shingle)
+      WHERE shingle <> ''),
+    train_df AS (SELECT shingle, count(*) AS df FROM sh
+                 WHERE bucket < 800000 GROUP BY shingle),
+    n_train AS (SELECT count(*) AS n FROM b WHERE bucket < 800000),
+    test_sh AS (SELECT doc_id, shingle FROM sh WHERE bucket >= 800000)
+    SELECT t.doc_id,
+           count(*) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.df IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           round(SUM(CASE WHEN tr.df IS NOT NULL
+                          THEN ln(1 + n / (1.0 + tr.df)) ELSE 0 END)
+                 / SUM(ln(1 + n / (1.0 + COALESCE(tr.df, 0)))), 6)
+             AS overlap_ratio,
+           SUM(CASE WHEN tr.df IS NOT NULL
+                    THEN ln(1 + n / (1.0 + tr.df)) ELSE 0 END)
+             / SUM(ln(1 + n / (1.0 + COALESCE(tr.df, 0)))) >= 0.8
+             AS contaminated
+    FROM test_sh t LEFT JOIN train_df tr USING (shingle) CROSS JOIN n_train
+    GROUP BY t.doc_id
+    """,
+)
+def doc_contamination_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted decontamination: rare copied content dominates the
+    score, shared boilerplate barely moves it.  Same linear join shape
+    as the flat check plus one train-side df aggregate and a broadcast
+    single-row corpus count; oracle recomputes the full weighting."""
+    from bdq_spark.operators import contamination_check, hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = hash_split(docs, {"train": 0.8, "test": 0.2}, ["doc_id"])
+    train = split.filter(F.col("split") == "train").drop("split")
+    test = split.filter(F.col("split") == "test").drop("split")
+    return contamination_check(train, test, n=3, threshold=0.8, weighted=True)
+
+
 @_register("doc_sequence_packing")  # rows-only: FFD order is not SQL-expressible
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (sharded first-fit-decreasing) of

@@ -42,6 +42,7 @@ def contamination_check(
     n: int = 3,
     threshold: float = 0.8,
     hash_join_keys: bool = True,
+    weighted: bool = False,
 ) -> DataFrame:
     """Per test-document n-gram overlap against the train corpus.
 
@@ -49,6 +50,17 @@ def contamination_check(
     ``(id_column, n_shingles, n_overlap, overlap_ratio, contaminated)``
     where ``overlap_ratio = n_overlap / n_shingles`` (rounded to 6
     decimals) and ``contaminated = overlap_ratio >= threshold``.
+
+    ``weighted=True`` scores by train-corpus IDF instead of flat counts:
+    each test shingle weighs ``ln(1 + N / (1 + df))`` (``N`` = train doc
+    count, ``df`` = train docs containing the shingle; unseen shingles
+    get df=0, the HIGHEST weight) and ``overlap_ratio`` becomes
+    weight-of-hit-shingles / weight-of-all-shingles.  Shared boilerplate
+    then barely moves the score while copied rare content dominates it —
+    the standard fix for flat overlap over-firing on formulaic text.
+    ``n_shingles``/``n_overlap`` stay unweighted counts in both modes.
+    The extra cost is keeping per-shingle df on the train side (one
+    aggregate) and one broadcast single-row N — still strictly linear.
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError("threshold must be in [0, 1]")
@@ -59,12 +71,46 @@ def contamination_check(
     key = (
         (lambda c: F.xxhash64(c)) if hash_join_keys else (lambda c: c)
     )
-    train_set = train_sh.select(
-        key(F.col("shingle")).alias("__k")
-    ).distinct()
     probe = test_sh.select(
         F.col("id"), key(F.col("shingle")).alias("__k")
     )
+
+    if weighted:
+        # shingle() output is distinct per doc, so count(*) == doc freq
+        train_set = train_sh.select(
+            key(F.col("shingle")).alias("__k")
+        ).groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
+        n_train = train.select(
+            F.count(F.lit(1)).alias("__n_train")
+        )
+        hit = F.col("__df").isNotNull()
+        weight = F.log(
+            F.lit(1.0)
+            + F.col("__n_train") / (F.lit(1.0) + F.coalesce(F.col("__df"), F.lit(0)))
+        )
+        scored = (
+            probe.join(train_set, "__k", "left")
+            .join(F.broadcast(n_train))
+            .groupBy(F.col("id").alias(id_column))
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(hit.cast("long")).alias("n_overlap"),
+                F.sum(F.when(hit, weight).otherwise(F.lit(0.0))).alias("__w_hit"),
+                F.sum(weight).alias("__w_all"),
+            )
+        )
+        ratio_expr = F.col("__w_hit") / F.col("__w_all")
+        return scored.select(
+            id_column,
+            "n_shingles",
+            "n_overlap",
+            F.round(ratio_expr, 6).alias("overlap_ratio"),
+            (ratio_expr >= F.lit(threshold)).alias("contaminated"),
+        )
+
+    train_set = train_sh.select(
+        key(F.col("shingle")).alias("__k")
+    ).distinct()
 
     ratio = F.round(
         F.col("n_overlap") / F.col("n_shingles"), 6

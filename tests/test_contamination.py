@@ -81,3 +81,56 @@ def test_planted_near_dups_detected(spark):
     # but contamination is the exception, not the rule
     frac = sum(r.contaminated for r in rows) / len(rows)
     assert frac < 0.5
+
+
+def test_weighted_overlap_discounts_boilerplate(spark):
+    """A test doc sharing only a common boilerplate phrase scores far
+    lower weighted than flat; a doc copying rare content scores higher."""
+    boiler = "all rights reserved contact us for details"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} article number {i} about topic {i}") for i in range(20)]
+        + [(99, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (200, f"{boiler} totally new original writing here today"),
+            (201, "the secret benchmark answer is forty two exactly"),
+        ],
+        "doc_id long, text string",
+    )
+    flat = {
+        r.doc_id: r for r in contamination_check(train, test, threshold=0.5).collect()
+    }
+    wtd = {
+        r.doc_id: r
+        for r in contamination_check(
+            train, test, threshold=0.5, weighted=True
+        ).collect()
+    }
+    # boilerplate doc: weighted ratio well below flat ratio
+    assert wtd[200].overlap_ratio < flat[200].overlap_ratio
+    # counts are identical between modes
+    assert (wtd[200].n_shingles, wtd[200].n_overlap) == (
+        flat[200].n_shingles, flat[200].n_overlap
+    )
+    # verbatim rare copy: both modes saturate
+    assert flat[201].overlap_ratio == 1.0 and wtd[201].overlap_ratio == 1.0
+    assert wtd[201].contaminated
+
+
+def test_weighted_and_flat_agree_when_df_uniform(spark):
+    """With every train shingle appearing in exactly one doc, weights are
+    constant, so hit-weight ratio == flat ratio for fully-hit or
+    fully-missed docs."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    flat = contamination_check(train, test).collect()[0]
+    wtd = contamination_check(train, test, weighted=True).collect()[0]
+    assert flat.overlap_ratio == wtd.overlap_ratio == 1.0
