@@ -804,6 +804,40 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_dedup_batch",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             ('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 1000000 AS bucket
+      FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM b WHERE bucket < 800000),
+    batch AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      FROM b WHERE bucket >= 800000)
+    SELECT t.doc_id
+    FROM batch t LEFT JOIN corpus c USING (fp)
+    WHERE t.rk = 1 AND c.fp IS NULL
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 20% hash-split 'batch' probed
+    against the 80% 'corpus' — corpus reduces to distinct fingerprints
+    before a left-anti join, batch-internal dups keep the min id.
+    Planted content duplicates straddling the split are dropped."""
+    from bdq_spark.operators.dedup import incremental_fingerprint_dedup
+    from bdq_spark.operators import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = hash_split(docs, {"train": 0.8, "test": 0.2}, ["doc_id"])
+    corpus = split.filter(F.col("split") == "train").drop("split")
+    batch = split.filter(F.col("split") == "test").drop("split")
+    return incremental_fingerprint_dedup(corpus, batch).select("doc_id")
+
+
+@_register(
     "near_dup_jaccard",
     """
     WITH words AS (

@@ -33,6 +33,7 @@ from bdq_spark.functions.text import doc_fingerprint, word_tokens
 __all__ = [
     "exact_dedup",
     "fingerprint_dedup",
+    "incremental_fingerprint_dedup",
     "shingle",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -89,6 +90,45 @@ def fingerprint_dedup(
             F.min("__id").alias("keeper_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
+    )
+
+
+def incremental_fingerprint_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an existing corpus: keep only
+    batch rows whose content fingerprint (a) does not already exist in
+    the corpus and (b) is first-in-batch (min id) among batch-internal
+    duplicates.
+
+    This is the continuously-ingesting pipeline's dedup shape — the
+    corpus is never re-deduped, only probed.  Cost: the corpus side
+    reduces to distinct fingerprints (partial-combinable, one row per
+    distinct content per mapper) before a LEFT ANTI join; the batch —
+    typically orders of magnitude smaller than the corpus — is the only
+    side carrying full rows through a shuffle.  Deterministic keeper
+    choice (min id) makes reruns idempotent.
+
+    Returns the surviving batch rows with their original columns.
+    """
+    fp = doc_fingerprint(F.col(text_column))
+    corpus_fps = corpus.select(fp.alias("__fp")).distinct()
+    keeper = (
+        batch.withColumn("__fp", fp)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__fp").orderBy(F.col(id_column))
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    return keeper.join(corpus_fps, "__fp", "left_anti").drop("__fp").select(
+        *batch.columns
     )
 
 

@@ -245,3 +245,34 @@ def test_repetition_stats_bigram_and_dropout(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         repetition_stats(df, n=0)
+
+
+# ---------------------------------------------------------------------------
+# incremental_fingerprint_dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_semantics(spark):
+    from bdq_spark.operators.dedup import incremental_fingerprint_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also   SEEN  before")],  # normalizes differently
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),          # exact corpus dup -> dropped
+            (11, "Seen  BEFORE "),        # normalized corpus dup -> dropped
+            (12, "brand new content"),    # new -> kept
+            (13, "brand new content"),    # batch-internal dup -> min id kept
+            (14, "other new content"),    # new -> kept
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_fingerprint_dedup(corpus, batch)
+    assert sorted(r.doc_id for r in out.collect()) == [12, 14]
+    assert out.columns == ["doc_id", "text"]
+
+    # idempotent: re-running the surviving batch against corpus+batch
+    grown = corpus.union(out)
+    again = incremental_fingerprint_dedup(grown, batch)
+    assert again.count() == 0
