@@ -267,3 +267,83 @@ def test_minhash_signature_invariants(spark, docs):
             # identical text => identical signature, regardless of id
             assert sigs[i] == sigs[100 + i]
             assert len(sigs[i]) == 16
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, time)
+        min_size=1, max_size=20,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0, max_size=20,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_reference(spark, left, right, direction):
+    """asof_join == a brute-force per-row scan for arbitrary key/time
+    multisets, both directions, including ties and empty right sides.
+    Ties on (key, time) in the right side resolve to SOME tied row's
+    payload, so compare matched times, not payloads."""
+    from bdq_spark.operators import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in right], "k long, rt long, v long"
+    )
+    got = {
+        r.lid: r.rt
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="rt",
+            direction=direction,
+        ).collect()
+    }
+
+    for i, (k, t) in enumerate(left):
+        if direction == "backward":
+            cand = [rt for (rk, rt, _) in right if rk == k and rt <= t]
+            want = max(cand) if cand else None
+        else:
+            cand = [rt for (rk, rt, _) in right if rk == k and rt >= t]
+            want = min(cand) if cand else None
+        assert got[i] == want, (i, k, t, direction)
+
+
+@given(
+    points=st.lists(st.integers(-50, 50), min_size=1, max_size=25),
+    intervals=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-20, 20)),  # (lo, width)
+        min_size=0, max_size=15,
+    ),
+    band_width=st.sampled_from([1.0, 7.5, 40.0]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_python_reference(spark, points, intervals, band_width):
+    """Banded range_join == brute-force BETWEEN for arbitrary points and
+    intervals (including empty, negative-bound, and width-0 intervals)
+    at several band widths."""
+    from bdq_spark.operators import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid long, p double"
+    )
+    idf = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf, idf, "p", "lo", "hi", band_width=band_width
+        ).select("pid", "iid").collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if w >= 0 and lo <= p <= lo + w
+    }
+    assert got == want
