@@ -347,3 +347,40 @@ def test_range_join_matches_python_reference(spark, points, intervals, band_widt
         if w >= 0 and lo <= p <= lo + w
     }
     assert got == want
+
+
+@given(
+    tokens=st.lists(st.integers(0, 600), min_size=1, max_size=40),
+    budget=st.sampled_from([128, 500, 601]),
+    n_shards=st.sampled_from([1, 4]),
+)
+@settings(**SETTINGS)
+def test_pack_documents_invariants(spark, tokens, budget, n_shards):
+    """For arbitrary token distributions: exact coverage, no
+    non-oversize pack exceeds the budget, oversize docs are isolated,
+    and sharded FFD never beats the global token-sum lower bound."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    out = pack_documents(df, "n_tokens", budget, "doc_id", n_shards=n_shards)
+    rows = out.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(tokens)))
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for members in by_pack.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+        else:
+            assert sum(m.n_tokens for m in members) <= budget
+    fits = [t for t in tokens if t <= budget]
+    n_normal_packs = len(
+        {r.pack_id for r in rows if not r.oversize}
+    )
+    if fits:
+        lower = -(-sum(fits) // budget)
+        assert n_normal_packs >= lower
