@@ -1615,6 +1615,57 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_pii_redaction",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' user' || doc_id::VARCHAR || '@example.com ip 10.0.0.'
+                  || (doc_id % 250)::VARCHAR || ' acct '
+                  || (900000000 + doc_id)::VARCHAR AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g'),
+             '\\b\\d{9,}\\b', '[LONG_DIGITS]', 'g') AS clean,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4
+    FROM synth
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as chained codegen regexp_replace (no UDF): PII is
+    synthesized deterministically into each document so the redaction
+    actually fires; the oracle applies the identical RE2-safe patterns
+    in DuckDB, proving cross-engine portability of the scrub."""
+    from bdq_spark.functions.text import pii_count, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" acct "),
+            (F.col("doc_id") + 900000000).cast("string"),
+        ).alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        redact_pii("text").alias("clean"),
+        pii_count("text", "email").alias("n_email"),
+        pii_count("text", "ipv4").alias("n_ipv4"),
+    )
+
+
+@_register(
     "doc_repetition",
     """
     WITH words AS (

@@ -37,6 +37,9 @@ __all__ = [
     "language_id",
     "quality_score",
     "doc_fingerprint",
+    "redact_pii",
+    "pii_count",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -208,3 +211,41 @@ def doc_fingerprint(c: ColumnOrName) -> Column:
     bytes) is the exact-dedup join key.
     """
     return F.md5(normalize_text(c))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: redaction patterns, deliberately restricted to syntax that means the
+#: same thing in Java regex (Spark) and RE2 (DuckDB/Go) so oracles and
+#: cross-engine pipelines agree: no backrefs, no lookaround
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "long_digits": r"\b\d{9,}\b",  # phone/SSN/account-number shaped runs
+}
+
+
+def redact_pii(c: ColumnOrName, kinds: tuple = ("email", "ipv4", "long_digits")) -> Column:
+    """Replace PII-shaped substrings with ``[<KIND>]`` markers.
+
+    A chain of ``regexp_replace`` expressions — whole-stage codegen, no
+    UDF, linear in text size.  Kinds apply in the declared order
+    (email before long_digits, so a digit-heavy local-part is redacted
+    as email, not as a number).  This is pattern-shaped scrubbing for
+    training corpora, not a compliance guarantee.
+    """
+    col = _col(c)
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind: {kind!r}")
+        col = F.regexp_replace(col, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return col
+
+
+def pii_count(c: ColumnOrName, kind: str) -> Column:
+    """Number of matches of one PII pattern (pre-redaction)."""
+    if kind not in PII_PATTERNS:
+        raise ValueError(f"unknown PII kind: {kind!r}")
+    return F.regexp_count(_col(c), F.lit(PII_PATTERNS[kind]))

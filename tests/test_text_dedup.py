@@ -276,3 +276,40 @@ def test_incremental_dedup_semantics(spark):
     grown = corpus.union(out)
     again = incremental_fingerprint_dedup(grown, batch)
     assert again.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_golden(spark):
+    from bdq_spark.functions.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.co.uk or call 5551234567"),
+            (2, "server at 192.168.0.1 port 80; card 4111111111111111"),
+            (3, "no pii here, just year 2024 and room 101"),
+            (4, "a@b.io and 10.0.0.255 and 999999999"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("clean"),
+            pii_count("text", "email").alias("n_email"),
+            pii_count("text", "ipv4").alias("n_ip"),
+            pii_count("text", "long_digits").alias("n_num"),
+        ).collect()
+    }
+    assert out[1].clean == "mail me at [EMAIL] or call [LONG_DIGITS]"
+    assert out[1].n_email == 1 and out[1].n_num == 1
+    assert out[2].clean == "server at [IPV4] port 80; card [LONG_DIGITS]"
+    assert out[3].clean == "no pii here, just year 2024 and room 101"
+    assert (out[3].n_email, out[3].n_ip, out[3].n_num) == (0, 0, 0)
+    assert out[4].clean == "[EMAIL] and [IPV4] and [LONG_DIGITS]"
+
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        df.select(redact_pii("text", kinds=("ssn",)))
