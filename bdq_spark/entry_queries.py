@@ -874,6 +874,57 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+          END AS shingles
+        FROM words) t, UNNEST(t.shingles) AS u(shingle)
+      WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+    SELECT id, min(r) AS cluster_id, id = min(r) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs promoted to duplicate CLUSTERS: min-label
+    connected components over the Jaccard >= 0.8 pair graph, with a
+    deterministic min-id keeper per cluster — the executable dedup
+    decision.  Oracle: recursive-CTE reachability closure in DuckDB."""
+    from bdq_spark.operators import connected_components
+    from bdq_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+    return connected_components(pairs)
+
+
 @_register("minhash_lsh_near_dup")  # rows-only: xxhash64 not in DuckDB
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bdq_spark.operators.dedup import minhash_lsh_candidates

@@ -18,6 +18,7 @@ from bdq_spark.operators.pk import (
 )
 from bdq_spark.operators.asof import asof_join
 from bdq_spark.operators.joins import range_join, salted_join
+from bdq_spark.operators.components import connected_components
 from bdq_spark.operators.contamination import contamination_check
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import profile_table
@@ -51,4 +52,5 @@ __all__ = [
     "deterministic_sample_by",
     "pack_documents",
     "contamination_check",
+    "connected_components",
 ]
