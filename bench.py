@@ -68,6 +68,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # query-count-independent figures: the suite GROWS between
+                # rounds, so compare mean_query_time (or per-query entries)
+                # across rounds, not the raw total
+                "n_queries": len(timings),
+                "mean_query_time": round(total / max(len(timings), 1), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
