@@ -2058,6 +2058,31 @@ def profile_orders_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("knn_quantized_embeddings")  # rows-only: int8 rounding ties are engine-specific
+def knn_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED embeddings (the 4x
+    storage path searched end-to-end): corpus quantized, dequantized in
+    the scan expression, exact ranking — proving the codec composes with
+    the search operators without a separate decode job."""
+    from bdq_spark.operators.similarity import (
+        dequantize_embedding,
+        knn_bruteforce,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        dequantize_embedding(quantize_embedding(F.col("embedding"))).alias(
+            "embedding"
+        ),
+    )
+    queries = emb.orderBy("vec_id").limit(10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_bruteforce(corpus, queries, k=5)
+
+
 @_register("knn_ivf_embeddings")  # rows-only: approximate by construction
 def knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bdq_spark.operators.ivf import knn_ivf

@@ -168,3 +168,67 @@ def test_knn_multiprobe_recall_monotone(spark, embeddings):
     r1, r3, r7 = recall(1), recall(3), recall(7)
     assert r1 <= r3 <= r7, (r1, r3, r7)
     assert r7 > r1  # extra probes actually recover missed neighbors
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_roundtrip_error_bound(spark):
+    from bdq_spark.operators.similarity import (
+        cosine_similarity,
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(
+        "vec_id", "embedding", quantize_embedding(F.col("embedding")).alias("qs")
+    )
+    checked = q.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                dequantize_embedding(F.col("qs")),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        (F.col("qs").getField("scale") / 254.0).alias("bound"),
+        F.round(
+            cosine_similarity(
+                F.col("embedding"), dequantize_embedding(F.col("qs"))
+            ),
+            4,
+        ).alias("cos"),
+    ).collect()
+    assert len(checked) > 0
+    for r in checked:
+        assert r.max_err <= r.bound + 1e-12, r.vec_id
+        assert r.cos >= 0.999, r.vec_id  # int8 barely moves cosine geometry
+
+
+def test_quantize_edge_vectors(spark):
+    from bdq_spark.operators.similarity import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -1.0, 0.5]), (3, [1e-8, -1e-8, 0.0])],
+        "id long, v array<double>",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            quantize_embedding(F.col("v")).alias("qs"),
+            dequantize_embedding(quantize_embedding(F.col("v"))).alias("back"),
+        ).collect()
+    }
+    assert out[1].back == [0.0, 0.0, 0.0]          # zero vector exact
+    assert out[1].qs.scale == 1.0
+    assert out[2].qs.q == [127, -127, 64]          # full-scale symmetric
+    assert abs(out[2].back[2] - 0.5) <= 1.0 / 254  # half-step bound

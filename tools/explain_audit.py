@@ -46,6 +46,7 @@ FULL_SCAN_OK = {
 # attached to a tiny result (profile's exact decimal mean)
 CARTESIAN_OK = {
     "knn_embeddings",
+    "knn_quantized_embeddings",
     "knn_lsh_embeddings",
     "embedding_near_dup_pairs",
     "profile_orders_numeric",
