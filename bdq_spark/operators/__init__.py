@@ -18,7 +18,10 @@ from bdq_spark.operators.pk import (
 )
 from bdq_spark.operators.asof import asof_join
 from bdq_spark.operators.joins import range_join, salted_join
-from bdq_spark.operators.components import connected_components
+from bdq_spark.operators.components import (
+    apply_dedup_clusters,
+    connected_components,
+)
 from bdq_spark.operators.contamination import contamination_check
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import profile_table
@@ -53,4 +56,5 @@ __all__ = [
     "pack_documents",
     "contamination_check",
     "connected_components",
+    "apply_dedup_clusters",
 ]

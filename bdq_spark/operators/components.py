@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "apply_dedup_clusters"]
 
 
 def connected_components(
@@ -88,3 +88,22 @@ def connected_components(
         f"connected_components did not converge in {max_iterations} rounds "
         "(graph diameter exceeds the bound)"
     )
+
+
+def apply_dedup_clusters(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Execute the dedup decision: drop every non-keeper cluster member
+    from ``df``; rows never seen in a pair (the vast majority of a real
+    corpus) pass through untouched.
+
+    One LEFT ANTI join against the (small) non-keeper id set — the
+    cluster relation is proportional to the DUPLICATE population, not
+    the corpus, so this is broadcast-sized in practice.
+    """
+    non_keepers = clusters.filter(~F.col("is_keeper")).select(
+        F.col("id").alias(id_column)
+    )
+    return df.join(non_keepers, id_column, "left_anti")

@@ -86,3 +86,25 @@ def test_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == _union_find(edges)
+
+
+def test_apply_dedup_clusters_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators import apply_dedup_clusters
+    from bdq_spark.operators.dedup import ngram_jaccard_pairs
+    from bdq_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = connected_components(pairs)
+    kept = apply_dedup_clusters(docs, clusters)
+
+    n_docs = docs.count()
+    n_non_keepers = clusters.filter(~F.col("is_keeper")).count()
+    assert clusters.count() > 0  # planted near-dups exist even at sf0.001
+    assert kept.count() == n_docs - n_non_keepers
+    # every cluster still has exactly its keeper present
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for r in clusters.collect():
+        assert (r.id in kept_ids) == r.is_keeper
