@@ -1049,14 +1049,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_rules_lineitem",
     """
     SELECT count(*) AS record_count,
-           SUM(CASE WHEN NOT COALESCE(l_quantity <= 30, FALSE) THEN 1 ELSE 0 END)
-             AS qty_le_30,
-           SUM(CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END)
-             AS discount_le_5pct,
-           SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END)
-             AS price_positive,
-           SUM(CASE WHEN NOT COALESCE(l_tax BETWEEN 0 AND 0.08, FALSE) THEN 1 ELSE 0 END)
-             AS tax_in_range
+           CAST(SUM(CASE WHEN NOT COALESCE(l_quantity <= 30, FALSE) THEN 1 ELSE 0 END)
+             AS BIGINT) AS qty_le_30,
+           CAST(SUM(CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END)
+             AS BIGINT) AS discount_le_5pct,
+           CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END)
+             AS BIGINT) AS price_positive,
+           CAST(SUM(CASE WHEN NOT COALESCE(l_tax BETWEEN 0 AND 0.08, FALSE) THEN 1 ELSE 0 END)
+             AS BIGINT) AS tax_in_range
     FROM lineitem
     """,
 )
@@ -1512,9 +1512,9 @@ def orders_rollup_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_pivot_priority_status",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
     FROM orders
     GROUP BY o_orderpriority
     """,

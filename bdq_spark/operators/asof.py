@@ -105,8 +105,14 @@ def asof_join(
 
     # backward: scan time ascending, right rows first within a timestamp
     # so an equal-time right row is visible to the left row (inclusive).
-    # forward is the mirror image: scan descending.
-    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    # forward is the mirror image: scan descending.  Null-time left rows
+    # must sort BEFORE every right row in scan order (desc sorts nulls
+    # last by default, which would hand them a spurious match).
+    t_order = (
+        F.col("__t").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(t_order, F.col("__is_left").asc())

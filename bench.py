@@ -2,10 +2,24 @@
 """Benchmark harness: runs the headline queries and prints ONE JSON line.
 
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
-``SPARK_GRAFT_CPUS`` (default all cores).
+``SPARK_GRAFT_CPUS`` (default all cores),
+``SPARK_GRAFT_BENCH_REPS`` (default 3 — per-query time is the MIN over
+reps, which strips one-off JIT/plan-compilation and VM-noise spikes; this
+box swings 3x on heavy queries, so n=1 measures the hypervisor, not the
+plan), ``SPARK_GRAFT_BENCH_BUDGET`` (seconds, default 1200 — rep 1 always
+completes; later reps are skipped once the budget is spent, so a slow VM
+degrades to n=1 instead of overrunning the driver).
 
 Each query is materialized with the ``noop`` sink — full computation, no
 driver-side row transfer — so the number measures the engine, not py4j.
+
+Output contract: the FINAL stdout line is one machine-readable JSON
+object ``{"metric", "value", "unit", "queries", "sf", ...}`` kept under
+~1.9 KB (the driver records only a 2000-char stdout tail; round 1's
+2.7 KB line was truncated into ``"parsed": null``).  If the full
+per-query map won't fit, the slowest queries are kept and the rest are
+dropped from the LINE only — ``BENCH_DETAIL.json`` next to this script
+always holds every rep of every query.
 """
 
 from __future__ import annotations
@@ -15,13 +29,56 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+MAX_LINE = 1900  # driver keeps a 2000-char stdout tail; stay clearly under
+
+
+def _compact(payload: dict) -> str:
+    return json.dumps(payload, separators=(",", ":"))
+
+
+def _final_line(best: dict[str, float], sf) -> str:
+    """Build the final stdout line, shedding per-query entries (fastest
+    first) until it fits the driver's capture window."""
+    total = round(sum(best.values()), 3)
+    base = {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(best),
+        "mean_query_time": round(total / max(len(best), 1), 3),
+        "sf": sf,
+    }
+    # slowest-first so a truncated line still covers the heavy hitters
+    ordered = sorted(best.items(), key=lambda kv: -kv[1])
+    kept = {k: round(v, 2) for k, v in ordered}
+    while kept:
+        base["queries"] = dict(sorted(kept.items()))
+        if len(kept) < len(best):
+            base["queries_truncated"] = len(best) - len(kept)
+            base["detail"] = "BENCH_DETAIL.json"
+        line = _compact(base)
+        if len(line) <= MAX_LINE:
+            return line
+        kept.pop(next(reversed(kept)))  # drop the current fastest
+        base.pop("queries_truncated", None)
+        base.pop("detail", None)
+    base["queries"] = {}
+    base["queries_truncated"] = len(best)
+    base["detail"] = "BENCH_DETAIL.json"
+    return _compact(base)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
 
     from pyspark.sql import SparkSession
 
@@ -47,36 +104,43 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 4)
-        # operators may cache intermediates (minhash signatures, shingle
-        # sets); drop them so later queries aren't timed under the
-        # accumulated memory/GC pressure of earlier ones, and take the
-        # stop-the-world GC hit between queries rather than inside one
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    all_reps: dict[str, list[float]] = {name: [] for name in queries}
+    reps_done = 0
+    for rep in range(reps):
+        if rep > 0 and time.perf_counter() - t0 > budget:
+            break
+        for name, fn in queries.items():
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            all_reps[name].append(round(time.perf_counter() - start, 4))
+            # operators may cache intermediates (minhash signatures,
+            # shingle sets); drop them so later queries aren't timed under
+            # the accumulated memory/GC pressure of earlier ones, and take
+            # the stop-the-world GC hit between queries rather than inside
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        reps_done = rep + 1
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # query-count-independent figures: the suite GROWS between
-                # rounds, so compare mean_query_time (or per-query entries)
-                # across rounds, not the raw total
-                "n_queries": len(timings),
-                "mean_query_time": round(total / max(len(timings), 1), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    best = {name: min(ts) for name, ts in all_reps.items() if ts}
+    detail = {
+        "sf": sf,
+        "cpus": int(cpus),
+        "reps_requested": reps,
+        "reps_done": reps_done,
+        "budget_sec": budget,
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "min": best,
+        "mean": {
+            name: round(sum(ts) / len(ts), 4) for name, ts in all_reps.items() if ts
+        },
+        "reps": all_reps,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    print(_final_line(best, sf))
 
 
 if __name__ == "__main__":

@@ -64,6 +64,8 @@ def test_forward_direction(spark, trades_quotes):
     assert rows[2].bid == 11.0          # tie matches inclusively forward too
     assert rows[5].bid == 10.0
     assert rows[3].bid is None          # no B quote after _ts(7)
+    assert rows[4].bid is None          # no quotes for C
+    assert rows[6].bid is None          # null trade time never matches forward
 
 
 def test_tolerance_and_inner(spark, trades_quotes):
