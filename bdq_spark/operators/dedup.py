@@ -17,8 +17,14 @@ Scale design (100 TB):
   band-signature) — the standard sub-quadratic near-dup path; signature
   computation is one explode + one groupBy (element-wise min), all
   built-ins.
-- SimHash packs a document into one 64-bit long; banding on 16-bit
-  chunks finds candidates with Hamming distance <= 3 by pigeonhole.
+- SimHash packs a document into one 64-bit long; banding finds
+  candidates within a Hamming bound by pigeonhole.
+- Embedding cosine near-dup is a distributed block-matrix product:
+  groups (whole corpus in exact mode, multi-probe LSH buckets at scale)
+  are hash-split into bounded sub-blocks and every block pair is one
+  executor-side BLAS GEMM task — per-task memory is capped, hot buckets
+  split instead of going quadratic, and nothing data-proportional ever
+  reaches the driver.
 """
 
 from __future__ import annotations
@@ -587,73 +593,171 @@ def simhash_pairs(
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _blocked_cosine_candidates(
+    assigned: DataFrame,
+    threshold: float,
+    margin: float,
+    block_rows: int,
+    id_type: str,
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs with float64-GEMM cosine >=
+    ``threshold - margin``, computed entirely on executors.
+
+    Input is ``(id, vec, grp)``; only same-``grp`` pairs are considered.
+    Each group is sub-blocked into ``nb = ceil(group_size / block_rows)``
+    hash blocks and every unordered block pair ``(i, j)`` becomes one
+    ``applyInPandas`` task holding at most ~2x ``block_rows`` vectors —
+    the classic distributed block-matrix product.  A vector is shuffled
+    ``nb`` times (the replication cost of exact all-pairs), per-task
+    memory is bounded regardless of group size, and a hot group (skewed
+    LSH bucket) simply gets a larger ``nb`` instead of one quadratic
+    task.  The GEMM itself runs in row strips so the similarity matrix
+    never materializes beyond ``strip x block_rows`` doubles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sizes = assigned.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
+    nb = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(block_rows))
+    ).cast("int")
+    a = (
+        assigned.join(sizes, "grp")
+        .withColumn("__nb", nb)
+        .withColumn(
+            "__sub",
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1017)), F.col("__nb")).cast(
+                "int"
+            ),
+        )
+        .withColumn("__o", F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)))
+        .withColumn("__bi", F.least("__sub", "__o"))
+        .withColumn("__bj", F.greatest("__sub", "__o"))
+        .select("grp", "__bi", "__bj", "__sub", "id", "vec")
+    )
+
+    strip = 512  # rows per GEMM strip: 512 x block_rows x 8 B ~ 64 MB
+
+    def _norm_matrix(series) -> "np.ndarray":
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in series])
+        if m.ndim == 1:  # empty side
+            m = m.reshape(0, 0)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return m / n[:, None]
+
+    def gemm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cut = threshold - margin
+        bi = int(pdf["__bi"].iat[0])
+        bj = int(pdf["__bj"].iat[0])
+        out_a, out_b = [], []
+        if bi == bj:
+            ids = pdf["id"].to_numpy()
+            m = _norm_matrix(pdf["vec"])
+            for s in range(0, len(ids), strip):
+                e = min(s + strip, len(ids))
+                sims = m[s:e] @ m.T
+                ii, jj = np.where(sims >= cut)
+                keep = (ii + s) < jj  # strict upper triangle, no self-pairs
+                out_a.append(ids[ii[keep] + s])
+                out_b.append(ids[jj[keep]])
+        else:
+            left = pdf[pdf["__sub"] == bi]
+            right = pdf[pdf["__sub"] == bj]
+            lids = left["id"].to_numpy()
+            rids = right["id"].to_numpy()
+            lm = _norm_matrix(left["vec"])
+            rm = _norm_matrix(right["vec"])
+            if lm.size and rm.size:
+                for s in range(0, len(lids), strip):
+                    e = min(s + strip, len(lids))
+                    sims = lm[s:e] @ rm.T
+                    ii, jj = np.where(sims >= cut)
+                    out_a.append(lids[ii + s])
+                    out_b.append(rids[jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        lo = np.where(ia < ib, ia, ib)
+        hi = np.where(ia < ib, ib, ia)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return a.groupBy("grp", "__bi", "__bj").applyInPandas(
+        gemm, schema=f"id_a {id_type}, id_b {id_type}"
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vector_column: str = "embedding",
     id_column: str = "vec_id",
     threshold: float = 0.95,
+    mode: str = "auto",
+    num_planes: int = 8,
+    n_probe: int = 3,
+    block_rows: int = 16384,
+    exact_max_rows: int = 200_000,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Pairs of rows whose embedding cosine similarity >= ``threshold``.
 
-    Two-phase blocked-matrix design (the FAISS-style scale shape):
+    Three-phase, fully distributed (nothing data-proportional ever
+    touches the driver):
 
-    1. **Candidates (fast, approximate arithmetic):** one side is
-       broadcast as a row-normalized numpy matrix; each partition's
-       block multiplies against it with BLAS (``block @ all.T``) inside
-       ``mapInPandas`` and emits pairs above ``threshold - margin``.
-       Wall-clock is a dense GEMM — orders of magnitude faster than
-       per-pair interpreted expressions.
-    2. **Verify (exact, deterministic):** survivors re-join their
+    1. **Assign** each vector to comparison groups.  ``mode="exact"``
+       puts everything in one group (every pair is considered);
+       ``mode="lsh"`` — the 100 TB path — assigns each vector to its
+       ``n_probe`` nearest random-hyperplane sign buckets
+       (:func:`~bdq_spark.operators.similarity.lsh_probe_buckets`), so
+       only bucket-sharing pairs are compared (recall < 1, rising with
+       ``n_probe`` / falling with ``num_planes``).  ``mode="auto"``
+       counts the corpus and picks exact up to ``exact_max_rows``, lsh
+       beyond.
+    2. **Candidates:** per group, a sub-blocked executor-side BLAS GEMM
+       (:func:`_blocked_cosine_candidates`) emits pairs above
+       ``threshold - margin``.  Per-task memory is capped at ~2x
+       ``block_rows`` vectors however large the group is, and hot LSH
+       buckets are split instead of becoming one quadratic task.
+    3. **Verify (exact, deterministic):** survivors re-join their
        vectors and are re-scored with the sequential double-precision
        :func:`~bdq_spark.operators.similarity.cosine_similarity`
        expression, so the reported value is bit-reproducible (BLAS
        summation order is not) and the threshold cut is exact.
 
-    Scale notes: the broadcast side must fit executor memory (#vectors ×
-    dim × 4 bytes; 10M × 256-dim ≈ 10 GB — beyond that, pre-bucket with
-    :func:`bdq_spark.operators.similarity.lsh_bucket_vectors` and run
-    this within buckets).  The candidate phase streams the other side —
-    no shuffle at all until the (small) survivor join.
+    Works with any orderable id type (long, string, ...); pairs are
+    oriented ``id_a < id_b`` in the id's natural order.
     """
-    import numpy as np
-    import pandas as pd
+    if mode not in ("auto", "exact", "lsh"):
+        raise ValueError(f"unknown mode: {mode!r} (auto|exact|lsh)")
 
-    from bdq_spark.operators.similarity import cosine_similarity
+    from bdq_spark.operators.similarity import (
+        cosine_similarity,
+        lsh_probe_buckets,
+    )
 
     base = df.select(
         F.col(id_column).alias("id"), F.col(vector_column).alias("vec")
     )
+    id_type = base.schema["id"].dataType.simpleString()
 
-    # broadcast side: materialized once on the driver (documented limit)
-    mat_rows = base.select("id", "vec").toPandas()
-    ids = np.asarray(mat_rows["id"], dtype=np.int64)
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in mat_rows["vec"]])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    normed = mat / norms[:, None]
-    sc = df.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(normed)
+    if mode == "auto":
+        mode = "exact" if base.count() <= exact_max_rows else "lsh"
+
+    if mode == "exact":
+        assigned = base.withColumn("grp", F.lit(0))
+    else:
+        assigned = lsh_probe_buckets(
+            base, "vec", "id", num_planes=num_planes, n_probe=n_probe, dim=dim
+        ).withColumnRenamed("bucket", "grp")
+
     margin = 1e-6
-
-    def candidates(batches):
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        for pdf in batches:
-            block_ids = np.asarray(pdf["id"], dtype=np.int64)
-            block = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
-            )
-            bn = np.linalg.norm(block, axis=1)
-            bn[bn == 0] = 1.0
-            sims = (block / bn[:, None]) @ all_mat.T
-            bi, aj = np.where(sims >= threshold - margin)
-            ia = block_ids[bi]
-            ib = all_ids[aj]
-            keep = ia < ib
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
-
-    cand = base.mapInPandas(candidates, schema="id_a long, id_b long")
+    cand = _blocked_cosine_candidates(
+        assigned, threshold, margin, block_rows, id_type
+    )
+    if mode == "lsh":
+        # the same pair can surface from several shared probe buckets
+        cand = cand.dropDuplicates(["id_a", "id_b"])
 
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))

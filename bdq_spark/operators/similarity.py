@@ -174,9 +174,10 @@ def lsh_bucket_vectors(
                 {"id": pdf["id"], "vec": pdf["vec"], "bucket": buckets}
             )
 
+    id_type = base.schema["id"].dataType.simpleString()
     vec_type = dict(base.dtypes)["vec"]
     return base.mapInPandas(
-        bucketize, schema=f"id long, vec {vec_type}, bucket int"
+        bucketize, schema=f"id {id_type}, vec {vec_type}, bucket int"
     )
 
 
@@ -244,9 +245,10 @@ def lsh_probe_buckets(
             )
             yield out
 
+    id_type = base.schema["id"].dataType.simpleString()
     vec_type = dict(base.dtypes)["vec"]
     return base.mapInPandas(
-        probe, schema=f"id long, vec {vec_type}, bucket int"
+        probe, schema=f"id {id_type}, vec {vec_type}, bucket int"
     )
 
 

@@ -189,6 +189,72 @@ def test_embedding_cosine_pairs(spark):
     assert not any(3 in k for k in pairs)
 
 
+def test_embedding_cosine_pairs_blocked_matches_single_block(spark):
+    """Forcing many sub-blocks (block_rows=2) must produce exactly the
+    same pairs as one block — the block grid covers every pair once."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    # plant near-dups across likely different hash blocks
+    rows.append((100, rows[3][1]))
+    rows.append((101, [v * 1.001 + 1e-4 for v in rows[17][1]]))
+    df = spark.createDataFrame(rows, "vec_id:long, embedding:array<float>")
+
+    one = {(r.id_a, r.id_b, r.cosine) for r in embedding_cosine_pairs(
+        df, threshold=0.9, mode="exact", block_rows=1 << 20).collect()}
+    many = {(r.id_a, r.id_b, r.cosine) for r in embedding_cosine_pairs(
+        df, threshold=0.9, mode="exact", block_rows=2).collect()}
+    assert one == many
+    assert any(a == 3 and b == 100 for a, b, _ in one)
+    assert any(a == 17 and b == 101 for a, b, _ in one)
+
+
+def test_embedding_cosine_pairs_lsh_recall(spark):
+    """LSH mode is approximate but must recover the bulk of exact
+    high-threshold pairs on planted near-dup clusters (deterministic
+    hyperplanes, fixed seed -> reproducible recall)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for _ in range(60):                      # 60 clusters of 3 near-dups
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(3):
+            rows.append(
+                (vid, [v + rng.gauss(0, 0.01) for v in center])
+            )
+            vid += 1
+    for _ in range(200):                     # background noise
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(16)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id:long, embedding:array<float>")
+
+    exact = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+        df, threshold=0.98, mode="exact").collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+        df, threshold=0.98, mode="lsh", num_planes=8, n_probe=3).collect()}
+    assert lsh <= exact                      # verify phase: no false positives
+    assert len(exact) >= 100                 # planted pairs were found
+    assert len(lsh) / len(exact) >= 0.6      # recall floor at n_probe=3
+
+
+def test_embedding_cosine_pairs_string_ids(spark):
+    rows = [
+        ("alpha", [1.0, 0.0]),
+        ("beta", [1.0, 0.001]),
+        ("gamma", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc:string, embedding:array<float>")
+    pairs = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+        df, id_column="doc", threshold=0.99, mode="exact", block_rows=1
+    ).collect()}
+    assert pairs == {("alpha", "beta")}
+
+
 def test_bpe_ish_tokens(spark):
     from bdq_spark.functions.text import bpe_ish_token_count, bpe_ish_tokens
 
