@@ -942,6 +942,17 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+@_register("simhash_pairs")  # rows-only: xxhash64-derived fingerprints
+def simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the combination-banded candidate JOIN (not just the
+    fingerprints): near-dup doc pairs within Hamming distance 4."""
+    from bdq_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — vector similarity search
 # ---------------------------------------------------------------------------

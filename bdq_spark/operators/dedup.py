@@ -547,45 +547,97 @@ def simhash_pairs(
     text_column: str = "text",
     id_column: str = "doc_id",
     max_hamming: int = 3,
+    num_blocks: Optional[int] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs with SimHash Hamming distance <= ``max_hamming``.
 
-    Banding by pigeonhole: with 4 16-bit chunks, any pair within Hamming
-    distance 3 collides on at least one chunk — so the join is 4 equality
-    joins, not an O(n²) comparison.  Output: ``id_a, id_b, hamming``.
+    Combination banding (the Manku/Jain/Sarma WWW'07 table design,
+    re-expressed as one exploded equality join): the 64-bit fingerprint
+    is split into ``b = num_blocks`` blocks and every combination of
+    ``t = b - max_hamming`` blocks becomes one 64-bit join key
+    (``xxhash64`` of the combo id + block values).  Pigeonhole: a pair
+    within Hamming distance ``h`` has at most ``h`` dirty blocks, so at
+    least ``t`` clean ones — some ``t``-combination is clean on both
+    sides and they collide on that key.  The join stays a set of
+    equality joins (no O(n²) scan), and because keys now span
+    ``t x block-width ~ 30+`` bits instead of 16, bucket occupancy stays
+    ~1 even at billions of documents — the round-1 4x16-bit design
+    capped at 65,536 buckets per band, which goes quadratic as the
+    corpus grows past millions.
+
+    ``num_blocks`` defaults to ``min(16, max_hamming + 3)`` — replication
+    ``C(b, t) = C(h+3, 3)`` keys/doc (20 at h=3) buys the wide keys.
+    ``max_bucket_size`` (scale knob, default off) drops join keys shared
+    by more than that many documents — the equality-join analogue of
+    stop-shingle removal.  Mass-duplicate clusters (whose pair output is
+    intrinsically quadratic) get skipped rather than detonating the
+    shuffle; their members still pair through their other, less-crowded
+    keys when any exist.  Output: ``id_a, id_b, hamming``.
     """
+    from itertools import combinations
+
+    h = max_hamming
+    if not 0 <= h < 64:
+        raise ValueError(f"max_hamming must be in [0, 64): {h}")
+    b = num_blocks if num_blocks is not None else min(16, h + 3)
+    if b <= h:
+        raise ValueError(
+            f"num_blocks ({b}) must exceed max_hamming ({h}) for the "
+            "pigeonhole guarantee"
+        )
+    b = min(b, 64)
+    t = b - h
+
+    # split 64 bits into b near-even blocks
+    widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+    offsets = [sum(widths[:i]) for i in range(b)]
+
+    def block(i: int):
+        mask = (1 << widths[i]) - 1
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit(mask)
+        )
+
     sig = simhash(df, text_column, id_column).cache()
-    chunks = sig.select(
+    combos = list(combinations(range(b), t))
+    keys = sig.select(
         "id",
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
+                        F.lit(ci).alias("combo"),
+                        F.xxhash64(
+                            F.lit(ci), *[block(i) for i in combo]
+                        ).alias("key"),
                     )
-                    for i in range(4)
+                    for ci, combo in enumerate(combos)
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", "c.chunk", "c.key")
+    ).select("id", "simhash", "c.combo", "c.key")
 
-    lhs = chunks.alias("l")
-    rhs = chunks.alias("r")
+    if max_bucket_size is not None:
+        occupancy = Window.partitionBy("combo", "key")
+        keys = keys.withColumn(
+            "__occ", F.count(F.lit(1)).over(occupancy)
+        ).filter(F.col("__occ") <= max_bucket_size).drop("__occ")
+
+    lhs = keys.alias("l")
+    rhs = keys.alias("r")
     hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     return (
-        lhs.join(rhs, ["chunk", "key"])
+        lhs.join(rhs, ["combo", "key"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: smaller shuffle
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -174,6 +174,43 @@ def test_simhash_pairs(spark, docs):
     assert (21, 22) in lp and 0 < lp[(21, 22)] <= 6
 
 
+def test_simhash_pairs_validation(spark, docs):
+    with pytest.raises(ValueError, match="num_blocks"):
+        simhash_pairs(docs, max_hamming=4, num_blocks=4)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(docs, max_hamming=64)
+
+
+def test_simhash_pairs_hot_bucket_cap(spark):
+    """A mass-duplicate cluster (one fingerprint shared by many docs)
+    must not prevent finding a planted near-dup pair elsewhere when
+    max_bucket_size caps hot join keys."""
+    base = (
+        "data pipelines at scale require careful partitioning of every join "
+        "and aggregation because shuffles dominate the cost of wide "
+        "transformations while narrow maps stream freely through the "
+        "executors and the optimizer prunes columns predicates and "
+        "partitions wherever the plan allows it to do so"
+    )
+    spam = "buy cheap widgets now " * 15
+    rows = [(i, spam) for i in range(50)]           # hot: identical simhash
+    rows += [(100, base), (101, base.replace("optimizer", "planner"))]
+    df = spark.createDataFrame(rows, "doc_id:long, text:string")
+
+    capped = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(
+        df, max_hamming=6, max_bucket_size=10).collect()}
+    # the spam cluster's keys (occupancy 50) are all dropped...
+    assert not any(a < 100 for a, _ in capped)
+    # ...but the planted pair, whose keys have occupancy 2, survives
+    assert (100, 101) in capped and 0 < capped[(100, 101)] <= 6
+
+    # uncapped finds the full quadratic spam pair set plus the plant
+    full = {(r.id_a, r.id_b) for r in simhash_pairs(
+        df, max_hamming=6).collect()}
+    assert (100, 101) in full
+    assert sum(1 for a, b in full if a < 100 and b < 100) == 50 * 49 // 2
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
