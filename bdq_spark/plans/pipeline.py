@@ -240,6 +240,34 @@ class Step:
     def __repr__(self) -> str:
         return self.name
 
+    def _repr_html_(self) -> str:
+        """Notebook rich repr — a property/value table (parity surface:
+        reference ``Step._repr_html_``,
+        `/root/reference/bdq/spark_pipeline.py:120-132`; that one dumps
+        every public attribute through pandas — this renders a curated
+        field set as plain HTML, no pandas dependency)."""
+        import html as _html
+
+        fields = [
+            ("name", self.name),
+            ("pipeline", self.pipeline.name),
+            ("outputs", ", ".join(self.outputs)),
+            ("state", self.result_state),
+            ("attempts", self.attempts),
+            ("retries", self.retries),
+            ("timeout_seconds", self.timeout_seconds),
+            ("start_ts", self.start_ts),
+            ("stop_ts", self.stop_ts),
+            ("metrics", self.metrics),
+            ("exception", self.exception),
+        ]
+        rows = "".join(
+            f"<tr><th style='text-align:left'>{_html.escape(str(k))}</th>"
+            f"<td>{_html.escape(str(v)[:150])}</td></tr>"
+            for k, v in fields
+        )
+        return f"<table border='1'>{rows}</table>"
+
     def __call__(self):
         import time
 
@@ -422,6 +450,35 @@ class SparkPipeline:
     @property
     def success_steps(self) -> Dict[str, Step]:
         return self._steps_in_state("SUCCESS")
+
+    def __repr__(self) -> str:
+        return f"SparkPipeline({self.name!r}, steps={list(self.steps)})"
+
+    def _repr_html_(self) -> str:
+        """Notebook rich repr: one row per step with state, timing and
+        declared outputs (extends the reference's per-Step HTML repr to
+        the whole pipeline)."""
+        import html as _html
+
+        def cell(v) -> str:
+            return _html.escape(str(v)[:150])
+
+        rows = "".join(
+            "<tr>"
+            f"<td>{cell(s.name)}</td><td>{cell(s.result_state)}</td>"
+            f"<td>{cell(', '.join(s.outputs))}</td>"
+            f"<td>{cell(s.start_ts or '')}</td><td>{cell(s.stop_ts or '')}</td>"
+            f"<td>{cell(s.exception or '')}</td>"
+            "</tr>"
+            for s in self.steps.values()
+        )
+        return (
+            f"<b>SparkPipeline {_html.escape(self.name)}</b>"
+            "<table border='1'>"
+            "<tr><th>step</th><th>state</th><th>outputs</th>"
+            "<th>start</th><th>stop</th><th>exception</th></tr>"
+            f"{rows}</table>"
+        )
 
     @property
     def is_success(self) -> bool:
@@ -695,7 +752,9 @@ def _write_table_v1_fallback(
 ) -> None:
     """V1 DataFrameWriter path for catalogs without V2 RTAS support."""
     exists = spark.catalog.tableExists(name)
-    writer = df.write.format(format).options(**options)
+    writer = df.write.options(**options)
+    if format:
+        writer = writer.format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
 
@@ -746,9 +805,16 @@ def _write_table(
     log: logging.Logger,
 ) -> None:
     """V2 ``writeTo`` (mode map per `/root/reference/bdq/spark_pipeline.py:552-563`)
-    with transparent V1 fallback for session-catalog formats."""
+    with transparent V1 fallback for session-catalog formats.
+
+    ``format=None`` omits the ``USING`` clause entirely — required for
+    V2 catalogs that own their storage format (JDBC, some lakehouse
+    catalogs) and reject ``CREATE TABLE ... USING``.
+    """
     try:
-        writer = df.writeTo(name).using(format).options(**options)
+        writer = df.writeTo(name).options(**options)
+        if format:
+            writer = writer.using(format)
         if partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         for k, v in table_properties.items():
@@ -802,7 +868,7 @@ def step_spark_table(
     outputs: Optional[List[str]] = None,
     depends_on: Optional[list] = None,
     mode: str = "overwrite",
-    format: str = "parquet",
+    format: Optional[str] = "parquet",
     partition_by: Optional[List[str]] = None,
     options: Optional[dict] = None,
     table_properties: Optional[dict] = None,
@@ -815,6 +881,9 @@ def step_spark_table(
 
     Default format is ``parquet`` locally (the reference defaults to
     ``delta`` on Databricks; pass ``format='delta'`` where available).
+    ``format=None`` writes with no ``USING`` clause — the table format
+    is whatever the target catalog manages (required for V2 catalogs
+    like JDBC that reject an explicit format).
     """
     allowed = ["overwrite", "overwrite_partitions", "create", "replace", "append"]
     if mode not in allowed:

@@ -13,7 +13,11 @@ Deviations for a Databricks-free local/cluster setup:
 - schema drift is healed by rewriting the table with the old data
   re-projected into the new schema (the reference's
   ``mergeSchema``-option write is Delta-only; plain parquet tables don't
-  support write-time schema merge).
+  support write-time schema merge);
+- writes go through the V1 writer for the session catalog and fall back
+  to V2 ``writeTo`` for format-owning V2 catalogs (JDBC etc.) that
+  reject ``CREATE TABLE ... USING`` — tested against Spark's
+  JDBCTableCatalog over embedded Derby.
 
 Scale notes: the latest-row read is ``filter → orderBy(ts desc) →
 limit(1)``, which Catalyst executes as TakeOrderedAndProject — no global
@@ -107,12 +111,27 @@ class CatalogPersistedStateStore(PersistedStateStoreBase):
 
         self._ensure_table()
 
+    def _v1_unsupported(self, e: Exception) -> bool:
+        """True when the target catalog rejects the V1 writer path and the
+        V2 ``writeTo`` API must be used instead (JDBC and other
+        format-owning V2 catalogs)."""
+        msg = str(e)
+        return (
+            "NOT_SUPPORTED_IN_JDBC_CATALOG" in msg
+            or "does not support" in msg
+            or "UNSUPPORTED_FEATURE" in msg
+        )
+
     def _ensure_table(self) -> None:
         if not self.spark.catalog.tableExists(self.fqn_table_name):
             self.log.info("Creating state table: %s", self.fqn_table_name)
-            self.spark.createDataFrame([], self.schema).write.saveAsTable(
-                self.fqn_table_name
-            )
+            empty = self.spark.createDataFrame([], self.schema)
+            try:
+                empty.write.saveAsTable(self.fqn_table_name)
+            except Exception as e:
+                if not self._v1_unsupported(e):
+                    raise
+                empty.writeTo(self.fqn_table_name).create()
             return
 
         current = self.spark.table(self.fqn_table_name)
@@ -128,9 +147,15 @@ class CatalogPersistedStateStore(PersistedStateStoreBase):
                 for f in self.schema.fields
             ]
             migrated = current.select(*projection).collect()
-            self.spark.createDataFrame(migrated, self.schema).write.mode(
-                "overwrite"
-            ).option("overwriteSchema", "true").saveAsTable(self.fqn_table_name)
+            migrated_df = self.spark.createDataFrame(migrated, self.schema)
+            try:
+                migrated_df.write.mode("overwrite").option(
+                    "overwriteSchema", "true"
+                ).saveAsTable(self.fqn_table_name)
+            except Exception as e:
+                if not self._v1_unsupported(e):
+                    raise
+                migrated_df.writeTo(self.fqn_table_name).createOrReplace()
 
     def load(self) -> dict:
         """Latest state row as a dict (JSON columns decoded); {} if none."""
@@ -154,9 +179,13 @@ class CatalogPersistedStateStore(PersistedStateStoreBase):
         data = deepcopy(data)
         for c in self.json_encoded_columns:
             data[c] = self._to_json(data[c])
-        self.spark.createDataFrame([data], self.schema).write.mode(
-            "append"
-        ).saveAsTable(self.fqn_table_name)
+        row_df = self.spark.createDataFrame([data], self.schema)
+        try:
+            row_df.write.mode("append").saveAsTable(self.fqn_table_name)
+        except Exception as e:
+            if not self._v1_unsupported(e):
+                raise
+            row_df.writeTo(self.fqn_table_name).append()
         self.log.info("State saved")
 
     @classmethod

@@ -360,3 +360,18 @@ def test_step_policy_validation(spark):
         @ppn.step_python(timeout_seconds=0)
         def bad_timeout(step):
             return 1
+
+
+def test_repr_html(spark):
+    ppn = SparkPipeline("reprs", spark=spark)
+
+    @ppn.step_spark()
+    def make(step):
+        return spark.range(3)
+
+    ppn()
+    step_html = ppn.steps["make"]._repr_html_()
+    assert "<table" in step_html and "SUCCESS" in step_html and "make" in step_html
+    pipe_html = ppn._repr_html_()
+    assert "reprs" in pipe_html and "make" in pipe_html and "SUCCESS" in pipe_html
+    assert "SparkPipeline('reprs'" in repr(ppn)
