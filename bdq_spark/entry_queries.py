@@ -1870,6 +1870,65 @@ def doc_contamination_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(train, test, n=3, threshold=0.8, weighted=True)
 
 
+@_register(
+    "doc_contamination_spans",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 1000000 AS bucket
+      FROM documents),
+    words AS (
+      SELECT doc_id, bucket,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM b),
+    pos_sh AS (
+      SELECT doc_id, bucket, len(w) AS n_tokens, i - 1 AS pos,
+             array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+      UNION ALL
+      SELECT doc_id, bucket, len(w), 0, array_to_string(w, ' ')
+      FROM words WHERE len(w) < 3 AND array_to_string(w, ' ') <> ''),
+    train_set AS (
+      SELECT DISTINCT shingle FROM pos_sh WHERE bucket < 800000),
+    hits AS (
+      SELECT p.doc_id, p.pos, p.n_tokens
+      FROM pos_sh p JOIN train_set USING (shingle)
+      WHERE p.bucket >= 800000),
+    isl AS (
+      SELECT doc_id, pos, n_tokens,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 3
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos, n_tokens,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits))
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(LEAST(MAX(pos) + 2, MAX(n_tokens) - 1) AS BIGINT)
+             AS span_end,
+           CAST(LEAST(MAX(pos) + 2, MAX(n_tokens) - 1) - MIN(pos) + 1
+                AS BIGINT) AS span_n_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def doc_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination report: the exact token intervals of
+    each test doc that leaked from the train split — what a pipeline
+    acts on (mask the span) instead of a per-doc drop/keep score.  Same
+    80/20 hash split and linear join shape as doc_contamination; the
+    islands window only ever sees hit positions."""
+    from bdq_spark.operators import contamination_spans, hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = hash_split(docs, {"train": 0.8, "test": 0.2}, ["doc_id"])
+    train = split.filter(F.col("split") == "train").drop("split")
+    test = split.filter(F.col("split") == "test").drop("split")
+    return contamination_spans(train, test, n=3)
+
+
 @_register("doc_sequence_packing")  # rows-only: FFD order is not SQL-expressible
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (sharded first-fit-decreasing) of

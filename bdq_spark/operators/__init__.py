@@ -22,7 +22,10 @@ from bdq_spark.operators.components import (
     apply_dedup_clusters,
     connected_components,
 )
-from bdq_spark.operators.contamination import contamination_check
+from bdq_spark.operators.contamination import (
+    contamination_check,
+    contamination_spans,
+)
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import profile_table
 from bdq_spark.operators.splits import (
@@ -55,6 +58,7 @@ __all__ = [
     "deterministic_sample_by",
     "pack_documents",
     "contamination_check",
+    "contamination_spans",
     "connected_components",
     "apply_dedup_clusters",
 ]

@@ -29,9 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bdq_spark.operators.dedup import shingle
+from pyspark.sql import Window
 
-__all__ = ["contamination_check"]
+from bdq_spark.operators.dedup import positional_shingles, shingle
+
+__all__ = ["contamination_check", "contamination_spans"]
 
 
 def contamination_check(
@@ -133,4 +135,74 @@ def contamination_check(
                 "contaminated"
             ),
         )
+    )
+
+
+def contamination_spans(
+    train: DataFrame,
+    test: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+    hash_join_keys: bool = True,
+    min_span_tokens: int = 0,
+) -> DataFrame:
+    """WHICH token spans of each test document appear in the train
+    corpus — the actionable decontamination report (a per-doc score says
+    "drop or keep"; spans say "these exact passages leaked", enabling
+    span-masking instead of whole-doc removal).
+
+    Every positional n-gram of a test doc that exists anywhere in train
+    marks tokens ``[pos, pos+n-1]`` as contaminated; overlapping and
+    adjacent marks merge into maximal spans (gaps-and-islands over hit
+    positions: a new island starts when ``pos > previous_pos + n``).
+
+    Output, one row per maximal span: ``(id_column, span_start,
+    span_end, span_n_tokens)`` with 0-based inclusive token indices.
+    ``min_span_tokens`` drops short spans (chance n-gram hits).
+
+    Scale shape: identical to :func:`contamination_check` — the train
+    side collapses to a distinct shingle set before the join (no doc
+    ids, no duplicates), the join is linear in test shingles, and the
+    islands window repartitions by doc id only the HIT positions
+    (usually a tiny fraction of the corpus).
+    """
+    pos_sh = positional_shingles(test, text_column, id_column, n=n)
+    key = (
+        (lambda c: F.xxhash64(c)) if hash_join_keys else (lambda c: c)
+    )
+    train_set = (
+        shingle(train, text_column, id_column, n=n)
+        .select(key(F.col("shingle")).alias("__k"))
+        .distinct()
+    )
+    hits = (
+        pos_sh.select(
+            "id", "pos", "n_tokens", key(F.col("shingle")).alias("__k")
+        )
+        .join(train_set, "__k")
+        .select("id", "pos", "n_tokens")
+    )
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_island = (prev.isNull() | (F.col("pos") > prev + n)).cast("int")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    span_end = F.least(
+        F.max("pos") + F.lit(n - 1), F.max("n_tokens") - F.lit(1)
+    ).cast("long")
+    return (
+        hits.withColumn("__isl", island)
+        .groupBy(F.col("id").alias(id_column), F.col("__isl"))
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            span_end.alias("span_end"),
+        )
+        .withColumn(
+            "span_n_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .filter(F.col("span_n_tokens") >= F.lit(min_span_tokens))
+        .select(id_column, "span_start", "span_end", "span_n_tokens")
     )

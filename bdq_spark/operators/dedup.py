@@ -41,6 +41,7 @@ __all__ = [
     "fingerprint_dedup",
     "incremental_fingerprint_dedup",
     "shingle",
+    "positional_shingles",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -187,6 +188,37 @@ def shingle(
         .select("id", "shingle")
         .filter(F.col("shingle") != "")
         .distinct()
+    )
+
+
+def positional_shingles(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Every word n-gram with its 0-based start token position:
+    ``(id, pos, shingle, n_tokens)`` — NOT distinct (span reporting
+    needs each occurrence).  Same tokenization, windowed-lead build and
+    short-doc rule as :func:`shingle`: documents with fewer than ``n``
+    words contribute their full token string at position 0.
+    """
+    toks = df.repartition(F.col(id_column)).select(
+        F.col(id_column).alias("id"),
+        F.posexplode(word_tokens(F.col(text_column))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    doc_len = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    full = leads[-1].isNotNull() if leads else F.lit(True)
+    keep = full | ((doc_len < n) & (F.col("pos") == 0))
+    return (
+        toks.withColumn("n_tokens", doc_len)
+        .withColumn("shingle", F.concat_ws(" ", F.col("tok"), *leads))
+        .withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .filter(F.col("shingle") != "")
+        .select("id", "pos", "shingle", "n_tokens")
     )
 
 

@@ -15,6 +15,13 @@ splits it in two:
   ``applyInPandas`` group per shard.  FFD is within 11/9·OPT + 6/9
   bins of optimal per shard; sharding costs at most one partially
   filled bin per shard versus global packing.
+- **refine** (global, metadata-only): the first-fit invariant says at
+  most ONE bin per shard ends up half-empty or worse, so the cross-
+  shard "tail" is at most ``n_shards`` bins.  The refinement re-packs
+  those WHOLE bins (bin-level FFD over their fills — documents never
+  move between bins individually, so only pack ids are rewritten via a
+  broadcast mapping join), recovering most of the sharding penalty at
+  the cost of one aggregation over the assignment relation.
 
 Documents larger than the budget become single-doc packs flagged
 ``oversize`` (the caller decides to split or drop them — packing never
@@ -41,12 +48,61 @@ __all__ = ["pack_documents"]
 _SHARD_SPAN = 1 << 40
 
 
+def _merge_tail_bins(packed: DataFrame, budget: int) -> DataFrame:
+    """Cross-shard refinement: re-pack the half-empty tail bins.
+
+    By the first-fit invariant each shard leaves at most one bin at
+    <= ``budget/2`` fill, so the candidate set is bounded by the shard
+    count — small enough for one bin-level FFD group.  Bins merge
+    whole (the merged group keeps the id of its first member, ordered
+    (fill desc, pack_id asc) for determinism); documents are
+    reassigned with a broadcast mapping join, no data shuffle.
+    """
+    fills = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("pack_id")
+        .agg(F.sum("__tokens").alias("__fill"))
+        .filter(F.col("__fill") * 2 <= F.lit(budget))
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__fill", "pack_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        space: list = []  # (remaining budget, surviving pack_id)
+        old, new = [], []
+        for pid, fill in zip(pdf["pack_id"], pdf["__fill"]):
+            f = int(fill)
+            for i, (rem, tid) in enumerate(space):
+                if rem >= f:
+                    space[i] = (rem - f, tid)
+                    old.append(pid)
+                    new.append(tid)
+                    break
+            else:
+                space.append((budget - f, pid))
+                old.append(pid)
+                new.append(pid)
+        return pd.DataFrame({"pack_id": old, "__new_pack_id": new})
+
+    mapping = fills.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        merge, schema="pack_id long, __new_pack_id long"
+    )
+    return (
+        packed.join(F.broadcast(mapping), "pack_id", "left")
+        .withColumn("pack_id", F.coalesce("__new_pack_id", "pack_id"))
+        .drop("__new_pack_id")
+        .select("__id", "__tokens", "shard", "pack_id", "oversize")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     token_column: str,
     budget: int,
     id_column: str,
     n_shards: int = 64,
+    refine: bool = True,
 ) -> DataFrame:
     """Assign every document to a pack whose token sum is <= ``budget``.
 
@@ -55,6 +111,10 @@ def pack_documents(
     Deterministic: same inputs produce the same packs regardless of
     partitioning (shard assignment is an md5 bucket of the id; packing
     order inside a shard is (tokens desc, id asc)).
+
+    ``refine=True`` (default) merges each shard's half-empty tail bin
+    with other shards' tails (:func:`_merge_tail_bins`) — strictly
+    fewer or equal bins, never a budget violation.
     """
     if budget <= 0:
         raise ValueError("budget must be > 0")
@@ -106,9 +166,9 @@ def pack_documents(
         pdf["oversize"] = oversize
         return pdf[["__id", "__tokens", "shard", "pack_id", "oversize"]]
 
-    return (
-        base.groupBy("shard")
-        .applyInPandas(pack_shard, schema=out_schema)
-        .withColumnRenamed("__id", id_column)
-        .withColumnRenamed("__tokens", token_column)
+    packed = base.groupBy("shard").applyInPandas(pack_shard, schema=out_schema)
+    if refine and n_shards > 1:
+        packed = _merge_tail_bins(packed, budget)
+    return packed.withColumnRenamed("__id", id_column).withColumnRenamed(
+        "__tokens", token_column
     )

@@ -134,3 +134,58 @@ def test_weighted_and_flat_agree_when_df_uniform(spark):
     flat = contamination_check(train, test).collect()[0]
     wtd = contamination_check(train, test, weighted=True).collect()[0]
     assert flat.overlap_ratio == wtd.overlap_ratio == 1.0
+
+
+def test_contamination_spans_exact_intervals(spark):
+    """Hand-checkable span geometry: one leaked passage in the middle of
+    a test doc -> exactly one merged span covering its tokens."""
+    from bdq_spark.operators import contamination_spans
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    # tokens 0..11; "quick brown fox jumps over" occupies tokens 3..7
+    test = spark.createDataFrame(
+        [
+            (10, "aaa bbb ccc quick brown fox jumps over ddd eee fff ggg"),
+            (11, "nothing here matches anything in training at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {r.doc_id: r for r in contamination_spans(train, test).collect()}
+    assert set(spans) == {10}
+    s = spans[10]
+    # hit 3-grams start at pos 3,4,5 -> island covers [3, 5+2] = [3, 7]
+    assert (s.span_start, s.span_end, s.span_n_tokens) == (3, 7, 5)
+
+
+def test_contamination_spans_merge_and_short_docs(spark):
+    from bdq_spark.operators import contamination_spans
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "hi yo")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            # two hits with a gap > n stay separate islands:
+            # "alpha beta gamma" at 0..2, "delta epsilon zeta" at 7..9
+            (20, "alpha beta gamma x1 x2 x3 x4 delta epsilon zeta"),
+            # short doc (< n tokens) matching a short train doc entirely
+            (21, "hi yo"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end) for r in
+        contamination_spans(train, test).collect()
+    )
+    assert spans == [(20, 0, 2), (20, 7, 9), (21, 0, 1)]
+
+    # min_span_tokens prunes the 2-token span
+    pruned = sorted(
+        (r.doc_id, r.span_start, r.span_end) for r in
+        contamination_spans(train, test, min_span_tokens=3).collect()
+    )
+    assert pruned == [(20, 0, 2), (20, 7, 9)]

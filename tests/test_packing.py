@@ -74,6 +74,40 @@ def test_packing_efficiency(spark, docs):
     assert n_packs <= lower_bound * 1.25 + 8
 
 
+def test_refine_merges_tail_bins(spark):
+    """A skewed corpus where every shard ends with a near-half-empty
+    tail bin: the global refinement must merge those tails into
+    strictly fewer bins than sharded-FFD alone, without ever breaking
+    the budget or moving a doc out of its bin-mates' pack."""
+    # 16 shards x docs of 600 tokens: per shard FFD makes bins of 3
+    # (1800 <= 2048) and leaves a tail bin of 1-2 docs (<= 1200 tokens)
+    docs = spark.range(0, 16 * 3 + 8).select(
+        F.col("id").alias("doc_id"), F.lit(600).alias("n_tokens")
+    )
+    unrefined = pack_documents(
+        docs, "n_tokens", BUDGET, "doc_id", n_shards=16, refine=False
+    )
+    refined = pack_documents(
+        docs, "n_tokens", BUDGET, "doc_id", n_shards=16, refine=True
+    )
+    n_unref = unrefined.select("pack_id").distinct().count()
+    n_ref = refined.select("pack_id").distinct().count()
+    assert n_ref < n_unref
+
+    per_pack = refined.groupBy("pack_id").agg(F.sum("n_tokens").alias("tok"))
+    assert per_pack.filter(F.col("tok") > BUDGET).count() == 0
+    # coverage preserved
+    assert refined.count() == docs.count()
+    assert refined.select("doc_id").distinct().count() == docs.count()
+
+    # refinement is deterministic too
+    again = sorted(map(tuple, pack_documents(
+        docs.repartition(13), "n_tokens", BUDGET, "doc_id",
+        n_shards=16, refine=True,
+    ).collect()))
+    assert again == sorted(map(tuple, refined.collect()))
+
+
 def test_validation(spark, docs):
     with pytest.raises(ValueError, match="budget"):
         pack_documents(docs, "n_tokens", 0, "doc_id")
