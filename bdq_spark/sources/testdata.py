@@ -44,19 +44,25 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a lazy DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    timestamp type (microseconds) cannot represent; Spark 4 rejects the
-    file outright.  We read nanos as a bigint
-    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and
-    truncate to a microsecond TimestampType column, so downstream
-    operators see an ordinary timestamp.  Truncation (not rounding)
-    matches DuckDB's ``epoch_ms`` behavior on TIMESTAMP_NS.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) across driver testdata
+    generations.  Spark 4 rejects NANOS outright (we re-read it as a
+    bigint via ``spark.sql.legacy.parquet.nanosAsLong`` and truncate to
+    microseconds), and reads no-tz MICROS as TIMESTAMP_NTZ.  Either way
+    we normalize ``ts`` to plain TimestampType so downstream operators
+    (streaming watermarks, window aggs, the DuckDB oracle compare — the
+    session TZ is pinned to UTC, so the NTZ→LTZ cast is value-preserving)
+    see one stable type regardless of testdata vintage.
     """
     df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
