@@ -932,6 +932,9 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"),
         n=3, num_hashes=64, bands=16, verify_threshold=0.8,
+        # skew guard: a mass-duplicate cluster collides in every band;
+        # capped buckets are skipped instead of going quadratic
+        max_bucket_size=256,
     )
 
 
@@ -1039,12 +1042,57 @@ def knn_multiprobe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extensions — multimodal plumbing (stubbed codecs, real distribution)
 # ---------------------------------------------------------------------------
 
-@_register("multimodal_decode")  # rows-only: stubbed codec, no SQL equivalent
+_MULTIMODAL_ORACLE = """
+SELECT CAST(doc_id AS BIGINT)                       AS media_id,
+       CAST(doc_id % 512 + 1 AS INTEGER)            AS width,
+       CAST((doc_id * 7) % 512 + 1 AS INTEGER)      AS height,
+       CAST(3 AS INTEGER)                           AS channels,
+       TRUE                                         AS decode_ok
+FROM documents
+"""
+
+
+@_register("multimodal_decode", _MULTIMODAL_ORACLE)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds VALID image payloads (real PNG / GIF / JPEG headers with
+    doc_id-derived dimensions, document text as body bytes) entirely in
+    Spark expressions, then decodes them with the pure-Python header
+    parser — so the oracle can recompute the expected dimensions from
+    doc_id and the decode path is value-checked end to end."""
     from bdq_spark.operators.multimodal import attach_media_metadata, decode_images
 
+    w = (F.col("doc_id") % 512 + 1).cast("bigint")
+    h = ((F.col("doc_id") * 7) % 512 + 1).cast("bigint")
+
+    def he(col, width):  # big-endian hex, zero-padded to `width` nibbles
+        return F.lpad(F.hex(col), width, "0")
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),  # signature + IHDR
+        he(w, 8), he(h, 8),
+        F.lit("0802000000DEADBEEF"),  # depth 8, RGB, 3x00, fake CRC
+    )
+    gif = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        he(w % 256, 2), he(F.floor(w / 256).cast("bigint"), 2),  # w LE16
+        he(h % 256, 2), he(F.floor(h / 256).cast("bigint"), 2),  # h LE16
+        F.lit("F70000"),  # packed fields, bg color, aspect
+    )
+    jpg = F.concat(
+        F.lit("FFD8"),  # SOI
+        F.lit("FFC00011" "08"), he(h, 4), he(w, 4),  # SOF0: len 17, prec 8
+        F.lit("03011100021101031101"),  # 3 components
+    )
+    header = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(jpg)
+    )
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        "doc_id",
+        F.concat(F.unhex(header), F.encode(F.col("text"), "UTF-8")).alias(
+            "payload"
+        ),
     )
     media = attach_media_metadata(
         docs, content_column="payload", media_type="image", id_column="doc_id"
@@ -2194,3 +2242,36 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL["doc_bpe_tokens"] = _bpe_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering: the driver's correctness harness checks a bounded
+# prefix of ``queries()`` (50 entries in rounds 1-2), so queries that have
+# never received a driver CORRECTNESS row are moved to the front.  Every
+# query keeps its oracle; this only changes dict iteration order.
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # no CORRECTNESS_r01/_r02 row (13; VERDICT r2 "What's missing" #1)
+    "asof_click_purchase",
+    "doc_bpe_tokens",
+    "doc_contamination",
+    "doc_contamination_spans",
+    "doc_contamination_weighted",
+    "doc_pii_redaction",
+    "doc_repetition",
+    "doc_sequence_packing",
+    "knn_ivf_embeddings",
+    "knn_quantized_embeddings",
+    "orders_hash_split",
+    "profile_orders_numeric",
+    "range_join_price_tiers",
+]
+
+_missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+if _missing:  # guard against silent drift if a query is renamed
+    raise RuntimeError(f"_DRIVER_PRIORITY names not registered: {_missing}")
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_PRIORITY},
+    **{n: f for n, f in QUERIES.items() if n not in _DRIVER_PRIORITY},
+}

@@ -16,11 +16,12 @@ Scale mechanics, per round:
 
 - one shuffle: edges join labels on src, then min-aggregate per dst,
   merged with the current label (all partial-combinable);
-- ``localCheckpoint(eager=True)`` after every round — without it the
-  lazy plan DOUBLES per iteration and the job dies of lineage, the
+- a LAZY ``localCheckpoint`` after every round — without checkpointing
+  the plan DOUBLES per iteration and the job dies of lineage, the
   classic Spark iterative-algorithm failure mode;
-- early termination via a changed-label count (one action per round on
-  the already-checkpointed frame).
+- early termination via a changed-label count, which doubles as the
+  action that materializes the round's checkpoint blocks — exactly one
+  job per round.
 """
 
 from __future__ import annotations
@@ -46,9 +47,17 @@ def connected_components(
     don't reach the fixpoint (pathologically long chains — raise the
     bound or pre-split the graph).
     """
+    # checkpoint the INPUT first: the union below reads the pair relation
+    # twice (both edge directions), and the upstream pair producers
+    # (LSH banding, Jaccard verify) are the expensive part of the whole
+    # clustering query — without this they would execute twice
+    directed = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        directed.union(
+            directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -74,7 +83,11 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("__n_comp") < F.col("comp")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the changed-count below is the round's one
+            # and only action — it materializes and stores the checkpoint
+            # blocks as a side effect, halving the per-round job count
+            # (an eager checkpoint + separate count was two full jobs)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")

@@ -449,6 +449,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: Optional[float] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash LSH banding.
 
@@ -459,6 +460,17 @@ def minhash_lsh_candidates(
     with the exact n-gram Jaccard and filtered — the standard
     candidates-then-verify pipeline, where the expensive exact scoring
     touches only the LSH survivors.
+
+    ``max_bucket_size`` (scale knob, same contract as
+    :func:`simhash_pairs`) drops ``(band, band_key)`` buckets occupied by
+    more than that many documents before the self-join.  A mass-duplicate
+    cluster of size ``m`` collides in *every* band, so without the cap the
+    band join emits ``bands * m^2 / 2`` rows — quadratic in the cluster,
+    the one skew shape LSH itself cannot bound.  Capped buckets are
+    skipped whole (their members still pair through any band where they
+    land in a small-enough bucket); the intrinsically-quadratic pair
+    output of an identical-copy cluster is better produced by exact
+    fingerprint dedup (:func:`dedup_exact`) than by LSH.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -493,6 +505,15 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.band_key")
+
+    if max_bucket_size is not None:
+        # same occupancy-window shape as simhash_pairs: one extra
+        # hash-partitioned window over the banded table whose output
+        # partitioning the self-join below then reuses
+        occupancy = Window.partitionBy("band", "band_key")
+        banded = banded.withColumn(
+            "__occ", F.count(F.lit(1)).over(occupancy)
+        ).filter(F.col("__occ") <= max_bucket_size).drop("__occ")
 
     lhs = banded.alias("l")
     rhs = banded.alias("r")

@@ -6,12 +6,14 @@ resize / frame-sample run as Arrow-batched Pandas functions over
 ``mapInPandas``.
 
 The Spark-side plumbing here is real and tested: schemas, partitioning,
-UDF signatures, and batch shapes all work at scale.  The actual codec
-calls are STUBS — the image/audio libraries (PIL, torchaudio, ffmpeg)
-are not in this container — isolated behind ``_decode_image_bytes`` /
-``_decode_audio_bytes``, which fall back to a clearly-marked
-deterministic fake parser so the distributed pipeline is exercisable
-end-to-end.  Swap the stub for the real codec and nothing else changes.
+UDF signatures, and batch shapes all work at scale.  Image DIMENSION
+decode is also real: :func:`parse_image_header` reads PNG/JPEG/GIF/BMP/
+WebP headers in pure Python (PIL, when installed, takes precedence for
+full-decode fidelity).  Pixel-level work (feature extraction, frame
+sampling) still stubs the codec call — the vision/video libraries (PIL,
+torchaudio, ffmpeg) are not in this container — behind clearly-marked
+deterministic fakes, so the distributed pipeline is exercisable end to
+end; swap the stub for the real codec and nothing else changes.
 
 Scale notes:
 
@@ -28,7 +30,8 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Iterator, List
+import struct
+from typing import Iterator, List, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -40,6 +43,7 @@ __all__ = [
     "attach_media_metadata",
     "decode_images",
     "extract_image_features",
+    "parse_image_header",
     "sample_video_frames",
 ]
 
@@ -55,34 +59,131 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_bytes(payload: bytes) -> dict:
-    """STUB decode. Real implementation would be PIL/turbojpeg:
+#: PNG color type -> sample channels (PNG spec, IHDR colour types)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
 
-    The deterministic fake derives (width, height, channels) from the
-    payload bytes so the distributed plumbing is testable without codecs.
+def parse_image_header(payload: bytes) -> Optional[dict]:
+    """Parse (format, width, height, channels) from real image headers —
+    pure Python over the leading bytes, no codec library needed.
+
+    Supported: PNG (IHDR chunk), JPEG (segment walk to SOFn), GIF
+    (logical screen descriptor), BMP (BITMAPINFOHEADER), WebP
+    (VP8 / VP8L / VP8X chunks).  Returns ``None`` for anything
+    unrecognized or truncated — honest "not an image", never a guess.
     """
-    try:
-        from PIL import Image  # pragma: no cover - not in this container
-        import io
+    n = len(payload)
+    if n < 10:
+        return None
+    # PNG: 8-byte signature, then the IHDR chunk is mandatory-first
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if n < 26 or payload[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", payload[16:24])
+        channels = _PNG_CHANNELS.get(payload[25], 3)
+        return {"format": "png", "width": w, "height": h, "channels": channels}
+    # GIF: 6-byte version, then the logical screen descriptor (LE u16s)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h, "channels": 3}
+    # BMP: BITMAPINFOHEADER at offset 14 (height may be negative=top-down)
+    if payload[:2] == b"BM":
+        if n < 26:
+            return None
+        w, h = struct.unpack("<ii", payload[18:26])
+        return {"format": "bmp", "width": abs(w), "height": abs(h), "channels": 3}
+    # WebP: RIFF container, dims live in the first VP8/VP8L/VP8X chunk
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and n >= 25:
+        chunk = payload[12:16]
+        if chunk == b"VP8 " and n >= 30 and payload[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+            return {"format": "webp", "width": w, "height": h, "channels": 3}
+        if chunk == b"VP8L" and payload[20] == 0x2F:
+            bits = struct.unpack("<I", payload[21:25])[0]
+            return {
+                "format": "webp",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "channels": 4 if (bits >> 28) & 1 else 3,
+            }
+        if chunk == b"VP8X" and n >= 30:
+            return {
+                "format": "webp",
+                "width": int.from_bytes(payload[24:27], "little") + 1,
+                "height": int.from_bytes(payload[27:30], "little") + 1,
+                "channels": 4 if (payload[20] >> 4) & 1 else 3,
+            }
+        return None
+    # JPEG: SOI then a segment walk; dimensions sit in the first SOFn
+    # marker (C0-CF minus DHT/JPG/DAC), height before width, big-endian
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                i += 1  # tolerate padding bytes between segments
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1  # fill bytes before a marker
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / start-of-scan before any SOFn
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 > n:
+                    return None
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "channels": payload[i + 9],
+                }
+            i += 2 + seg_len
+        return None
+    return None
 
-        img = Image.open(io.BytesIO(payload))
-        return {
-            "width": img.width,
-            "height": img.height,
-            "channels": len(img.getbands()),
-            "ok": True,
-        }
-    except ImportError:
-        if not payload:
-            return {"width": 0, "height": 0, "channels": 0, "ok": False}
-        return {
-            "width": 1 + payload[0] % 64,
-            "height": 1 + payload[-1] % 64,
-            "channels": 3,
-            "ok": True,
-        }
+
+def _decode_image_bytes(payload: bytes) -> dict:
+    """Decode image dimensions: PIL when installed (full decode), else
+    :func:`parse_image_header` (pure-Python header parse — real
+    dimensions for PNG/JPEG/GIF/BMP/WebP, no codec dependency).
+    Unrecognized bytes return ``ok=False`` — never a fabricated size.
+    """
+    if payload:
+        try:  # pragma: no cover - PIL not in this container
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload))
+            return {
+                "width": img.width,
+                "height": img.height,
+                "channels": len(img.getbands()),
+                "ok": True,
+            }
+        except ImportError:
+            pass
+        except Exception:
+            # PIL present but payload undecodable by it — fall through
+            # to the header parse (e.g. valid header, truncated body)
+            pass
+        parsed = parse_image_header(payload)
+        if parsed is not None:
+            return {
+                "width": parsed["width"],
+                "height": parsed["height"],
+                "channels": parsed["channels"],
+                "ok": True,
+            }
+    return {"width": 0, "height": 0, "channels": 0, "ok": False}
 
 
 def attach_media_metadata(

@@ -48,45 +48,68 @@ __all__ = ["pack_documents"]
 _SHARD_SPAN = 1 << 40
 
 
+#: above this many remapped bins the rewrite switches from a literal
+#: CASE map to a broadcast join (keeps the expression tree bounded)
+_LITERAL_MAP_LIMIT = 1024
+
+
 def _merge_tail_bins(packed: DataFrame, budget: int) -> DataFrame:
     """Cross-shard refinement: re-pack the half-empty tail bins.
 
-    By the first-fit invariant each shard leaves at most one bin at
+    By the first-fit invariant each shard leaves at most ONE bin at
     <= ``budget/2`` fill, so the candidate set is bounded by the shard
-    count — small enough for one bin-level FFD group.  Bins merge
-    whole (the merged group keeps the id of its first member, ordered
-    (fill desc, pack_id asc) for determinism); documents are
-    reassigned with a broadcast mapping join, no data shuffle.
+    count — bounded metadata, like the IVF centroid sample.  The tail
+    fills are collected (<= ``n_shards`` (pack_id, fill) pairs), the
+    bin-level FFD runs in plain Python on the driver, and only the
+    resulting remap touches the plan:
+
+    - no remap (the common case — tails don't combine, or <= 1 tail
+      bin): ``packed`` is returned UNTOUCHED, zero extra operators;
+    - small remap: a literal map expression — whole-stage codegen, no
+      join, no shuffle;
+    - large remap (> ``_LITERAL_MAP_LIMIT`` entries): broadcast join.
+
+    Bins merge whole (the merged group keeps the id of its first
+    member, ordered (fill desc, pack_id asc) for determinism);
+    documents never move between bins individually.
     """
-    fills = (
+    tail = (
         packed.filter(~F.col("oversize"))
         .groupBy("pack_id")
         .agg(F.sum("__tokens").alias("__fill"))
         .filter(F.col("__fill") * 2 <= F.lit(budget))
+        .collect()  # <= one bin per shard by the first-fit invariant
     )
+    bins = sorted(
+        ((int(r["__fill"]), int(r["pack_id"])) for r in tail),
+        key=lambda t: (-t[0], t[1]),
+    )
+    space: list = []  # (remaining budget, surviving pack_id)
+    remap: dict[int, int] = {}
+    for fill, pid in bins:
+        for i, (rem, tid) in enumerate(space):
+            if rem >= fill:
+                space[i] = (rem - fill, tid)
+                remap[pid] = tid
+                break
+        else:
+            space.append((budget - fill, pid))
+    if not remap:
+        return packed
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["__fill", "pack_id"], ascending=[False, True]
-        ).reset_index(drop=True)
-        space: list = []  # (remaining budget, surviving pack_id)
-        old, new = [], []
-        for pid, fill in zip(pdf["pack_id"], pdf["__fill"]):
-            f = int(fill)
-            for i, (rem, tid) in enumerate(space):
-                if rem >= f:
-                    space[i] = (rem - f, tid)
-                    old.append(pid)
-                    new.append(tid)
-                    break
-            else:
-                space.append((budget - f, pid))
-                old.append(pid)
-                new.append(pid)
-        return pd.DataFrame({"pack_id": old, "__new_pack_id": new})
+    if len(remap) <= _LITERAL_MAP_LIMIT:
+        # explicit long casts: small int literals would otherwise type
+        # the map <int,int> and downcast the 2^40-spanned pack_id lookup
+        lit_map = F.create_map(
+            *[F.lit(v).cast("long") for kv in remap.items() for v in kv]
+        )
+        return packed.withColumn(
+            "pack_id",
+            F.coalesce(lit_map[F.col("pack_id")], F.col("pack_id")),
+        )
 
-    mapping = fills.groupBy(F.lit(0).alias("__g")).applyInPandas(
-        merge, schema="pack_id long, __new_pack_id long"
+    mapping = packed.sparkSession.createDataFrame(
+        list(remap.items()), "pack_id long, __new_pack_id long"
     )
     return (
         packed.join(F.broadcast(mapping), "pack_id", "left")
@@ -114,7 +137,10 @@ def pack_documents(
 
     ``refine=True`` (default) merges each shard's half-empty tail bin
     with other shards' tails (:func:`_merge_tail_bins`) — strictly
-    fewer or equal bins, never a budget violation.
+    fewer or equal bins, never a budget violation.  Refine runs one
+    bounded driver-side action (collecting <= ``n_shards`` tail fills,
+    the eager-peek convention of O1's contracted counts); the packing
+    itself is localCheckpoint'ed so it executes exactly once.
     """
     if budget <= 0:
         raise ValueError("budget must be > 0")
@@ -168,6 +194,11 @@ def pack_documents(
 
     packed = base.groupBy("shard").applyInPandas(pack_shard, schema=out_schema)
     if refine and n_shards > 1:
+        # refine peeks at the tail fills (a bounded driver-side action);
+        # localCheckpoint materializes the FFD output on the executors at
+        # that first action so the caller's own action re-reads the
+        # stored blocks instead of re-running the packing
+        packed = packed.localCheckpoint(eager=False)
         packed = _merge_tail_bins(packed, budget)
     return packed.withColumnRenamed("__id", id_column).withColumnRenamed(
         "__tokens", token_column

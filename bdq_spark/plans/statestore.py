@@ -146,8 +146,12 @@ class CatalogPersistedStateStore(PersistedStateStoreBase):
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in self.schema.fields
             ]
-            migrated = current.select(*projection).collect()
-            migrated_df = self.spark.createDataFrame(migrated, self.schema)
+            # localCheckpoint materializes the re-projected rows on the
+            # executors and cuts the plan's reference to the table being
+            # overwritten (Spark rejects overwriting a table its own plan
+            # reads) — the no-collect analogue of the reference's Delta
+            # mergeSchema overwrite; state stays distributed end to end
+            migrated_df = current.select(*projection).localCheckpoint(eager=True)
             try:
                 migrated_df.write.mode("overwrite").option(
                     "overwriteSchema", "true"

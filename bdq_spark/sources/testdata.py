@@ -62,6 +62,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
+            # the NTZ->LTZ cast interprets wall-clock values in the
+            # session TZ; it is value-preserving ONLY under UTC.  Every
+            # repo session builder pins UTC, but load_table accepts
+            # arbitrary sessions — enforce the invariant instead of
+            # assuming it, or a caller with a local-TZ session would get
+            # silently shifted timestamps.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                raise ValueError(
+                    "load_table requires spark.sql.session.timeZone=UTC "
+                    f"to read events.ts (TIMESTAMP_NTZ) losslessly; got {tz!r}. "
+                    "Build the session via bdq_spark.session.builder_defaults "
+                    "or set the conf explicitly."
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

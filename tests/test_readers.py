@@ -62,3 +62,26 @@ def test_split_corrupt_requires_column(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="_corrupt_record"):
         split_corrupt(df)
+
+
+def test_load_table_events_requires_utc_session(spark):
+    """events.ts (TIMESTAMP_NTZ vintage) may only be cast to timestamp
+    under a UTC session TZ — any other zone would silently shift values."""
+    import pytest as _pytest
+
+    from bdq_spark.sources import load_table
+
+    if dict(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").dtypes
+    ).get("ts") != "timestamp_ntz":
+        _pytest.skip("testdata vintage does not ship NTZ timestamps")
+
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    load_table(spark, "/root/testdata/sf0.001", "events")  # ok under UTC
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with _pytest.raises(ValueError, match="timeZone"):
+            load_table(spark, "/root/testdata/sf0.001", "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -79,11 +79,34 @@ def test_knn_lsh_recall_vs_bruteforce(spark, embeddings):
     assert recall > 0.3, f"LSH recall suspiciously low: {recall}"
 
 
+import struct
+
+
+def _png_bytes(w, h, color_type=2):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+        + b"\x00\x00\x00\x00"  # fake CRC; header parse does not verify
+    )
+
+
+def _gif_bytes(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def _jpeg_bytes(w, h, ncomp=3, prefix_segments=b""):
+    sof0 = b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" + struct.pack(
+        ">HH", h, w
+    ) + bytes([ncomp]) + b"\x01\x11\x00" * ncomp
+    return b"\xff\xd8" + prefix_segments + sof0
+
+
 @pytest.fixture()
 def media(spark):
     rows = [
-        (1, bytes(range(10, 200))),
-        (2, b"\x05" * 2500),
+        (1, _png_bytes(640, 480)),
+        (2, b"\x05" * 2500),  # not an image
         (3, b""),
     ]
     df = spark.createDataFrame(rows, "media_id:long, content:binary")
@@ -96,11 +119,49 @@ def test_media_bundle_schema(media):
     assert row.meta["size_bytes"] == "2500"
 
 
-def test_decode_images_stub(media):
+def test_decode_images_real_headers(media):
     got = {r.media_id: r for r in decode_images(media).collect()}
-    assert got[1].decode_ok and got[1].width > 0
+    assert got[1].decode_ok and (got[1].width, got[1].height) == (640, 480)
+    assert not got[2].decode_ok  # arbitrary bytes are NOT an image
     assert not got[3].decode_ok  # empty payload flagged, not crashed
     assert set(got) == {1, 2, 3}
+
+
+def test_parse_image_header_golden_bytes():
+    from bdq_spark.operators.multimodal import parse_image_header as p
+
+    # PNG: dims + color-type -> channels mapping
+    assert p(_png_bytes(1, 1)) == {
+        "format": "png", "width": 1, "height": 1, "channels": 3}
+    assert p(_png_bytes(12000, 7, color_type=6))["channels"] == 4  # RGBA
+    assert p(_png_bytes(5, 5, color_type=0))["channels"] == 1      # gray
+    # GIF87a and GIF89a little-endian dims
+    assert p(_gif_bytes(320, 200)) == {
+        "format": "gif", "width": 320, "height": 200, "channels": 3}
+    assert p(b"GIF87a" + struct.pack("<HH", 1, 65535) + b"\x00\x00\x00")[
+        "height"] == 65535
+    # JPEG: SOF0 immediately after SOI, and after a skipped APP0 segment
+    assert p(_jpeg_bytes(1920, 1080)) == {
+        "format": "jpeg", "width": 1920, "height": 1080, "channels": 3}
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    assert p(_jpeg_bytes(64, 32, ncomp=1, prefix_segments=app0)) == {
+        "format": "jpeg", "width": 64, "height": 32, "channels": 1}
+    # JPEG with a DHT (C4: must NOT be mistaken for SOF) before SOF0
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    assert p(_jpeg_bytes(10, 20, prefix_segments=dht))["width"] == 10
+    # BMP: negative height means top-down; parser reports magnitude
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600)
+    assert p(bmp) == {"format": "bmp", "width": 800, "height": 600, "channels": 3}
+    # WebP lossless (VP8L): 14-bit minus-one dims + alpha bit
+    bits = (99 - 1) | ((77 - 1) << 14) | (1 << 28)
+    vp8l = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4
+            + b"\x2f" + struct.pack("<I", bits) + b"\x00")
+    assert p(vp8l) == {"format": "webp", "width": 99, "height": 77, "channels": 4}
+    # rejections: truncated, garbage, scan-before-SOF
+    assert p(b"") is None
+    assert p(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated IHDR
+    assert p(b"plain text payload here") is None
+    assert p(b"\xff\xd8\xff\xda\x00\x02") is None   # SOS before SOFn
 
 
 def test_extract_image_features_shape(media):

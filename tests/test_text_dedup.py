@@ -211,6 +211,47 @@ def test_simhash_pairs_hot_bucket_cap(spark):
     assert sum(1 for a, b in full if a < 100 and b < 100) == 50 * 49 // 2
 
 
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """Mass-duplicate cluster: identical docs share every band key, so an
+    uncapped band self-join is quadratic in the cluster.  With the cap
+    the cluster's buckets are skipped whole while a planted near-dup
+    pair (bucket occupancy 2) still surfaces."""
+    base = (
+        "data pipelines at scale require careful partitioning of every join "
+        "and aggregation because shuffles dominate the cost of wide "
+        "transformations while narrow maps stream freely through the "
+        "executors and the optimizer prunes columns predicates and "
+        "partitions wherever the plan allows it to do so"
+    )
+    spam = "buy cheap widgets now from our discount warehouse today " * 5
+    rows = [(i, spam) for i in range(1000)]  # hot: identical signatures
+    rows += [(2000, base), (2001, base.replace("optimizer", "planner"))]
+    df = spark.createDataFrame(rows, "doc_id:long, text:string")
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, max_bucket_size=10).collect()
+    }
+    # every spam bucket has occupancy 1000 > 10 -> skipped whole
+    assert not any(a < 2000 for a, _ in capped)
+    # the planted near-dup pair survives through its own small buckets
+    assert (2000, 2001) in capped
+
+    # uncapped on a 30-doc slice of the cluster: full quadratic pair set
+    # (1000 docs uncapped would emit ~8M join rows -- the blowup the cap
+    # exists to prevent; 30 keeps the contrast assertion fast)
+    small = spark.createDataFrame(
+        [(i, spam) for i in range(30)] + rows[-2:],
+        "doc_id:long, text:string",
+    )
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(small).collect()
+    }
+    assert (2000, 2001) in full
+    assert sum(1 for a, b in full if a < 2000 and b < 2000) == 30 * 29 // 2
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -50,6 +50,10 @@ CARTESIAN_OK = {
     "knn_lsh_embeddings",
     "embedding_near_dup_pairs",
     "profile_orders_numeric",
+    # IDF weighting attaches the 1-row train-corpus count N to every
+    # probe shingle (contamination.py: join(F.broadcast(n_train))) — a
+    # single broadcast row, constant-size at any corpus scale
+    "doc_contamination_weighted",
 }
 
 
