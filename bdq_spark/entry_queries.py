@@ -2245,6 +2245,141 @@ ORACLE_SQL["doc_bpe_tokens"] = _bpe_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Extension — corpus preparation: chunking, vocabulary, training order
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents),
+sized AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+idx AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, greatest(CAST(ceil((n - 8) / 56.0) AS BIGINT), 1)))
+           AS c
+  FROM sized)
+SELECT doc_id,
+       CAST(c AS INTEGER)                                  AS chunk_idx,
+       array_to_string(w[c * 56 + 1 : c * 56 + 64], ' ')   AS chunk_text,
+       CAST(least(64, n - c * 56) AS INTEGER)              AS n_chunk_tokens
+FROM idx
+"""
+
+
+@_register("doc_chunking", _CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-window chunking: 64-token chunks, 8-token overlap."""
+    from bdq_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=64, overlap=8
+    )
+
+
+_VOCAB_ORACLE = r"""
+SELECT u.token AS token,
+       count(*) AS n_occurrences,
+       count(DISTINCT t.doc_id) AS n_docs
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents) t, UNNEST(t.w) AS u(token)
+GROUP BY 1
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+
+@_register("token_vocab_top100", _VOCAB_ORACLE)
+def token_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary counting pass (BPE/vocab prep): top-100 tokens
+    by occurrence with per-token document frequency; deterministic
+    tiebreak so the LIMIT boundary is engine-stable."""
+    from bdq_spark.operators.corpus import token_vocabulary
+
+    return token_vocabulary(
+        load_table(spark, sf_dir, "documents"),
+        top_k=100,
+        id_column="doc_id",
+    )
+
+
+_TRAINING_ORDER_ORACLE = """
+SELECT doc_id,
+       md5('order' || 'epoch0' || CAST(doc_id AS VARCHAR)) AS train_order
+FROM documents
+"""
+
+
+@_register("doc_training_order", _TRAINING_ORDER_ORACLE)
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order key (md5-based, engine
+    portable); materializing the order is the writer's distributed
+    range sort — no single-partition row_number anywhere."""
+    from bdq_spark.operators.corpus import with_training_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return with_training_order(docs, ["doc_id"], seed="epoch0").select(
+        "doc_id", F.col("__train_order").alias("train_order")
+    )
+
+
+_DEDUPED_ORACLE = """
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))
+      END AS shingles
+    FROM words) t, UNNEST(t.shingles) AS u(shingle)
+  WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(i / (sa.n + sb.n - i), 6) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+non_keepers AS (
+  SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM non_keepers)
+"""
+
+
+@_register("documents_deduped", _DEDUPED_ORACLE)
+def documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup dedup: Jaccard pairs -> connected components
+    -> apply_dedup_clusters, returning the surviving document ids (one
+    keeper per duplicate cluster, untouched singletons pass through)."""
+    from bdq_spark.operators import apply_dedup_clusters, connected_components
+    from bdq_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = connected_components(pairs)
+    return apply_dedup_clusters(docs, clusters, id_column="doc_id").select(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness harness checks a bounded
 # prefix of ``queries()`` (50 entries in rounds 1-2), so queries that have
 # never received a driver CORRECTNESS row are moved to the front.  Every
@@ -2266,6 +2401,11 @@ _DRIVER_PRIORITY = [
     "orders_hash_split",
     "profile_orders_numeric",
     "range_join_price_tiers",
+    # new this round (no driver row yet)
+    "doc_chunking",
+    "token_vocab_top100",
+    "doc_training_order",
+    "documents_deduped",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

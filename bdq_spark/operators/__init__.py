@@ -26,6 +26,12 @@ from bdq_spark.operators.contamination import (
     contamination_check,
     contamination_spans,
 )
+from bdq_spark.operators.corpus import (
+    chunk_documents,
+    token_vocabulary,
+    training_order_key,
+    with_training_order,
+)
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import profile_table
 from bdq_spark.operators.splits import (
@@ -57,6 +63,10 @@ __all__ = [
     "deterministic_sample",
     "deterministic_sample_by",
     "pack_documents",
+    "chunk_documents",
+    "token_vocabulary",
+    "training_order_key",
+    "with_training_order",
     "contamination_check",
     "contamination_spans",
     "connected_components",

@@ -1,0 +1,173 @@
+"""Corpus-preparation operators for LLM training pipelines.
+
+The steps between "cleaned documents" and "training batches": splitting
+long documents into attention-window-sized chunks, building token
+vocabularies, and fixing a deterministic global training order.  All are
+single-shuffle (or shuffle-free) compositions of built-in expressions —
+no UDFs, nothing driver-side.
+
+Scale shapes:
+
+- :func:`chunk_documents` is a per-row explode — embarrassingly
+  parallel, output proportional to total token count.  The token
+  arrays live only inside one projection (never shuffled); only the
+  final chunk strings cross stage boundaries.
+- :func:`token_vocabulary` is explode → groupBy(token) → top-k.  The
+  count aggregate is partially combined map-side, so the shuffle
+  carries one row per distinct token per task, not per occurrence;
+  the top-k is a ``TakeOrderedAndProject`` (no global sort).
+- :func:`with_training_order` only ATTACHES a deterministic sort key
+  (md5 of seed + ids — stable across engines, runs, and partitioning).
+  The caller materializes the order with ``orderBy`` at write time,
+  which Spark executes as a range-partitioned distributed sort; a
+  global ``row_number`` position would funnel every row through one
+  partition and is deliberately not offered.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "chunk_documents",
+    "token_vocabulary",
+    "training_order_key",
+    "with_training_order",
+]
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into <= ``max_tokens``-token chunks on whitespace
+    token boundaries, with ``overlap`` tokens carried between adjacent
+    chunks (context continuity for training windows).
+
+    Output: ``(id_column, chunk_idx, chunk_text, n_chunk_tokens)`` —
+    ``chunk_idx`` 0-based; empty/whitespace-only documents produce no
+    rows (nothing to train on).  Chunk starts advance by
+    ``max_tokens - overlap``; the last chunk may be short but a chunk
+    is never emitted if it would start at-or-past the end of a
+    document, so no chunk is a pure suffix-repeat of the previous one.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be > 0")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+
+    toks = F.filter(
+        F.split(F.col(text_column), r"\s+"), lambda t: t != ""
+    )
+    # ceil((n - overlap) / stride) chunks; each chunk c covers tokens
+    # [c*stride, c*stride + max_tokens)
+    n_chunks = F.ceil(
+        (F.col("__n") - F.lit(overlap)) / F.lit(stride)
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_column), toks.alias("__toks"), F.size(toks).alias("__n")
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            id_column,
+            "__toks",
+            "__n",
+            F.posexplode(
+                F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+            ).alias("chunk_idx", "__c"),
+        )
+        .select(
+            id_column,
+            F.col("chunk_idx"),
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("__c") * stride + 1,
+                    max_tokens,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(max_tokens), F.col("__n") - F.col("__c") * stride
+            ).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def token_vocabulary(
+    df: DataFrame,
+    text_column: str = "text",
+    top_k: Optional[int] = None,
+    lowercase: bool = True,
+    id_column: Optional[str] = None,
+) -> DataFrame:
+    """Corpus token vocabulary: ``(token, n_occurrences, n_docs)``
+    ordered by frequency — the counting pass behind BPE/vocab training.
+
+    ``top_k`` keeps only the most frequent tokens (ties broken by token
+    string for determinism) via ``TakeOrderedAndProject`` — no global
+    sort materializes.  One explode + one partially-combined aggregate.
+    ``id_column`` identifies documents for the ``n_docs`` count; when
+    absent a synthetic per-row id stands in (the count is id-value
+    independent).
+    """
+    text = F.col(text_column)
+    if lowercase:
+        text = F.lower(text)
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    doc = (
+        F.col(id_column) if id_column else F.monotonically_increasing_id()
+    )
+    base = df.select(doc.alias("__doc"), toks.alias("__t"))
+    exploded = base.select("__doc", F.explode("__t").alias("token"))
+    vocab = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("__doc")).alias("n_docs"),
+    )
+    ordered = vocab.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    if top_k is not None:
+        return ordered.limit(top_k)
+    return ordered
+
+
+def training_order_key(
+    id_columns: List[str], seed: str = "", salt_prefix: str = "order"
+) -> Column:
+    """Deterministic pseudo-random sort key: md5 of the seed + id
+    rendering.  Same engine-portable recipe as
+    :func:`bdq_spark.operators.splits.hash_bucket_column` (md5 exists in
+    Spark AND DuckDB, so oracles can reproduce the exact order).
+    Changing ``seed`` reshuffles the corpus for a new epoch.
+    """
+    rendered = F.concat_ws(
+        "",
+        F.lit(salt_prefix),
+        F.lit(seed),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in id_columns],
+    )
+    return F.md5(rendered)
+
+
+def with_training_order(
+    df: DataFrame, id_columns: List[str], seed: str = ""
+) -> DataFrame:
+    """Attach ``__train_order`` (deterministic shuffle key) to ``df``.
+
+    The caller finalizes with ``.orderBy("__train_order")`` at WRITE
+    time — a distributed range-partitioned sort.  No global row index is
+    produced here: a ``row_number()`` over the whole corpus would
+    single-partition the window and is exactly the 100 TB scale-killer
+    this helper exists to avoid.
+    """
+    for c in id_columns:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    return df.withColumn("__train_order", training_order_key(id_columns, seed))
