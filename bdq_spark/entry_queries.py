@@ -938,6 +938,26 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("incremental_minhash_near_dup")  # rows-only: xxhash64 keys
+def incremental_minhash_near_dup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingest near-dup: 80% of documents form the persisted
+    band index, the other 20% arrive as a batch and are probed against
+    it (plus batch-internal pairs) without re-touching corpus text."""
+    from bdq_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_minhash_near_dup(
+        minhash_band_index(corpus), batch, max_bucket_size=256
+    )
+
+
 @_register("simhash_fingerprints")  # rows-only: xxhash64 not in DuckDB
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bdq_spark.operators.dedup import simhash
@@ -2406,6 +2426,7 @@ _DRIVER_PRIORITY = [
     "token_vocab_top100",
     "doc_training_order",
     "documents_deduped",
+    "incremental_minhash_near_dup",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -441,6 +441,129 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode signatures into the LSH band relation
+    ``(id, band, band_key)`` — ``band_key`` is the 64-bit hash of that
+    band's signature slice.  Shared by the self-join candidate search
+    and the persisted incremental index (identical keys on both sides
+    is what makes a stored index probe-able by later batches)."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.band_key")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The persistable MinHash LSH index of a corpus:
+    ``(id, band, band_key)`` — write it to parquet (ideally bucketed by
+    ``band_key``) once, then probe every ingest batch against it with
+    :func:`incremental_minhash_near_dup` without ever touching corpus
+    text again.  Appending a batch's own index rows keeps it current;
+    parameters (n, num_hashes, bands) must match between build and
+    probe, as the keys are parameter-dependent."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = minhash_signatures(df, text_column, id_column, n, num_hashes)
+    return _band_keys(sig, bands, num_hashes // bands)
+
+
+def incremental_minhash_near_dup(
+    corpus_index: DataFrame,
+    batch: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate CANDIDATES for a new ingest batch: batch docs vs
+    the persisted corpus index (:func:`minhash_band_index`) plus
+    batch-internal pairs — the continuously-ingesting analogue of
+    :func:`minhash_lsh_candidates`, linear in the batch size.
+
+    Output: ``(id_a, id_b, match_side)`` where ``id_a`` is always the
+    batch document; ``match_side`` is ``'corpus'`` (id_b from the
+    index) or ``'batch'`` (id_b a batch sibling, ``id_a < id_b``).
+    Exact verification is the caller's choice — the index carries no
+    text, so re-scoring corpus matches means joining doc ids back to
+    stored text (only for the candidate survivors, the whole point of
+    candidates-first).
+
+    Scale shape: the batch is banded on the fly (16 rows per batch
+    doc); the corpus join is an equi-join on ``(band, band_key)`` that
+    never scans corpus text, and with the index bucketed by band_key it
+    is shuffle-free on the corpus side.  ``max_bucket_size`` caps hot
+    batch buckets exactly as in :func:`minhash_lsh_candidates`; corpus-
+    side hot keys should be capped at index-build time instead (drop
+    them once, not per batch)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = minhash_signatures(batch, text_column, id_column, n, num_hashes)
+    banded = _band_keys(sig, bands, num_hashes // bands).localCheckpoint(
+        eager=False
+    )
+
+    if max_bucket_size is not None:
+        occupancy = Window.partitionBy("band", "band_key")
+        banded = banded.withColumn(
+            "__occ", F.count(F.lit(1)).over(occupancy)
+        ).filter(F.col("__occ") <= max_bucket_size).drop("__occ")
+
+    corpus = corpus_index.select(
+        F.col("id").alias("__cid"), "band", "band_key"
+    )
+    vs_corpus = (
+        banded.join(corpus, ["band", "band_key"])
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("__cid").alias("id_b"),
+            F.lit("corpus").alias("match_side"),
+        )
+        .distinct()
+    )
+    lhs = banded.alias("l")
+    rhs = banded.alias("r")
+    vs_batch = (
+        lhs.join(rhs, ["band", "band_key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.lit("batch").alias("match_side"),
+        )
+        .distinct()
+    )
+    return vs_corpus.unionByName(vs_batch)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_column: str = "text",
@@ -485,26 +608,7 @@ def minhash_lsh_candidates(
         df, text_column, id_column, n, num_hashes, shingles=sh
     ).cache()
 
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.band_key")
+    banded = _band_keys(sig, bands, rows_per_band)
 
     if max_bucket_size is not None:
         # same occupancy-window shape as simhash_pairs: one extra

@@ -384,3 +384,52 @@ def test_pack_documents_invariants(spark, tokens, budget, n_shards):
     if fits:
         lower = -(-sum(fits) // budget)
         assert n_normal_packs >= lower
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    max_tokens=st.sampled_from([1, 3, 7]),
+    overlap_frac=st.sampled_from([0.0, 0.5]),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_invariants(spark, texts, max_tokens, overlap_frac):
+    """For arbitrary whitespace-y texts: every chunk respects the token
+    budget, n_chunk_tokens is honest, chunk 0 starts at token 0,
+    consecutive chunks overlap by exactly `overlap` tokens, and with
+    overlap=0 the chunks partition the token stream exactly."""
+    from bdq_spark.operators.corpus import chunk_documents
+
+    overlap = int(max_tokens * overlap_frac)
+    stride = max_tokens - overlap
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id:long, text:string")
+    out = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in rows:
+        toks = [w for w in t.split() if w]
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if not toks:
+            assert chunks == []
+            continue
+        assert chunks, f"doc {i} with {len(toks)} tokens produced no chunks"
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            got = c.chunk_text.split()
+            assert len(got) == c.n_chunk_tokens <= max_tokens
+            start = c.chunk_idx * stride
+            assert got == toks[start : start + max_tokens]
+        # full coverage: the last chunk reaches the final token
+        last = chunks[-1]
+        assert last.chunk_idx * stride + last.n_chunk_tokens == len(toks)
+        if overlap == 0:
+            rebuilt = [w for c in chunks for w in c.chunk_text.split()]
+            assert rebuilt == toks

@@ -252,6 +252,49 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     assert sum(1 for a, b in full if a < 2000 and b < 2000) == 30 * 29 // 2
 
 
+def test_incremental_minhash_near_dup(spark):
+    """Batch-vs-persisted-index candidates: a batch doc near-duplicate
+    of a corpus doc surfaces as a 'corpus' match, batch-internal dups as
+    'batch' pairs, and unrelated docs stay silent."""
+    from bdq_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_band_index,
+    )
+
+    base = (
+        "spark jobs shuffle data between stages whenever a wide "
+        "dependency like a join or aggregation needs rows co located "
+        "by key and the optimizer decides broadcast is not possible"
+    )
+    other = (
+        "completely unrelated subject matter involving gardens flowers "
+        "bees and the gentle art of pruning fruit trees in autumn"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id:long, text:string"
+    )
+    index = minhash_band_index(corpus)
+
+    batch = spark.createDataFrame(
+        [
+            (100, base.replace("optimizer", "planner")),  # near-dup of 1
+            (101, base.replace("optimizer", "planner")),  # dup of 100
+            (102, "something entirely new about submarine navigation"),
+        ],
+        "doc_id:long, text:string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.match_side)
+        for r in incremental_minhash_near_dup(index, batch).collect()
+    }
+    assert (100, 1, "corpus") in got
+    assert (101, 1, "corpus") in got
+    assert (100, 101, "batch") in got
+    assert not any(a == 102 or b == 102 for a, b, _ in got)
+    # index never saw doc 2's pairing partner: no spurious corpus match
+    assert not any(b == 2 for _, b, _ in got)
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
