@@ -480,6 +480,7 @@ def minhash_band_index(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """The persistable MinHash LSH index of a corpus:
     ``(id, band, band_key)`` — write it to parquet (ideally bucketed by
@@ -487,11 +488,23 @@ def minhash_band_index(
     :func:`incremental_minhash_near_dup` without ever touching corpus
     text again.  Appending a batch's own index rows keeps it current;
     parameters (n, num_hashes, bands) must match between build and
-    probe, as the keys are parameter-dependent."""
+    probe, as the keys are parameter-dependent.
+
+    ``max_bucket_size`` drops corpus-hot buckets at BUILD time (the
+    right place: once, instead of per probing batch) — a key shared by
+    more than that many corpus documents stops producing candidates, so
+    mass-duplicate boilerplate can't make every future batch probe
+    quadratic."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     sig = minhash_signatures(df, text_column, id_column, n, num_hashes)
-    return _band_keys(sig, bands, num_hashes // bands)
+    banded = _band_keys(sig, bands, num_hashes // bands)
+    if max_bucket_size is not None:
+        occupancy = Window.partitionBy("band", "band_key")
+        banded = banded.withColumn(
+            "__occ", F.count(F.lit(1)).over(occupancy)
+        ).filter(F.col("__occ") <= max_bucket_size).drop("__occ")
+    return banded
 
 
 def incremental_minhash_near_dup(

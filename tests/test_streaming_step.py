@@ -129,3 +129,86 @@ def test_for_each_batch_stream_error_propagates(spark, stream_dirs):
     with pytest.raises(ValueError, match="have failed"):
         ppn()
     assert "failing_batch" in ppn.error_steps
+
+
+def test_streaming_incremental_minhash_dedup(spark, stream_dirs, tmp_path):
+    """End-to-end continuous-ingest dedup: each micro-batch is probed
+    against the persisted MinHash band index, survivors land in the
+    output, and the batch's own index rows are appended so LATER batches
+    see EARLIER batches' content."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_band_index,
+    )
+    from bdq_spark.plans import SparkPipeline
+
+    src, ckpt = stream_dirs
+    index_path = str(tmp_path / "mh_index")
+
+    base = (
+        "stream processing engines checkpoint their offsets so that a "
+        "restarted query resumes exactly where the previous run stopped"
+    )
+    other = (
+        "an entirely different document about alpine meadows goats and "
+        "the seasonal movement of herds between mountain pastures"
+    )
+    # seed corpus -> initial index
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id:long, text:string"
+    )
+    minhash_band_index(corpus).write.parquet(index_path)
+
+    # two source files -> (with maxFilesPerTrigger=1) two micro-batches;
+    # batch A carries a near-dup of the seed + a novel doc; batch B
+    # carries a near-dup OF BATCH A's novel doc (tests index append)
+    spark.createDataFrame(
+        [(100, base.replace("offsets", "positions")), (101, other)],
+        "doc_id:long, text:string",
+    ).coalesce(1).write.parquet(str(src / "p1"))
+    spark.createDataFrame(
+        [(200, other.replace("goats", "sheep"))],
+        "doc_id:long, text:string",
+    ).coalesce(1).write.parquet(str(src / "p2"))
+
+    ppn = SparkPipeline("streaming_dedup", spark=spark)
+    ppn.spark_streaming_checkpoint_location = str(ckpt)
+
+    @ppn.step_spark_temp_view(outputs="docs_in")
+    def docs_in(step):
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+
+    @ppn.step_spark_for_each_batch(
+        input_table="docs_in",
+        depends_on=[docs_in],
+        outputs="deduped_docs",
+        trigger_availableNow=True,
+    )
+    def dedup_batch(df, batch_id, relative_batch_id, step):
+        sess = df.sparkSession
+        index = sess.read.parquet(index_path)
+        hits = incremental_minhash_near_dup(index, df)
+        dup_ids = hits.select(
+            F.col("id_a").alias("doc_id")
+        ).distinct()
+        kept = df.join(dup_ids, "doc_id", "left_anti")
+        # foreachBatch runs in a cloned session: write a real catalog
+        # table so the step's output resolves in the main session
+        kept.write.mode("append").saveAsTable("deduped_docs")
+        # append the FULL batch's band rows (dups included — they are
+        # legitimate corpus content for future near-dup detection)
+        minhash_band_index(df).write.mode("append").parquet(index_path)
+
+    ppn(max_concurrent_steps=4)
+    assert ppn.is_success
+
+    kept_ids = {r.doc_id for r in spark.table("deduped_docs").collect()}
+    # 100 ~ seed corpus -> dropped; 101 novel -> kept;
+    # 200 ~ batch A's 101 via the APPENDED index -> dropped
+    assert kept_ids == {101}

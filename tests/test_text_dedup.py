@@ -295,6 +295,68 @@ def test_incremental_minhash_near_dup(spark):
     assert not any(b == 2 for _, b, _ in got)
 
 
+def test_minhash_index_parquet_roundtrip(spark, tmp_path):
+    """The band index survives a parquet write/read and still probes —
+    the actual deployment shape (build once, persist, probe batches)."""
+    from bdq_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_band_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing outside"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated text about metallurgy and forges")],
+        "doc_id:long, text:string",
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_band_index(corpus).write.parquet(path)
+
+    index = spark.read.parquet(path)
+    batch = spark.createDataFrame(
+        [(100, base.replace("birds", "bells"))], "doc_id:long, text:string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.match_side)
+        for r in incremental_minhash_near_dup(index, batch).collect()
+    }
+    assert (100, 1, "corpus") in got
+    assert not any(b == 2 for _, b, _ in got)
+
+
+def test_minhash_index_build_time_cap(spark):
+    """Corpus-side hot buckets dropped at build time: a 50-copy spam
+    cluster stops matching future batches, a planted near-dup still
+    does."""
+    from bdq_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_band_index,
+    )
+
+    base = (
+        "careful partitioning of joins and aggregations keeps shuffles "
+        "small while broadcast joins avoid moving the large fact table"
+    )
+    spam = "limited offer click here now " * 6
+    corpus = spark.createDataFrame(
+        [(i, spam) for i in range(50)] + [(200, base)],
+        "doc_id:long, text:string",
+    )
+    index = minhash_band_index(corpus, max_bucket_size=10)
+    batch = spark.createDataFrame(
+        [(300, spam), (301, base.replace("broadcast", "replicated"))],
+        "doc_id:long, text:string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_near_dup(index, batch).collect()
+    }
+    assert (301, 200) in got            # planted near-dup survives
+    assert not any(a == 300 for a, _ in got)  # spam keys were dropped
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
