@@ -953,8 +953,12 @@ def incremental_minhash_near_dup_docs(
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
+    # cap BOTH sides: corpus-hot buckets once at build time, batch-hot
+    # buckets at probe time
     return incremental_minhash_near_dup(
-        minhash_band_index(corpus), batch, max_bucket_size=256
+        minhash_band_index(corpus, max_bucket_size=256),
+        batch,
+        max_bucket_size=256,
     )
 
 
@@ -1074,11 +1078,15 @@ FROM documents
 
 @_register("multimodal_decode", _MULTIMODAL_ORACLE)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Builds VALID image payloads (real PNG / GIF / JPEG headers with
+    """Builds VALID image payloads (real PNG / BMP / JPEG headers with
     doc_id-derived dimensions, document text as body bytes) entirely in
     Spark expressions, then decodes them with the pure-Python header
     parser — so the oracle can recompute the expected dimensions from
-    doc_id and the decode path is value-checked end to end."""
+    doc_id and the decode path is value-checked end to end.  The three
+    formats are chosen so a PIL-equipped environment decodes the SAME
+    (width, height, channels=3) as the header parser (8-bit RGB PNG,
+    24bpp BMP, 3-component JPEG); GIF is deliberately absent — PIL
+    reports its palette as 1 band where header-level channels are 3."""
     from bdq_spark.operators.multimodal import attach_media_metadata, decode_images
 
     w = (F.col("doc_id") % 512 + 1).cast("bigint")
@@ -1087,16 +1095,24 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def he(col, width):  # big-endian hex, zero-padded to `width` nibbles
         return F.lpad(F.hex(col), width, "0")
 
+    def le32(col):  # little-endian 4-byte hex of a value < 2^16
+        return F.concat(
+            he(col % 256, 2),
+            he(F.floor(col / 256).cast("bigint"), 2),
+            F.lit("0000"),
+        )
+
     png = F.concat(
         F.lit("89504E470D0A1A0A0000000D49484452"),  # signature + IHDR
         he(w, 8), he(h, 8),
         F.lit("0802000000DEADBEEF"),  # depth 8, RGB, 3x00, fake CRC
     )
-    gif = F.concat(
-        F.lit("474946383961"),  # GIF89a
-        he(w % 256, 2), he(F.floor(w / 256).cast("bigint"), 2),  # w LE16
-        he(h % 256, 2), he(F.floor(h / 256).cast("bigint"), 2),  # h LE16
-        F.lit("F70000"),  # packed fields, bg color, aspect
+    bmp = F.concat(
+        F.lit("424D" "00000000" "00000000" "36000000"),  # BM, ofs 54
+        F.lit("28000000"),  # BITMAPINFOHEADER size 40
+        le32(w), le32(h),
+        F.lit("0100" "1800"),  # 1 plane, 24 bpp (RGB)
+        F.lit("00000000" * 6),  # no compression, zeroed tail fields
     )
     jpg = F.concat(
         F.lit("FFD8"),  # SOI
@@ -1105,7 +1121,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     header = (
         F.when(F.col("doc_id") % 3 == 0, png)
-        .when(F.col("doc_id") % 3 == 1, gif)
+        .when(F.col("doc_id") % 3 == 1, bmp)
         .otherwise(jpg)
     )
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2427,6 +2443,9 @@ _DRIVER_PRIORITY = [
     "doc_training_order",
     "documents_deduped",
     "incremental_minhash_near_dup",
+    # outputs changed this round — keep inside the checked window
+    "multimodal_decode",
+    "minhash_lsh_near_dup",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -45,6 +45,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "minhash_band_index",
+    "incremental_minhash_near_dup",
     "simhash",
     "simhash_pairs",
     "embedding_cosine_pairs",
@@ -441,6 +443,23 @@ def minhash_signatures(
     )
 
 
+def _cap_hot_buckets(
+    df: DataFrame, key_columns: List[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop rows whose join-key bucket holds more than ``max_bucket_size``
+    members — the shared skew guard of every LSH candidate join (a
+    mass-duplicate cluster collides on the same key in every band, so an
+    uncapped self-join is quadratic in the cluster).  One occupancy
+    window over the key columns; the downstream equi-join on the same
+    keys reuses its hash partitioning."""
+    occupancy = Window.partitionBy(*key_columns)
+    return (
+        df.withColumn("__occ", F.count(F.lit(1)).over(occupancy))
+        .filter(F.col("__occ") <= max_bucket_size)
+        .drop("__occ")
+    )
+
+
 def _band_keys(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """Explode signatures into the LSH band relation
     ``(id, band, band_key)`` — ``band_key`` is the 64-bit hash of that
@@ -500,10 +519,7 @@ def minhash_band_index(
     sig = minhash_signatures(df, text_column, id_column, n, num_hashes)
     banded = _band_keys(sig, bands, num_hashes // bands)
     if max_bucket_size is not None:
-        occupancy = Window.partitionBy("band", "band_key")
-        banded = banded.withColumn(
-            "__occ", F.count(F.lit(1)).over(occupancy)
-        ).filter(F.col("__occ") <= max_bucket_size).drop("__occ")
+        banded = _cap_hot_buckets(banded, ["band", "band_key"], max_bucket_size)
     return banded
 
 
@@ -545,16 +561,22 @@ def incremental_minhash_near_dup(
     )
 
     if max_bucket_size is not None:
-        occupancy = Window.partitionBy("band", "band_key")
-        banded = banded.withColumn(
-            "__occ", F.count(F.lit(1)).over(occupancy)
-        ).filter(F.col("__occ") <= max_bucket_size).drop("__occ")
+        banded = _cap_hot_buckets(banded, ["band", "band_key"], max_bucket_size)
 
     corpus = corpus_index.select(
         F.col("id").alias("__cid"), "band", "band_key"
     )
+    # id_a != id_b: on an at-least-once replay (micro-batch retried
+    # AFTER its own index rows were appended) every batch doc matches
+    # itself in the index; without this filter the documented streaming
+    # dedup pattern would drop the entire retried batch.  Re-appended
+    # SIBLING rows can still cross-match on replay — pipelines needing
+    # exactly-once semantics should append index rows only after the
+    # output commit, or make the append idempotent (overwrite by batch
+    # id partition).
     vs_corpus = (
         banded.join(corpus, ["band", "band_key"])
+        .filter(F.col("id") != F.col("__cid"))
         .select(
             F.col("id").alias("id_a"),
             F.col("__cid").alias("id_b"),
@@ -624,13 +646,7 @@ def minhash_lsh_candidates(
     banded = _band_keys(sig, bands, rows_per_band)
 
     if max_bucket_size is not None:
-        # same occupancy-window shape as simhash_pairs: one extra
-        # hash-partitioned window over the banded table whose output
-        # partitioning the self-join below then reuses
-        occupancy = Window.partitionBy("band", "band_key")
-        banded = banded.withColumn(
-            "__occ", F.count(F.lit(1)).over(occupancy)
-        ).filter(F.col("__occ") <= max_bucket_size).drop("__occ")
+        banded = _cap_hot_buckets(banded, ["band", "band_key"], max_bucket_size)
 
     lhs = banded.alias("l")
     rhs = banded.alias("r")
@@ -790,10 +806,7 @@ def simhash_pairs(
     ).select("id", "simhash", "c.combo", "c.key")
 
     if max_bucket_size is not None:
-        occupancy = Window.partitionBy("combo", "key")
-        keys = keys.withColumn(
-            "__occ", F.count(F.lit(1)).over(occupancy)
-        ).filter(F.col("__occ") <= max_bucket_size).drop("__occ")
+        keys = _cap_hot_buckets(keys, ["combo", "key"], max_bucket_size)
 
     lhs = keys.alias("l")
     rhs = keys.alias("r")

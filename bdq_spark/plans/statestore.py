@@ -146,20 +146,37 @@ class CatalogPersistedStateStore(PersistedStateStoreBase):
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in self.schema.fields
             ]
-            # localCheckpoint materializes the re-projected rows on the
-            # executors and cuts the plan's reference to the table being
-            # overwritten (Spark rejects overwriting a table its own plan
-            # reads) — the no-collect analogue of the reference's Delta
-            # mergeSchema overwrite; state stays distributed end to end
-            migrated_df = current.select(*projection).localCheckpoint(eager=True)
+            # stage the re-projected rows in a DURABLE sibling table
+            # first (a catalog write, distributed end to end — no driver
+            # collect), then overwrite the main table from the staging
+            # copy and drop it.  Staging both breaks the self-read cycle
+            # (Spark rejects overwriting a table its own plan reads) and
+            # survives executor loss mid-overwrite — volatile
+            # localCheckpoint blocks would not, and losing them after
+            # the overwrite began would lose the only copy of the state.
+            staging = f"{self.fqn_table_name}__migration"
+            migrated = current.select(*projection)
             try:
-                migrated_df.write.mode("overwrite").option(
-                    "overwriteSchema", "true"
-                ).saveAsTable(self.fqn_table_name)
+                migrated.write.mode("overwrite").saveAsTable(staging)
+                staged = self.spark.table(staging)
+                try:
+                    staged.write.mode("overwrite").option(
+                        "overwriteSchema", "true"
+                    ).saveAsTable(self.fqn_table_name)
+                except Exception as e:
+                    if not self._v1_unsupported(e):
+                        raise
+                    staged.writeTo(self.fqn_table_name).createOrReplace()
             except Exception as e:
                 if not self._v1_unsupported(e):
                     raise
-                migrated_df.writeTo(self.fqn_table_name).createOrReplace()
+                # V2-only catalog: stage + overwrite via writeTo
+                migrated.writeTo(staging).createOrReplace()
+                self.spark.table(staging).writeTo(
+                    self.fqn_table_name
+                ).createOrReplace()
+            finally:
+                self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
 
     def load(self) -> dict:
         """Latest state row as a dict (JSON columns decoded); {} if none."""

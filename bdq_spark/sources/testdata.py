@@ -63,21 +63,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # the NTZ->LTZ cast interprets wall-clock values in the
-            # session TZ; it is value-preserving ONLY under UTC.  Every
-            # repo session builder pins UTC, but load_table accepts
-            # arbitrary sessions — enforce the invariant instead of
-            # assuming it, or a caller with a local-TZ session would get
-            # silently shifted timestamps.
+            # session TZ; it is value-preserving ONLY under a zero-offset
+            # zone.  Every repo session builder pins UTC, but load_table
+            # accepts arbitrary sessions — enforce the invariant instead
+            # of assuming it, or a caller with a local-TZ session would
+            # get silently shifted timestamps.
             tz = spark.conf.get("spark.sql.session.timeZone")
-            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            if not _is_utc_equivalent(tz):
                 raise ValueError(
-                    "load_table requires spark.sql.session.timeZone=UTC "
-                    f"to read events.ts (TIMESTAMP_NTZ) losslessly; got {tz!r}. "
-                    "Build the session via bdq_spark.session.builder_defaults "
-                    "or set the conf explicitly."
+                    "load_table requires a UTC-equivalent "
+                    "spark.sql.session.timeZone to read events.ts "
+                    f"(TIMESTAMP_NTZ) losslessly; got {tz!r}. Build the "
+                    "session via bdq_spark.session.builder_defaults or "
+                    "set the conf explicitly."
                 )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _is_utc_equivalent(tz: str) -> bool:
+    """True when the zone id resolves to a permanent zero UTC offset
+    (UTC, Etc/UTC, GMT, GMT0, Etc/GMT, +00:00, ...) — the condition
+    under which an NTZ->LTZ cast is value-preserving.  Checks the
+    resolved offset at two instants (winter + summer) rather than a
+    string allow-list, so every valid zero-offset spelling passes."""
+    if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        return True
+    from datetime import datetime
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tz)
+        return all(
+            datetime(2024, m, 1, tzinfo=zone).utcoffset().total_seconds() == 0
+            for m in (1, 7)
+        )
+    except Exception:
+        return False
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:

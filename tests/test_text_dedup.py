@@ -295,6 +295,31 @@ def test_incremental_minhash_near_dup(spark):
     assert not any(b == 2 for _, b, _ in got)
 
 
+def test_incremental_minhash_replay_keeps_batch(spark):
+    """At-least-once replay: if a batch's own index rows were already
+    appended before a retry, the retried batch must NOT match itself —
+    exact self-pairs are filtered, so unique docs survive the rerun."""
+    from bdq_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_band_index,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (100, "a perfectly unique document about tidal energy and "
+                  "the engineering of underwater turbine farms"),
+            (101, "another unique document describing the migration "
+                  "patterns of arctic terns across two hemispheres"),
+        ],
+        "doc_id:long, text:string",
+    )
+    # simulate the failed-after-append retry: the index already holds
+    # exactly this batch's band rows
+    index = minhash_band_index(batch)
+    got = incremental_minhash_near_dup(index, batch).collect()
+    assert got == []  # no self-pairs -> nothing flagged -> batch kept
+
+
 def test_minhash_index_parquet_roundtrip(spark, tmp_path):
     """The band index survives a parquet write/read and still probes —
     the actual deployment shape (build once, persist, probe batches)."""
