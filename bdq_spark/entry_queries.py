@@ -2415,6 +2415,134 @@ def documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_PREPARE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    length(text)::DOUBLE AS chars,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE
+      AS tokens,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      AS punct_cnt
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, tokens,
+    least(chars / 500.0, 1.0) AS len_comp,
+    CASE WHEN chars / greatest(tokens, 1.0) >= 2.0
+          AND chars / greatest(tokens, 1.0) <= 12.0 THEN 1.0 ELSE 0.0 END
+      AS tok_comp,
+    1.0 - least(punct_cnt / greatest(chars, 1.0) * 4.0, 1.0) AS punct_comp,
+    least(({sw_en} + {sw_es} + {sw_de} + {sw_fr}) / 5.0, 1.0) AS sw_comp
+  FROM t),
+q AS (
+  SELECT doc_id, text FROM scored
+  WHERE CASE WHEN tokens = 0 THEN 0.0
+        ELSE round(len_comp * 0.3 + tok_comp * 0.2
+                   + punct_comp * 0.25 + sw_comp * 0.25, 6) END >= 0.5),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+d AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+b AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM d),
+words AS (
+  SELECT doc_id, bucket,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM b),
+sh AS (
+  SELECT DISTINCT doc_id, bucket, shingle FROM (
+    SELECT doc_id, bucket,
+      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))
+      END AS shingles
+    FROM words) t2, UNNEST(t2.shingles) AS u(shingle)
+  WHERE shingle <> ''),
+eval_set AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 800000),
+contaminated AS (
+  SELECT s.doc_id
+  FROM sh s LEFT JOIN eval_set e USING (shingle)
+  WHERE s.bucket < 800000
+  GROUP BY s.doc_id
+  HAVING SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         / count(*) >= 0.8),
+clean AS (
+  SELECT doc_id, text FROM b
+  WHERE bucket < 800000
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM clean),
+sized AS (SELECT doc_id, w, len(w) AS n FROM ctoks WHERE len(w) > 0),
+idx AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, greatest(CAST(ceil((n - 8) / 56.0) AS BIGINT), 1)))
+           AS ci
+  FROM sized)
+SELECT doc_id,
+       CAST(ci AS INTEGER)                                  AS chunk_idx,
+       array_to_string(w[ci * 56 + 1 : ci * 56 + 64], ' ')  AS chunk_text,
+       CAST(least(64, n - ci * 56) AS INTEGER)              AS n_chunk_tokens
+FROM idx
+"""
+
+
+@_register("corpus_prepare", _CORPUS_PREPARE_ORACLE)
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composite: end-to-end training-corpus preparation run as
+    a ``SparkPipeline`` dependency graph (the reference's orchestration
+    surface, /root/reference/bdq/spark_pipeline.py, driving the LLM-data
+    operators):
+
+    1. quality gate   — keep documents with ``quality_score >= 0.5``
+                        (codegen expressions; the rounded score is
+                        engine-portable, so the threshold is exact);
+    2. exact dedup    — one keeper per distinct normalized content
+                        (hash-agg on the md5 fingerprint, left-semi);
+    3. decontamination— hash-split 80/20 into train/eval, drop train
+                        docs whose distinct-3-gram overlap with the
+                        eval shingle set reaches 0.8 (linear join
+                        against the collapsed eval shingle set — no
+                        pairwise candidates);
+    4. chunking       — 64-token attention windows with 8-token
+                        overlap over the surviving corpus.
+
+    Every stage is a narrow/partial-agg plan that scales to 100 TB: the
+    only shuffles are the fingerprint hash-agg, the split-key-free
+    shingle agg, and chunking's explode — no driver materialization.
+    The DuckDB oracle recomputes the whole funnel in SQL, so the
+    composition (not just each stage alone) is value-hash-checked."""
+    from bdq_spark.operators.corpus import prepare_corpus
+
+    return prepare_corpus(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        quality_threshold=0.5,
+        eval_fraction=0.2,
+        contamination_n=3,
+        contamination_threshold=0.8,
+        max_tokens=64,
+        overlap=8,
+    )
+
+
+def _fill_corpus_prepare_oracle() -> None:
+    from bdq_spark.functions.text import STOPWORDS
+
+    ORACLE_SQL["corpus_prepare"] = ORACLE_SQL["corpus_prepare"].format(
+        sw_en=_sw_sql(STOPWORDS["en"]),
+        sw_es=_sw_sql(STOPWORDS["es"]),
+        sw_de=_sw_sql(STOPWORDS["de"]),
+        sw_fr=_sw_sql(STOPWORDS["fr"]),
+    )
+
+
+_fill_corpus_prepare_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness harness checks a bounded
 # prefix of ``queries()`` (50 entries in rounds 1-2), so queries that have
@@ -2446,6 +2574,8 @@ _DRIVER_PRIORITY = [
     # outputs changed this round — keep inside the checked window
     "multimodal_decode",
     "minhash_lsh_near_dup",
+    # flagship composite, new this round
+    "corpus_prepare",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -33,10 +33,117 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "chunk_documents",
+    "prepare_corpus",
     "token_vocabulary",
     "training_order_key",
     "with_training_order",
 ]
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    quality_threshold: float = 0.5,
+    eval_fraction: float = 0.2,
+    contamination_n: int = 3,
+    contamination_threshold: float = 0.8,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    split_salt: str = "",
+    pipeline_name: str = "corpus_prepare",
+) -> DataFrame:
+    """End-to-end training-corpus preparation, orchestrated as a
+    :class:`~bdq_spark.plans.SparkPipeline` dependency graph:
+
+    1. **quality gate** — keep documents with
+       :func:`~bdq_spark.functions.text.quality_score` >=
+       ``quality_threshold`` (codegen expressions; the score is rounded
+       to 6 decimals so the threshold compares identically across
+       engines);
+    2. **exact dedup** — one keeper (min id) per distinct normalized
+       content, via the md5-fingerprint hash-agg + left-semi join;
+    3. **decontamination** — hash-split ``1 - eval_fraction`` /
+       ``eval_fraction`` into train/eval on the engine-portable md5 key,
+       then drop train documents whose distinct-``contamination_n``-gram
+       overlap with the eval shingle set reaches
+       ``contamination_threshold`` (one linear join against the
+       collapsed eval shingle set — no pairwise candidates);
+    4. **chunking** — ``max_tokens``-token attention windows with
+       ``overlap`` carried tokens over the surviving corpus.
+
+    Returns the chunk relation ``(id_column, chunk_idx, chunk_text,
+    n_chunk_tokens)`` of the cleaned TRAIN corpus.  Every stage is a
+    narrow or partial-agg plan (the only shuffles: fingerprint hash-agg,
+    shingle dedup agg, contamination join) — no driver materialization,
+    so the funnel scales with cluster width.  Inter-step dataflow uses
+    temp views prefixed ``{pipeline_name}_``; use distinct names for
+    concurrent preparations in one session.
+    """
+    from bdq_spark.functions.text import quality_score
+    from bdq_spark.operators.contamination import contamination_check
+    from bdq_spark.operators.dedup import fingerprint_dedup
+    from bdq_spark.operators.splits import hash_split
+    from bdq_spark.plans import SparkPipeline
+
+    spark = df.sparkSession
+    v_quality = f"{pipeline_name}_quality"
+    v_deduped = f"{pipeline_name}_deduped"
+    v_clean = f"{pipeline_name}_clean"
+    v_chunks = f"{pipeline_name}_chunks"
+
+    ppn = SparkPipeline(pipeline_name, spark=spark)
+
+    @ppn.step_spark_temp_view(outputs=[v_quality])
+    def quality_gate(step):
+        return df.select(id_column, text_column).filter(
+            quality_score(F.col(text_column)) >= quality_threshold
+        )
+
+    @ppn.step_spark_temp_view(depends_on=[quality_gate], outputs=[v_deduped])
+    def exact_dedup(step):
+        docs = spark.table(v_quality)
+        keepers = fingerprint_dedup(
+            docs, text_column=text_column, id_column=id_column
+        ).select(F.col("keeper_id").alias(id_column))
+        return docs.join(keepers, id_column, "left_semi")
+
+    @ppn.step_spark_temp_view(depends_on=[exact_dedup], outputs=[v_clean])
+    def decontaminate(step):
+        docs = spark.table(v_deduped)
+        split = hash_split(
+            docs,
+            {"train": 1.0 - eval_fraction, "test": eval_fraction},
+            [id_column],
+            salt=split_salt,
+        )
+        train = split.filter(F.col("split") == "train").drop("split")
+        eval_docs = split.filter(F.col("split") == "test").drop("split")
+        # decontaminate TRAIN against the eval shingle set: eval is the
+        # shingle source ("train" arg), the corpus is probed per-doc
+        report = contamination_check(
+            eval_docs,
+            train,
+            text_column=text_column,
+            id_column=id_column,
+            n=contamination_n,
+            threshold=contamination_threshold,
+        )
+        bad = report.filter(F.col("contaminated")).select(id_column)
+        return train.join(bad, id_column, "left_anti")
+
+    @ppn.step_spark_temp_view(depends_on=[decontaminate], outputs=[v_chunks])
+    def chunk(step):
+        return chunk_documents(
+            spark.table(v_clean),
+            text_column=text_column,
+            id_column=id_column,
+            max_tokens=max_tokens,
+            overlap=overlap,
+        )
+
+    ppn(max_concurrent_steps=2)
+    return spark.table(v_chunks)
 
 
 def chunk_documents(

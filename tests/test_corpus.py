@@ -112,3 +112,50 @@ def test_training_order_matches_hashlib(spark):
     df = spark.createDataFrame([(7,)], "doc_id:long")
     got = df.select(training_order_key(["doc_id"], "e1").alias("k")).first().k
     assert got == hashlib.md5(b"ordere17").hexdigest()
+
+
+def _split_bucket(doc_id: int) -> int:
+    """Python mirror of hash_split's md5 bucket (chr(31)-joined key)."""
+    import hashlib
+
+    h = hashlib.md5((chr(31) + str(doc_id)).encode()).hexdigest()
+    return int(h[:8], 16) % 1_000_000
+
+
+def test_prepare_corpus_funnel(spark):
+    """End-to-end funnel on docs with known outcomes: the junk doc is
+    quality-dropped, the exact-duplicate pair keeps one id, the train
+    doc whose trigrams all appear in an eval doc is decontaminated, and
+    survivors come back chunked."""
+    from bdq_spark.operators.corpus import prepare_corpus
+
+    train_ids = [i for i in range(1, 100) if _split_bucket(i) < 800_000]
+    eval_ids = [i for i in range(1, 100) if _split_bucket(i) >= 800_000]
+    t_keep, t_dup_a, t_dup_b, t_dirty, t_junk = train_ids[:5]
+    e1 = eval_ids[0]
+
+    good = "the and is in it was for on with as sun moon star light river"
+    dup = "a quick brown fox jumps over the lazy dog and it was not far"
+    leaked = "winter is coming to the old town and the gates are closed now"
+    rows = [
+        (t_keep, good),
+        (t_dup_a, dup),
+        (t_dup_b, dup),          # exact duplicate -> min id kept
+        (t_dirty, leaked),       # trigrams subset of e1 -> contaminated
+        (t_junk, "!!!! ???? ####"),  # punctuation junk -> quality-dropped
+        (e1, leaked + " extra words beyond the train document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id:long, text:string")
+
+    chunks = prepare_corpus(
+        docs, max_tokens=8, overlap=2, pipeline_name="cp_test"
+    )
+    got = chunks.collect()
+    surviving = {r["doc_id"] for r in got}
+
+    assert surviving == {t_keep, min(t_dup_a, t_dup_b)}
+    assert all(r["n_chunk_tokens"] <= 8 for r in got)
+    # 15-token docs at window 8 / stride 6 -> chunks at offsets 0, 6, 12
+    assert sorted(r["chunk_idx"] for r in got if r["doc_id"] == t_keep) == [0, 1, 2]
+    first = next(r for r in got if r["doc_id"] == t_keep and r["chunk_idx"] == 0)
+    assert first["chunk_text"] == "the and is in it was for on"
