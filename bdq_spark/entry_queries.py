@@ -735,31 +735,51 @@ def doc_language(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["doc_language"] = _lang_oracle()
 
 
+#: shared quality-score CTE chain (mirrors functions/text.py
+#: quality_score); used by the doc_quality AND corpus_prepare oracles so
+#: the formula lives in exactly one SQL copy.  Keeps the {sw_*}
+#: placeholders — filled once per oracle by _fill_stopword_oracle.
+_QUALITY_CTES = """t AS (
+  SELECT doc_id, text,
+    length(text)::DOUBLE AS chars,
+    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE
+      AS tokens,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      AS punct_cnt
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, tokens,
+    least(chars / 500.0, 1.0) AS len_comp,
+    CASE WHEN chars / greatest(tokens, 1.0) >= 2.0
+          AND chars / greatest(tokens, 1.0) <= 12.0 THEN 1.0 ELSE 0.0 END
+      AS tok_comp,
+    1.0 - least(punct_cnt / greatest(chars, 1.0) * 4.0, 1.0) AS punct_comp,
+    least(({sw_en} + {sw_es} + {sw_de} + {sw_fr}) / 5.0, 1.0) AS sw_comp
+  FROM t)"""
+
+#: the rounded 0-1 score expression over a `scored` row
+_QUALITY_EXPR = """CASE WHEN tokens = 0 THEN 0.0
+       ELSE round(len_comp * 0.3 + tok_comp * 0.2
+                  + punct_comp * 0.25 + sw_comp * 0.25, 6) END"""
+
+
+def _fill_stopword_oracle(name: str) -> None:
+    """Substitute the four {sw_*} stopword-count fragments into a
+    registered oracle (shared by every oracle built on _QUALITY_CTES or
+    the language CASE)."""
+    from bdq_spark.functions.text import STOPWORDS
+
+    ORACLE_SQL[name] = ORACLE_SQL[name].format(
+        **{f"sw_{lang}": _sw_sql(STOPWORDS[lang]) for lang in ("en", "es", "de", "fr")}
+    )
+
+
 @_register(
     "doc_quality",
-    """
-    WITH t AS (
-      SELECT doc_id, text,
-        length(text)::DOUBLE AS chars,
-        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE
-          AS tokens,
-        (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-          AS punct_cnt
-      FROM documents),
-    c AS (
-      SELECT doc_id, chars, tokens,
-        least(chars / 500.0, 1.0) AS len_comp,
-        CASE WHEN chars / greatest(tokens, 1.0) >= 2.0
-              AND chars / greatest(tokens, 1.0) <= 12.0 THEN 1.0 ELSE 0.0 END
-          AS tok_comp,
-        1.0 - least(punct_cnt / greatest(chars, 1.0) * 4.0, 1.0) AS punct_comp,
-        least(({sw_en} + {sw_es} + {sw_de} + {sw_fr}) / 5.0, 1.0) AS sw_comp
-      FROM t)
-    SELECT doc_id,
-      CASE WHEN tokens = 0 THEN 0.0
-           ELSE round(len_comp * 0.3 + tok_comp * 0.2
-                      + punct_comp * 0.25 + sw_comp * 0.25, 6) END AS quality
-    FROM c
+    f"""
+    WITH {_QUALITY_CTES}
+    SELECT doc_id, {_QUALITY_EXPR} AS quality
+    FROM scored
     """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,18 +789,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
 
 
-def _fill_quality_oracle() -> None:
-    from bdq_spark.functions.text import STOPWORDS
-
-    ORACLE_SQL["doc_quality"] = ORACLE_SQL["doc_quality"].format(
-        sw_en=_sw_sql(STOPWORDS["en"]),
-        sw_es=_sw_sql(STOPWORDS["es"]),
-        sw_de=_sw_sql(STOPWORDS["de"]),
-        sw_fr=_sw_sql(STOPWORDS["fr"]),
-    )
-
-
-_fill_quality_oracle()
+_fill_stopword_oracle("doc_quality")
 
 
 # ---------------------------------------------------------------------------
@@ -1846,6 +1855,25 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared distinct-3-gram shingle CTE chain over a CTE named `b` with
+#: (doc_id, bucket, text) — mirrors operators/dedup.py shingle();
+#: used by the doc_contamination AND corpus_prepare oracles.
+_SHINGLE3_CTES = """words AS (
+  SELECT doc_id, bucket,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM b),
+sh AS (
+  SELECT DISTINCT doc_id, bucket, shingle FROM (
+    SELECT doc_id, bucket,
+      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))
+      END AS shingles
+    FROM words) t2, UNNEST(t2.shingles) AS u(shingle)
+  WHERE shingle <> '')"""
+
+
 @_register(
     "doc_contamination",
     """
@@ -1854,20 +1882,9 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
                % 1000000 AS bucket
       FROM documents),
-    words AS (
-      SELECT doc_id, bucket,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS w
-      FROM b),
-    sh AS (
-      SELECT DISTINCT doc_id, bucket, shingle FROM (
-        SELECT doc_id, bucket,
-          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w) - 1),
-                                   i -> array_to_string(w[i:i+2], ' '))
-          END AS shingles
-        FROM words) t, UNNEST(t.shingles) AS u(shingle)
-      WHERE shingle <> ''),
+    """
+    + _SHINGLE3_CTES
+    + """,
     train_set AS (SELECT DISTINCT shingle FROM sh WHERE bucket < 800000),
     test_sh AS (SELECT doc_id, shingle FROM sh WHERE bucket >= 800000)
     SELECT t.doc_id,
@@ -2415,29 +2432,17 @@ def documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CORPUS_PREPARE_ORACLE = r"""
-WITH t AS (
-  SELECT doc_id, text,
-    length(text)::DOUBLE AS chars,
-    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE
-      AS tokens,
-    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-      AS punct_cnt
-  FROM documents),
-scored AS (
-  SELECT doc_id, text, tokens,
-    least(chars / 500.0, 1.0) AS len_comp,
-    CASE WHEN chars / greatest(tokens, 1.0) >= 2.0
-          AND chars / greatest(tokens, 1.0) <= 12.0 THEN 1.0 ELSE 0.0 END
-      AS tok_comp,
-    1.0 - least(punct_cnt / greatest(chars, 1.0) * 4.0, 1.0) AS punct_comp,
-    least(({sw_en} + {sw_es} + {sw_de} + {sw_fr}) / 5.0, 1.0) AS sw_comp
-  FROM t),
-q AS (
-  SELECT doc_id, text FROM scored
-  WHERE CASE WHEN tokens = 0 THEN 0.0
-        ELSE round(len_comp * 0.3 + tok_comp * 0.2
-                   + punct_comp * 0.25 + sw_comp * 0.25, 6) END >= 0.5),
+# corpus_prepare oracle, composed from the SAME fragments as the
+# per-stage oracles: _QUALITY_CTES/_QUALITY_EXPR (doc_quality),
+# _SHINGLE3_CTES (doc_contamination), the fingerprint GROUP BY
+# (dedup_fingerprint_documents) and the chunk window arithmetic
+# (doc_chunking at max_tokens=64/overlap=8) — one SQL copy per formula.
+_CORPUS_PREPARE_ORACLE = (
+    "WITH "
+    + _QUALITY_CTES
+    + ",\nq AS (\n  SELECT doc_id, text FROM scored\n  WHERE "
+    + _QUALITY_EXPR
+    + r""" >= 0.5),
 keep AS (
   SELECT min(doc_id) AS doc_id
   FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
@@ -2447,20 +2452,9 @@ b AS (
          ('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
            % 1000000 AS bucket
   FROM d),
-words AS (
-  SELECT doc_id, bucket,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS w
-  FROM b),
-sh AS (
-  SELECT DISTINCT doc_id, bucket, shingle FROM (
-    SELECT doc_id, bucket,
-      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-           ELSE list_transform(range(1, len(w) - 1),
-                               i -> array_to_string(w[i:i+2], ' '))
-      END AS shingles
-    FROM words) t2, UNNEST(t2.shingles) AS u(shingle)
-  WHERE shingle <> ''),
+"""
+    + _SHINGLE3_CTES
+    + r""",
 eval_set AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 800000),
 contaminated AS (
   SELECT s.doc_id
@@ -2489,6 +2483,7 @@ SELECT doc_id,
        CAST(least(64, n - ci * 56) AS INTEGER)              AS n_chunk_tokens
 FROM idx
 """
+)
 
 
 @_register("corpus_prepare", _CORPUS_PREPARE_ORACLE)
@@ -2529,18 +2524,7 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fill_corpus_prepare_oracle() -> None:
-    from bdq_spark.functions.text import STOPWORDS
-
-    ORACLE_SQL["corpus_prepare"] = ORACLE_SQL["corpus_prepare"].format(
-        sw_en=_sw_sql(STOPWORDS["en"]),
-        sw_es=_sw_sql(STOPWORDS["es"]),
-        sw_de=_sw_sql(STOPWORDS["de"]),
-        sw_fr=_sw_sql(STOPWORDS["fr"]),
-    )
-
-
-_fill_corpus_prepare_oracle()
+_fill_stopword_oracle("corpus_prepare")
 
 
 # ---------------------------------------------------------------------------

@@ -123,7 +123,21 @@ class CatalogPersistedStateStore(PersistedStateStoreBase):
         )
 
     def _ensure_table(self) -> None:
+        staging = f"{self.fqn_table_name}__migration"
         if not self.spark.catalog.tableExists(self.fqn_table_name):
+            # a leftover staging table means a previous migration crashed
+            # between dropping the main table and completing the rewrite —
+            # the staging copy is the ONLY copy of the state.  Restore it
+            # instead of silently creating an empty table (which would
+            # reset pipeline state).
+            if self.spark.catalog.tableExists(staging):
+                self.log.warning(
+                    "Recovering state table %s from interrupted migration "
+                    "staging copy %s", self.fqn_table_name, staging,
+                )
+                self._overwrite_from_staging(staging)
+                self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+                return self._ensure_table()  # re-check schema post-restore
             self.log.info("Creating state table: %s", self.fqn_table_name)
             empty = self.spark.createDataFrame([], self.schema)
             try:
@@ -149,34 +163,36 @@ class CatalogPersistedStateStore(PersistedStateStoreBase):
             # stage the re-projected rows in a DURABLE sibling table
             # first (a catalog write, distributed end to end — no driver
             # collect), then overwrite the main table from the staging
-            # copy and drop it.  Staging both breaks the self-read cycle
-            # (Spark rejects overwriting a table its own plan reads) and
-            # survives executor loss mid-overwrite — volatile
-            # localCheckpoint blocks would not, and losing them after
-            # the overwrite began would lose the only copy of the state.
-            staging = f"{self.fqn_table_name}__migration"
+            # copy.  Staging both breaks the self-read cycle (Spark
+            # rejects overwriting a table its own plan reads) and
+            # survives failure mid-overwrite: the staging table is
+            # dropped ONLY after the overwrite succeeds — on failure it
+            # is left in place as the recovery copy, which
+            # `_ensure_table` restores from on the next startup.
             migrated = current.select(*projection)
             try:
                 migrated.write.mode("overwrite").saveAsTable(staging)
-                staged = self.spark.table(staging)
-                try:
-                    staged.write.mode("overwrite").option(
-                        "overwriteSchema", "true"
-                    ).saveAsTable(self.fqn_table_name)
-                except Exception as e:
-                    if not self._v1_unsupported(e):
-                        raise
-                    staged.writeTo(self.fqn_table_name).createOrReplace()
             except Exception as e:
                 if not self._v1_unsupported(e):
                     raise
-                # V2-only catalog: stage + overwrite via writeTo
                 migrated.writeTo(staging).createOrReplace()
-                self.spark.table(staging).writeTo(
-                    self.fqn_table_name
-                ).createOrReplace()
-            finally:
-                self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            self._overwrite_from_staging(staging)
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+    def _overwrite_from_staging(self, staging: str) -> None:
+        """Overwrite the main state table from the staging copy (V1
+        writer with a V2 ``writeTo`` fallback for format-owning
+        catalogs).  The caller drops ``staging`` only after this
+        returns successfully."""
+        staged = self.spark.table(staging)
+        try:
+            staged.write.mode("overwrite").option(
+                "overwriteSchema", "true"
+            ).saveAsTable(self.fqn_table_name)
+        except Exception as e:
+            if not self._v1_unsupported(e):
+                raise
+            staged.writeTo(self.fqn_table_name).createOrReplace()
 
     def load(self) -> dict:
         """Latest state row as a dict (JSON columns decoded); {} if none."""

@@ -82,11 +82,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _is_utc_equivalent(tz: str) -> bool:
-    """True when the zone id resolves to a permanent zero UTC offset
+    """True when the zone id resolves to a permanently zero UTC offset
     (UTC, Etc/UTC, GMT, GMT0, Etc/GMT, +00:00, ...) — the condition
     under which an NTZ->LTZ cast is value-preserving.  Checks the
-    resolved offset at two instants (winter + summer) rather than a
-    string allow-list, so every valid zero-offset spelling passes."""
+    resolved offset rather than a string allow-list, so every valid
+    zero-offset spelling passes.  Probes January + July of every year
+    across the tzdb's transition history (1880-2050): zones that are
+    zero TODAY but had a historical offset (e.g. Africa/Monrovia at
+    -00:44:30 until 1972) must fail, because pre-transition wall-clock
+    values would still be silently shifted by the cast."""
     if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
         return True
     from datetime import datetime
@@ -96,7 +100,8 @@ def _is_utc_equivalent(tz: str) -> bool:
 
         zone = ZoneInfo(tz)
         return all(
-            datetime(2024, m, 1, tzinfo=zone).utcoffset().total_seconds() == 0
+            datetime(y, m, 1, tzinfo=zone).utcoffset().total_seconds() == 0
+            for y in range(1880, 2051, 1)
             for m in (1, 7)
         )
     except Exception:

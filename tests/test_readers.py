@@ -85,3 +85,20 @@ def test_load_table_events_requires_utc_session(spark):
             load_table(spark, "/root/testdata/sf0.001", "events")
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_utc_equivalence_rejects_historical_offsets():
+    """Zones that are zero TODAY but had a historical offset (Monrovia
+    -00:44:30 until 1972, Reykjavik DST pre-1968) must fail the guard:
+    pre-transition wall-clock values would still be shifted by the
+    NTZ->LTZ cast."""
+    from bdq_spark.sources.testdata import _is_utc_equivalent
+
+    assert _is_utc_equivalent("UTC")
+    assert _is_utc_equivalent("Etc/UTC")
+    assert _is_utc_equivalent("Etc/GMT")
+    assert _is_utc_equivalent("GMT0")
+    assert not _is_utc_equivalent("Africa/Monrovia")
+    assert not _is_utc_equivalent("Atlantic/Reykjavik")
+    assert not _is_utc_equivalent("Europe/Paris")
+    assert not _is_utc_equivalent("No/Such_Zone")

@@ -94,6 +94,48 @@ def test_state_store_schema_evolution(spark):
     assert got["extra"] is None
 
 
+def test_state_store_recovers_from_interrupted_migration(spark):
+    """Crash between 'main table dropped' and 'rewrite finished' leaves
+    only the __migration staging table; the next startup must restore
+    state from it instead of silently creating an empty table."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdq_state")
+    spark.sql("DROP TABLE IF EXISTS bdq_state.t_crash")
+    spark.sql("DROP TABLE IF EXISTS bdq_state.t_crash__migration")
+    s1 = CatalogPersistedStateStore(
+        catalog_name=None,
+        database_name="bdq_state",
+        table_name="t_crash",
+        schema="pipeline_name string, start_ts timestamp, metrics string",
+        event_ts_column="start_ts",
+        json_encoded_columns=["metrics"],
+        spark=spark,
+    )
+    s1.save(
+        {
+            "pipeline_name": "p",
+            "start_ts": datetime(2024, 1, 1),
+            "metrics": {"n": 7},
+        }
+    )
+    # simulate the crash window: staging holds the state, main is gone
+    spark.table("bdq_state.t_crash").write.saveAsTable(
+        "bdq_state.t_crash__migration"
+    )
+    spark.sql("DROP TABLE bdq_state.t_crash")
+
+    s2 = CatalogPersistedStateStore(
+        catalog_name=None,
+        database_name="bdq_state",
+        table_name="t_crash",
+        schema="pipeline_name string, start_ts timestamp, metrics string",
+        event_ts_column="start_ts",
+        json_encoded_columns=["metrics"],
+        spark=spark,
+    )
+    assert s2.load()["metrics"] == {"n": 7}  # restored, not reset
+    assert not spark.catalog.tableExists("bdq_state.t_crash__migration")
+
+
 def test_state_store_clean():
     assert CatalogPersistedStateStore.clean("My Pipeline-1!") == "My_Pipeline_1_"
 
