@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +53,7 @@ def prepare_corpus(
     overlap: int = 0,
     split_salt: str = "",
     pipeline_name: str = "corpus_prepare",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """End-to-end training-corpus preparation, orchestrated as a
     :class:`~bdq_spark.plans.SparkPipeline` dependency graph:
@@ -79,6 +81,17 @@ def prepare_corpus(
     so the funnel scales with cluster width.  Inter-step dataflow uses
     temp views prefixed ``{pipeline_name}_``; use distinct names for
     concurrent preparations in one session.
+
+    ``persist_intermediate`` (default True) eagerly caches the deduped
+    corpus (MEMORY_AND_DISK) at the point where the plan fans out —
+    without it the quality+dedup subtree re-reads the source for EVERY
+    downstream branch (contamination probe, eval shingle set, final
+    anti-join: 6 source scans in the physical plan), which at 100 TB
+    means six full corpus passes instead of one compute plus cached
+    reads.  The cache holds only the surviving ``(id, text)`` pairs and
+    spills to disk; call ``spark.catalog.clearCache()`` (or unpersist
+    via the ``{pipeline_name}_deduped`` view) after materializing the
+    result if the session is long-lived.
     """
     from bdq_spark.functions.text import quality_score
     from bdq_spark.operators.contamination import contamination_check
@@ -106,7 +119,15 @@ def prepare_corpus(
         keepers = fingerprint_dedup(
             docs, text_column=text_column, id_column=id_column
         ).select(F.col("keeper_id").alias(id_column))
-        return docs.join(keepers, id_column, "left_semi")
+        deduped = docs.join(keepers, id_column, "left_semi")
+        if persist_intermediate:
+            # eager populate BEFORE the downstream fan-out: the three
+            # consumers (contamination probe, eval shingles, anti-join)
+            # can be scheduled concurrently, and lazily-cached parents
+            # get computed once per concurrent stage instead of once
+            deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+            deduped.count()
+        return deduped
 
     @ppn.step_spark_temp_view(depends_on=[exact_dedup], outputs=[v_clean])
     def decontaminate(step):
