@@ -936,6 +936,15 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("minhash_lsh_near_dup")  # rows-only: xxhash64 not in DuckDB
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates with exact verify at J >= 0.8.
+
+    OUTPUT CONTRACT (since round 3): ``max_bucket_size=256`` caps band
+    buckets — a duplicate cluster larger than 256 documents whose
+    members collide in EVERY band contributes no pairs (deliberate
+    recall trade: such clusters are intrinsically quadratic and belong
+    to exact fingerprint dedup).  On the driver's testdata no bucket
+    approaches the cap, so results equal the uncapped run; the entry is
+    rows-only-checked (xxhash64 keys are not reproducible in DuckDB)."""
     from bdq_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
@@ -1135,14 +1144,107 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.concat(F.unhex(header), F.encode(F.col("text"), "UTF-8")).alias(
-            "payload"
-        ),
+        # coalesce: concat propagates NULL, so a NULL text would null the
+        # whole payload and flip decode_ok for a row the oracle expects TRUE
+        F.concat(
+            F.unhex(header),
+            F.coalesce(F.encode(F.col("text"), "UTF-8"), F.lit(b"")),
+        ).alias("payload"),
     )
     media = attach_media_metadata(
         docs, content_column="payload", media_type="image", id_column="doc_id"
     )
     return decode_images(media)
+
+
+_AUDIO_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 4000
+                 ELSE [44100, 48000, 32000][CAST(doc_id % 3 AS INTEGER) + 1]
+            END AS INTEGER) AS sample_rate,
+       CAST((doc_id // 2) % 2 + 1 AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INTEGER)
+         AS bits_per_sample,
+       CAST(CASE WHEN doc_id % 2 = 0
+             THEN ((doc_id % 100 + 1) * 1000 * 1000)
+                  // ((8000 + (doc_id % 8) * 4000) * ((doc_id // 2) % 2 + 1) * 2)
+             ELSE ((doc_id % 100 + 1) * 12345 * 1000)
+                  // [44100, 48000, 32000][CAST(doc_id % 3 AS INTEGER) + 1]
+            END AS BIGINT) AS duration_ms,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
+@_register("multimodal_audio_decode", _AUDIO_ORACLE)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sibling of ``multimodal_decode``: builds VALID audio
+    payloads (real WAV RIFF / FLAC STREAMINFO headers with doc_id-derived
+    sample rate / channels / duration, document text as body bytes)
+    entirely in Spark expressions, then decodes them with the pure-Python
+    header parser — the oracle recomputes the expected stream parameters
+    from doc_id, so the decode path is value-checked end to end."""
+    from bdq_spark.operators.multimodal import attach_media_metadata, decode_audio
+
+    did = F.col("doc_id").cast("bigint")
+
+    def he(col, width):  # big-endian hex, zero-padded to `width` nibbles
+        return F.lpad(F.hex(col), width, "0")
+
+    def le16(col):
+        return F.concat(
+            he(col % 256, 2), he(F.floor(col / 256).cast("bigint") % 256, 2)
+        )
+
+    def le32(col):  # little-endian 4-byte hex of a value < 2^32
+        return F.concat(
+            he(col % 256, 2),
+            he(F.floor(col / 256).cast("bigint") % 256, 2),
+            he(F.floor(col / 65536).cast("bigint") % 256, 2),
+            he(F.floor(col / 16777216).cast("bigint") % 256, 2),
+        )
+
+    ch = (F.floor(did / 2).cast("bigint") % 2 + 1).cast("bigint")
+    # WAV: PCM 16-bit, rate 8..36 kHz, declared data chunk sizes the file
+    sr_wav = (did % 8) * 4000 + 8000
+    data_size = (did % 100 + 1) * 1000
+    byte_rate = sr_wav * ch * 2
+    wav = F.concat(
+        F.lit("52494646"), le32(data_size + F.lit(36)),      # RIFF, size
+        F.lit("57415645" "666D7420" "10000000" "0100"),      # WAVE fmt(16) PCM
+        le16(ch), le32(sr_wav), le32(byte_rate),
+        le16(ch * 2), F.lit("1000"),                         # align, 16 bps
+        F.lit("64617461"), le32(data_size),                  # data chunk
+    )
+    # FLAC: STREAMINFO packs rate/channels/bps/samples into 8 BE bytes
+    sr_flac = F.element_at(
+        F.array(F.lit(44100), F.lit(48000), F.lit(32000)),
+        (did % 3 + 1).cast("int"),
+    ).cast("bigint")
+    total_samples = (did % 100 + 1) * 12345
+    v = (
+        F.shiftleft(sr_flac, 44)
+        .bitwiseOR(F.shiftleft(ch - 1, 41))
+        .bitwiseOR(F.lit(23 << 36))                          # bps 24 = 23+1
+        .bitwiseOR(total_samples)
+    )
+    flac = F.concat(
+        F.lit("664C6143" "80" "000022"),                     # fLaC, block hdr
+        F.lit("0000" * 5), he(v, 16), F.lit("00" * 16),      # pad, packed, md5
+    )
+    header = F.when(did % 2 == 0, wav).otherwise(flac)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.unhex(header),
+            F.coalesce(F.encode(F.col("text"), "UTF-8"), F.lit(b"")),
+        ).alias("payload"),
+    )
+    media = attach_media_metadata(
+        docs, content_column="payload", media_type="audio", id_column="doc_id"
+    )
+    return decode_audio(media)
 
 
 # ---------------------------------------------------------------------------
@@ -1500,14 +1602,15 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.append((batch_id, relative_batch_id, df.count()))
         df.limit(0).createOrReplaceTempView("__feb_sink")
 
-    try:
-        ppn(max_concurrent_steps=4)
-    except ValueError:
-        # the step's trailing re-read of the "feb_out" view happens in the
-        # main session and may legitimately fail; a failed STREAM however
-        # means zero batches — surface that instead of masking it
-        if not counts:
-            raise
+    # the batch function runs in a CLONED session, so views it creates are
+    # invisible to the main session's trailing output re-read; register
+    # the declared output here so the step completes cleanly (the real
+    # results travel through `counts`; a failed stream still raises out
+    # of ppn() before the re-read)
+    spark.createDataFrame([], region.schema).createOrReplaceTempView("feb_out")
+    ppn(max_concurrent_steps=4)
+    if not counts:
+        raise RuntimeError("stream terminated without processing any batch")
     total = sum(c for _, _, c in counts)
     return spark.createDataFrame(
         [(len(counts), total)], "n_batches:long, rows_processed:long"

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from bdq_spark.functions.text import doc_fingerprint, word_tokens
 
 __all__ = [
+    "DEFAULT_MAX_SHINGLE_DOC_FREQ",
     "exact_dedup",
     "fingerprint_dedup",
     "incremental_fingerprint_dedup",
@@ -264,13 +265,99 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+# Candidate-generation skew guard (see :func:`ngram_jaccard_pairs`): a
+# shingle shared by more documents than this stops generating candidate
+# pairs.  1,000 bounds the worst per-shingle pair fan-out to ~500k
+# 16-byte rows (manageable in one shuffle partition) while sitting far
+# above the document frequency of any content-bearing 3-gram — only
+# corpus-wide boilerplate (license headers, templated footers) crosses
+# it, and identical-boilerplate documents are exact-dedup's job
+# (:func:`fingerprint_dedup`), not the near-dup join's.
+DEFAULT_MAX_SHINGLE_DOC_FREQ = 1000
+
+
+def _prefix_candidates(
+    sh: DataFrame,
+    threshold: float,
+    max_shingle_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs from a hashed ``(id, shingle)``
+    relation via prefix + positional + length filtering (see
+    :func:`ngram_jaccard_pairs` for the theory).  ``max_shingle_doc_freq``
+    drops over-frequent shingles from the INDEX (after prefix positions
+    are assigned over the full ordering, so surviving positions stay
+    valid) — candidates only, never the exact-scoring shingle set.
+
+    The built index is lazily ``localCheckpoint``-ed: the self-join
+    below reads it twice (a/b sides), and without the checkpoint each
+    side would re-run the freq-join + row_number window from the source.
+    """
+    # global order = (document frequency asc, key): rare shingles
+    # first makes the indexed prefix maximally selective
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    ordered = sh.join(freq, "shingle").withColumn(
+        "__pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df_cnt", "shingle")
+        ),
+    )
+    doc_size = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    # |d| - ceil(t*|d|) + 1, with an epsilon so float error can only
+    # LENGTHEN the prefix (lossless direction), never shorten it
+    prefix_len = (
+        F.floor((1 - F.lit(threshold)) * doc_size + F.lit(1e-9)) + 1
+    )
+    index = (
+        ordered.withColumn("__size", doc_size)
+        .withColumn("__prefix_len", prefix_len)
+        .filter(F.col("__pos") <= F.col("__prefix_len"))
+    )
+    if max_shingle_doc_freq is not None:
+        # the skew guard: positions/sizes were computed over the FULL
+        # per-doc ordering above, so dropping hot index entries here
+        # cannot invalidate the positional filter — it only removes
+        # candidate-generating keys
+        index = index.filter(F.col("df_cnt") <= max_shingle_doc_freq)
+    index = index.select("id", "shingle", "__pos", "__size").localCheckpoint(
+        eager=False
+    )
+    a = index.alias("a")
+    b = index.alias("b")
+    size_a, size_b = F.col("a.__size"), F.col("b.__size")
+    # positional filter (PPJoin, Xiao et al. WWW'08): at a prefix
+    # match on positions (pa, pb) under a COMMON global order, the
+    # overlap can't exceed 1 + min(remaining suffix of each side);
+    # J >= t needs overlap >= ceil(t/(1+t) * (|A|+|B|)) (epsilon in
+    # the lossless direction: never round the requirement up past
+    # the exact value).  Plus the length filter t*|B| <= |A| <= |B|/t.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (size_a + size_b)
+        - F.lit(1e-9)
+    )
+    ubound = (
+        F.lit(1)
+        + F.least(size_a - F.col("a.__pos"), size_b - F.col("b.__pos"))
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.lit(threshold) * size_b <= size_a)
+            & (F.lit(threshold) * size_a <= size_b)
+            & (ubound >= alpha)
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_column: str = "text",
     id_column: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_doc_freq: Optional[int] = None,
+    max_shingle_doc_freq: "int | str | None" = "auto",
     prefix_filter: bool = True,
 ) -> DataFrame:
     """Document pairs with n-gram Jaccard similarity >= ``threshold``.
@@ -297,71 +384,46 @@ def ngram_jaccard_pairs(
     two distinct shingles of the SAME document pair colliding in 2^64 —
     negligible).
 
-    ``max_shingle_doc_freq`` additionally drops shingles appearing in
-    more than N documents before pair generation — a boilerplate shingle
-    shared by 1M docs would otherwise emit 10^12 pairs into one shuffle
-    partition.
+    ``max_shingle_doc_freq`` is the skew guard: shingles appearing in
+    more than N documents stop generating CANDIDATES (exact scoring
+    always uses the full shingle set, so reported ``jaccard`` values are
+    true Jaccard).  Prefix filtering alone cannot bound this — a short
+    document's prefix is its entire shingle set, so one corpus-wide
+    boilerplate line (a license header in 1M docs) would emit 10^12
+    pairs into a single shuffle partition.  The default ``"auto"``
+    applies :data:`DEFAULT_MAX_SHINGLE_DOC_FREQ` (1,000); pass an int to
+    tune, or ``None`` to disable (exhaustive recall — a pair is missed
+    only when EVERY candidate-generating shingle it shares is over-cap,
+    i.e. pure-boilerplate near-dups, whose identical-copy core belongs
+    to exact dedup anyway; same capped-recall contract as
+    ``max_bucket_size`` in :func:`minhash_lsh_candidates`).
     """
+    if max_shingle_doc_freq == "auto":
+        max_shingle_doc_freq = DEFAULT_MAX_SHINGLE_DOC_FREQ
     sh = shingle(df, text_column, id_column, n).select(
         "id", F.xxhash64("shingle").alias("shingle")
     )
-    if max_shingle_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
-        sh = (
-            sh.join(freq.filter(F.col("df_cnt") <= max_shingle_doc_freq), "shingle")
-            .select("id", "shingle")
-        )
     sh = sh.cache()
 
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
     if prefix_filter:
-        # global order = (document frequency asc, key): rare shingles
-        # first makes the indexed prefix maximally selective
+        cand = _prefix_candidates(sh, threshold, max_shingle_doc_freq)
+        return _jaccard_for_pairs(cand, sh).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    cand_sh = sh
+    if max_shingle_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
-        ordered = sh.join(freq, "shingle").withColumn(
-            "__pos",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("df_cnt", "shingle")
-            ),
+        cand_sh = (
+            sh.join(
+                freq.filter(F.col("df_cnt") <= max_shingle_doc_freq), "shingle"
+            ).select("id", "shingle")
         )
-        doc_size = F.count(F.lit(1)).over(Window.partitionBy("id"))
-        # |d| - ceil(t*|d|) + 1, with an epsilon so float error can only
-        # LENGTHEN the prefix (lossless direction), never shorten it
-        prefix_len = (
-            F.floor((1 - F.lit(threshold)) * doc_size + F.lit(1e-9)) + 1
-        )
-        index = (
-            ordered.withColumn("__size", doc_size)
-            .withColumn("__prefix_len", prefix_len)
-            .filter(F.col("__pos") <= F.col("__prefix_len"))
-            .select("id", "shingle", "__pos", "__size")
-        )
-        a = index.alias("a")
-        b = index.alias("b")
-        size_a, size_b = F.col("a.__size"), F.col("b.__size")
-        # positional filter (PPJoin, Xiao et al. WWW'08): at a prefix
-        # match on positions (pa, pb) under a COMMON global order, the
-        # overlap can't exceed 1 + min(remaining suffix of each side);
-        # J >= t needs overlap >= ceil(t/(1+t) * (|A|+|B|)) (epsilon in
-        # the lossless direction: never round the requirement up past
-        # the exact value).  Plus the length filter t*|B| <= |A| <= |B|/t.
-        alpha = F.ceil(
-            F.lit(threshold / (1.0 + threshold)) * (size_a + size_b)
-            - F.lit(1e-9)
-        )
-        ubound = (
-            F.lit(1)
-            + F.least(size_a - F.col("a.__pos"), size_b - F.col("b.__pos"))
-        )
+        a = cand_sh.alias("a")
+        b = cand_sh.alias("b")
         cand = (
             a.join(b, "shingle")
-            .filter(
-                (F.col("a.id") < F.col("b.id"))
-                & (F.lit(threshold) * size_b <= size_a)
-                & (F.lit(threshold) * size_a <= size_b)
-                & (ubound >= alpha)
-            )
+            .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
@@ -369,6 +431,7 @@ def ngram_jaccard_pairs(
             F.col("jaccard") >= threshold
         )
 
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

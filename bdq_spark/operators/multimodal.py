@@ -9,11 +9,14 @@ The Spark-side plumbing here is real and tested: schemas, partitioning,
 UDF signatures, and batch shapes all work at scale.  Image DIMENSION
 decode is also real: :func:`parse_image_header` reads PNG/JPEG/GIF/BMP/
 WebP headers in pure Python (PIL, when installed, takes precedence for
-full-decode fidelity).  Pixel-level work (feature extraction, frame
-sampling) still stubs the codec call — the vision/video libraries (PIL,
-torchaudio, ffmpeg) are not in this container — behind clearly-marked
-deterministic fakes, so the distributed pipeline is exercisable end to
-end; swap the stub for the real codec and nothing else changes.
+full-decode fidelity).  Audio STREAM-PARAMETER decode is real too:
+:func:`parse_audio_header` reads WAV/FLAC/MP3 headers (sample rate,
+channels, bit depth, duration) in pure Python.  Pixel/sample-level work
+(feature extraction, frame sampling) still stubs the codec call — the
+vision/video libraries (PIL, torchaudio, ffmpeg) are not in this
+container — behind clearly-marked deterministic fakes, so the
+distributed pipeline is exercisable end to end; swap the stub for the
+real codec and nothing else changes.
 
 Scale notes:
 
@@ -41,8 +44,10 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
+    "decode_audio",
     "decode_images",
     "extract_image_features",
+    "parse_audio_header",
     "parse_image_header",
     "sample_video_frames",
 ]
@@ -86,12 +91,23 @@ def parse_image_header(payload: bytes) -> Optional[dict]:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return {"format": "gif", "width": w, "height": h, "channels": 3}
-    # BMP: BITMAPINFOHEADER at offset 14 (height may be negative=top-down)
+    # BMP: DIB header at offset 14 — its leading size field selects the
+    # layout.  BITMAPCOREHEADER (size 12) stores 16-bit dims; the
+    # BITMAPINFOHEADER family (size >= 40) stores 32-bit signed dims
+    # (height may be negative = top-down).  Other sizes: not a guess.
     if payload[:2] == b"BM":
         if n < 26:
             return None
-        w, h = struct.unpack("<ii", payload[18:26])
-        return {"format": "bmp", "width": abs(w), "height": abs(h), "channels": 3}
+        dib_size = struct.unpack("<I", payload[14:18])[0]
+        if dib_size == 12:
+            w, h = struct.unpack("<HH", payload[18:22])
+            return {"format": "bmp", "width": w, "height": h, "channels": 3}
+        if dib_size >= 40:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {
+                "format": "bmp", "width": abs(w), "height": abs(h), "channels": 3
+            }
+        return None
     # WebP: RIFF container, dims live in the first VP8/VP8L/VP8X chunk
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and n >= 25:
         chunk = payload[12:16]
@@ -148,6 +164,161 @@ def parse_image_header(payload: bytes) -> Optional[dict]:
             i += 2 + seg_len
         return None
     return None
+
+
+# MPEG audio frame header tables (ISO/IEC 11172-3 / 13818-3).  Bitrates
+# in kbit/s, indexed [version][layer][bitrate_index]; sample rates in Hz
+# indexed [version][samplerate_index].  version: 0=MPEG2.5, 2=MPEG2,
+# 3=MPEG1 (header bit values); layer: header bits (1=III, 2=II, 3=I).
+_MP3_BITRATES = {
+    (3, 1): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (3, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (3, 3): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (2, 1): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_BITRATES[(0, 1)] = _MP3_BITRATES[(2, 1)]
+_MP3_BITRATES[(0, 2)] = _MP3_BITRATES[(2, 2)]
+_MP3_BITRATES[(0, 3)] = _MP3_BITRATES[(2, 3)]
+_MP3_SAMPLE_RATES = {
+    3: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    0: [11025, 12000, 8000],
+}
+
+
+def parse_audio_header(payload: bytes) -> Optional[dict]:
+    """Parse (format, sample_rate, channels, bits_per_sample, duration_ms)
+    from real audio headers — pure Python over the leading bytes, the
+    audio sibling of :func:`parse_image_header`.
+
+    Supported: WAV (RIFF chunk walk to ``fmt ``/``data``), FLAC
+    (STREAMINFO metadata block), MP3 (first MPEG audio frame header,
+    optionally behind an ID3v2 tag; duration is the CBR estimate
+    ``payload_bits / bitrate`` — the honest answer without decoding
+    every frame).  Returns ``None`` for anything unrecognized or
+    truncated — never a guess.  ``duration_ms`` floors to whole
+    milliseconds; ``bits_per_sample`` is 0 where the container does not
+    declare one (MP3).
+    """
+    n = len(payload)
+    if n < 12:
+        return None
+    # WAV: RIFF container; walk chunks for fmt (rates) and data (length)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i = 12
+        fmt = None
+        data_size = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                channels, sample_rate = struct.unpack(
+                    "<HI", payload[i + 10 : i + 16]
+                )
+                byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+                bits = (
+                    struct.unpack("<H", payload[i + 22 : i + 24])[0]
+                    if i + 24 <= n
+                    else 0
+                )
+                fmt = (channels, sample_rate, byte_rate, bits)
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data_size is None:
+            return None
+        channels, sample_rate, byte_rate, bits = fmt
+        if sample_rate == 0 or byte_rate == 0:
+            return None
+        return {
+            "format": "wav",
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bits_per_sample": bits,
+            "duration_ms": data_size * 1000 // byte_rate,
+        }
+    # FLAC: fLaC magic, then STREAMINFO is the mandatory first block
+    if payload[:4] == b"fLaC":
+        if n < 26 or (payload[4] & 0x7F) != 0:  # block type 0 = STREAMINFO
+            return None
+        v = int.from_bytes(payload[18:26], "big")
+        sample_rate = v >> 44
+        channels = ((v >> 41) & 0x7) + 1
+        bits = ((v >> 36) & 0x1F) + 1
+        total_samples = v & ((1 << 36) - 1)
+        if sample_rate == 0:
+            return None
+        return {
+            "format": "flac",
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bits_per_sample": bits,
+            "duration_ms": total_samples * 1000 // sample_rate,
+        }
+    # MP3: optional ID3v2 tag (syncsafe size), then an MPEG frame header
+    i = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        ss = payload[6:10]
+        if any(b & 0x80 for b in ss):
+            return None  # malformed syncsafe size
+        i = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    if i + 4 <= n and payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+        h1, h2, h3 = payload[i + 1], payload[i + 2], payload[i + 3]
+        version = (h1 >> 3) & 0x3
+        layer = (h1 >> 1) & 0x3
+        bitrate_idx = (h2 >> 4) & 0xF
+        rate_idx = (h2 >> 2) & 0x3
+        if version == 1 or layer == 0 or bitrate_idx in (0, 15) or rate_idx == 3:
+            return None  # reserved / free-format: can't size honestly
+        bitrate = _MP3_BITRATES[(version, layer)][bitrate_idx] * 1000
+        sample_rate = _MP3_SAMPLE_RATES[version][rate_idx]
+        channels = 1 if ((h3 >> 6) & 0x3) == 3 else 2
+        return {
+            "format": "mp3",
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bits_per_sample": 0,
+            "duration_ms": (n - i) * 8 * 1000 // bitrate,
+        }
+    return None
+
+
+_AUDIO_SCHEMA = (
+    "media_id long, format string, sample_rate int, channels int, "
+    "bits_per_sample int, duration_ms bigint, decode_ok boolean"
+)
+
+
+def decode_audio(df: DataFrame, content_column: str = "content") -> DataFrame:
+    """Decode audio stream parameters via Arrow-batched ``mapInPandas`` —
+    the audio sibling of :func:`decode_images`; same partitioning and
+    batch-shape contract.  Output drops the payload so downstream stages
+    shuffle only metadata.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_audio_header(bytes(b) if b is not None else b"")
+                for b in pdf[content_column]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [p["format"] if p else None for p in parsed],
+                    "sample_rate": [p["sample_rate"] if p else 0 for p in parsed],
+                    "channels": [p["channels"] if p else 0 for p in parsed],
+                    "bits_per_sample": [
+                        p["bits_per_sample"] if p else 0 for p in parsed
+                    ],
+                    "duration_ms": [p["duration_ms"] if p else 0 for p in parsed],
+                    "decode_ok": [p is not None for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(decode, schema=_AUDIO_SCHEMA)
 
 
 def _decode_image_bytes(payload: bytes) -> dict:

@@ -170,8 +170,18 @@ class CatalogPersistedStateStore(PersistedStateStoreBase):
             # is left in place as the recovery copy, which
             # `_ensure_table` restores from on the next startup.
             migrated = current.select(*projection)
+            # a stale staging table (an older migration that crashed
+            # between its staging write and the main-table overwrite,
+            # possibly with a DIFFERENT schema) would make the overwrite
+            # below raise a schema mismatch on schema-enforcing catalogs.
+            # Safe to drop here: the main table exists in this branch, so
+            # staging is never the only copy.  Belt-and-braces: the write
+            # also passes overwriteSchema for catalogs that honor it.
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
             try:
-                migrated.write.mode("overwrite").saveAsTable(staging)
+                migrated.write.mode("overwrite").option(
+                    "overwriteSchema", "true"
+                ).saveAsTable(staging)
             except Exception as e:
                 if not self._v1_unsupported(e):
                     raise

@@ -149,9 +149,17 @@ def test_parse_image_header_golden_bytes():
     # JPEG with a DHT (C4: must NOT be mistaken for SOF) before SOF0
     dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
     assert p(_jpeg_bytes(10, 20, prefix_segments=dht))["width"] == 10
-    # BMP: negative height means top-down; parser reports magnitude
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600)
+    # BMP BITMAPINFOHEADER (DIB size 40): negative height means
+    # top-down; parser reports magnitude
+    bmp = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+           + struct.pack("<ii", 800, -600))
     assert p(bmp) == {"format": "bmp", "width": 800, "height": 600, "channels": 3}
+    # BMP BITMAPCOREHEADER (DIB size 12): 16-bit unsigned dims at 18:22
+    core = (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+            + struct.pack("<HH", 320, 240) + b"\x00" * 4)
+    assert p(core) == {"format": "bmp", "width": 320, "height": 240, "channels": 3}
+    # BMP with an unknown DIB size must not be misparsed into garbage
+    assert p(b"BM" + b"\x00" * 12 + struct.pack("<I", 7) + b"\x00" * 8) is None
     # WebP lossless (VP8L): 14-bit minus-one dims + alpha bit
     bits = (99 - 1) | ((77 - 1) << 14) | (1 << 28)
     vp8l = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4
@@ -162,6 +170,88 @@ def test_parse_image_header_golden_bytes():
     assert p(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated IHDR
     assert p(b"plain text payload here") is None
     assert p(b"\xff\xd8\xff\xda\x00\x02") is None   # SOS before SOFn
+
+
+def _wav_bytes(sample_rate, channels, data_size, bits=16, data_bytes=b""):
+    byte_rate = sample_rate * channels * bits // 8
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                         channels * bits // 8, bits))
+    data = b"data" + struct.pack("<I", data_size) + data_bytes
+    body = fmt + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _flac_bytes(sample_rate, channels, bits, total_samples):
+    v = ((sample_rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36)
+         | total_samples)
+    streaminfo = b"\x00" * 10 + v.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + b"\x80" + struct.pack(">I", 34)[1:] + streaminfo
+
+
+def _mp3_bytes(bitrate_idx, rate_idx, mono, n_body, id3_size=None):
+    h2 = (bitrate_idx << 4) | (rate_idx << 2)
+    h3 = (3 << 6) if mono else 0
+    frame = bytes([0xFF, 0xFB, h2, h3]) + b"\x00" * n_body
+    if id3_size is None:
+        return frame
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+         (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+    ) + b"\x00" * id3_size
+    return tag + frame
+
+
+def test_parse_audio_header_golden_bytes():
+    from bdq_spark.operators.multimodal import parse_audio_header as p
+
+    # WAV: 44.1kHz stereo 16-bit, 1 s of data (176400 bytes)
+    assert p(_wav_bytes(44100, 2, 176400)) == {
+        "format": "wav", "sample_rate": 44100, "channels": 2,
+        "bits_per_sample": 16, "duration_ms": 1000}
+    # WAV with a LIST chunk before fmt (chunk walk, not fixed offsets)
+    listed = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+              + b"LIST" + struct.pack("<I", 4) + b"INFO"
+              + _wav_bytes(8000, 1, 4000)[12:])
+    assert p(listed)["duration_ms"] == 250  # 4000 B / (8000*1*2 B/s)
+    # FLAC STREAMINFO: packed 20-bit rate / 3-bit channels / 5-bit bps
+    assert p(_flac_bytes(48000, 2, 24, 96000)) == {
+        "format": "flac", "sample_rate": 48000, "channels": 2,
+        "bits_per_sample": 24, "duration_ms": 2000}
+    # MP3 MPEG1 Layer III: 128 kbps (idx 9), 44.1 kHz (idx 0), stereo;
+    # 16000 bytes total -> 16000*8/128000 s = 1000 ms
+    assert p(_mp3_bytes(9, 0, mono=False, n_body=15996)) == {
+        "format": "mp3", "sample_rate": 44100, "channels": 2,
+        "bits_per_sample": 0, "duration_ms": 1000}
+    # MP3 behind an ID3v2 tag: tag bytes excluded from the CBR estimate
+    tagged = _mp3_bytes(9, 0, mono=True, n_body=15996, id3_size=500)
+    got = p(tagged)
+    assert got["channels"] == 1 and got["duration_ms"] == 1000
+    # rejections: truncated / reserved / free-format / garbage
+    assert p(b"") is None
+    assert p(b"RIFF\x00\x00\x00\x00WAVE") is None        # no fmt/data chunks
+    assert p(_mp3_bytes(0, 0, False, 100)) is None        # free-format bitrate
+    assert p(_mp3_bytes(9, 3, False, 100)) is None        # reserved rate idx
+    assert p(b"plain text that is certainly not audio") is None
+
+
+def test_decode_audio_distributed(spark):
+    from bdq_spark.operators.multimodal import decode_audio
+
+    rows = [
+        (1, _wav_bytes(16000, 1, 32000)),   # 1000 ms mono
+        (2, _flac_bytes(44100, 2, 16, 44100)),
+        (3, b"\x99" * 500),                  # not audio
+        (4, None),                           # null payload
+    ]
+    df = spark.createDataFrame(rows, "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="audio", id_column="media_id")
+    got = {r.media_id: r for r in decode_audio(media).collect()}
+    assert got[1].format == "wav" and got[1].duration_ms == 1000
+    assert got[2].format == "flac" and got[2].sample_rate == 44100
+    assert not got[3].decode_ok and got[3].format is None
+    assert not got[4].decode_ok
+    assert set(got) == {1, 2, 3, 4}
 
 
 def test_extract_image_features_shape(media):

@@ -132,6 +132,72 @@ def test_shingles_and_jaccard_near_dup(spark, docs):
     assert not any(9 in p or 5 in p for p in pairset)
 
 
+def test_jaccard_boilerplate_shingle_cap(spark):
+    """A corpus-wide boilerplate line must not detonate the candidate
+    join: short boilerplate-dominated docs put the hot shingles inside
+    their prefixes (a short doc's prefix IS most of its shingle set), so
+    without the doc-freq cap the prefix join goes quadratic in the
+    cluster.  With the cap, candidates stay bounded and the qualifying
+    pair set is unchanged (scores are computed on the FULL shingle set,
+    and sub-threshold boilerplate pairs were never results)."""
+    from bdq_spark.operators.dedup import _prefix_candidates
+
+    boiler = (
+        "this software is provided as is without warranty of any kind "
+        "express or implied"
+    )
+    # 120 short docs = boilerplate + one unique word: pairwise J ~ 0.75
+    # (similar but below threshold), every boiler trigram has df=120
+    rows = [(i, f"{boiler} unique{i} extra{i}") for i in range(120)]
+    plant = (
+        "resilient distributed datasets underpin the execution model where "
+        "stages exchange shuffle files between executors and the scheduler "
+        "assigns tasks by data locality preferences across the cluster "
+        "while the optimizer rewrites logical plans into physical ones "
+        "choosing join strategies partition counts and exchange placement "
+        "based on statistics collected from previous stages of the job"
+    )
+    rows += [(300, plant), (301, plant.replace("scheduler", "coordinator"))]
+    df = spark.createDataFrame(rows, "doc_id:long, text:string")
+
+    # capped and default-capped runs both find exactly the planted pair
+    for cap in (20, "auto"):
+        got = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                df, threshold=0.8, max_shingle_doc_freq=cap
+            ).collect()
+        }
+        assert got == {(300, 301)}
+
+    # candidate-count bound, above-threshold cluster: with only ONE
+    # unique word per doc the cluster's pairwise J is 0.857 >= 0.8, so
+    # the uncapped join emits the full quadratic pair set (the 10^12
+    # shape at corpus scale) while the cap keeps candidates bounded —
+    # the same capped-recall contract as the MinHash bucket cap
+    hot = spark.createDataFrame(
+        [(i, f"{boiler} unique{i}") for i in range(120)]
+        + [(300, plant), (301, plant.replace("scheduler", "coordinator"))],
+        "doc_id:long, text:string",
+    )
+    sh = shingle(hot, "text", "doc_id", 3).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
+    capped_n = _prefix_candidates(sh, 0.8, max_shingle_doc_freq=20).count()
+    uncapped_n = _prefix_candidates(sh, 0.8, max_shingle_doc_freq=None).count()
+    assert capped_n <= 10
+    assert uncapped_n >= 120 * 119 // 2
+    # the planted pair still surfaces under the cap (found via its own
+    # rare shingles), cluster pairs are skipped whole
+    capped_pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            hot, threshold=0.8, max_shingle_doc_freq=20
+        ).collect()
+    }
+    assert capped_pairs == {(300, 301)}
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     cands = minhash_lsh_candidates(docs, n=3, num_hashes=64, bands=16)
     got = {(r.id_a, r.id_b): r.est_jaccard for r in cands.collect()}
