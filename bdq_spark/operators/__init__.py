@@ -40,6 +40,7 @@ from bdq_spark.operators.splits import (
     hash_bucket_column,
     hash_split,
     hash_split_column,
+    weighted_mixture,
 )
 
 __all__ = [
@@ -62,6 +63,7 @@ __all__ = [
     "hash_split",
     "deterministic_sample",
     "deterministic_sample_by",
+    "weighted_mixture",
     "pack_documents",
     "chunk_documents",
     "token_vocabulary",

@@ -54,6 +54,8 @@ def prepare_corpus(
     split_salt: str = "",
     pipeline_name: str = "corpus_prepare",
     persist_intermediate: bool = True,
+    near_dup_threshold: Optional[float] = None,
+    near_dup_n: int = 3,
 ) -> DataFrame:
     """End-to-end training-corpus preparation, orchestrated as a
     :class:`~bdq_spark.plans.SparkPipeline` dependency graph:
@@ -65,6 +67,13 @@ def prepare_corpus(
        engines);
     2. **exact dedup** — one keeper (min id) per distinct normalized
        content, via the md5-fingerprint hash-agg + left-semi join;
+    2b. **near-dup dedup** (optional, ``near_dup_threshold`` set) —
+       ``near_dup_n``-gram Jaccard pairs at the threshold
+       (prefix-filtered inverted-index join), promoted to clusters by
+       min-label connected components; one min-id keeper survives per
+       cluster.  Runs AFTER exact dedup on purpose: identical copies
+       are already collapsed, so the pair join never sees the
+       intrinsically-quadratic identical-cluster shape;
     3. **decontamination** — hash-split ``1 - eval_fraction`` /
        ``eval_fraction`` into train/eval on the engine-portable md5 key,
        then drop train documents whose distinct-``contamination_n``-gram
@@ -102,6 +111,7 @@ def prepare_corpus(
     spark = df.sparkSession
     v_quality = f"{pipeline_name}_quality"
     v_deduped = f"{pipeline_name}_deduped"
+    v_neardup = f"{pipeline_name}_neardup"
     v_clean = f"{pipeline_name}_clean"
     v_chunks = f"{pipeline_name}_chunks"
 
@@ -129,9 +139,33 @@ def prepare_corpus(
             deduped.count()
         return deduped
 
-    @ppn.step_spark_temp_view(depends_on=[exact_dedup], outputs=[v_clean])
+    decon_upstream, decon_source = exact_dedup, v_deduped
+    if near_dup_threshold is not None:
+
+        @ppn.step_spark_temp_view(depends_on=[exact_dedup], outputs=[v_neardup])
+        def near_dedup(step):
+            from bdq_spark.operators import (
+                apply_dedup_clusters,
+                connected_components,
+            )
+            from bdq_spark.operators.dedup import ngram_jaccard_pairs
+
+            docs = spark.table(v_deduped)
+            pairs = ngram_jaccard_pairs(
+                docs,
+                text_column=text_column,
+                id_column=id_column,
+                n=near_dup_n,
+                threshold=near_dup_threshold,
+            )
+            clusters = connected_components(pairs)
+            return apply_dedup_clusters(docs, clusters, id_column=id_column)
+
+        decon_upstream, decon_source = near_dedup, v_neardup
+
+    @ppn.step_spark_temp_view(depends_on=[decon_upstream], outputs=[v_clean])
     def decontaminate(step):
-        docs = spark.table(v_deduped)
+        docs = spark.table(decon_source)
         split = hash_split(
             docs,
             {"train": 1.0 - eval_fraction, "test": eval_fraction},

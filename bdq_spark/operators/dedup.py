@@ -467,11 +467,12 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     shingles: Optional[DataFrame] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature: (id, sig array<bigint>[num_hashes]).
 
-    ``hash_i(shingle) = xxhash64(shingle, i)``; the signature is the
-    element-wise min over the document's shingles — computed as one
+    ``hash_i(shingle) = affine_i(base_hash(shingle))``; the signature is
+    the element-wise min over the document's shingles — computed as one
     explode + one groupBy with ``num_hashes`` partial-min aggregates
     (single shuffle, map-side combined).
 
@@ -479,6 +480,12 @@ def minhash_signatures(
     :func:`shingle` result) skips re-shingling when the caller already
     has one — :func:`minhash_lsh_candidates` shares its verify-stage
     shingle set this way.
+
+    ``hash_fn`` selects the base string hash: ``"xxhash64"`` (default —
+    the fast JVM-codegen production path) or ``"md5"`` (first 60 bits of
+    the md5 hex digest — ~2x slower but reproducible in any engine with
+    an md5 function, which is what lets a DuckDB oracle value-check the
+    whole signature/banding pipeline).  Same LSH guarantees either way.
     """
     # textbook affine family: h_i(x) = (a_i * h(x) + b_i) mod p over ONE
     # base string hash — 64 long multiply-adds per shingle instead of 64
@@ -490,7 +497,16 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     sh = shingles if shingles is not None else shingle(df, text_column, id_column, n)
-    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
+    if hash_fn == "md5":
+        base = F.pmod(
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(p),
+        )
+    elif hash_fn == "xxhash64":
+        base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5': {hash_fn!r}")
     hashed = sh.select(
         "id",
         *[
@@ -671,6 +687,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     verify_threshold: Optional[float] = None,
     max_bucket_size: Optional[int] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash LSH banding.
 
@@ -703,7 +720,7 @@ def minhash_lsh_candidates(
     if verify_threshold is not None:
         sh = shingle(df, text_column, id_column, n).cache()
     sig = minhash_signatures(
-        df, text_column, id_column, n, num_hashes, shingles=sh
+        df, text_column, id_column, n, num_hashes, shingles=sh, hash_fn=hash_fn
     ).cache()
 
     banded = _band_keys(sig, bands, rows_per_band)
@@ -753,14 +770,30 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, text_column: str = "text", id_column: str = "doc_id"
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: (id, simhash bigint).
 
     Token hashes vote per bit position (+1 if set, -1 if clear); the
     fingerprint sets each bit where the vote is positive.  Implemented
     with explode + 64 conditional-sum aggregates — one shuffle, no UDF.
+
+    ``hash_fn``: ``"xxhash64"`` (default, full 64 voting bits) or
+    ``"md5"`` (first 60 bits of the md5 hex digest — engine-portable so
+    a DuckDB oracle can value-check the fingerprints; the top 4 bits
+    then always vote clear, leaving a 60-bit effective fingerprint).
     """
+    if hash_fn == "md5":
+        token_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast(
+            "long"
+        )
+    elif hash_fn == "xxhash64":
+        token_hash = F.xxhash64("tok")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5': {hash_fn!r}")
     # repartition by id before tokenize for the same file-split
     # parallelism reason as :func:`shingle`; the groupBy then needs no
     # further exchange
@@ -770,7 +803,7 @@ def simhash(
             F.col(id_column).alias("id"),
             F.explode(word_tokens(F.col(text_column))).alias("tok"),
         )
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", token_hash)
     )
     votes = toks.groupBy("id").agg(
         *[
@@ -798,6 +831,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     num_blocks: Optional[int] = None,
     max_bucket_size: Optional[int] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs with SimHash Hamming distance <= ``max_hamming``.
 
@@ -848,7 +882,7 @@ def simhash_pairs(
             F.lit(mask)
         )
 
-    sig = simhash(df, text_column, id_column).cache()
+    sig = simhash(df, text_column, id_column, hash_fn=hash_fn).cache()
     combos = list(combinations(range(b), t))
     keys = sig.select(
         "id",

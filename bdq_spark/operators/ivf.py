@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bdq_spark.operators.similarity import cosine_similarity
+from bdq_spark.operators.similarity import dot_product, l2_norm
 
 __all__ = [
     "train_ivf_centroids",
@@ -184,15 +184,21 @@ def knn_ivf(
     cells = assign_ivf_cells(corpus, centroids, corpus_vec, corpus_id, n_probe=1)
     probes = assign_ivf_cells(queries, centroids, query_vec, query_id, n_probe=n_probe)
 
+    # norms once per ROW below the join (same rationale as
+    # knn_bruteforce): per candidate pair only the dot remains
+    cells = cells.withColumn("__n", l2_norm(F.col("vec")))
+    probes = probes.withColumn("__n", l2_norm(F.col("vec")))
+    denom = F.col("q.__n") * F.col("c.__n")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_product(F.col("q.vec"), F.col("c.vec")) / denom
+    )
     scored = (
         cells.alias("c")
         .join(F.broadcast(probes.alias("q")), F.col("c.cluster") == F.col("q.cluster"))
         .select(
             F.col("q.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
-            F.round(
-                cosine_similarity(F.col("q.vec"), F.col("c.vec")), 6
-            ).alias("cosine"),
+            F.round(cos, 6).alias("cosine"),
         )
         .distinct()  # a pair can collide in several probed cells
     )

@@ -84,19 +84,36 @@ def knn_bruteforce(
     Broadcasts the query set and streams the corpus once; ranking is a
     per-query window with a deterministic (cosine DESC, corpus id ASC)
     tiebreak.  Output: ``query_id, neighbor_id, rank, cosine``.
+
+    L2 norms are computed per ROW below the join (the join is a
+    projection-collapse barrier), so per-PAIR work is a single dot
+    product — without this, every (query, corpus) pair re-evaluates
+    both norm aggregates, and any expression-defined vector column
+    (e.g. a :func:`dequantize_embedding` of stored int8) would be
+    re-evaluated 3-4x per pair instead of once per corpus row.  Same
+    arithmetic order as :func:`cosine_similarity`, so results are
+    bit-identical.
     """
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        l2_norm(F.col(query_vec)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        l2_norm(F.col(corpus_vec)).alias("__cn"),
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_product(F.col("qv"), F.col("cv")) / denom
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(cos, 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -279,6 +296,11 @@ def knn_lsh(
         queries, query_vec, query_id, num_planes, n_probe, dim
     )
 
+    # norms once per ROW below the join (same rationale as
+    # knn_bruteforce): per candidate pair only the dot remains
+    cb = cb.withColumn("__n", l2_norm(F.col("vec")))
+    qb = qb.withColumn("__n", l2_norm(F.col("vec")))
+
     # a corpus vector can match the same query through several probes;
     # dedup the candidate pair before the (expensive) cosine
     candidates = (
@@ -289,14 +311,20 @@ def knn_lsh(
             F.col("c.id").alias("neighbor_id"),
             F.col("q.vec").alias("qv"),
             F.col("c.vec").alias("cv"),
+            F.col("q.__n").alias("__qn"),
+            F.col("c.__n").alias("__cn"),
         )
     )
     if n_probe > 1:
         candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
+    denom = F.col("__qn") * F.col("__cn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_product(F.col("qv"), F.col("cv")) / denom
+    )
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(cos, 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

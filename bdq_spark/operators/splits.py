@@ -30,6 +30,7 @@ __all__ = [
     "hash_split",
     "deterministic_sample",
     "deterministic_sample_by",
+    "weighted_mixture",
 ]
 
 #: bucket-space resolution; fractions are honored to 1e-6
@@ -148,3 +149,60 @@ def deterministic_sample_by(
             F.lit(int(round(frac * N_BUCKETS))),
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def weighted_mixture(
+    df: DataFrame,
+    stratum_column: str,
+    weights: Dict[str, float],
+    key_columns: List[str],
+    default_weight: float = 1.0,
+    salt: str = "",
+    copy_column: str = "copy_idx",
+) -> DataFrame:
+    """Data-recipe mixture sampling: each stratum's rows are emitted with
+    expected multiplicity = its weight — fractional weights DOWN-sample
+    (like :func:`deterministic_sample_by`), weights > 1 UP-sample by
+    repeating rows with a distinct ``copy_column`` index (0-based), so a
+    training-order shuffle downstream spreads the copies instead of
+    clustering them.  This is the domain/language re-weighting step of
+    an LLM data recipe ("web x0.5, wiki x3") expressed as one
+    deterministic pass.
+
+    A row of weight ``w`` yields ``floor(w)`` copies plus one more iff
+    its md5 bucket falls under ``frac(w)`` — key-stable, so re-running,
+    re-partitioning, or changing OTHER strata's weights never changes
+    which rows carry the fractional extra copy.  Pure expressions + one
+    ``explode`` of a ``sequence`` literal-bounded by ``ceil(max weight)``
+    — no shuffle, no RNG, linear output; engine-portable (same md5
+    arithmetic as :func:`hash_split`, DuckDB oracle-checked).
+    """
+    for w in list(weights.values()) + [default_weight]:
+        if w < 0:
+            raise ValueError("weights must be >= 0")
+    if stratum_column not in df.columns:
+        raise ValueError(f"column {stratum_column!r} not in DataFrame")
+
+    def parts(w: float):
+        base = int(w)
+        return base, int(round((w - base) * N_BUCKETS))
+
+    bucket = hash_bucket_column(key_columns, salt=salt)
+    d_base, d_thresh = parts(default_weight)
+    base_expr = F.lit(d_base)
+    thresh_expr = F.lit(d_thresh)
+    for value, w in weights.items():
+        v_base, v_thresh = parts(w)
+        cond = F.col(stratum_column).eqNullSafe(F.lit(value))
+        base_expr = F.when(cond, F.lit(v_base)).otherwise(base_expr)
+        thresh_expr = F.when(cond, F.lit(v_thresh)).otherwise(thresh_expr)
+    copies = base_expr + F.when(bucket < thresh_expr, 1).otherwise(0)
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            copy_column,
+            F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)),
+        )
+        .drop("__copies")
+    )

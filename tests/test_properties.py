@@ -136,6 +136,45 @@ def test_jaccard_matches_python_reference(spark, docs):
 
 
 @given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=7,
+    ),
+    threshold=st.sampled_from([0.2, 0.35, 0.5, 0.65, 0.8, 0.95]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_lossless(spark, docs, threshold):
+    """Prefix + positional + length filtering must be LOSSLESS: the
+    filtered candidate pipeline returns exactly the exhaustive
+    inverted-index result for arbitrary corpora and thresholds.  A tiny
+    shared vocabulary maximizes shingle overlap, stressing the epsilon
+    bounds in the prefix-length and PPJoin-alpha arithmetic (the
+    hand-reasoned 1e-9 terms this test pins down)."""
+    from bdq_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id:long, text:string",
+    )
+    kw = dict(n=2, threshold=threshold, max_shingle_doc_freq=None)
+    filtered = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, prefix_filter=True, **kw).collect()
+    }
+    exhaustive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, prefix_filter=False, **kw).collect()
+    }
+    assert filtered == exhaustive
+
+
+@given(
     rows=st.lists(
         st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(-5, 5)),
         min_size=1,

@@ -127,3 +127,60 @@ def test_stratified_sample_fractions_and_stability(spark):
         deterministic_sample_by(df, "lang", {"en": 1.2}, ["k"])
     with pytest.raises(ValueError, match="not in DataFrame"):
         deterministic_sample_by(df, "nope", {"en": 0.5}, ["k"])
+
+
+def test_weighted_mixture_recipe(spark):
+    from bdq_spark.operators import deterministic_sample_by, weighted_mixture
+
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 < 8, "en")
+        .when(F.col("id") % 10 < 9, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = weighted_mixture(
+        df, "lang", {"en": 0.5, "de": 2.5, "fr": 3.0}, ["k"],
+        default_weight=1.0, salt="mix",
+    )
+    counts = {
+        r.lang: r.cnt
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert abs(counts["en"] / 24_000 - 0.5) < 0.02    # halved, one copy each
+    assert abs(counts["de"] / 3_000 - 2.5) < 0.05     # 2 copies + half a 3rd
+    assert counts["fr"] == 3_000 * 3                  # exact integer tripling
+
+    # copy indices are dense 0..copies-1 per key
+    per_key = {}
+    for r in out.filter(F.col("lang") == "de").collect():
+        per_key.setdefault(r.k, []).append(r.copy_idx)
+    assert all(sorted(v) == list(range(len(v))) for v in per_key.values())
+    assert {len(v) for v in per_key.values()} == {2, 3}
+
+    # fractional-copy assignment is key-stable across partitionings
+    a = {(r.k, r.copy_idx) for r in out.collect()}
+    b = {
+        (r.k, r.copy_idx)
+        for r in weighted_mixture(
+            df.repartition(13), "lang", {"en": 0.5, "de": 2.5, "fr": 3.0},
+            ["k"], default_weight=1.0, salt="mix",
+        ).collect()
+    }
+    assert a == b
+
+    # w < 1 selects the SAME keys as the equal-fraction downsampler
+    en_kept = {r.k for r in out.filter(F.col("lang") == "en").collect()}
+    ds = {
+        r.k
+        for r in deterministic_sample_by(
+            df.filter(F.col("lang") == "en"), "lang", {"en": 0.5}, ["k"],
+            salt="mix",
+        ).collect()
+    }
+    assert en_kept == ds
+
+    with pytest.raises(ValueError, match=">= 0"):
+        weighted_mixture(df, "lang", {"en": -1.0}, ["k"])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        weighted_mixture(df, "nope", {"en": 1.0}, ["k"])

@@ -39,6 +39,7 @@ FULL_SCAN_OK = {
     "compare_orders_diff",      # diff compares every column by contract
     "latest_events_conflict",   # distinct over all selected columns
     "multimodal_decode",        # payload is the data
+    "multimodal_audio_decode",  # payload is the data
     "fk_broken_sampled",        # sample_records carries full fact rows by contract
 }
 # queries where an unconditioned join is the intended plan: brute-force
