@@ -1474,6 +1474,56 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_windowed_counts",
+    """
+    SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming path (not batch-mode windows): a
+    ``readStream`` file source -> watermark -> event-time tumbling
+    window aggregation -> memory sink, driven to completion with an
+    availableNow trigger.  Complete output mode makes the result
+    deterministic (every window emitted once all data is processed), so
+    the streaming engine's answer is value-hash-checked against the
+    plain batch GROUP BY oracle — the streaming/batch unification
+    guarantee, verified."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    # FileStreamSource needs a directory; stage the normalized table so
+    # the stream reads plain micros timestamps (see load_table notes)
+    src = tempfile.mkdtemp(prefix="entry_swc_src_")
+    ev.write.mode("overwrite").parquet(src)
+    sink = f"swc_{uuid.uuid4().hex[:12]}"
+
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # O9 — minimal composite-PK search (DAG-executed, superset-pruned)
 # ---------------------------------------------------------------------------
@@ -2083,6 +2133,38 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count("text", "email").alias("n_email"),
         pii_count("text", "ipv4").alias("n_ipv4"),
     )
+
+
+@_register(
+    "doc_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.token FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents) t, UNNEST(t.w) AS u(token)),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab),
+    lp AS (
+      SELECT token,
+             CAST(round(ln((cnt + 1.0) / (total + v)), 9) AS DECIMAL(14,9))
+               AS logp
+      FROM vocab, tot)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(lp.logp) AS DOUBLE) / count(*), 6) AS lm_score
+    FROM toks t JOIN lp USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: mean add-one-smoothed unigram
+    log-probability per document, with decimal-summed per-token ln so
+    the score is partial-agg-order independent (value-hash stable)."""
+    from bdq_spark.operators.text_analysis import unigram_logprob_score
+
+    return unigram_logprob_score(load_table(spark, sf_dir, "documents"))
 
 
 @_register(
@@ -2915,6 +2997,8 @@ _DRIVER_PRIORITY = [
     "simhash_md5_pairs",
     "corpus_prepare_neardup",
     "doc_mixture_upsample",
+    "streaming_windowed_counts",
+    "doc_lm_score",
     # code changed this round — keep inside the checked window
     "near_dup_jaccard",
     "near_dup_clusters",

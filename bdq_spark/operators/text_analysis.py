@@ -14,7 +14,66 @@ from pyspark.sql import functions as F
 
 from bdq_spark.functions import text as TXT
 
-__all__ = ["profile_documents", "detect_language", "filter_by_quality", "repetition_stats"]
+__all__ = [
+    "profile_documents",
+    "detect_language",
+    "filter_by_quality",
+    "repetition_stats",
+    "unigram_logprob_score",
+]
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    add-one-smoothed unigram LM — the cheap LM-quality proxy (the CCNet
+    recipe scores with a KenLM 5-gram; the unigram variant is the same
+    shape with corpus-derivable statistics): repetitive/templated text
+    scores HIGH (common tokens), lorem-ipsum-like noise scores LOW.
+    Output: ``(id_column, n_tokens, lm_score)``; empty docs emit no row.
+
+    Determinism across engines (the value-hash contract): per-token
+    ``ln`` results are rounded to 9 decimals and summed as exact
+    DECIMALs (double addition is order-sensitive under partial
+    aggregation; decimal addition is not), then the exact sum divides
+    by the token count in double and rounds to 6.
+
+    Scale shape: one token-count aggregate (partial-combined), the
+    2-column scalar totals broadcast back, one shuffle join of the
+    occurrence relation against the vocabulary (both keyed by token),
+    one per-doc aggregate.  Nothing driver-side; vocabulary size is the
+    only wide state and it lives distributed.
+    """
+    toks = df.select(
+        F.col(id_column).alias("id"),
+        F.explode(TXT.word_tokens(F.col(text_column))).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__v")
+    )
+    logp = (
+        F.round(
+            F.log((F.col("cnt") + F.lit(1.0)) / (F.col("__total") + F.col("__v"))),
+            9,
+        )
+        .cast("decimal(14,9)")
+        .alias("logp")
+    )
+    lp = vocab.crossJoin(F.broadcast(totals)).select("token", logp)
+    return (
+        toks.join(lp, "token")
+        .groupBy(F.col("id").alias(id_column))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("lm_score"),
+        )
+    )
 
 
 def profile_documents(df: DataFrame, text_column: str = "text") -> DataFrame:

@@ -653,3 +653,25 @@ def test_redact_pii_golden(spark):
 
     with pytest.raises(ValueError, match="unknown PII kind"):
         df.select(redact_pii("text", kinds=("ssn",)))
+
+
+def test_unigram_logprob_score(spark):
+    from bdq_spark.operators.text_analysis import unigram_logprob_score
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common) for i in range(20)]          # common-token docs
+    rows.append((100, "zxqv wpfk jjqx mmvz kkrr"))   # rare-token noise doc
+    rows.append((101, ""))                           # empty: no row
+    df = spark.createDataFrame(rows, "doc_id:long, text:string")
+    got = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+
+    # empty doc emits nothing; everyone else scores
+    assert 101 not in got and set(got) == set(range(20)) | {100}
+    # docs made of corpus-common tokens outscore the rare-token doc
+    assert all(got[i].lm_score > got[100].lm_score for i in range(20))
+    # identical docs get identical scores; token counts are exact
+    assert len({got[i].lm_score for i in range(20)}) == 1
+    assert got[0].n_tokens == 12 and got[100].n_tokens == 5
+
+    # score is a mean log-prob: strictly negative, sane magnitude
+    assert -25 < got[100].lm_score < got[0].lm_score < 0

@@ -55,6 +55,9 @@ CARTESIAN_OK = {
     # probe shingle (contamination.py: join(F.broadcast(n_train))) — a
     # single broadcast row, constant-size at any corpus scale
     "doc_contamination_weighted",
+    # same shape: the 1-row (total, V) scalar aggregate broadcast onto
+    # the vocabulary before the smoothed log-prob projection
+    "doc_lm_score",
 }
 
 
