@@ -159,7 +159,16 @@ def prepare_corpus(
                 threshold=near_dup_threshold,
             )
             clusters = connected_components(pairs)
-            return apply_dedup_clusters(docs, clusters, id_column=id_column)
+            survivors = apply_dedup_clusters(docs, clusters, id_column=id_column)
+            if persist_intermediate:
+                # same fan-out rule as exact_dedup: the decontamination
+                # step references this view several times (train/eval
+                # split, shingle probe, anti-join), and a bare temp view
+                # would re-run the ENTIRE jaccard + connected-components
+                # pipeline per reference
+                survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+                survivors.count()
+            return survivors
 
         decon_upstream, decon_source = near_dedup, v_neardup
 

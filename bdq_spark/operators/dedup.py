@@ -715,13 +715,20 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
 
     # with verify on, the shingle set is needed twice (signatures + exact
-    # re-score) — compute it once and share the cached copy
+    # re-score) — compute it once and share the cached copy.  Caches are
+    # populated EAGERLY (count actions): the downstream plan references
+    # sh up to 4x and sig 3x, and a lazily-cached frame whose references
+    # sit in PARALLEL stages of one job gets recomputed per stage before
+    # any copy lands in the cache — measured 2-4x wall-time swings on
+    # the full query vs a stable ~7 s with eager materialization.
     sh = None
     if verify_threshold is not None:
         sh = shingle(df, text_column, id_column, n).cache()
+        sh.count()
     sig = minhash_signatures(
         df, text_column, id_column, n, num_hashes, shingles=sh, hash_fn=hash_fn
     ).cache()
+    sig.count()
 
     banded = _band_keys(sig, bands, rows_per_band)
 
@@ -756,7 +763,11 @@ def minhash_lsh_candidates(
 
     if verify_threshold is not None:
         # exact-verify ONLY the LSH survivors — |candidates| × doc-size
-        # work, instead of re-scoring the whole corpus pair space
+        # work, instead of re-scoring the whole corpus pair space.  The
+        # candidate relation is read twice below (verify input + join
+        # back); eager-cache it so the banded self-join runs once.
+        out = out.cache()
+        out.count()
         out = _jaccard_for_pairs(out.select("id_a", "id_b"), sh).join(
             out, ["id_a", "id_b"]
         ).select("id_a", "id_b", "est_jaccard", "jaccard").filter(

@@ -120,6 +120,14 @@ def main() -> None:
             # the accumulated memory/GC pressure of earlier ones, and take
             # the stop-the-world GC hit between queries rather than inside
             spark.catalog.clearCache()
+            # clearCache covers the SQL cache but NOT localCheckpoint
+            # blocks (dedup's prefix index, connected components' round
+            # checkpoints) — those sit in the block manager until the
+            # async ContextCleaner notices, and 75 queries x 3 reps of
+            # accumulation made later reps 2-3x slower.  Unpersist them
+            # explicitly so every query starts from a clean block manager.
+            for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                jrdd.unpersist()
             spark.sparkContext._jvm.System.gc()
         reps_done = rep + 1
 
