@@ -403,7 +403,12 @@ def ngram_jaccard_pairs(
     sh = shingle(df, text_column, id_column, n).select(
         "id", F.xxhash64("shingle").alias("shingle")
     )
+    # eager: the plan references sh from parallel stages (index build,
+    # semi-join prune, intersection, sizes) — a lazily-populated cache
+    # gets the shingle subtree recomputed per stage before any copy
+    # lands (measured 27 s vs 6 s first-run at sf0.1)
     sh = sh.cache()
+    sh.count()
 
     if prefix_filter:
         cand = _prefix_candidates(sh, threshold, max_shingle_doc_freq)
