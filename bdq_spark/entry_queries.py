@@ -1173,6 +1173,42 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_dedup_clusters",
+    """
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+    SELECT id, min(r) AS cluster_id, id = min(r) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup DECISION: cosine >= 0.4 pairs
+    from the blocked-GEMM near-dup join, promoted to duplicate clusters
+    by connected components with a deterministic min-id keeper — the
+    embedding analogue of ``near_dup_clusters``, oracle-checked end to
+    end (exact pair join + recursive-CTE closure in DuckDB)."""
+    from bdq_spark.operators import connected_components
+    from bdq_spark.operators.dedup import embedding_cosine_pairs
+
+    pairs = embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
 @_register("knn_lsh_embeddings")  # rows-only: approximate by construction
 def knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bdq_spark.operators.similarity import knn_lsh
@@ -2999,6 +3035,7 @@ _DRIVER_PRIORITY = [
     "doc_mixture_upsample",
     "streaming_windowed_counts",
     "doc_lm_score",
+    "embedding_dedup_clusters",
     # code changed this round — keep inside the checked window
     "near_dup_jaccard",
     "near_dup_clusters",
