@@ -16,6 +16,7 @@ analytical query) end-to-end against the driver testdata.  Conventions:
 
 from __future__ import annotations
 
+import tempfile
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -876,6 +877,15 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTPUT CONTRACT (since round 4): runs with the default
+    ``max_shingle_doc_freq="auto"`` skew cap (1,000) — a shingle shared
+    by more documents stops generating candidates, so a pair whose
+    EVERY shared prefix shingle is corpus-boilerplate is not reported
+    (same capped-recall trade as ``minhash_lsh_near_dup``; scores of
+    reported pairs are exact).  The exhaustive oracle matches because
+    no driver-testdata shingle approaches the cap; a corpus with a
+    >1,000-doc above-threshold boilerplate cluster would diverge —
+    by design (such clusters belong to exact fingerprint dedup)."""
     from bdq_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -924,7 +934,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs promoted to duplicate CLUSTERS: min-label
     connected components over the Jaccard >= 0.8 pair graph, with a
     deterministic min-id keeper per cluster — the executable dedup
-    decision.  Oracle: recursive-CTE reachability closure in DuckDB."""
+    decision.  Oracle: recursive-CTE reachability closure in DuckDB.
+    Inherits ``near_dup_jaccard``'s capped-recall contract (default
+    boilerplate-shingle cap; see its docstring)."""
     from bdq_spark.operators import connected_components
     from bdq_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1529,15 +1541,11 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming engine's answer is value-hash-checked against the
     plain batch GROUP BY oracle — the streaming/batch unification
     guarantee, verified."""
-    import tempfile
-    import uuid
-
     ev = load_table(spark, sf_dir, "events")
-    # FileStreamSource needs a directory; stage the normalized table so
-    # the stream reads plain micros timestamps (see load_table notes)
-    src = tempfile.mkdtemp(prefix="entry_swc_src_")
-    ev.write.mode("overwrite").parquet(src)
-    sink = f"swc_{uuid.uuid4().hex[:12]}"
+    # staged once per (sf_dir, table), reused across invocations: the
+    # stream must read plain micros timestamps (see load_table notes)
+    src = _stage_table_dir(spark, sf_dir, "events")
+    sink = "swc_sink"
 
     sdf = spark.readStream.schema(ev.schema).parquet(src)
     agg = (
@@ -1553,11 +1561,16 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
+    # detach the (small) result from the memory-sink view, then drop the
+    # view — otherwise each invocation pins a complete-mode result table
+    # in driver memory for the session's lifetime
+    out = spark.table(sink).select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "event_type",
         "n_events",
-    )
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1777,18 +1790,36 @@ def pipeline_odd_even(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E8/E10 — streaming foreachBatch + state store round trip (rows-only)
 # ---------------------------------------------------------------------------
 
+def _stage_table_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Stage a testdata table into a parquet DIRECTORY (FileStreamSource
+    rejects single files) — once per (sf_dir, table) per machine, reused
+    by every later invocation instead of leaking a fresh full copy into
+    /tmp per bench rep."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"bdq_stage_{table}_{key}"
+    )
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, table).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    return path
+
+
 @_register("streaming_foreach_batch")  # rows-only: side-effecting micro-batches
 def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from bdq_spark.plans import SparkPipeline
 
-    # FileStreamSource needs a DIRECTORY; the testdata tables are single
-    # parquet files, so stage the input into a temp dir first
-    src = tempfile.mkdtemp(prefix="entry_feb_src_")
+    # stream checkpoint must be FRESH per invocation (an existing one
+    # would mark all files processed -> zero batches); the staged source
+    # is reused across invocations
+    src = _stage_table_dir(spark, sf_dir, "region")
     ckpt = tempfile.mkdtemp(prefix="entry_feb_ckpt_")
     region = load_table(spark, sf_dir, "region")
-    region.write.mode("overwrite").parquet(src)
     counts = []
 
     ppn = SparkPipeline("entry_feb", spark=spark)
@@ -1801,19 +1832,17 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     @ppn.step_spark_for_each_batch(
         input_table="feb_in",
         depends_on=[feb_in],
-        outputs="feb_out",
+        # sink-only batch function: results travel through `counts`, so
+        # declare no outputs (a declared output would be re-read in the
+        # MAIN session, where the cloned batch session's views are
+        # invisible — see step_spark_for_each_batch docstring)
+        outputs=[],
         trigger_availableNow=True,
     )
     def feb_out(df, batch_id, relative_batch_id, step):
         counts.append((batch_id, relative_batch_id, df.count()))
         df.limit(0).createOrReplaceTempView("__feb_sink")
 
-    # the batch function runs in a CLONED session, so views it creates are
-    # invisible to the main session's trailing output re-read; register
-    # the declared output here so the step completes cleanly (the real
-    # results travel through `counts`; a failed stream still raises out
-    # of ppn() before the re-read)
-    spark.createDataFrame([], region.schema).createOrReplaceTempView("feb_out")
     ppn(max_concurrent_steps=4)
     if not counts:
         raise RuntimeError("stream terminated without processing any batch")
@@ -2811,7 +2840,9 @@ WHERE d.doc_id NOT IN (SELECT id FROM non_keepers)
 def documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END near-dup dedup: Jaccard pairs -> connected components
     -> apply_dedup_clusters, returning the surviving document ids (one
-    keeper per duplicate cluster, untouched singletons pass through)."""
+    keeper per duplicate cluster, untouched singletons pass through).
+    Inherits ``near_dup_jaccard``'s capped-recall contract (default
+    boilerplate-shingle cap; see its docstring)."""
     from bdq_spark.operators import apply_dedup_clusters, connected_components
     from bdq_spark.operators.dedup import ngram_jaccard_pairs
 

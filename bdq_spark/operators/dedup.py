@@ -276,6 +276,16 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 DEFAULT_MAX_SHINGLE_DOC_FREQ = 1000
 
 
+def _md5_base_hash(col: Column) -> Column:
+    """First 60 bits of the md5 hex digest as a non-negative bigint —
+    the engine-portable base hash behind every ``hash_fn="md5"`` path.
+    The DuckDB oracles reproduce it as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``; this helper is the ONE
+    Spark-side copy of that contract (15 hex chars = 60 bits, always
+    positive, so ``conv``'s unsigned parse and the cast are exact)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _prefix_candidates(
     sh: DataFrame,
     threshold: float,
@@ -288,10 +298,17 @@ def _prefix_candidates(
     are assigned over the full ordering, so surviving positions stay
     valid) — candidates only, never the exact-scoring shingle set.
 
+    The pruning bounds are computed at ``threshold - 1e-6`` (strictly
+    looser): the final filter keeps ``round(jaccard, 6) >= threshold``,
+    which admits true J down to ``threshold - 5e-7``, so bounds derived
+    from the exact threshold could prune a pair the rounded filter (and
+    the SQL oracles, which round identically) would keep.
+
     The built index is lazily ``localCheckpoint``-ed: the self-join
     below reads it twice (a/b sides), and without the checkpoint each
     side would re-run the freq-join + row_number window from the source.
     """
+    threshold = max(threshold - 1e-6, 0.0)
     # global order = (document frequency asc, key): rare shingles
     # first makes the indexed prefix maximally selective
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
@@ -416,7 +433,6 @@ def ngram_jaccard_pairs(
             F.col("jaccard") >= threshold
         )
 
-    cand_sh = sh
     if max_shingle_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
         cand_sh = (
@@ -503,11 +519,7 @@ def minhash_signatures(
     ]
     sh = shingles if shingles is not None else shingle(df, text_column, id_column, n)
     if hash_fn == "md5":
-        base = F.pmod(
-            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(p),
-        )
+        base = F.pmod(_md5_base_hash(F.col("shingle")), F.lit(p))
     elif hash_fn == "xxhash64":
         base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
     else:
@@ -803,9 +815,7 @@ def simhash(
     then always vote clear, leaving a 60-bit effective fingerprint).
     """
     if hash_fn == "md5":
-        token_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast(
-            "long"
-        )
+        token_hash = _md5_base_hash(F.col("tok"))
     elif hash_fn == "xxhash64":
         token_hash = F.xxhash64("tok")
     else:

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bdq_spark.operators.similarity import dot_product, l2_norm
+from bdq_spark.operators.similarity import cosine_from_norms, l2_norm
 
 __all__ = [
     "train_ivf_centroids",
@@ -188,9 +188,8 @@ def knn_ivf(
     # knn_bruteforce): per candidate pair only the dot remains
     cells = cells.withColumn("__n", l2_norm(F.col("vec")))
     probes = probes.withColumn("__n", l2_norm(F.col("vec")))
-    denom = F.col("q.__n") * F.col("c.__n")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot_product(F.col("q.vec"), F.col("c.vec")) / denom
+    cos = cosine_from_norms(
+        F.col("q.vec"), F.col("c.vec"), F.col("q.__n"), F.col("c.__n")
     )
     scored = (
         cells.alias("c")

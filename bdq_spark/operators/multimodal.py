@@ -210,21 +210,22 @@ def parse_audio_header(payload: bytes) -> Optional[dict]:
         i = 12
         fmt = None
         data_size = None
-        while i + 8 <= n:
+        # first-wins, stop once both chunks are found: the data chunk's
+        # declared size may exceed the actual payload (we parse headers,
+        # not whole files), so walking past it would reinterpret body
+        # bytes as chunk headers and let a bogus later "data"/"fmt "
+        # match overwrite the real values
+        while i + 8 <= n and (fmt is None or data_size is None):
             cid = payload[i : i + 4]
             size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
-            if cid == b"fmt " and i + 24 <= n:
+            if cid == b"fmt " and fmt is None and i + 24 <= n:
                 channels, sample_rate = struct.unpack(
                     "<HI", payload[i + 10 : i + 16]
                 )
                 byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
-                bits = (
-                    struct.unpack("<H", payload[i + 22 : i + 24])[0]
-                    if i + 24 <= n
-                    else 0
-                )
+                bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
                 fmt = (channels, sample_rate, byte_rate, bits)
-            elif cid == b"data":
+            elif cid == b"data" and data_size is None:
                 data_size = size
             i += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or data_size is None:

@@ -29,6 +29,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "cosine_similarity",
+    "cosine_from_norms",
     "knn_bruteforce",
     "lsh_bucket_vectors",
     "lsh_probe_buckets",
@@ -70,6 +71,17 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
 
 
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """:func:`cosine_similarity` with the norms already computed — the
+    form every KNN join uses so per-ROW norms (materialized below the
+    join) leave only the dot product as per-PAIR work.  Keeps the exact
+    multiplication/guard order of :func:`cosine_similarity`, so results
+    are bit-identical — the single maintained copy of that contract.
+    """
+    denom = norm_a * norm_b
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,9 +118,8 @@ def knn_bruteforce(
         F.col(corpus_vec).alias("cv"),
         l2_norm(F.col(corpus_vec)).alias("__cn"),
     )
-    denom = F.col("__qn") * F.col("__cn")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot_product(F.col("qv"), F.col("cv")) / denom
+    cos = cosine_from_norms(
+        F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
@@ -317,9 +328,8 @@ def knn_lsh(
     )
     if n_probe > 1:
         candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
-    denom = F.col("__qn") * F.col("__cn")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot_product(F.col("qv"), F.col("cv")) / denom
+    cos = cosine_from_norms(
+        F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
     )
     scored = candidates.select(
         "query_id",

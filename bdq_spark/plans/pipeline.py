@@ -975,6 +975,14 @@ def step_spark_for_each_batch(
     relative_batch_id, step)`` — ``relative_batch_id`` counts from 0
     within this run while ``batch_id`` is the durable checkpointed id.
     Blocks until the streaming query terminates; re-raises its exception.
+
+    ``outputs`` names the tables/views the batch function maintains,
+    re-read and returned after the stream ends (the reference contract).
+    Pass an explicit ``outputs=[]`` for SINK-ONLY batch functions (an
+    external writer, a side-effecting aggregator): the batch function
+    runs in a cloned session, so views it creates are invisible to the
+    main session's trailing re-read, and declaring an output that only
+    exists in the clone would fail the step after a successful stream.
     """
     options = options or {}
     resolved_deps = pipeline._resolve_depends_on(depends_on)

@@ -227,6 +227,12 @@ def test_parse_audio_header_golden_bytes():
     tagged = _mp3_bytes(9, 0, mono=True, n_body=15996, id3_size=500)
     got = p(tagged)
     assert got["channels"] == 1 and got["duration_ms"] == 1000
+    # a bogus "data" chunk header appearing AFTER the real data chunk
+    # (e.g. body bytes) must not overwrite the real size: first-wins,
+    # walk stops once fmt and data are both found
+    tricky = _wav_bytes(8000, 1, 16000,
+                        data_bytes=b"\x00" * 16000 + b"data" + b"\x00" * 4)
+    assert p(tricky)["duration_ms"] == 1000
     # rejections: truncated / reserved / free-format / garbage
     assert p(b"") is None
     assert p(b"RIFF\x00\x00\x00\x00WAVE") is None        # no fmt/data chunks
