@@ -1484,6 +1484,56 @@ def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_sliding_windows",
+    """
+    WITH w AS (
+      SELECT epoch_ms(date_trunc('day', ts) - (u.k * INTERVAL 1 DAY))
+               AS window_start_ms,
+             event_type
+      FROM events, UNNEST([0, 1]) AS u(k))
+    SELECT window_start_ms, event_type, count(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event-time windows (2-day duration, 1-day slide):
+    every event lands in exactly two windows.  The oracle enumerates the
+    two epoch-aligned window starts per event and re-aggregates —
+    value-checking Spark's sliding-window assignment arithmetic."""
+    from bdq_spark.streaming import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev, "ts", "2 days", "1 day",
+        [F.count(F.lit(1)).alias("n_events")],
+        group_by=["event_type"],
+    )
+    return out.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "event_type",
+        "n_events",
+    )
+
+
+@_register(
+    "events_dedup_watermark",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def events_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_within_watermark`` driven through its batch path (plain
+    dropDuplicates; streaming mode swaps in
+    ``dropDuplicatesWithinWatermark`` with bounded state).  Projected to
+    the dedup subset so the surviving-row choice — arbitrary by
+    contract — cannot affect the value hash."""
+    from bdq_spark.streaming import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_within_watermark(
+        ev, ["user_id", "event_type"], "ts", "1 hour"
+    ).select("user_id", "event_type")
+
+
+@_register(
     "events_user_sessions",
     """
     WITH o AS (
@@ -3067,6 +3117,8 @@ _DRIVER_PRIORITY = [
     "streaming_windowed_counts",
     "doc_lm_score",
     "embedding_dedup_clusters",
+    "events_sliding_windows",
+    "events_dedup_watermark",
     # code changed this round — keep inside the checked window
     "near_dup_jaccard",
     "near_dup_clusters",
