@@ -1446,6 +1446,49 @@ def quality_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violation_summary(load_table(spark, sf_dir, "lineitem"), rules)
 
 
+@_register(
+    "rules_quarantine_lineitem",
+    """
+    WITH a AS (
+      SELECT l_orderkey, l_linenumber,
+             list_filter([
+               CASE WHEN NOT COALESCE(l_quantity <= 30, FALSE)
+                    THEN 'qty_le_30' END,
+               CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE)
+                    THEN 'discount_le_5pct' END,
+               CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                    THEN 'price_positive' END,
+               CASE WHEN NOT COALESCE(l_tax BETWEEN 0 AND 0.08, FALSE)
+                    THEN 'tax_in_range' END
+             ], x -> x IS NOT NULL) AS failed
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(failed, ',') AS failed_rules
+    FROM a WHERE len(failed) > 0
+    """,
+)
+def rules_quarantine_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level rule QUARANTINE (the triage side of the rule engine):
+    rows violating any expectation, with the ordered violated-rule list
+    — the oracle recomputes the per-row annotation, value-checking
+    ``annotate_rules``/``quarantine_rules`` semantics (NULL predicate =
+    violation) beyond ``quality_rules_lineitem``'s summary counts."""
+    from bdq_spark.operators.rules import Rule, quarantine_rules
+
+    rules = [
+        Rule("qty_le_30", "l_quantity <= 30"),
+        Rule("discount_le_5pct", "l_discount <= 0.05"),
+        Rule("price_positive", "l_extendedprice > 0"),
+        Rule("tax_in_range", "l_tax BETWEEN 0 AND 0.08"),
+    ]
+    _, bad = quarantine_rules(load_table(spark, sf_dir, "lineitem"), rules)
+    return bad.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join("__failed_rules", ",").alias("failed_rules"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — event-time windows (streaming-native, batch-checkable)
 # ---------------------------------------------------------------------------
@@ -1840,24 +1883,70 @@ def pipeline_odd_even(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E8/E10 — streaming foreachBatch + state store round trip (rows-only)
 # ---------------------------------------------------------------------------
 
-def _stage_table_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
-    """Stage a testdata table into a parquet DIRECTORY (FileStreamSource
-    rejects single files) — once per (sf_dir, table) per machine, reused
+def _stage_table_dir(
+    spark: SparkSession, sf_dir: str, table: str, format: str = "parquet"
+) -> str:
+    """Stage a testdata table into a DIRECTORY of the given format
+    (FileStreamSource rejects single files; the JSONL ingest entry needs
+    a JSON copy) — once per (sf_dir, table, format) per machine, reused
     by every later invocation instead of leaking a fresh full copy into
     /tmp per bench rep."""
     import hashlib
     import os
 
-    key = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:{table}:{format}".encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), f"bdq_stage_{table}_{key}"
     )
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
-        load_table(spark, sf_dir, table).write.mode("overwrite").parquet(path)
+        load_table(spark, sf_dir, table).write.mode("overwrite").format(
+            format
+        ).save(path)
         with open(marker, "w") as fh:
             fh.write(sf_dir)
     return path
+
+
+@_register("jsonl_ingest_documents", "SELECT doc_id, text FROM documents")
+def jsonl_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingestion (the standard LLM-corpus wire format):
+    documents staged once as JSON lines, read back with an explicit
+    schema + PERMISSIVE corrupt-record quarantine, clean side
+    value-checked against the parquet source — proving the ingest path
+    is content-preserving, not just runnable."""
+    from bdq_spark.sources.readers import read_json, split_corrupt
+
+    src = _stage_table_dir(spark, sf_dir, "documents", format="json")
+    df = read_json(spark, src, "doc_id bigint, text string")
+    clean, _bad = split_corrupt(df)
+    return clean.select("doc_id", "text")
+
+
+@_register(
+    "sink_partitioned_roundtrip",
+    "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink round trip: orders written partitioned
+    by priority (hive-style directories), read back through the
+    partition-discovering scan, re-aggregated — value-checking that the
+    sink is content- and partition-value-preserving."""
+    import hashlib
+    import os
+
+    from bdq_spark.sources.sinks import write_partitioned
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_sink_part_{key}")
+    write_partitioned(
+        load_table(spark, sf_dir, "orders"), path, ["o_orderpriority"]
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @_register("streaming_foreach_batch")  # rows-only: side-effecting micro-batches
@@ -3119,6 +3208,9 @@ _DRIVER_PRIORITY = [
     "embedding_dedup_clusters",
     "events_sliding_windows",
     "events_dedup_watermark",
+    "rules_quarantine_lineitem",
+    "jsonl_ingest_documents",
+    "sink_partitioned_roundtrip",
     # code changed this round — keep inside the checked window
     "near_dup_jaccard",
     "near_dup_clusters",
