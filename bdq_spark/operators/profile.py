@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "numeric_correlations"]
 
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -122,3 +122,79 @@ def profile_table(
             )
         )
     return one_row.select(F.inline(F.array(*structs)))
+
+
+def numeric_correlations(
+    df: DataFrame,
+    columns: List[str],
+    precision: int = 18,
+    scale: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix in ONE aggregation pass.
+
+    Output: one row per unordered column pair ``(col_x, col_y, n,
+    corr)`` with ``col_x < col_y`` lexicographically and ``corr``
+    rounded to 6 dp.
+
+    Why not ``df.stat.corr``: that API computes one pair per JOB (k²/2
+    scans of a 100 TB table).  Here every pair's moments — Σx, Σx²,
+    Σxy — are expressions in a single ``agg``, so the whole matrix
+    costs one scan with full map-side partial aggregation, and the
+    result never touches the driver.
+
+    Determinism: the moment sums run over exact ``decimal(precision,
+    scale)`` casts (float addition is not associative — double sums
+    change with partition order), then the closed-form correlation is
+    evaluated in double from those exact sums.  Rows where ANY profiled
+    column is NULL are excluded (pairwise-complete would make n differ
+    per pair; listwise keeps the matrix consistent — the standard
+    trade).
+    """
+    if len(columns) < 2:
+        raise ValueError("need at least two columns")
+    dec = f"decimal({precision},{scale})"
+    # decimal multiplication doubles precision/scale and would overflow
+    # the 38-digit cap when summed; bound the product scale explicitly
+    prod = f"decimal(38,{2 * scale})"
+    clean = df.na.drop(subset=columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(columns):
+        x = F.col(c).cast(dec)
+        aggs.append(F.sum(x).alias(f"__s{i}"))
+        aggs.append(F.sum((x * x).cast(prod)).alias(f"__ss{i}"))
+    pairs = [
+        (i, j)
+        for i in range(len(columns))
+        for j in range(i + 1, len(columns))
+    ]
+    for i, j in pairs:
+        x = F.col(columns[i]).cast(dec)
+        y = F.col(columns[j]).cast(dec)
+        aggs.append(F.sum((x * y).cast(prod)).alias(f"__sp{i}_{j}"))
+    one = clean.agg(*aggs)
+
+    n = F.col("__n").cast("double")
+    structs = []
+    for i, j in pairs:
+        sx = F.col(f"__s{i}").cast("double")
+        sy = F.col(f"__s{j}").cast("double")
+        sxx = F.col(f"__ss{i}").cast("double")
+        syy = F.col(f"__ss{j}").cast("double")
+        sxy = F.col(f"__sp{i}_{j}").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = F.when(
+            (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+        )  # NULL for zero-variance columns (corr undefined)
+        a, b = sorted((columns[i], columns[j]))
+        # flip is sign-free: corr(x,y) == corr(y,x)
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("__n").alias("n"),
+                F.round(corr, 6).alias("corr"),
+            )
+        )
+    return one.select(F.inline(F.array(*structs)))

@@ -1,0 +1,199 @@
+"""Distributed BPE tokenizer training — learn a byte-pair-encoding
+merge table from a document corpus, entirely as DataFrame jobs.
+
+The reference library has no tokenizer surface at all; this implements
+the training-data-pipeline capability (learn a subword vocabulary from
+the corpus you just cleaned/deduped) in the shape every production BPE
+trainer uses (Sennrich et al., "Neural Machine Translation of Rare
+Words with Subword Units", ACL 2016):
+
+1. collapse the corpus to a WORD-FREQUENCY table — at 100 TB the
+   distinct-word vocabulary is millions of rows, i.e. orders of
+   magnitude smaller than the corpus, and it is the only thing the
+   iterations ever touch (the corpus text is scanned exactly once);
+2. iterate: count adjacent symbol pairs weighted by word frequency,
+   pick the most frequent pair, merge it inside every word's symbol
+   sequence; repeat ``n_merges`` times.
+
+Scale mechanics, per iteration:
+
+- one shuffle (pair-count partial agg over the vocabulary table) + a
+  ``TakeOrderedAndProject`` argmax — the ONLY driver materialization is
+  that single argmax row per iteration (bounded by ``n_merges``);
+- the merge rewrite is a left-fold (``F.aggregate``) over each word's
+  symbol array — whole-stage-codegen expressions, no Python UDF;
+- a lazy ``localCheckpoint`` per iteration truncates the lineage
+  (otherwise the plan nests one fold per merge and analysis time
+  explodes — the classic iterative-lineage failure mode, same cure as
+  ``operators/components.py``).
+
+Determinism: ties in pair frequency break by (left, right) lexicographic
+order, so the learned merge table is a pure function of the corpus —
+pinned by a pytest golden test against an independent pure-Python BPE
+reference implementation (``tests/test_tokenizer.py``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bdq_spark.functions.text import word_tokens
+
+__all__ = [
+    "word_frequencies",
+    "train_bpe",
+    "bpe_segment_corpus",
+]
+
+
+def word_frequencies(
+    df: DataFrame, text_column: str = "text"
+) -> DataFrame:
+    """Collapse a corpus to its word-frequency table ``(word, freq)``.
+
+    Words come from :func:`word_tokens` (lowercased alphanumeric runs).
+    This is the one pass over the full corpus text; everything after it
+    in BPE training works on this compact relation.
+    """
+    return (
+        df.select(F.explode(word_tokens(F.col(text_column))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """Array of (left, right) structs for each adjacent symbol pair."""
+    return F.transform(
+        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+        lambda s, i: F.struct(
+            s.alias("left"), F.element_at(syms, i + 2).alias("right")
+        ),
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Left-fold replacing every non-overlapping adjacent ``(left,
+    right)`` occurrence with the concatenated symbol, scanning left to
+    right — exactly the Sennrich merge semantics (after a merge the scan
+    resumes AFTER the merged token: ``aaa`` with pair ``(a,a)`` becomes
+    ``[aa, a]``, which the fold reproduces because the merged symbol no
+    longer equals the pair's left element).
+    """
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_column: str = "text",
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    word_freq: Optional[DataFrame] = None,
+) -> Tuple[List[tuple], DataFrame]:
+    """Learn a BPE merge table from a corpus.
+
+    Returns ``(merges, vocab)``:
+
+    - ``merges`` — list of ``(rank, left, right, merged, pair_count)``
+      tuples in learned order (driver-side, bounded by ``n_merges``);
+    - ``vocab`` — DataFrame ``(word, freq, syms)`` holding the final
+      subword segmentation of every corpus word.  This doubles as the
+      ENCODING dictionary: tokenizing a corpus with the trained model is
+      a broadcast/shuffle join of its words against this table (see
+      :func:`bpe_segment_corpus`) — no per-document merge replay.
+
+    Training stops early when no pair reaches ``min_pair_count``.
+    Initial symbols are the word's characters (GPT-2 style, no
+    end-of-word marker — merges never cross word boundaries because
+    words are separate rows).
+    """
+    spark = df.sparkSession
+    words = word_freq if word_freq is not None else word_frequencies(
+        df, text_column
+    )
+    # split("", "") yields one element per character
+    words = words.select(
+        "word", "freq", F.split(F.col("word"), "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: List[tuple] = []
+    prev = words
+    for rank in range(n_merges):
+        pair_counts = (
+            words.select(
+                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("pair_count"))
+            .filter(F.col("pair_count") >= min_pair_count)
+        )
+        # single-row argmax; ties break lexicographically for determinism
+        top = pair_counts.orderBy(
+            F.col("pair_count").desc(), "left", "right"
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0][
+            "pair_count"
+        ]
+        merges.append((rank, left, right, left + right, cnt))
+        # LAZY checkpoint: next iteration's argmax is the action that
+        # materializes it — one job per merge, lineage stays flat
+        words = words.withColumn(
+            "syms", _merge_pair(F.col("syms"), left, right)
+        ).localCheckpoint(eager=False)
+        prev = words
+
+    # make sure the final fold is materialized before returning (callers
+    # may unpersist upstream blocks); cheap if the loop already did it
+    prev.count()
+    return merges, prev
+
+
+def bpe_segment_corpus(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE model.
+
+    ``vocab`` is the ``(word, freq, syms)`` table from :func:`train_bpe`.
+    Returns ``(id, n_words, n_tokens)`` per document: the corpus is
+    exploded to words and joined against the segmentation dictionary —
+    the join is broadcast when the vocabulary is small enough (Catalyst
+    /AQE decide), otherwise a shuffle hash join on the compact word key.
+    Words absent from the vocabulary (inference on new data) fall back
+    to character segmentation, BPE's standard unknown-word behavior.
+    """
+    doc_words = df.select(
+        F.col(id_column).alias("id"),
+        F.explode(word_tokens(F.col(text_column))).alias("word"),
+    )
+    seg = doc_words.join(
+        vocab.select("word", "syms"), "word", "left"
+    ).select(
+        "id",
+        F.coalesce(
+            F.size("syms"), F.length("word")  # char fallback for OOV
+        ).alias("n_toks"),
+    )
+    return seg.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )

@@ -9,6 +9,7 @@ batch-compatible combinators.
 from bdq_spark.streaming.stateful import running_counter
 from bdq_spark.streaming.windows import (
     dedup_within_watermark,
+    interval_join,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -21,5 +22,6 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_within_watermark",
+    "interval_join",
     "running_counter",
 ]

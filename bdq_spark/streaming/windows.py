@@ -26,6 +26,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_within_watermark",
+    "interval_join",
 ]
 
 AggSpec = Sequence[Column]
@@ -109,6 +110,64 @@ def session_window_agg(
         group_by,
         aggs,
         watermark,
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: List[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: Optional[str] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join: pair rows sharing ``keys`` where
+    ``right_ts`` falls in ``[left_ts + lower, left_ts + upper]``.
+
+    Batch: a plain equi-join with the range predicate (Catalyst
+    evaluates the interval bound as a post-join filter on the hash
+    join — one shuffle on the keys).  Streaming x streaming: the SAME
+    plan becomes Spark's watermarked stream-stream join; the time-range
+    condition is exactly what lets the engine expire state (rows older
+    than the watermark + ``upper`` horizon are dropped from the join
+    state store) — without it a stream-stream join is unbounded.  Pass
+    ``watermark`` (e.g. ``'1 hour'``) when either side is streaming.
+
+    Column names are disambiguated with ``l_`` / ``r_`` prefixes on the
+    two timestamp columns; key columns come out once.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if watermark:
+        left = with_watermark(left, left_ts, watermark)
+        right = with_watermark(right, right_ts, watermark)
+    lts, rts = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
+    cond = (
+        (rts >= lts + F.expr(f"INTERVAL {lower}"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    for k in keys:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    out = left.alias("__l").join(right.alias("__r"), cond, how)
+    other_l = [
+        F.col(f"__l.{c}").alias(f"l_{c}")
+        for c in left.columns
+        if c not in keys and c != left_ts
+    ]
+    other_r = [
+        F.col(f"__r.{c}").alias(f"r_{c}")
+        for c in right.columns
+        if c not in keys and c != right_ts
+    ]
+    return out.select(
+        *[F.col(f"__l.{k}").alias(k) for k in keys],
+        lts.alias(f"l_{left_ts}"),
+        rts.alias(f"r_{right_ts}"),
+        *other_l,
+        *other_r,
     )
 
 

@@ -87,3 +87,45 @@ def test_profile_approx_distinct_close(spark):
     rows = {r.column: r for r in profile_table(df, rsd=0.02).collect()}
     assert abs(rows["id"].n_distinct - 10_000) / 10_000 < 0.1
     assert abs(rows["m"].n_distinct - 100) / 100 < 0.1
+
+
+def test_numeric_correlations_matches_numpy(spark):
+    import numpy as np
+
+    from bdq_spark.operators.profile import numeric_correlations
+
+    rng = [(float(i % 7), float((i * 3) % 11), float(100 - i % 13)) for i in range(500)]
+    df = spark.createDataFrame(rng, "x double, y double, z double")
+    got = {
+        (r.col_x, r.col_y): (r.n, r.corr)
+        for r in numeric_correlations(df, ["x", "y", "z"]).collect()
+    }
+    arr = np.array(rng)
+    ref = np.corrcoef(arr, rowvar=False)
+    cols = ["x", "y", "z"]
+    assert len(got) == 3
+    for i in range(3):
+        for j in range(i + 1, 3):
+            key = tuple(sorted((cols[i], cols[j])))
+            n, corr = got[key]
+            assert n == 500
+            assert corr == pytest.approx(ref[i, j], abs=2e-6)
+
+
+def test_numeric_correlations_null_listwise_and_constant(spark):
+    from bdq_spark.operators.profile import numeric_correlations
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, None, 5.0), (4.0, 8.0, 5.0)],
+        "x double, y double, c double",
+    )
+    got = {
+        (r.col_x, r.col_y): r for r in numeric_correlations(df, ["x", "y", "c"]).collect()
+    }
+    # the null row is dropped listwise -> n == 3 for every pair
+    assert {r.n for r in got.values()} == {3}
+    assert got[("x", "y")].corr == pytest.approx(1.0, abs=1e-9)
+    # zero-variance column -> corr undefined -> NULL, not NaN
+    assert got[("c", "x")].corr is None
+    with pytest.raises(ValueError, match="two columns"):
+        numeric_correlations(df, ["x"])

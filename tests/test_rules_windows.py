@@ -175,3 +175,77 @@ def test_observe_rules_streaming(spark, tmp_path):
     metrics = progress["observedMetrics"]["stream_rules"]
     assert metrics["record_count"] == 4
     assert metrics["age_ok"] == 2  # -5 and 200 violate
+
+
+# ---------------------------------------------------------------------------
+# interval_join (batch + true stream-stream)
+# ---------------------------------------------------------------------------
+
+def _ij_data(spark):
+    from datetime import datetime as DT
+
+    clicks = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 0), 100),
+         (1, DT(2024, 1, 1, 12, 0), 101),
+         (2, DT(2024, 1, 1, 10, 0), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    buys = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 30), 200),   # within 1h of click 100
+         (1, DT(2024, 1, 1, 13, 30), 201),   # within 2h of 12:00 click only
+         (2, DT(2024, 1, 1, 9, 0), 202),     # before any click -> no pair
+         (3, DT(2024, 1, 1, 10, 0), 203)],   # no clicks for user 3
+        "user_id long, ts timestamp, event_id long",
+    )
+    return clicks, buys
+
+
+def test_interval_join_batch(spark):
+    from bdq_spark.streaming import interval_join
+
+    clicks, buys = _ij_data(spark)
+    got = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in interval_join(
+            clicks, buys, ["user_id"], "ts", "ts", upper="1 hour"
+        ).collect()
+    )
+    assert got == [(1, 100, 200)]
+    wide = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in interval_join(
+            clicks, buys, ["user_id"], "ts", "ts", upper="4 hours"
+        ).collect()
+    )
+    assert wide == [(100, 200), (100, 201), (101, 201)]
+    with pytest.raises(ValueError, match="keys"):
+        interval_join(clicks, buys, [], "ts", "ts")
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    from bdq_spark.streaming import interval_join
+
+    clicks, buys = _ij_data(spark)
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    clicks.coalesce(1).write.parquet(cdir)
+    buys.coalesce(1).write.parquet(bdir)
+    sc = spark.readStream.schema(clicks.schema).parquet(cdir)
+    sb = spark.readStream.schema(buys.schema).parquet(bdir)
+    joined = interval_join(
+        sc, sb, ["user_id"], "ts", "ts", upper="4 hours", watermark="1 day"
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_test_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in spark.table("ij_test_sink").collect()
+    )
+    spark.catalog.dropTempView("ij_test_sink")
+    assert got == [(100, 200), (100, 201), (101, 201)]

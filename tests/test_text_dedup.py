@@ -675,3 +675,49 @@ def test_unigram_logprob_score(spark):
 
     # score is a mean log-prob: strictly negative, sane magnitude
     assert -25 < got[100].lm_score < got[0].lm_score < 0
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rule set
+# ---------------------------------------------------------------------------
+
+def test_gopher_quality_rules(spark):
+    from bdq_spark.operators.text_analysis import gopher_quality
+
+    good = "the quick brown fox jumps to be of and that have with " * 8
+    short = "too short to pass the gopher rules with that"
+    bullets = "\n".join(f"- item {i} of the list to have and that be with" for i in range(10))
+    ellipsis = "\n".join(f"the line {i} to be of and that have with trails off..." for i in range(10))
+    symbols = ("the # tagged # text # to # be # of # and # that # have # with " * 10)
+    no_stop = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 10
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, bullets), (3, ellipsis), (4, symbols), (5, no_stop)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert rows[0].passes_gopher
+    assert not rows[1].passes_gopher          # < 50 words
+    assert rows[1].n_words < 50
+    assert not rows[2].passes_gopher          # 100% bullet lines
+    assert rows[2].frac_bullet_lines == 1.0
+    assert not rows[3].passes_gopher          # 100% ellipsis-end lines
+    assert rows[3].frac_ellipsis_lines == 1.0
+    assert not rows[4].passes_gopher          # symbol ratio ~1 > 0.1
+    assert rows[4].symbol_word_ratio > 0.1
+    assert not rows[5].passes_gopher          # no Gopher stopwords
+    assert rows[5].n_stopwords == 0
+
+
+def test_gopher_quality_signal_values(spark):
+    from bdq_spark.operators.text_analysis import gopher_quality
+
+    df = spark.createDataFrame(
+        [(0, "aa bbbb cc 123"), (1, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_quality(df).collect()}
+    r = rows[0]
+    assert r.n_words == 4
+    assert r.mean_word_len == pytest.approx((2 + 4 + 2 + 3) / 4)
+    assert r.frac_alpha_words == pytest.approx(0.75)  # "123" has no alpha
+    z = rows[1]
+    assert z.n_words == 0 and not z.passes_gopher

@@ -1,0 +1,124 @@
+"""BPE trainer: Spark implementation vs an independent pure-Python
+reference (Sennrich-style, written directly from the algorithm
+description — no shared code with the operator)."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdq_spark.operators.tokenizer import (
+    bpe_segment_corpus,
+    train_bpe,
+    word_frequencies,
+)
+
+
+def _ref_word_freq(texts):
+    c = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            c[w] += 1
+    return c
+
+
+def _ref_train_bpe(texts, n_merges, min_pair_count=2):
+    """Pure-Python reference: dict of word -> symbol tuple, greedy
+    most-frequent-pair merges, ties broken by (left, right)."""
+    freq = _ref_word_freq(texts)
+    vocab = {w: tuple(w) for w in freq}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        pairs = {p: c for p, c in pairs.items() if c >= min_pair_count}
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, a, b, a + b, cnt))
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges, vocab
+
+
+CORPUS = [
+    "the lower the newer the wider",
+    "low lower lowest new newer newest",
+    "wide wider widest low low low new new",
+    "es est ester tested test nest nested",
+    "aaa aaaa aaaaa banana bandana",
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def test_word_frequencies_matches_reference(spark):
+    got = {
+        r["word"]: r["freq"]
+        for r in word_frequencies(_docs_df(spark)).collect()
+    }
+    assert got == dict(_ref_word_freq(CORPUS))
+
+
+def test_train_bpe_matches_reference(spark):
+    merges, vocab = train_bpe(_docs_df(spark), n_merges=25)
+    ref_merges, ref_vocab = _ref_train_bpe(CORPUS, n_merges=25)
+    assert merges == ref_merges
+    got_vocab = {
+        r["word"]: tuple(r["syms"]) for r in vocab.collect()
+    }
+    assert got_vocab == ref_vocab
+    # the aaa-run corpus exercises the overlapping-pair rule: (a,a)
+    # merged over "aaa" must give [aa, a], not [aa, aa]
+    assert ("aaa" in got_vocab)
+
+
+def test_train_bpe_early_stop(spark):
+    # every word unique, min_pair_count high -> few/no merges, no crash
+    df = _docs_df(spark)
+    merges, vocab = train_bpe(df, n_merges=50, min_pair_count=10**9)
+    assert merges == []
+    got = {r["word"]: tuple(r["syms"]) for r in vocab.collect()}
+    assert got["the"] == ("t", "h", "e")
+
+
+def test_bpe_segment_corpus_counts(spark):
+    df = _docs_df(spark)
+    merges, vocab = train_bpe(df, n_merges=25)
+    _, ref_vocab = _ref_train_bpe(CORPUS, n_merges=25)
+    seg = {
+        r["id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_segment_corpus(df, vocab).collect()
+    }
+    for i, t in enumerate(CORPUS):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        exp_tokens = sum(len(ref_vocab[w]) for w in words)
+        assert seg[i] == (len(words), exp_tokens)
+
+
+def test_bpe_segment_oov_char_fallback(spark):
+    df = _docs_df(spark)
+    _, vocab = train_bpe(df, n_merges=10)
+    new = df.sparkSession.createDataFrame(
+        [(99, "zzz qqq")], "doc_id long, text string"
+    )
+    seg = bpe_segment_corpus(new, vocab).collect()
+    assert seg[0]["n_words"] == 2 and seg[0]["n_tokens"] == 6
