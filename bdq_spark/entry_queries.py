@@ -865,6 +865,59 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "paragraph_dedup_documents",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             text || chr(10) || 'copyright footer all rights reserved'
+                  || chr(10) || 'doc section ' || (doc_id % 7)::VARCHAR
+               AS text
+      FROM documents),
+    p AS (
+      SELECT doc_id, u.s['pos'] AS pos, u.s['para'] AS para
+      FROM (SELECT doc_id, string_split_regex(text, '\\n+') AS ps
+            FROM synth) t,
+           UNNEST(list_transform(range(1, len(ps) + 1),
+                                 i -> {'pos': i, 'para': ps[i]})) AS u(s)
+      WHERE u.s['para'] <> ''),
+    r AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (
+               PARTITION BY md5(trim(lower(para)))
+               ORDER BY doc_id, pos) AS rk
+      FROM p)
+    SELECT doc_id,
+           count(*) AS n_paragraphs,
+           sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN rk = 1 THEN para END, chr(10)
+                               ORDER BY pos), '') AS clean_text,
+           (count(*) - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END))::BIGINT
+             AS n_removed
+    FROM r GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (C4/RefinedWeb line-level pass):
+    paragraphs are synthesized deterministically (every doc gets the
+    same boilerplate footer + one of 7 section lines appended), so the
+    first-occurrence-wins removal provably fires across documents; the
+    oracle re-derives the identical window decision and the reassembled
+    text, value-hash checked."""
+    from bdq_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("copyright footer all rights reserved"),
+            F.concat(F.lit("doc section "), (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs)
+
+
+@_register(
     "incremental_dedup_batch",
     """
     WITH b AS (
@@ -3480,6 +3533,7 @@ _DRIVER_PRIORITY = [
     "doc_gopher_quality",
     "profile_lineitem_correlations",
     "streaming_interval_join",
+    "paragraph_dedup_documents",
     # code changed this round — keep inside the checked window
     "near_dup_jaccard",
     "near_dup_clusters",
@@ -3490,10 +3544,9 @@ _DRIVER_PRIORITY = [
     "knn_ivf_embeddings",
     "minhash_lsh_near_dup",
     "incremental_minhash_near_dup",
-    "simhash_fingerprints",
-    # simhash_pairs: displaced (window holds 50) — hash-green in r3,
-    # rows-only check anyway, locally re-verified via check_oracle this
-    # round; pytest covers the banding invariants
+    # simhash_fingerprints / simhash_pairs: displaced (window holds 50)
+    # — green in r3, rows-only checks anyway, locally re-verified via
+    # check_oracle this round; pytest covers the banding invariants
     "corpus_prepare",
 ]
 

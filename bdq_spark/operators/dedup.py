@@ -41,6 +41,7 @@ __all__ = [
     "exact_dedup",
     "fingerprint_dedup",
     "incremental_fingerprint_dedup",
+    "paragraph_dedup",
     "shingle",
     "positional_shingles",
     "ngram_jaccard_pairs",
@@ -139,6 +140,70 @@ def incremental_fingerprint_dedup(
     )
     return keeper.join(corpus_fps, "__fp", "left_anti").drop("__fp").select(
         *batch.columns
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    separator: str = r"\n+",
+    join_with: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the C4 / RefinedWeb line-level
+    pass): every paragraph that already appeared earlier in the corpus —
+    in ANY document — is removed; the first occurrence (minimum
+    ``(doc_id, position)``) survives.  This kills cross-document
+    boilerplate (license headers, navigation chrome, repeated intros)
+    that document-level dedup can't touch.
+
+    Output, one row per input document: ``(id_column, clean_text,
+    n_paragraphs, n_kept, n_removed)``.  Documents whose every paragraph
+    was seen before come out with ``clean_text = ''`` (callers decide
+    whether to drop empties).
+
+    Scale shape: explode → ONE window shuffle partitioned by the
+    paragraph fingerprint (md5 of trimmed lowercase — the 16-byte key is
+    what the exchange hashes on) → one group-by-document reassembly
+    shuffle.  Both are linear in corpus size; the duplicate-decision
+    window never compares paragraphs pairwise.  Reassembly sorts the
+    surviving paragraphs by original position inside the row
+    (``array_sort`` of (pos, para) structs), so output text is
+    deterministic regardless of aggregation order.
+    """
+    paras = df.select(
+        F.col(id_column).alias("__id"),
+        F.posexplode(F.split(F.col(text_column), separator)).alias(
+            "pos", "para"
+        ),
+    ).filter(F.col("para") != "")
+    w = Window.partitionBy(
+        F.md5(F.trim(F.lower(F.col("para"))))
+    ).orderBy("__id", "pos")
+    ranked = paras.withColumn("rk", F.row_number().over(w))
+    first = F.col("rk") == 1
+    return (
+        ranked.groupBy(F.col("__id").alias(id_column))
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.when(first, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(first, F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                join_with,
+            ).alias("clean_text"),
+        )
+        .withColumn(
+            "n_removed", (F.col("n_paragraphs") - F.col("n_kept")).cast("long")
+        )
     )
 
 

@@ -721,3 +721,47 @@ def test_gopher_quality_signal_values(spark):
     assert r.frac_alpha_words == pytest.approx(0.75)  # "123" has no alpha
     z = rows[1]
     assert z.n_words == 0 and not z.passes_gopher
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from bdq_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "intro one\nshared footer\nbody one"),
+            (2, "intro two\nshared footer\nbody two"),
+            (3, "shared footer"),                      # fully duplicate
+            (4, "body one\nnew content"),              # dup from doc 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert rows[1].clean_text == "intro one\nshared footer\nbody one"
+    assert rows[1].n_removed == 0
+    assert rows[2].clean_text == "intro two\nbody two"
+    assert rows[2].n_removed == 1
+    assert rows[3].clean_text == "" and rows[3].n_kept == 0
+    assert rows[4].clean_text == "new content" and rows[4].n_removed == 1
+    # totals: every input paragraph accounted for
+    assert all(r.n_paragraphs == r.n_kept + r.n_removed for r in rows.values())
+
+
+def test_paragraph_dedup_normalized_match_and_order(spark):
+    from bdq_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha\n\n\nbeta"),             # blank runs collapse
+            (2, "  ALPHA  \ngamma\nbeta"),      # ws/case-insensitive dup
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert rows[1].clean_text == "Alpha\nbeta"
+    # doc 2 keeps original order of survivors; dedup ignores case/trim
+    assert rows[2].clean_text == "gamma"
+    assert rows[2].n_removed == 2
