@@ -3005,6 +3005,34 @@ def profile_orders_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "skew_report_lineitem_suppkey",
+    """
+    WITH c AS (
+      SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+    t AS (
+      SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+    SELECT l_suppkey, n_rows,
+           round(n_rows::DOUBLE / total, 6) AS row_share,
+           round(n_rows / (total::DOUBLE / n_keys), 6) AS skew_factor
+    FROM c, t
+    ORDER BY n_rows DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def skew_report_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective shuffle key (the
+    measurement behind the salt-vs-broadcast decision): top-20 heaviest
+    supplier keys with row share and skew factor, computed as one
+    partial-combinable count agg + a TakeOrdered top-k — never a full
+    sort.  Deterministic tie-break by key."""
+    from bdq_spark.operators.joins import key_skew_report
+
+    return key_skew_report(
+        load_table(spark, sf_dir, "lineitem"), ["l_suppkey"], top_n=20
+    )
+
+
+@_register(
     "profile_lineitem_correlations",
     """
     WITH c AS (
@@ -3534,6 +3562,7 @@ _DRIVER_PRIORITY = [
     "profile_lineitem_correlations",
     "streaming_interval_join",
     "paragraph_dedup_documents",
+    "skew_report_lineitem_suppkey",
     # code changed this round — keep inside the checked window
     "near_dup_jaccard",
     "near_dup_clusters",
@@ -3542,7 +3571,9 @@ _DRIVER_PRIORITY = [
     "knn_embeddings",
     "knn_quantized_embeddings",
     "knn_ivf_embeddings",
-    "minhash_lsh_near_dup",
+    # minhash_lsh_near_dup: displaced (window holds 50) — rows-only
+    # check; the hash-checked minhash_md5_near_dup twin stays in-window
+    # and exercises the same banding internals end-to-end
     "incremental_minhash_near_dup",
     # simhash_fingerprints / simhash_pairs: displaced (window holds 50)
     # — green in r3, rows-only checks anyway, locally re-verified via

@@ -17,7 +17,7 @@ from bdq_spark.operators.pk import (
     validate_primary_key_candidate_combinations,
 )
 from bdq_spark.operators.asof import asof_join
-from bdq_spark.operators.joins import range_join, salted_join
+from bdq_spark.operators.joins import key_skew_report, range_join, salted_join
 from bdq_spark.operators.components import (
     apply_dedup_clusters,
     connected_components,
@@ -56,6 +56,7 @@ __all__ = [
     "validate_primary_key_candidate_combinations",
     "profile_table",
     "salted_join",
+    "key_skew_report",
     "range_join",
     "asof_join",
     "hash_bucket_column",

@@ -30,7 +30,7 @@ from typing import List
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "range_join"]
+__all__ = ["salted_join", "range_join", "key_skew_report"]
 
 _ALLOWED = {"inner", "left", "left_outer", "left_semi", "left_anti"}
 
@@ -176,4 +176,48 @@ def range_join(
             )
         )
         .drop(band)
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: List[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective shuffle key — the
+    measurement you run BEFORE deciding between a plain join,
+    :func:`salted_join`, or a broadcast.
+
+    Output: the ``top_n`` heaviest key values with ``(keys..., n_rows,
+    row_share, skew_factor)`` where ``row_share`` is the key's fraction
+    of all rows and ``skew_factor`` is ``n_rows / mean-rows-per-key`` —
+    a skew_factor near 1 means uniform keys; a key with skew_factor
+    10_000 means the partition holding it gets 10_000x the average work,
+    the shape where salting pays.
+
+    Cost: one partial-combinable count aggregation + a
+    ``TakeOrderedAndProject`` of ``top_n`` rows (never a full sort).
+    NULL keys group together (SQL GROUP BY semantics) — deliberately, a
+    NULL-surrogate hot key is the most common real-world skew.
+    Deterministic: ties in count break by key value ascending.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
+            F.round(
+                F.col("n_rows") / (F.col("__total") / F.col("__n_keys")), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc_nulls_first() for k in keys])
+        .limit(top_n)
     )

@@ -129,3 +129,30 @@ def test_range_join_validation(spark, points_intervals):
         range_join(points, intervals, "nope", "lo", "hi")
     with pytest.raises(ValueError, match="band_width"):
         range_join(points, intervals, "p", "lo", "hi", band_width=-1.0)
+
+
+def test_key_skew_report(spark):
+    from bdq_spark.operators.joins import key_skew_report
+
+    rows = [(1, "hot") for _ in range(80)]
+    rows += [(i, "cold") for i in range(2, 22)]  # 20 keys x 1 row
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = key_skew_report(df, ["k"], top_n=3).collect()
+    assert [r.k for r in got] == [1, 2, 3]  # ties broken by key asc
+    top = got[0]
+    assert top.n_rows == 80
+    assert top.row_share == pytest.approx(0.8, abs=1e-6)
+    # mean rows/key = 100/21; skew = 80 / (100/21) = 16.8
+    assert top.skew_factor == pytest.approx(16.8, abs=1e-4)
+    with pytest.raises(ValueError, match="keys"):
+        key_skew_report(df, [])
+
+
+def test_key_skew_report_null_key_groups(spark):
+    from bdq_spark.operators.joins import key_skew_report
+
+    df = spark.createDataFrame(
+        [(None, 1)] * 5 + [(2, 1), (3, 1)], "k string, v int"
+    )
+    got = key_skew_report(df, ["k"], top_n=1).collect()
+    assert got[0].k is None and got[0].n_rows == 5
