@@ -157,10 +157,12 @@ def paragraph_dedup(
     boilerplate (license headers, navigation chrome, repeated intros)
     that document-level dedup can't touch.
 
-    Output, one row per input document: ``(id_column, clean_text,
-    n_paragraphs, n_kept, n_removed)``.  Documents whose every paragraph
-    was seen before come out with ``clean_text = ''`` (callers decide
-    whether to drop empties).
+    Output, one row per document with at least one non-empty paragraph:
+    ``(id_column, n_paragraphs, n_kept, clean_text, n_removed)``.
+    Documents whose every paragraph was seen before come out with
+    ``clean_text = ''`` (callers decide whether to drop empties);
+    documents whose text held no non-empty paragraph at all contribute
+    no output row.
 
     Scale shape: explode → ONE window shuffle partitioned by the
     paragraph fingerprint (md5 of trimmed lowercase — the 16-byte key is

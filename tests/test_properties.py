@@ -472,3 +472,42 @@ def test_chunk_documents_invariants(spark, texts, max_tokens, overlap_frac):
         if overlap == 0:
             rebuilt = [w for c in chunks for w in c.chunk_text.split()]
             assert rebuilt == toks
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "  Alpha ", ""]),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_paragraph_dedup_matches_python_reference(spark, docs):
+    """paragraph_dedup vs a direct first-occurrence-wins simulation."""
+    from bdq_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, "\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+
+    seen = set()
+    for i, (_, text) in enumerate(rows):
+        paras = [p for p in __import__("re").split(r"\n+", text) if p != ""]
+        kept = []
+        for p in paras:
+            fp = p.strip().lower()
+            if fp not in seen:
+                seen.add(fp)
+                kept.append(p)
+        if not paras:
+            assert i not in got  # no non-empty paragraphs -> no row
+            continue
+        r = got[i]
+        assert r.n_paragraphs == len(paras)
+        assert r.n_kept == len(kept)
+        assert r.n_removed == len(paras) - len(kept)
+        assert r.clean_text == "\n".join(kept)
