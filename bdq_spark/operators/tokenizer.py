@@ -130,6 +130,17 @@ def train_bpe(
     words = words.select(
         "word", "freq", F.split(F.col("word"), "").alias("syms")
     ).localCheckpoint(eager=True)
+    # right-size the iteration parallelism to the VOCABULARY, not the
+    # corpus: the loop runs ~n_merges jobs over this table, and a tiny
+    # vocab spread over the session's full shuffle-partition count pays
+    # 30x the task-scheduling overhead for no work.  ~50k words per
+    # partition keeps tasks meaningful at any scale (10M-word corpus ->
+    # 200 partitions; test-scale -> 1-2).
+    n_part = max(1, min(
+        spark.sparkContext.defaultParallelism, (words.count() + 49_999) // 50_000
+    ))
+    if n_part < words.rdd.getNumPartitions():
+        words = words.coalesce(n_part).localCheckpoint(eager=True)
 
     merges: List[tuple] = []
     prev = words
