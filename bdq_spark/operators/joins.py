@@ -203,7 +203,14 @@ def key_skew_report(
     """
     if not keys:
         raise ValueError("keys must be non-empty")
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    # lazy checkpoint: the per-key counts feed BOTH the totals aggregate
+    # (broadcast side) and the top-k — without it the whole input
+    # scan+aggregate subtree executes twice (verified: no ReusedExchange
+    # in the plan).  The broadcast job materializes it; the main query
+    # reads the stored blocks.
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("n_rows").alias("__total"),
         F.count(F.lit(1)).alias("__n_keys"),

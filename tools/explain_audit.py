@@ -58,6 +58,9 @@ CARTESIAN_OK = {
     # same shape: the 1-row (total, V) scalar aggregate broadcast onto
     # the vocabulary before the smoothed log-prob projection
     "doc_lm_score",
+    # same shape: the 1-row (total, n_keys) aggregate broadcast onto the
+    # per-key counts before the share/skew projection
+    "skew_report_lineitem_suppkey",
 }
 
 
