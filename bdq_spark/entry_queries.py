@@ -2550,6 +2550,48 @@ def doc_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_temperature_mixture",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT sum(n) AS total,
+                 sum(pow(n::DOUBLE, 0.5)) AS s FROM c),
+    m AS (
+      SELECT lang,
+             round(total::DOUBLE * pow(n::DOUBLE, -0.5) / s, 6) AS mult
+      FROM c, t),
+    d AS (
+      SELECT d.doc_id, d.lang, m.mult,
+             ('0x' || substr(md5('temp' || chr(31) || d.doc_id::VARCHAR),
+                             1, 8))::BIGINT % 1000000 AS bucket
+      FROM documents d JOIN m USING (lang)),
+    e AS (
+      SELECT doc_id, lang,
+             floor(mult)::INT
+               + CASE WHEN bucket < round((mult - floor(mult)) * 1000000, 0)
+                          ::BIGINT
+                      THEN 1 ELSE 0 END AS copies
+      FROM d)
+    SELECT doc_id, lang, CAST(u.ci AS INTEGER) AS copy_idx
+    FROM e, UNNEST(range(copies)) AS u(ci)
+    WHERE copies > 0
+    """,
+)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha=0.5, the XLM/mBERT multilingual
+    recipe): stratum shares are re-proportioned to sqrt(n_s), derived
+    FROM the data with no driver-side recipe — rare languages upsample
+    via key-stable fractional copies, the dominant one downsamples.
+    Expected output size == input size.  The oracle recomputes counts,
+    temperature weights, and the md5 fractional-copy assignment."""
+    from bdq_spark.operators.splits import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mixture(
+        docs, "lang", ["doc_id"], alpha=0.5, salt="temp"
+    ).select("doc_id", "lang", F.col("copy_idx").cast("int").alias("copy_idx"))
+
+
+@_register(
     "doc_pii_redaction",
     """
     WITH synth AS (
@@ -3601,16 +3643,17 @@ _DRIVER_PRIORITY = [
     "paragraph_dedup_documents",
     "skew_report_lineitem_suppkey",
     "orc_roundtrip_supplier",
+    "doc_temperature_mixture",
     # code changed this round — keep inside the checked window
     "near_dup_jaccard",
     "near_dup_clusters",
     "documents_deduped",
     "multimodal_decode",
     "knn_embeddings",
-    # knn_quantized_embeddings: displaced (window holds 50) — rows-only
-    # check; hash-checked knn_embeddings covers the shared ranking core,
-    # quantization error bounds are pytest-pinned
-    "knn_ivf_embeddings",
+    # knn_quantized_embeddings / knn_ivf_embeddings: displaced (window
+    # holds 50) — rows-only checks; hash-checked knn_embeddings covers
+    # the shared ranking core, quantization error bounds and IVF recall
+    # are pytest-pinned
     # minhash_lsh_near_dup: displaced (window holds 50) — rows-only
     # check; the hash-checked minhash_md5_near_dup twin stays in-window
     # and exercises the same banding internals end-to-end

@@ -19,7 +19,7 @@ security.  The reference has no sampling/splitting surface at all
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +31,7 @@ __all__ = [
     "deterministic_sample",
     "deterministic_sample_by",
     "weighted_mixture",
+    "temperature_mixture",
 ]
 
 #: bucket-space resolution; fractions are honored to 1e-6
@@ -205,4 +206,77 @@ def weighted_mixture(
             F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)),
         )
         .drop("__copies")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum_column: str,
+    key_columns: List[str],
+    alpha: float = 0.5,
+    target_total: Optional[int] = None,
+    salt: str = "",
+    copy_column: str = "copy_idx",
+) -> DataFrame:
+    """Temperature-based mixture sampling: re-weight strata so stratum
+    ``s`` contributes in proportion to ``n_s**alpha`` (the multilingual
+    up/down-sampling recipe of XLM/mBERT — ``alpha=1`` keeps natural
+    proportions, ``alpha=0`` equalizes strata, values between trade the
+    two).  Unlike :func:`weighted_mixture` the recipe is derived FROM
+    THE DATA: per-row multiplicity is
+
+        m_s = T * n_s**(alpha-1) / sum_t(n_t**alpha)
+
+    where ``T`` (``target_total``) defaults to the input row count, so
+    the expected output size equals the input.  Rare strata get
+    ``m_s > 1`` (key-stable fractional copies with ``copy_column``
+    indices, exactly the :func:`weighted_mixture` mechanics); dominant
+    strata get ``m_s < 1`` (deterministic md5 down-sampling).
+
+    Fully lazy and collect-free: stratum counts are a small aggregate
+    broadcast back onto the rows; multiplicities are rounded to 6 dp so
+    the sampling decisions are float-portable across engines.  One
+    shuffle (the stratum count), one broadcast join, one explode.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if stratum_column not in df.columns:
+        raise ValueError(f"column {stratum_column!r} not in DataFrame")
+    counts = df.groupBy(stratum_column).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = counts.agg(
+        F.sum("__n").alias("__total"),
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__s"),
+    )
+    t_expr = (
+        F.lit(float(target_total))
+        if target_total is not None
+        else F.col("__total").cast("double")
+    )
+    mult = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(stratum_column).alias("__stratum"),
+        F.round(
+            t_expr
+            * F.pow(F.col("__n").cast("double"), F.lit(alpha - 1.0))
+            / F.col("__s"),
+            6,
+        ).alias("__m"),
+    )
+    bucket = hash_bucket_column(key_columns, salt=salt)
+    base = F.floor(F.col("__m")).cast("int")
+    thresh = F.round((F.col("__m") - base) * N_BUCKETS, 0).cast("long")
+    copies = base + F.when(bucket < thresh, 1).otherwise(0)
+    return (
+        df.join(
+            F.broadcast(mult),
+            F.col(stratum_column).eqNullSafe(F.col("__stratum")),
+        )
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            copy_column,
+            F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)),
+        )
+        .drop("__stratum", "__m", "__copies")
     )

@@ -184,3 +184,42 @@ def test_weighted_mixture_recipe(spark):
         weighted_mixture(df, "lang", {"en": -1.0}, ["k"])
     with pytest.raises(ValueError, match="not in DataFrame"):
         weighted_mixture(df, "nope", {"en": 1.0}, ["k"])
+
+
+def test_temperature_mixture_proportions(spark):
+    from bdq_spark.operators.splits import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture(df, "lang", ["doc_id"], alpha=0.5)
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    # alpha=0.5: shares ~ sqrt(n): sqrt(900):sqrt(100) = 3:1 -> big ~750, small ~250
+    assert abs(by["big"] - 750) < 40
+    assert abs(by["small"] - 250) < 40
+    # expected total preserved
+    assert abs(sum(by.values()) - 1000) < 60
+    # alpha=1 is a no-op recipe: every multiplicity exactly 1
+    ident = temperature_mixture(df, "lang", ["doc_id"], alpha=1.0)
+    assert ident.count() == 1000
+    assert ident.select("copy_idx").distinct().collect()[0][0] == 0
+
+
+def test_temperature_mixture_determinism_and_validation(spark):
+    import pytest as _pt
+
+    from bdq_spark.operators.splits import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 4 else "b") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    a = sorted((r.doc_id, r.copy_idx) for r in
+               temperature_mixture(df, "lang", ["doc_id"], alpha=0.3).collect())
+    b = sorted((r.doc_id, r.copy_idx) for r in
+               temperature_mixture(df.repartition(7), "lang", ["doc_id"], alpha=0.3).collect())
+    assert a == b  # key-stable under repartition
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_mixture(df, "lang", ["doc_id"], alpha=-1)
+    with _pt.raises(ValueError, match="not in DataFrame"):
+        temperature_mixture(df, "nope", ["doc_id"])
