@@ -2591,6 +2591,17 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", F.col("copy_idx").cast("int").alias("copy_idx"))
 
 
+@_register("doc_compression_ratio")  # rows-only: no DEFLATE in DuckDB;
+# the ratio is pinned against direct zlib in test_text_dedup.py
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RedPajama-style redundancy signal: per-doc zlib compression
+    ratio via Arrow-batched mapInPandas (one of the few genuinely
+    Python-required operators — no DEFLATE expression in Spark)."""
+    from bdq_spark.operators.text_analysis import compression_ratio
+
+    return compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
 @_register(
     "doc_pii_redaction",
     """

@@ -21,6 +21,7 @@ __all__ = [
     "repetition_stats",
     "unigram_logprob_score",
     "gopher_quality",
+    "compression_ratio",
 ]
 
 #: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
@@ -259,4 +260,64 @@ def repetition_stats(
         F.max("cnt").alias("top_gram_count"),
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_gram_frac"),
         F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("distinct_gram_ratio"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    UTF-8 bytes) — the RedPajama-style redundancy signal: highly
+    repetitive or templated text compresses far below normal prose, and
+    random/binary junk barely compresses at all, so both tails flag
+    low-quality documents that token-level stats miss.
+
+    This is one of the few operators where Python is genuinely required
+    (no DEFLATE in Spark's expression library), so it runs as
+    Arrow-batched ``mapInPandas`` — per-batch vectorized transfer, never
+    row-at-a-time serialization.  Output: ``(id_column, raw_bytes,
+    compressed_bytes, compression_ratio)``; NULL text yields NULL
+    signals, empty text a NULL ratio.  Deterministic for a fixed zlib
+    level (and pinned against direct zlib in the unit test).
+    """
+    import pandas as pd
+
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_column]
+    out_schema = (
+        f"{id_column} {id_type}, raw_bytes long, compressed_bytes long"
+    )
+
+    def _sizes(batches):
+        import zlib
+
+        for pdf in batches:
+            enc = pdf[text_column].map(
+                lambda t: t.encode("utf-8") if t is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    id_column: pdf[id_column],
+                    "raw_bytes": enc.map(
+                        lambda b: len(b) if b is not None else None
+                    ),
+                    "compressed_bytes": enc.map(
+                        lambda b: len(zlib.compress(b, level)) if b else None
+                    ),
+                }
+            )
+
+    sized = df.select(id_column, text_column).mapInPandas(_sizes, out_schema)
+    return sized.select(
+        id_column,
+        "raw_bytes",
+        "compressed_bytes",
+        F.round(
+            F.col("compressed_bytes") / F.nullif(F.col("raw_bytes"), F.lit(0)),
+            6,
+        ).alias("compression_ratio"),
     )

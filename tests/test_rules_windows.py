@@ -249,3 +249,39 @@ def test_interval_join_stream_stream(spark, tmp_path):
     )
     spark.catalog.dropTempView("ij_test_sink")
     assert got == [(100, 200), (100, 201), (101, 201)]
+
+
+def test_dedup_within_watermark_true_streaming(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from bdq_spark.streaming import dedup_within_watermark
+
+    df = spark.createDataFrame(
+        [(1, "click", DT(2024, 1, 1, 10, 0)),
+         (1, "click", DT(2024, 1, 1, 10, 10)),   # dup within horizon
+         (1, "buy", DT(2024, 1, 1, 10, 20)),
+         (2, "click", DT(2024, 1, 1, 11, 0)),
+         (2, "click", DT(2024, 1, 1, 11, 1))],   # dup within horizon
+        "user_id long, event_type string, ts timestamp",
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "1 hour"
+    )
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddww_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_type)
+        for r in spark.table("ddww_sink").collect()
+    )
+    spark.catalog.dropTempView("ddww_sink")
+    assert got == [(1, "buy"), (1, "click"), (2, "click")]

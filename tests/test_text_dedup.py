@@ -765,3 +765,29 @@ def test_paragraph_dedup_normalized_match_and_order(spark):
     # doc 2 keeps original order of survivors; dedup ignores case/trim
     assert rows[2].clean_text == "gamma"
     assert rows[2].n_removed == 2
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from bdq_spark.operators.text_analysis import compression_ratio
+
+    texts = [
+        (0, "abab" * 500),                 # highly compressible
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i, t in texts:
+        if t:
+            b = t.encode()
+            assert rows[i].raw_bytes == len(b)
+            assert rows[i].compressed_bytes == len(zlib.compress(b, 6))
+            assert rows[i].compression_ratio == pytest.approx(
+                round(len(zlib.compress(b, 6)) / len(b), 6))
+    assert rows[2].raw_bytes is None and rows[2].compression_ratio is None
+    assert rows[3].raw_bytes == 0 and rows[3].compression_ratio is None
+    # the repetitive doc compresses much harder than prose
+    assert rows[0].compression_ratio < 0.1 < rows[1].compression_ratio
