@@ -2403,6 +2403,146 @@ def supplier_part_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "large_order_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+    SELECT c_name, o.o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+           qty
+    FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: aggregate-then-filter (HAVING) feeding a two-hop join
+    back to the customer dimension — the agg runs FIRST so only the
+    qualifying order keys (tiny) enter the joins, and both dimension
+    joins broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 250)
+        .select("l_orderkey", F.col("__qty").cast("double").alias("qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("total_price"),
+            "qty",
+        )
+    )
+
+
+@_register(
+    "wealthy_low_activity_customers",
+    """
+    WITH threshold AS (
+      SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS t
+      FROM customer WHERE c_acctbal > 0),
+    oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+    CROSS JOIN threshold
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > t
+      AND coalesce(oc.n_orders, 0) < 5
+    GROUP BY c_mktsegment
+    """,
+)
+def wealthy_low_activity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar aggregate subquery (the positive-balance
+    average, computed once and broadcast) gating a left-join count
+    filter, re-aggregated per market segment.  The scalar side is a
+    1-row broadcast; the order counts shrink to distinct customers
+    before joining."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(_dec("c_acctbal")).cast("double").alias("__t"))
+    )
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__n_orders"))
+    return (
+        c.join(oc, c.c_custkey == oc.o_custkey, "left")
+        .crossJoin(F.broadcast(thr))
+        .filter(
+            (_dec("c_acctbal").cast("double") > F.col("__t"))
+            & (F.coalesce(F.col("__n_orders"), F.lit(0)) < 5)
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@_register(
+    "top_supplier_by_period_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+               AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, CAST(revenue AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE revenue = (SELECT max(revenue) FROM rev)
+    """,
+)
+def top_supplier_by_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: max-of-aggregate selection — per-supplier period
+    revenue, keep the supplier(s) achieving the maximum (ALL ties kept,
+    per the TPC-H rule).  The per-supplier aggregate is lazily
+    checkpointed and its 1-row max broadcast back (an unpartitioned
+    window would single-partition the whole aggregate — the classic
+    global-max scale smell); revenue stays exact decimal until the
+    final cast so the equality is bit-portable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (one - F.col("l_discount").cast("decimal(3,2)"))
+            ).alias("revenue")
+        )
+        # feeds both the global max (broadcast side) and the filter —
+        # checkpoint so the lineitem scan+agg runs once
+        .localCheckpoint(eager=False)
+    )
+    max_rev = rev.agg(F.max("revenue").alias("__max_rev"))
+    best = rev.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("revenue") == F.col("__max_rev")
+    )
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("revenue").cast("double").alias("total_revenue")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension — custom stateful operator (applyInPandasWithState; the batch
 # path shares the fold logic, making the semantics oracle-checkable)

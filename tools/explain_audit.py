@@ -61,6 +61,10 @@ CARTESIAN_OK = {
     # same shape: the 1-row (total, n_keys) aggregate broadcast onto the
     # per-key counts before the share/skew projection
     "skew_report_lineitem_suppkey",
+    # same shape: 1-row scalar-aggregate broadcasts (positive-balance
+    # average / global max revenue) gating the main relation
+    "wealthy_low_activity_customers",
+    "top_supplier_by_period_revenue",
 }
 
 
