@@ -288,6 +288,33 @@ def surrogate_key_hash_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "customer_pseudonymize",
+    """
+    SELECT substr(sha256('demo-secret' || chr(31)
+                         || '[' || c_custkey::VARCHAR || ', '
+                         || c_name || ']'), 1, 16) AS pseudonym,
+           c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+    FROM customer
+    """,
+)
+def customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-pipeline pseudonymization: direct identifiers replaced by
+    a keyed sha2-256 token (stable across tables/runs, so joins keep
+    working; re-keyable by rotating the secret).  The oracle recomputes
+    the full mapping byte-for-byte in DuckDB — engine-portable, pure
+    codegen, no UDF."""
+    from bdq_spark.functions import pseudonymize
+
+    df = load_table(spark, sf_dir, "customer")
+    return df.select(
+        pseudonymize(["c_custkey", "c_name"], "demo-secret").alias("pseudonym"),
+        "c_mktsegment",
+        _dec("c_acctbal").cast("double").alias("acctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Headline analytical queries (scan/filter/agg/join coverage + bench)
 # ---------------------------------------------------------------------------

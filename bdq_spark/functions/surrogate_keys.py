@@ -20,7 +20,7 @@ from typing import List
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["surrogate_key_string", "surrogate_key_hash", "NULL_STR_REPR"]
+__all__ = ["surrogate_key_string", "surrogate_key_hash", "pseudonymize", "NULL_STR_REPR"]
 
 #: Null placeholder — exact string contract from the reference
 #: (`/root/reference/bdq/functions.py:9`).
@@ -77,3 +77,36 @@ def surrogate_key_hash(
     """
     sks = surrogate_key_string(key_columns, rtrim=rtrim, ltrim=ltrim)
     return F.unhex(F.substring(F.sha2(sks, 224), 1, 40))
+
+
+def pseudonymize(
+    key_columns: List[str],
+    secret: str,
+    length: int = 16,
+) -> Column:
+    """Keyed pseudonym for a (composite) identifier: the first
+    ``length`` hex chars of ``sha2-256(secret || US || rendered-key)``.
+
+    The standard privacy-pipeline building block: replaces direct
+    identifiers with stable opaque tokens, so the SAME entity maps to
+    the SAME pseudonym everywhere (joins and group-bys keep working
+    across tables and runs) while reversing the mapping requires the
+    secret.  Rotating the secret re-keys the whole dataset.  Rendering
+    reuses :func:`surrogate_key_string` (case kept as-is, NULLs get the
+    placeholder) with a ``\\x1f`` separator prepended so ``secret='a'``
+    + ``key='bc'`` and ``secret='ab'`` + ``key='c'`` never collide.
+
+    Pure built-in expressions (``sha2`` is JVM-side codegen), and
+    engine-portable: DuckDB's ``sha256`` reproduces it byte-for-byte —
+    the driver entry value-hash-checks the full mapping.
+    """
+    if not secret:
+        raise ValueError("secret must be non-empty")
+    if not 8 <= length <= 64:
+        raise ValueError("length must be in [8, 64]")
+    rendered = surrogate_key_string(key_columns, upper=False)
+    return F.substring(
+        F.sha2(F.concat(F.lit(secret), F.lit("\x1f"), rendered), 256),
+        1,
+        length,
+    )

@@ -66,3 +66,32 @@ def test_surrogate_key_hash_matches_python_sha224(spark):
     ).collect()
     py = hashlib.sha224(b"[3, @~<null>~@, PASCAL]").hexdigest()[:40]
     assert bytes(got[5].h) == bytes.fromhex(py)
+
+
+def test_pseudonymize_stable_and_keyed(spark):
+    import hashlib
+
+    import pytest
+
+    from bdq_spark.functions import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (1, "alice"), (None, "x")],
+        "id long, name string",
+    )
+    got = [r[0] for r in df.select(pseudonymize(["id", "name"], "s3cret")).collect()]
+    # stable: identical keys -> identical pseudonyms
+    assert got[0] == got[2]
+    # reference: sha256 over secret + US + rendered composite key
+    exp = hashlib.sha256("s3cret\x1f[1, alice]".encode()).hexdigest()[:16]
+    assert got[0] == exp
+    # NULL key component uses the placeholder, still deterministic
+    exp_null = hashlib.sha256("s3cret\x1f[@~<null>~@, x]".encode()).hexdigest()[:16]
+    assert got[3] == exp_null
+    # different secret -> different token space
+    other = [r[0] for r in df.select(pseudonymize(["id", "name"], "other")).collect()]
+    assert other[0] != got[0]
+    with pytest.raises(ValueError, match="secret"):
+        pseudonymize(["id"], "")
+    with pytest.raises(ValueError, match="length"):
+        pseudonymize(["id"], "k", length=4)
