@@ -242,9 +242,12 @@ def temperature_mixture(
         raise ValueError("alpha must be >= 0")
     if stratum_column not in df.columns:
         raise ValueError(f"column {stratum_column!r} not in DataFrame")
+    # lazy checkpoint: the stratum counts feed BOTH the scalar totals
+    # (broadcast side) and the multiplicity table — without it the
+    # input scan+aggregate subtree executes twice
     counts = df.groupBy(stratum_column).agg(
         F.count(F.lit(1)).alias("__n")
-    )
+    ).localCheckpoint(eager=False)
     tot = counts.agg(
         F.sum("__n").alias("__total"),
         F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__s"),

@@ -62,9 +62,11 @@ CARTESIAN_OK = {
     # per-key counts before the share/skew projection
     "skew_report_lineitem_suppkey",
     # same shape: 1-row scalar-aggregate broadcasts (positive-balance
-    # average / global max revenue) gating the main relation
+    # average / global max revenue / temperature normalizer) gating the
+    # main relation
     "wealthy_low_activity_customers",
     "top_supplier_by_period_revenue",
+    "doc_temperature_mixture",
 }
 
 
