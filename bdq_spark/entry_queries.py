@@ -289,6 +289,72 @@ def surrogate_key_hash_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_apply_customer",
+    """
+    SELECT c_custkey, c_name, acctbal FROM (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 1 THEN c_name || '_v2'
+                  ELSE c_name END AS c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                  + CASE WHEN c_custkey % 10 = 1
+                         THEN CAST(100 AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END AS DOUBLE)
+               AS acctbal
+      FROM customer WHERE c_custkey % 10 <> 2
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             'new_' || (c_custkey + 1000000)::VARCHAR,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+      FROM customer WHERE c_custkey % 10 = 3) t
+    """,
+)
+def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (the relational core of MERGE INTO): a synthesized
+    change feed — stale update superseded by a v2 update, update
+    followed by delete, fresh inserts — applied to the customer
+    snapshot with latest-change-per-key-wins.  The oracle constructs
+    the expected post-merge snapshot directly, so ordering, delete and
+    column-restriction semantics are all value-hash-checked."""
+    from bdq_spark.operators.cdc import apply_cdc
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", _dec("c_acctbal").alias("acctbal")
+    )
+    m = F.col("c_custkey") % 10
+
+    def gen(flt, key, name, bal, op, ver):
+        return c.filter(flt).select(
+            key.alias("c_custkey"),
+            name.alias("c_name"),
+            bal.alias("acctbal"),
+            F.lit(op).alias("op"),
+            F.lit(ver).alias("ver"),
+        )
+
+    k, n, b = F.col("c_custkey"), F.col("c_name"), F.col("acctbal")
+    changes = (
+        # stale v1 update that the v2 update must supersede
+        gen(m == 1, k, F.concat(n, F.lit("_WRONG")), b, "U", 1)
+        .unionByName(gen(m == 1, k, F.concat(n, F.lit("_v2")),
+                         b + F.lit(100).cast("decimal(12,2)"), "U", 2))
+        # update then delete -> key disappears
+        .unionByName(gen(m == 2, k, F.concat(n, F.lit("_x")), b, "U", 1))
+        .unionByName(gen(m == 2, k, n, b, "D", 2))
+        # inserts under fresh keys
+        .unionByName(gen(
+            m == 3,
+            k + 1000000,
+            F.concat(F.lit("new_"), (k + 1000000).cast("string")),
+            b, "I", 1,
+        ))
+    )
+    snap = apply_cdc(c, changes, ["c_custkey"], ["ver"])
+    return snap.select(
+        "c_custkey", "c_name", F.col("acctbal").cast("double").alias("acctbal")
+    )
+
+
+@_register(
     "customer_pseudonymize",
     """
     SELECT substr(sha256('demo-secret' || chr(31)

@@ -1,0 +1,100 @@
+"""CDC apply — merge a change feed (inserts/updates/deletes) into a
+snapshot, the batch "MERGE INTO" the reference's Delta-based pipelines
+perform with ``step_spark_table`` sinks (cite:
+`/root/reference/bdq/spark_pipeline.py:515` — the delta default whose
+managed-table modes this library reproduces; the MERGE semantics
+themselves are re-expressed relationally here because no Delta runtime
+ships in this environment).
+
+Semantics (standard CDC upsert):
+
+1. collapse the change feed to the LATEST change per key (ties on the
+   ordering column break deterministically by preferring deletes, so a
+   same-timestamp insert+delete converges to absence);
+2. keys whose latest op is delete disappear;
+3. keys whose latest op is insert/update take the change row's values;
+4. all other base rows pass through unchanged.
+
+Scale shape: one window over the change feed (small relative to the
+base), then ONE left-anti join of the base against the touched keys
+plus a union — the base table is never shuffled beyond the anti-join,
+and when the touched-key set is small Catalyst broadcasts it, making
+the apply a map-side pass over the snapshot.  This is the relational
+core of what table formats (Delta/Iceberg/Hudi) execute as MERGE.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["latest_changes", "apply_cdc"]
+
+#: recognized operation codes (case-insensitive): insert/update/upsert
+#: land the row, delete removes it
+_UPSERT_OPS = ("i", "u", "insert", "update", "upsert")
+_DELETE_OPS = ("d", "delete")
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: List[str],
+    order_by: List[str],
+    op_column: str = "op",
+) -> DataFrame:
+    """Collapse a change feed to the single latest change per key.
+
+    Ordering: ``order_by`` columns DESCENDING (latest first); exact
+    ties prefer the delete so insert+delete at the same version
+    converges to absence (the safe direction for replayed feeds).
+    """
+    if not keys or not order_by:
+        raise ValueError("keys and order_by must be non-empty")
+    is_delete = F.lower(F.col(op_column)).isin(*_DELETE_OPS)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_by],
+        is_delete.cast("int").desc(),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: List[str],
+    order_by: List[str],
+    op_column: str = "op",
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Apply a CDC feed to a snapshot; returns the new snapshot.
+
+    ``changes`` must carry the key columns, the ``op_column``
+    (insert/update/delete, case-insensitive, 1-letter codes accepted)
+    and the data columns; ``order_by`` orders multiple changes to one
+    key (commit version, timestamp).  ``columns`` fixes the output
+    column set (default: the base table's columns — change-feed
+    metadata like the op/version columns never leaks into the result).
+
+    Unknown op codes raise at plan-build time if statically detectable;
+    otherwise they are treated as upserts (the forgiving direction —
+    data lands and can be re-deleted, versus silently vanishing).
+    """
+    out_cols = columns or base.columns
+    missing = [c for c in out_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"changes is missing output columns {missing}; pass columns= "
+            "to restrict the result schema"
+        )
+    latest = latest_changes(changes, keys, order_by, op_column)
+    is_delete = F.lower(F.col(op_column)).isin(*_DELETE_OPS)
+    upserts = latest.filter(~is_delete).select(*out_cols)
+    touched = latest.select(*keys)
+    untouched = base.join(touched, keys, "left_anti").select(*out_cols)
+    return untouched.unionByName(upserts)

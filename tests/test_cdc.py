@@ -1,0 +1,81 @@
+"""CDC apply: upsert/delete semantics, latest-wins ordering, tie rules."""
+
+import pytest
+
+from bdq_spark.operators.cdc import apply_cdc, latest_changes
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, bal double",
+    )
+
+
+def test_apply_cdc_upsert_delete_insert(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 1),    # update
+            (3, "c", 30.0, "D", 1),     # delete
+            (4, "d", 40.0, "I", 1),     # insert
+        ],
+        "id long, name string, bal double, op string, ver long",
+    )
+    got = sorted(
+        (r.id, r.name, r.bal)
+        for r in apply_cdc(base, changes, ["id"], ["ver"]).collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)]
+
+
+def test_apply_cdc_latest_wins_and_delete_tie(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 11.0, "u", 1),
+            (1, "a2", 12.0, "update", 2),   # latest update wins
+            (2, "x", 0.0, "insert", 5),
+            (2, "ignored", 0.0, "d", 5),    # same version: delete wins
+            (4, "d", 40.0, "i", 1),
+            (4, "d", 40.0, "delete", 2),    # inserted then deleted -> gone
+        ],
+        "id long, name string, bal double, op string, ver long",
+    )
+    got = sorted(
+        (r.id, r.name, r.bal)
+        for r in apply_cdc(base, changes, ["id"], ["ver"]).collect()
+    )
+    assert got == [(1, "a2", 12.0), (3, "c", 30.0)]
+
+
+def test_apply_cdc_output_columns_and_validation(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(1, "z", "U", 1)], "id long, name string, op string, ver long"
+    )
+    # changes lacks `bal` -> must either raise or be restricted
+    with pytest.raises(ValueError, match="missing output columns"):
+        apply_cdc(base, changes, ["id"], ["ver"])
+    got = sorted(
+        (r.id, r.name)
+        for r in apply_cdc(
+            base, changes, ["id"], ["ver"], columns=["id", "name"]
+        ).collect()
+    )
+    assert got == [(1, "z"), (2, "b"), (3, "c")]
+    with pytest.raises(ValueError, match="non-empty"):
+        latest_changes(changes, [], ["ver"])
+
+
+def test_apply_cdc_idempotent_replay(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(2, "b9", 29.0, "U", 7), (3, "c", 0.0, "D", 7)],
+        "id long, name string, bal double, op string, ver long",
+    )
+    once = apply_cdc(base, changes, ["id"], ["ver"])
+    twice = apply_cdc(once, changes, ["id"], ["ver"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
