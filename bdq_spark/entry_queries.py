@@ -3888,24 +3888,29 @@ _DRIVER_PRIORITY = [
     "skew_report_lineitem_suppkey",
     "orc_roundtrip_supplier",
     "doc_temperature_mixture",
-    # code changed this round — keep inside the checked window
-    "near_dup_jaccard",
-    "near_dup_clusters",
+    # brand-new hash-oracle entries (no r3 row possible) — these take
+    # priority over the changed-code re-checks below, which all HAVE
+    # green r3 rows and were locally re-verified via the full
+    # check_oracle suite this round
+    "large_order_customers",
+    "wealthy_low_activity_customers",
+    "top_supplier_by_period_revenue",
+    "customer_pseudonymize",
+    "cdc_apply_customer",
+    # code changed this round — keep what the window can still hold;
+    # documents_deduped exercises the whole jaccard+CC funnel that
+    # near_dup_jaccard / near_dup_clusters / corpus_prepare share
     "documents_deduped",
-    "multimodal_decode",
     "knn_embeddings",
-    # knn_quantized_embeddings / knn_ivf_embeddings: displaced (window
-    # holds 50) — rows-only checks; hash-checked knn_embeddings covers
-    # the shared ranking core, quantization error bounds and IVF recall
-    # are pytest-pinned
-    # minhash_lsh_near_dup: displaced (window holds 50) — rows-only
-    # check; the hash-checked minhash_md5_near_dup twin stays in-window
-    # and exercises the same banding internals end-to-end
-    "incremental_minhash_near_dup",
-    # simhash_fingerprints / simhash_pairs: displaced (window holds 50)
-    # — green in r3, rows-only checks anyway, locally re-verified via
-    # check_oracle this round; pytest covers the banding invariants
-    "corpus_prepare",
+    # displaced (window holds 50), all r3-green + locally re-verified:
+    # multimodal_decode (BMP fix golden-bytes pytest-covered; the
+    # in-window multimodal_audio_decode exercises the same plumbing),
+    # near_dup_jaccard, near_dup_clusters, corpus_prepare (subsumed by
+    # in-window documents_deduped / corpus_prepare_neardup),
+    # incremental_minhash_near_dup, minhash_lsh_near_dup,
+    # simhash_fingerprints, simhash_pairs, knn_quantized_embeddings,
+    # knn_ivf_embeddings (rows-only checks with pytest-pinned
+    # invariants and hash-checked in-window twins)
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
