@@ -2783,6 +2783,32 @@ def doc_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_fixed_sample_by_lang",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('fs' || chr(31) || doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents) t
+    WHERE rk <= 30
+    """,
+)
+def docs_fixed_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-size sampling: the 30 smallest-hash docs per
+    language — the eval-set construction shape (same 30 every run, on
+    every engine, and the n=10 sample is a prefix of the n=30 one).
+    The oracle replays the identical md5 ordering."""
+    from bdq_spark.operators.splits import fixed_size_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return fixed_size_sample(
+        docs, 30, ["doc_id"], stratum_column="lang", salt="fs"
+    )
+
+
+@_register(
     "doc_temperature_mixture",
     """
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
@@ -3405,6 +3431,38 @@ def profile_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
     return numeric_correlations(
         load_table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+@_register(
+    "histogram_orders_totalprice",
+    """
+    WITH v AS (
+      SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT min(v) AS blo, max(v) AS bhi FROM v),
+    i AS (
+      SELECT CASE WHEN bhi - blo <= 0 THEN 0
+                  ELSE CAST(least(19, floor((v - blo) * 20 / (bhi - blo)))
+                            AS INTEGER) END AS bucket,
+             blo, bhi
+      FROM v, b)
+    SELECT bucket,
+           round((blo + bucket * (bhi - blo) / 20) / 100, 6) AS lo,
+           round((blo + (bucket + 1) * (bhi - blo) / 20) / 100, 6) AS hi,
+           count(*) AS n_rows
+    FROM i GROUP BY bucket, blo, bhi
+    """,
+)
+def histogram_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins) of order totals: bounds from a
+    broadcast 1-row min/max (no driver collect), bucket indices in
+    scaled-integer arithmetic so bin boundaries are bit-identical
+    across engines — the oracle recomputes the same buckets."""
+    from bdq_spark.operators.profile import numeric_histogram
+
+    return numeric_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", bins=20
     )
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table", "numeric_correlations"]
+__all__ = ["profile_table", "numeric_correlations", "numeric_histogram"]
 
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -198,3 +198,66 @@ def numeric_correlations(
             )
         )
     return one.select(F.inline(F.array(*structs)))
+
+
+def numeric_histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 20,
+    scale: int = 2,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column in two passes (bounds,
+    then bucket counts) with NO driver collect: the 1-row min/max
+    aggregate is broadcast back onto the scan and the bucket index is
+    computed in scaled-INTEGER arithmetic — ``(value - min) * bins``
+    over the scaled span — so bucket boundaries are bit-identical
+    across engines (double-only bucketing puts edge values in different
+    buckets depending on the engine's rounding).
+
+    ``scale`` is the column's decimal resolution (2 for money).  Output:
+    one row per non-empty bucket — ``(bucket, lo, hi, n_rows)`` with
+    ``lo``/``hi`` rounded to 6 dp; the top bucket is closed (max lands
+    in ``bins - 1``).  NULLs are excluded.  A zero-width column (all
+    values equal) degenerates to a single bucket 0.
+    """
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    mul = 10 ** scale
+    scaled = F.round(F.col(column).cast("double") * mul).cast("long")
+    src = df.filter(F.col(column).isNotNull()).select(
+        scaled.alias("__v")
+    ).localCheckpoint(eager=False)
+    bounds = src.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    idx = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("__v") - F.col("__lo")) * bins / span),
+        )
+    ).cast("int")
+    return (
+        src.crossJoin(F.broadcast(bounds))
+        .select(
+            idx.alias("bucket"),
+            F.col("__lo").alias("__lo"),
+            F.col("__hi").alias("__hi"),
+        )
+        .groupBy("bucket", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            F.round(
+                (F.col("__lo") + F.col("bucket") * (F.col("__hi") - F.col("__lo")) / bins)
+                / mul,
+                6,
+            ).alias("lo"),
+            F.round(
+                (F.col("__lo") + (F.col("bucket") + 1) * (F.col("__hi") - F.col("__lo")) / bins)
+                / mul,
+                6,
+            ).alias("hi"),
+            "n_rows",
+        )
+    )

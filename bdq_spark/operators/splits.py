@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -32,6 +32,7 @@ __all__ = [
     "deterministic_sample_by",
     "weighted_mixture",
     "temperature_mixture",
+    "fixed_size_sample",
 ]
 
 #: bucket-space resolution; fractions are honored to 1e-6
@@ -282,4 +283,49 @@ def temperature_mixture(
             F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)),
         )
         .drop("__stratum", "__m", "__copies")
+    )
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    key_columns: List[str],
+    stratum_column: Optional[str] = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-size sample: the ``n_per_stratum`` rows with
+    the smallest md5 hash per stratum (or globally when
+    ``stratum_column`` is None) — the eval-set construction shape,
+    where "give me exactly 1000 docs per language, the same 1000 every
+    run" matters more than an approximate fraction.
+
+    Because the hash order is a fixed pseudo-random permutation of the
+    keys, this IS a uniform sample, and it NESTS: the n=100 sample is a
+    subset of the n=1000 sample (same ordering, shorter prefix) —
+    growing an eval set never discards previously selected members.
+    Ties (duplicate keys) break by the full hash then the key columns,
+    so the result is total-order deterministic.
+
+    Cost: one window (rank over hash within stratum).  The window sorts
+    only within strata; a global sample over a giant table pays one
+    single-partition top-n — prefer a stratum column at scale, or
+    pre-filter with :func:`deterministic_sample` to ~2x the target size
+    and rank the survivors.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    rendered = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+        for c in key_columns
+    ]
+    h = F.md5(F.concat(F.lit(salt), *sum([[F.lit(_SEP), r] for r in rendered], [])))
+    w = (
+        Window.partitionBy(stratum_column)
+        if stratum_column is not None
+        else Window.partitionBy()
+    ).orderBy(h, *[F.col(c) for c in key_columns])
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_per_stratum)
+        .drop("__rank")
     )

@@ -129,3 +129,25 @@ def test_numeric_correlations_null_listwise_and_constant(spark):
     assert got[("c", "x")].corr is None
     with pytest.raises(ValueError, match="two columns"):
         numeric_correlations(df, ["x"])
+
+
+def test_numeric_histogram_buckets(spark):
+    from bdq_spark.operators.profile import numeric_histogram
+
+    vals = [float(x) for x in range(0, 100)]  # 0..99, 10 bins of width 9.9
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = sorted(numeric_histogram(df, "x", bins=10, scale=0).collect())
+    assert sum(r.n_rows for r in rows) == 100
+    assert rows[0].bucket == 0 and rows[0].lo == pytest.approx(0.0)
+    assert rows[-1].bucket == 9 and rows[-1].hi == pytest.approx(99.0)
+    # max value lands in the last (closed) bucket
+    assert rows[-1].n_rows >= 1
+    # constant column degenerates to one bucket
+    const = spark.createDataFrame([(5.0,)] * 7, "x double")
+    got = numeric_histogram(const, "x", bins=10).collect()
+    assert len(got) == 1 and got[0].bucket == 0 and got[0].n_rows == 7
+    # NULLs excluded
+    withnull = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    assert sum(r.n_rows for r in numeric_histogram(withnull, "x", bins=2).collect()) == 2
+    with pytest.raises(ValueError, match="bins"):
+        numeric_histogram(df, "x", bins=0)

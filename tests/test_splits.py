@@ -223,3 +223,30 @@ def test_temperature_mixture_determinism_and_validation(spark):
         temperature_mixture(df, "lang", ["doc_id"], alpha=-1)
     with _pt.raises(ValueError, match="not in DataFrame"):
         temperature_mixture(df, "nope", ["doc_id"])
+
+
+def test_fixed_size_sample_exact_and_nested(spark):
+    from bdq_spark.operators.splits import fixed_size_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 300 else "b") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    s30 = fixed_size_sample(df, 30, ["doc_id"], stratum_column="lang")
+    by = {r[0]: r[1] for r in s30.groupBy("lang").count().collect()}
+    assert by == {"a": 30, "b": 30}
+    # nesting: smaller sample is a prefix of the larger one
+    s10 = fixed_size_sample(df, 10, ["doc_id"], stratum_column="lang")
+    ids30 = {r.doc_id for r in s30.collect()}
+    ids10 = {r.doc_id for r in s10.collect()}
+    assert ids10 <= ids30
+    # stratum smaller than n -> whole stratum kept
+    tiny = fixed_size_sample(df.filter("doc_id < 5"), 30, ["doc_id"],
+                             stratum_column="lang")
+    assert tiny.count() == 5
+    # global (no stratum) exact size
+    g = fixed_size_sample(df, 17, ["doc_id"])
+    assert g.count() == 17
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive"):
+        fixed_size_sample(df, 0, ["doc_id"])
