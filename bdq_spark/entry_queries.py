@@ -2642,6 +2642,42 @@ def top_supplier_by_period_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 @_register(
+    "stateful_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 1 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts) + INTERVAL 1 HOUR) AS session_end_ms,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom session machine (applyInPandasWithState with event-time
+    timeout in streaming mode) driven through its batch path — the
+    shared splitting logic makes the arbitrary-state operator's
+    semantics value-hash-checkable against the gaps-and-islands oracle;
+    the streaming path (in-batch closes + timeout emission + bounded
+    state) is driven in test_stateful.py."""
+    from bdq_spark.streaming import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap="1 hour")
+
+
+@_register(
     "stateful_running_counter",
     """
     SELECT user_id AS key, count(*) AS n_events,

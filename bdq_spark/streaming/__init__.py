@@ -6,7 +6,7 @@ free — watermarks, event-time windows, within-watermark dedup — as thin,
 batch-compatible combinators.
 """
 
-from bdq_spark.streaming.stateful import running_counter
+from bdq_spark.streaming.stateful import running_counter, sessionize
 from bdq_spark.streaming.windows import (
     dedup_within_watermark,
     interval_join,
@@ -24,4 +24,5 @@ __all__ = [
     "dedup_within_watermark",
     "interval_join",
     "running_counter",
+    "sessionize",
 ]

@@ -20,7 +20,7 @@ from typing import Iterable, List
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["running_counter"]
+__all__ = ["running_counter", "sessionize"]
 
 _OUTPUT_SCHEMA = "key bigint, n_events bigint, total double, max_value double"
 _STATE_SCHEMA = "n bigint, total double, mx double"
@@ -93,3 +93,131 @@ def running_counter(
         )
 
     return df.groupBy(key_column).applyInPandas(one_shot, schema=_OUTPUT_SCHEMA)
+
+
+_SESSION_OUTPUT = (
+    "user_id bigint, session_start_ms bigint, "
+    "session_end_ms bigint, n_events bigint"
+)
+_SESSION_STATE = "start_ms bigint, last_ms bigint, n bigint"
+
+
+def sessionize(
+    df: DataFrame,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    gap: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom session machine over ``applyInPandasWithState`` with
+    EVENT-TIME TIMEOUT — the arbitrary-state path Spark's native
+    ``session_window`` doesn't need, demonstrated on the operator whose
+    semantics it CAN check: output rows are ``(user_id,
+    session_start_ms, session_end_ms = last event + gap, n_events)``,
+    identical to :func:`~bdq_spark.streaming.session_window_agg`.
+
+    Streaming: state holds the open session per key; sessions closed by
+    an in-batch gap emit immediately, the trailing open session arms an
+    event-time timeout at ``last + gap`` and emits when the watermark
+    passes it (append semantics; state for a key is dropped on timeout,
+    so state size is bounded by the number of concurrently-open
+    sessions).  Batch: the same splitting logic one-shot per key, which
+    is what the DuckDB gaps-and-islands oracle checks.
+
+    Real uses of this shape add custom per-session state the native
+    operator can't express (distinct pages, conversion flags, decayed
+    scores) — the plumbing is identical.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", gap.strip())
+    if not m:
+        raise ValueError("gap must look like '30 minutes' / '1 hour'")
+    gap_ms = int(m.group(1)) * {
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[m.group(2)]
+
+    def _split(ts_sorted_ms, start, last, n):
+        """Fold timestamps into (closed_sessions, open_state)."""
+        closed = []
+        for t in ts_sorted_ms:
+            if last is not None and t - last > gap_ms:
+                closed.append((start, last + gap_ms, n))
+                start, last, n = t, t, 1
+            elif last is None:
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        return closed, (start, last, n)
+
+    if df.isStreaming:
+        from pyspark.sql.streaming.state import GroupState
+
+        def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+            if state.hasTimedOut:
+                start, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start_ms": [start],
+                        "session_end_ms": [last + gap_ms],
+                        "n_events": [n],
+                    }
+                )
+                return
+            ts = []
+            for pdf in pdfs:
+                ts.extend(
+                    int(v.value // 1_000_000)
+                    for v in pd.to_datetime(pdf[ts_column])
+                )
+            ts.sort()
+            start, last, n = state.get if state.exists else (None, None, 0)
+            closed, (start, last, n) = _split(ts, start, last, n)
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last + gap_ms)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "session_start_ms": [c[0] for c in closed],
+                        "session_end_ms": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                )
+
+        return (
+            df.withWatermark(ts_column, watermark)
+            .groupBy(key_column)
+            .applyInPandasWithState(
+                update,
+                outputStructType=_SESSION_OUTPUT,
+                stateStructType=_SESSION_STATE,
+                outputMode="append",
+                timeoutConf="EventTimeTimeout",
+            )
+        )
+
+    def one_shot(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(
+            int(v.value // 1_000_000) for v in pd.to_datetime(pdf[ts_column])
+        )
+        closed, (start, last, n) = _split(ts, None, None, 0)
+        if last is not None:
+            closed.append((start, last + gap_ms, n))
+        return pd.DataFrame(
+            {
+                "user_id": [pdf[key_column].iloc[0]] * len(closed),
+                "session_start_ms": [c[0] for c in closed],
+                "session_end_ms": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return df.groupBy(key_column).applyInPandas(
+        one_shot, schema=_SESSION_OUTPUT
+    )

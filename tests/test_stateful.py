@@ -63,3 +63,91 @@ def test_running_counter_streaming_state_across_batches(spark, tmp_path):
     assert second[1] == (2, 40.0, 30.0)
     assert second[3] == (1, 2.0, 2.0)
     assert 2 not in second  # untouched key not re-emitted in update mode
+
+
+# ---------------------------------------------------------------------------
+# sessionize (custom session machine, EventTimeTimeout)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_batch_matches_native_session_window(spark):
+    from bdq_spark.streaming import session_window_agg, sessionize
+    from pyspark.sql import functions as F
+
+    from bdq_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    custom = sorted(
+        map(tuple, sessionize(ev, "user_id", "ts", gap="1 hour").collect())
+    )
+    native = sorted(
+        map(
+            tuple,
+            session_window_agg(
+                ev, "ts", "1 hour", [F.count(F.lit(1)).alias("n_events")],
+                group_by=["user_id"],
+            )
+            .select(
+                "user_id",
+                F.unix_millis("window_start").alias("session_start_ms"),
+                F.unix_millis("window_end").alias("session_end_ms"),
+                "n_events",
+            )
+            .collect(),
+        )
+    )
+    assert custom == native
+
+
+def test_sessionize_streaming_event_time_timeout(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from bdq_spark.streaming import sessionize
+
+    schema = "user_id long, ts timestamp"
+    f1 = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 0)), (1, DT(2024, 1, 1, 10, 10)),
+         (2, DT(2024, 1, 1, 9, 0)), (2, DT(2024, 1, 1, 12, 0))],
+        schema,
+    )
+    f2 = spark.createDataFrame([(1, DT(2024, 1, 1, 14, 0))], schema)
+    src = tmp_path / "sess_src"
+    f1.coalesce(1).write.parquet(str(src / "b1"))
+    f2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = sessionize(stream, "user_id", "ts", gap="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("sess_sink").collect()))
+    spark.catalog.dropTempView("sess_sink")
+    # one query, two micro-batches (maxFilesPerTrigger=1) + trailing
+    # no-data batch:
+    # - user 2's 9:00 session closes via the IN-BATCH gap to 12:00;
+    # - user 1's 10:00-10:10 session closes via EVENT-TIME TIMEOUT when
+    #   batch 2's 14:00 event (or the trailing batch) moves the
+    #   watermark past 11:10;
+    # - user 2's open 12:00 session times out once the watermark passes
+    #   13:00;
+    # - user 1's new 14:00 session stays open in state, correctly
+    #   unemitted under append semantics.
+    assert got == [
+        (1, _ms(2024, 1, 1, 10, 0), _ms(2024, 1, 1, 11, 10), 2),
+        (2, _ms(2024, 1, 1, 9, 0), _ms(2024, 1, 1, 10, 0), 1),
+        (2, _ms(2024, 1, 1, 12, 0), _ms(2024, 1, 1, 13, 0), 1),
+    ]
+
+
+def _ms(*args):
+    from datetime import datetime, timezone
+
+    return int(datetime(*args, tzinfo=timezone.utc).timestamp() * 1000)
