@@ -32,16 +32,26 @@ from bdq_spark.operators.corpus import (
     training_order_key,
     with_training_order,
 )
+from bdq_spark.operators.cdc import apply_cdc, latest_changes
+from bdq_spark.operators.dedup import paragraph_dedup
 from bdq_spark.operators.packing import pack_documents
-from bdq_spark.operators.profile import profile_table
+from bdq_spark.operators.profile import (
+    numeric_correlations,
+    numeric_histogram,
+    profile_table,
+)
 from bdq_spark.operators.splits import (
     deterministic_sample,
     deterministic_sample_by,
+    fixed_size_sample,
     hash_bucket_column,
     hash_split,
     hash_split_column,
+    temperature_mixture,
     weighted_mixture,
 )
+from bdq_spark.operators.text_analysis import compression_ratio, gopher_quality
+from bdq_spark.operators.tokenizer import bpe_segment_corpus, train_bpe
 
 __all__ = [
     "compare_dataframes",
@@ -65,6 +75,17 @@ __all__ = [
     "deterministic_sample",
     "deterministic_sample_by",
     "weighted_mixture",
+    "temperature_mixture",
+    "fixed_size_sample",
+    "numeric_correlations",
+    "numeric_histogram",
+    "paragraph_dedup",
+    "gopher_quality",
+    "compression_ratio",
+    "train_bpe",
+    "bpe_segment_corpus",
+    "apply_cdc",
+    "latest_changes",
     "pack_documents",
     "chunk_documents",
     "token_vocabulary",

@@ -67,6 +67,9 @@ CARTESIAN_OK = {
     "wealthy_low_activity_customers",
     "top_supplier_by_period_revenue",
     "doc_temperature_mixture",
+    # same shape: the 1-row min/max bounds broadcast onto the scaled
+    # values before bucketing
+    "histogram_orders_totalprice",
 }
 
 
