@@ -3471,6 +3471,72 @@ def profile_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "profile_drift_orders",
+    """
+    WITH oldp AS (
+      SELECT 'o_orderkey' AS "column", 0.0 AS null_rate,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS minv,
+             CAST(max(o_orderkey) AS VARCHAR) AS maxv
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', 0.0, count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority)
+      FROM orders),
+    newp AS (
+      SELECT 'o_orderkey' AS "column", 0.0 AS null_rate,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS minv,
+             CAST(max(o_orderkey) AS VARCHAR) AS maxv
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'o_orderpriority', 0.0, count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority)
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT o."column",
+           round(CAST(o.null_rate AS DOUBLE), 6) AS null_rate_old,
+           round(CAST(n.null_rate AS DOUBLE), 6) AS null_rate_new,
+           o.n_distinct AS n_distinct_old,
+           n.n_distinct AS n_distinct_new,
+           o.minv AS min_old, n.minv AS min_new,
+           o.maxv AS max_old, n.maxv AS max_new,
+           abs(coalesce(n.null_rate, 0) - coalesce(o.null_rate, 0)) > 0.01
+             AS null_rate_drift,
+           coalesce(n.n_distinct / nullif(o.n_distinct::DOUBLE, 0) < 0.5
+                    OR n.n_distinct / nullif(o.n_distinct::DOUBLE, 0) > 2.0,
+                    TRUE) AS distinct_drift,
+           (n.minv IS DISTINCT FROM o.minv OR n.maxv IS DISTINCT FROM o.maxv)
+             AS range_drift,
+           FALSE AS presence_drift,
+           (abs(coalesce(n.null_rate, 0) - coalesce(o.null_rate, 0)) > 0.01
+            OR coalesce(n.n_distinct / nullif(o.n_distinct::DOUBLE, 0) < 0.5
+                        OR n.n_distinct / nullif(o.n_distinct::DOUBLE, 0) > 2.0,
+                        TRUE)
+            OR n.minv IS DISTINCT FROM o.minv
+            OR n.maxv IS DISTINCT FROM o.maxv) AS drifted
+    FROM oldp o JOIN newp n USING ("column")
+    """,
+)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate: yesterday's profile vs today's (here:
+    orders vs its even-keyed half — cardinality halves, ranges move).
+    Completes the compare family — compare_schemas (structure),
+    compare_dataframes (rows), profile_drift (distributions).  Exact
+    distinct counts so the oracle reproduces every flag."""
+    from bdq_spark.operators.profile import profile_drift, profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderpriority"]
+    po = profile_table(orders, columns=cols, approx_distinct=False)
+    pn = profile_table(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        columns=cols,
+        approx_distinct=False,
+    )
+    return profile_drift(po, pn)
+
+
+@_register(
     "histogram_orders_totalprice",
     """
     WITH v AS (

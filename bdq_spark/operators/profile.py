@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table", "numeric_correlations", "numeric_histogram"]
+__all__ = ["profile_table", "numeric_correlations", "numeric_histogram", "profile_drift"]
 
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -260,4 +260,96 @@ def numeric_histogram(
             ).alias("hi"),
             "n_rows",
         )
+    )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_rate_delta: float = 0.01,
+    distinct_ratio_low: float = 0.5,
+    distinct_ratio_high: float = 2.0,
+) -> DataFrame:
+    """Distribution-drift report between two :func:`profile_table`
+    outputs (yesterday's profile vs today's) — the monitoring step that
+    turns profiling into a quality GATE, completing the library's
+    compare family: ``compare_schemas`` (structure), ``compare_dataframes``
+    (rows), ``profile_drift`` (distributions).
+
+    Joined FULL OUTER on column name, so added/removed columns surface
+    as drift too.  Flags per column:
+
+    - ``null_rate_drift`` — |null_rate_new - null_rate_old| >
+      ``null_rate_delta``;
+    - ``distinct_drift`` — distinct-count ratio outside
+      [``distinct_ratio_low``, ``distinct_ratio_high``] (cardinality
+      collapse/explosion — the classic broken-join symptom);
+    - ``range_drift`` — min or max moved (new categories, outliers);
+    - ``presence_drift`` — column exists on only one side;
+    - ``drifted`` — any of the above.
+
+    Both inputs are tiny (one row per column); everything is a single
+    join of 1-row-per-column relations — cost is nil at any data scale
+    because the heavy lifting already happened in the profile pass.
+    """
+    o = old.select(
+        F.col("column"),
+        F.col("null_rate").alias("null_rate_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+        F.col("min_value").alias("min_old"),
+        F.col("max_value").alias("max_old"),
+    )
+    n = new.select(
+        F.col("column"),
+        F.col("null_rate").alias("null_rate_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_value").alias("min_new"),
+        F.col("max_value").alias("max_new"),
+    )
+    j = o.join(n, "column", "full_outer")
+    present_both = (
+        F.col("null_rate_old").isNotNull() | F.col("n_distinct_old").isNotNull()
+    ) & (
+        F.col("null_rate_new").isNotNull() | F.col("n_distinct_new").isNotNull()
+    )
+    null_drift = (
+        F.abs(
+            F.coalesce(F.col("null_rate_new"), F.lit(0.0))
+            - F.coalesce(F.col("null_rate_old"), F.lit(0.0))
+        )
+        > null_rate_delta
+    )
+    ratio = F.col("n_distinct_new") / F.nullif(
+        F.col("n_distinct_old").cast("double"), F.lit(0.0)
+    )
+    distinct_drift = F.coalesce(
+        (ratio < distinct_ratio_low) | (ratio > distinct_ratio_high),
+        F.lit(True),  # 0 -> nonzero (or vice versa) is drift
+    ) & present_both
+    range_drift = (
+        ~F.col("min_new").eqNullSafe(F.col("min_old"))
+        | ~F.col("max_new").eqNullSafe(F.col("max_old"))
+    ) & present_both
+    presence_drift = ~present_both
+    drifted = (
+        (null_drift & present_both)
+        | distinct_drift
+        | range_drift
+        | presence_drift
+    )
+    return j.select(
+        "column",
+        F.round("null_rate_old", 6).alias("null_rate_old"),
+        F.round("null_rate_new", 6).alias("null_rate_new"),
+        "n_distinct_old",
+        "n_distinct_new",
+        "min_old",
+        "min_new",
+        "max_old",
+        "max_new",
+        (null_drift & present_both).alias("null_rate_drift"),
+        distinct_drift.alias("distinct_drift"),
+        range_drift.alias("range_drift"),
+        presence_drift.alias("presence_drift"),
+        drifted.alias("drifted"),
     )

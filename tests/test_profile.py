@@ -151,3 +151,40 @@ def test_numeric_histogram_buckets(spark):
     assert sum(r.n_rows for r in numeric_histogram(withnull, "x", bins=2).collect()) == 2
     with pytest.raises(ValueError, match="bins"):
         numeric_histogram(df, "x", bins=0)
+
+
+def test_profile_drift_flags(spark):
+    from bdq_spark.operators.profile import profile_drift, profile_table
+
+    old = spark.createDataFrame(
+        [(i, float(i % 50), "x") for i in range(100)],
+        "id long, v double, only_old string",
+    )
+    new_rows = [(i, float(i % 5), None) for i in range(100)]  # cardinality collapse + nulls
+    new = spark.createDataFrame(new_rows, "id long, v double, only_new string")
+    po = profile_table(old, approx_distinct=False)
+    pn = profile_table(new, approx_distinct=False)
+    rows = {r.column: r for r in profile_drift(po, pn).collect()}
+    assert not rows["id"].drifted                       # identical column
+    v = rows["v"]
+    assert v.distinct_drift                             # 50 -> 5 distinct
+    assert v.range_drift                                # max 49.0 -> 4.0
+    assert v.drifted
+    assert rows["only_old"].presence_drift and rows["only_old"].drifted
+    assert rows["only_new"].presence_drift
+    # null-rate drift: only_new column is all-null on the new side only
+    assert rows["only_new"].null_rate_new == pytest.approx(1.0)
+
+
+def test_profile_drift_null_rate_threshold(spark):
+    from bdq_spark.operators.profile import profile_drift, profile_table
+
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+                                "id long, s string")
+    new = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, None)],
+                                "id long, s string")
+    po, pn = (profile_table(d, approx_distinct=False) for d in (old, new))
+    strict = {r.column: r for r in profile_drift(po, pn, null_rate_delta=0.1).collect()}
+    loose = {r.column: r for r in profile_drift(po, pn, null_rate_delta=0.5).collect()}
+    assert strict["s"].null_rate_drift       # 0 -> 0.25 > 0.1
+    assert not loose["s"].null_rate_drift    # 0.25 < 0.5
