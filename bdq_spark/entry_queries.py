@@ -1011,6 +1011,66 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "duplicate_spans_documents",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    shl AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             CASE WHEN len(w) >= 6
+                  THEN list_transform(range(1, len(w) - 6 + 2),
+                                      i -> {'pos': i - 1,
+                                            'sh': array_to_string(w[i:i+5], ' ')})
+                  WHEN len(w) > 0
+                  THEN [{'pos': 0, 'sh': array_to_string(w, ' ')}]
+                  ELSE [] END AS sl
+      FROM words),
+    pos_sh AS (
+      SELECT doc_id, n_tokens, u.s['pos'] AS pos, u.s['sh'] AS sh
+      FROM shl, UNNEST(sl) AS u(s)),
+    dups AS (
+      SELECT sh, count(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, sh FROM pos_sh)
+      GROUP BY sh HAVING count(*) >= 2),
+    isl AS (
+      SELECT doc_id, pos, n_tokens, n_docs,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 6 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (SELECT h.*, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS prev
+            FROM (SELECT p.doc_id, p.pos, p.n_tokens, d.n_docs
+                  FROM pos_sh p JOIN dups d USING (sh)) h) t)
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           least(max(pos) + 5, max(n_tokens) - 1)::BIGINT AS span_end,
+           (least(max(pos) + 5, max(n_tokens) - 1) - min(pos) + 1)::BIGINT
+             AS span_n_tokens,
+           max(n_docs)::BIGINT AS max_dup_docs
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection INSIDE the corpus (Lee et al. 2022
+    exact-substring dedup at 6-gram granularity): which token spans of
+    each document also occur in >= 2 documents, merged to maximal
+    spans.  Raw-string join keys here so the DuckDB oracle replays the
+    pipeline exactly (production default is xxhash64 8-byte keys,
+    verified equivalent in pytest)."""
+    from bdq_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        load_table(spark, sf_dir, "documents"),
+        n=6,
+        min_dup_docs=2,
+        hash_join_keys=False,
+    )
+
+
+@_register(
     "incremental_dedup_batch",
     """
     WITH b AS (

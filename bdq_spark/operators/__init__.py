@@ -33,7 +33,7 @@ from bdq_spark.operators.corpus import (
     with_training_order,
 )
 from bdq_spark.operators.cdc import apply_cdc, latest_changes
-from bdq_spark.operators.dedup import paragraph_dedup
+from bdq_spark.operators.dedup import duplicate_spans, paragraph_dedup
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import (
     numeric_correlations,
@@ -80,6 +80,7 @@ __all__ = [
     "numeric_correlations",
     "numeric_histogram",
     "paragraph_dedup",
+    "duplicate_spans",
     "gopher_quality",
     "compression_ratio",
     "train_bpe",

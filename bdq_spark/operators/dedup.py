@@ -42,6 +42,7 @@ __all__ = [
     "fingerprint_dedup",
     "incremental_fingerprint_dedup",
     "paragraph_dedup",
+    "duplicate_spans",
     "shingle",
     "positional_shingles",
     "ngram_jaccard_pairs",
@@ -1192,4 +1193,81 @@ def embedding_cosine_pairs(
         .join(vb, "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 8,
+    min_dup_docs: int = 2,
+    min_span_tokens: int = 0,
+    hash_join_keys: bool = True,
+) -> DataFrame:
+    """WHICH token spans of each document are duplicated elsewhere in
+    the corpus — repeated-passage detection at shingle granularity (the
+    practical form of Lee et al. 2022's exact-substring dedup: every
+    duplicated run of >= ``n`` tokens is covered by duplicated
+    ``n``-grams, and merging adjacent hits recovers the maximal span).
+    Doc-level near-dup finds whole documents; THIS finds the quoted
+    paragraph, the shared license block, the copy-pasted passage inside
+    otherwise-unique documents — span-masking targets instead of
+    drop/keep decisions.
+
+    A positional ``n``-gram is a hit when the same shingle occurs in
+    >= ``min_dup_docs`` DISTINCT documents; overlapping/adjacent hit
+    positions merge per document (gaps-and-islands).  Output, one row
+    per maximal span: ``(id_column, span_start, span_end,
+    span_n_tokens, max_dup_docs)`` — inclusive 0-based token indices
+    and the widest cross-document spread among the span's shingles.
+
+    Scale shape: the duplicated-shingle set is a partial-combinable
+    count over per-doc-distinct shingles (boilerplate-heavy corpora
+    collapse hard), the hit join is linear in corpus shingles with
+    optional ``xxhash64`` 8-byte keys, and the islands window touches
+    only HIT positions.  Mirrors :func:`contamination_spans`'s plan —
+    the cross-set variant of the same report.
+    """
+    pos_sh = positional_shingles(df, text_column, id_column, n=n)
+    key = (lambda c: F.xxhash64(c)) if hash_join_keys else (lambda c: c)
+    dup_set = (
+        shingle(df, text_column, id_column, n=n)
+        .select(key(F.col("shingle")).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_dup_docs)
+    )
+    hits = (
+        pos_sh.select(
+            "id", "pos", "n_tokens", key(F.col("shingle")).alias("__k")
+        )
+        .join(dup_set, "__k")
+        .select("id", "pos", "n_tokens", "__n_docs")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_island = (prev.isNull() | (F.col("pos") > prev + n)).cast("int")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    span_end = F.least(
+        F.max("pos") + F.lit(n - 1), F.max("n_tokens") - F.lit(1)
+    ).cast("long")
+    return (
+        hits.withColumn("__isl", island)
+        .groupBy(F.col("id").alias(id_column), F.col("__isl"))
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            span_end.alias("span_end"),
+            F.max("__n_docs").cast("long").alias("max_dup_docs"),
+        )
+        .withColumn(
+            "span_n_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .filter(F.col("span_n_tokens") >= F.lit(min_span_tokens))
+        .select(
+            id_column, "span_start", "span_end", "span_n_tokens",
+            "max_dup_docs",
+        )
     )

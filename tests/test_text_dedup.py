@@ -791,3 +791,35 @@ def test_compression_ratio_matches_zlib(spark):
     assert rows[3].raw_bytes == 0 and rows[3].compression_ratio is None
     # the repetitive doc compresses much harder than prose
     assert rows[0].compression_ratio < 0.1 < rows[1].compression_ratio
+
+
+def test_duplicate_spans_planted(spark):
+    from bdq_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (0, f"alpha beta gamma {shared} delta epsilon"),
+        (1, f"one two three four five six {shared} seven eight"),
+        (2, "totally unique content with no repeats anywhere here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in duplicate_spans(df, n=4).collect()}
+    assert 2 not in rows                         # unique doc -> no spans
+    # doc 0: shared passage starts after 3 lead words (10 shared tokens)
+    assert rows[0].span_start == 3 and rows[0].span_n_tokens == 10
+    # doc 1: starts after 6 lead words
+    assert rows[1].span_start == 6 and rows[1].span_n_tokens == 10
+    assert rows[0].max_dup_docs == 2 and rows[1].max_dup_docs == 2
+
+
+def test_duplicate_spans_hash_keys_equivalent(spark):
+    from bdq_spark.operators.dedup import duplicate_spans
+
+    from bdq_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    raw = sorted(map(tuple, duplicate_spans(
+        docs, n=6, hash_join_keys=False).collect()))
+    hashed = sorted(map(tuple, duplicate_spans(
+        docs, n=6, hash_join_keys=True).collect()))
+    assert raw == hashed
