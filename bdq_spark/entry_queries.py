@@ -355,6 +355,39 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cheapest_supplier_per_part",
+    """
+    WITH m AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+             min(CAST(l_extendedprice AS DECIMAL(12,2)))
+               OVER (PARTITION BY l_partkey) AS mn
+      FROM lineitem)
+    SELECT l_partkey, l_suppkey, CAST(price AS DOUBLE) AS price
+    FROM m WHERE price = mn
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per-group argmin with ALL ties kept — the min is a
+    window over the part partition (parallel across parts, unlike a
+    global-max single partition) and the equality filter runs on exact
+    decimal so tie detection is bit-portable."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    price = _dec("l_extendedprice")
+    return (
+        l.select("l_partkey", "l_suppkey", price.alias("price"))
+        .withColumn("__mn", F.min("price").over(w))
+        .filter(F.col("price") == F.col("__mn"))
+        .select(
+            "l_partkey", "l_suppkey", F.col("price").cast("double").alias("price")
+        )
+    )
+
+
+@_register(
     "customer_pseudonymize",
     """
     SELECT substr(sha256('demo-secret' || chr(31)

@@ -511,3 +511,59 @@ def test_paragraph_dedup_matches_python_reference(spark, docs):
         assert r.n_kept == len(kept)
         assert r.n_removed == len(paras) - len(kept)
         assert r.clean_text == "\n".join(kept)
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 100)),
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 8),                      # key
+            st.integers(0, 100),                    # value
+            st.sampled_from(["I", "U", "D"]),       # op
+            st.integers(0, 5),                      # version
+        ),
+        max_size=12,
+        # two non-delete ops on the same (key, version) would have an
+        # arbitrary winner (the operator only orders by version +
+        # delete-wins) — allow at most one upsert and one delete per
+        # (key, version)
+        unique_by=lambda r: (r[0], r[3], r[2] == "D"),
+    ),
+)
+@settings(**SETTINGS)
+def test_apply_cdc_matches_python_reference(spark, base, changes):
+    from bdq_spark.operators.cdc import apply_cdc
+
+    base_df = spark.createDataFrame(
+        base or [(99, 1)], "k long, v long"
+    )
+    if not base:
+        base_df = base_df.filter("k < 0")
+    ch_df = spark.createDataFrame(
+        changes or [(99, 1, "U", 0)], "k long, v long, op string, ver long"
+    )
+    if not changes:
+        ch_df = ch_df.filter("k < 0")
+    got = sorted(
+        (r.k, r.v)
+        for r in apply_cdc(base_df, ch_df, ["k"], ["ver"]).collect()
+    )
+
+    # reference: latest change per key (max ver; delete wins ver ties)
+    snap = dict(base)
+    latest = {}
+    for k, v, op, ver in changes:
+        cur = latest.get(k)
+        rank = (ver, 1 if op == "D" else 0)
+        if cur is None or rank > (cur[0], 1 if cur[2] == "D" else 0):
+            latest[k] = (ver, v, op)
+    for k, (_ver, v, op) in latest.items():
+        if op == "D":
+            snap.pop(k, None)
+        else:
+            snap[k] = v
+    assert got == sorted(snap.items())
