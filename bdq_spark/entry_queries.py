@@ -2371,6 +2371,49 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "compact_roundtrip_orders",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (the canonical lake-maintenance pass):
+    orders staged as 64 fragment files, compacted to target-size files,
+    re-read and value-checked against the source — proving the rewrite
+    is content-preserving.  Raises unless the file count actually
+    shrank."""
+    import hashlib
+    import os
+
+    from bdq_spark.sources.sinks import compact_parquet
+
+    key = hashlib.md5(f"{sf_dir}:compact".encode()).hexdigest()[:12]
+    frag = os.path.join(tempfile.gettempdir(), f"bdq_frag_orders_{key}")
+    out = os.path.join(tempfile.gettempdir(), f"bdq_compacted_orders_{key}")
+    marker = os.path.join(out, "_COMPACTED")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "orders").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        stats = compact_parquet(spark, frag, out, target_bytes=1 << 30)
+        if stats["files_after"] >= stats["files_before"]:
+            raise RuntimeError(f"compaction did not shrink files: {stats}")
+        with open(marker, "w") as fh:
+            fh.write(str(stats))
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice", 14)).cast("double").alias("total_price"),
+        )
+    )
+
+
+@_register(
     "orc_roundtrip_supplier",
     """
     SELECT s_nationkey, count(*) AS n,

@@ -23,7 +23,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_partitioned", "write_bucketed"]
+__all__ = ["write_partitioned", "write_bucketed", "compact_parquet"]
 
 
 def write_partitioned(
@@ -72,3 +72,59 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> dict:
+    """Compact a small-files parquet directory into ~``target_bytes``
+    files — the standard lake-maintenance pass (streaming sinks and
+    over-parallel writes leave thousands of tiny files; at 100 TB the
+    NameNode/listing overhead and per-file open cost dominate scans
+    long before the data does).
+
+    File census via the Hadoop FileSystem API (portable to HDFS/S3A/
+    local); the rewrite is ``repartition(ceil(bytes / target))`` —
+    a full shuffle, the price of making downstream scans cheap forever
+    after.  Writes to ``out_path`` (never in place: an in-place rewrite
+    that fails mid-job loses data).  Returns
+    ``{files_before, bytes_before, files_after}``.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    if not fs.exists(src):
+        raise ValueError(f"no parquet files under {path}")
+    files_before, bytes_before = 0, 0
+    it = fs.listFiles(src, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            files_before += 1
+            bytes_before += st.getLen()
+    if files_before == 0:
+        raise ValueError(f"no parquet files under {path}")
+    n_out = max(min_files, -(-bytes_before // target_bytes))
+    (
+        spark.read.parquet(path)
+        .repartition(int(n_out))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(out_path)
+    files_after = 0
+    it = fs.listFiles(dst, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            files_after += 1
+    return {
+        "files_before": files_before,
+        "bytes_before": int(bytes_before),
+        "files_after": files_after,
+    }

@@ -49,3 +49,23 @@ def test_write_bucketed_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_compact_parquet_shrinks_files_preserves_content(spark, tmp_path):
+    from bdq_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(40).write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    assert stats["bytes_before"] > 0
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    a = sorted(map(tuple, got.groupBy("g").count().collect()))
+    b = sorted(map(tuple, df.groupBy("g").count().collect()))
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no parquet files"):
+        compact_parquet(spark, str(tmp_path / "empty"), dst)
