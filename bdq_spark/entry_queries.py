@@ -3117,6 +3117,49 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_lm_score_bigram",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w)),
+                            i -> w[i] || chr(31) || w[i+1]) AS bl
+      FROM words),
+    bigrams AS (SELECT doc_id, u.b AS big FROM bg, UNNEST(bl) AS u(b)),
+    unis AS (SELECT doc_id, u.t AS w1 FROM words, UNNEST(w) AS u(t)),
+    c1 AS (SELECT w1, count(*) AS c1 FROM unis GROUP BY 1),
+    c2 AS (SELECT big, split_part(big, chr(31), 1) AS w1,
+                  count(*) AS c2
+           FROM bigrams GROUP BY 1, 2),
+    v AS (SELECT count(*) AS v FROM c1),
+    lp AS (
+      SELECT c2.big,
+             CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + v.v)), 9)
+                  AS DECIMAL(14,9)) AS logp
+      FROM c2 JOIN c1 USING (w1), v)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(sum(lp.logp) AS DOUBLE) / count(*), 6) AS lm2_score
+    FROM bigrams b JOIN lp USING (big)
+    GROUP BY b.doc_id
+    """,
+)
+def doc_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM quality score (one order up from
+    doc_lm_score toward the KenLM/CCNet scorer): add-one-smoothed
+    ln P(w_i | w_{i-1}) averaged per document, decimal-summed for
+    engine determinism — scrambled word order now scores low even with
+    a normal unigram profile."""
+    from bdq_spark.operators.text_analysis import bigram_logprob_score
+
+    return bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "doc_repetition",
     """
     WITH words AS (

@@ -22,6 +22,7 @@ __all__ = [
     "unigram_logprob_score",
     "gopher_quality",
     "compression_ratio",
+    "bigram_logprob_score",
 ]
 
 #: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
@@ -320,4 +321,72 @@ def compression_ratio(
             F.col("compressed_bytes") / F.nullif(F.col("raw_bytes"), F.lit(0)),
             6,
         ).alias("compression_ratio"),
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own add-one-smoothed bigram LM — one order up from
+    :func:`unigram_logprob_score` toward the KenLM-style CCNet scorer:
+    ``mean over i of ln((c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V))``.
+    Word-order-scrambled or spliced text now scores LOW even when its
+    unigram profile is normal — the signal unigrams can't see.
+
+    Output: ``(id_column, n_bigrams, lm2_score)``; documents with fewer
+    than 2 tokens emit no row.  Same engine-determinism contract as the
+    unigram scorer: per-bigram ``ln`` rounded to 9 dp and summed as
+    exact decimals, final mean rounded to 6.
+
+    Scale shape: bigram and unigram counts are partial-combinable
+    aggregates over the exploded token stream; the scalar V broadcasts;
+    the scoring join is keyed by the bigram (one shuffle) and the
+    per-doc aggregate reuses the doc-id clustering.
+    """
+    from pyspark.sql import Window
+
+    toks = df.repartition(F.col(id_column)).select(
+        F.col(id_column).alias("id"),
+        F.posexplode(TXT.word_tokens(F.col(text_column))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("id", "w1", "w2")
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    uni_counts = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = uni_counts.agg(F.count(F.lit(1)).alias("__v"))
+    lp = (
+        big_counts.join(uni_counts, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(1.0))
+                    / (F.col("c1") + F.col("__v"))
+                ),
+                9,
+            )
+            .cast("decimal(14,9)")
+            .alias("logp"),
+        )
+    )
+    return (
+        bigrams.join(lp, ["w1", "w2"])
+        .groupBy(F.col("id").alias(id_column))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("lm2_score"),
+        )
     )

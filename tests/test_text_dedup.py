@@ -823,3 +823,34 @@ def test_duplicate_spans_hash_keys_equivalent(spark):
     hashed = sorted(map(tuple, duplicate_spans(
         docs, n=6, hash_join_keys=True).collect()))
     assert raw == hashed
+
+
+def test_bigram_lm_score_order_sensitivity(spark):
+    import math
+    from collections import Counter
+
+    from bdq_spark.operators.text_analysis import bigram_logprob_score
+
+    normal = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "mat the on dog sat rug the the and cat on sat the"
+    df = spark.createDataFrame(
+        [(0, normal), (1, scrambled), (2, "single")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+    assert 2 not in rows                      # <2 tokens -> no row
+    assert rows[0].n_bigrams == 12 and rows[1].n_bigrams == 12
+    # same unigram profile, different order: the normal text's bigrams
+    # repeat ("sat on", "the") so it must outscore the scramble
+    assert rows[0].lm2_score > rows[1].lm2_score
+
+    # exact reference on the tiny corpus
+    toks = [t.split() for t in (normal, scrambled, "single")]
+    uni = Counter(w for ts in toks for w in ts)
+    big = Counter((a, b) for ts in toks for a, b in zip(ts, ts[1:]))
+    V = len(uni)
+    exp = sum(
+        round(math.log((big[(a, b)] + 1.0) / (uni[a] + V)), 9)
+        for a, b in zip(toks[0], toks[0][1:])
+    ) / 12
+    assert rows[0].lm2_score == pytest.approx(round(exp, 6), abs=2e-6)
