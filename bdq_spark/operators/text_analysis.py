@@ -348,15 +348,21 @@ def bigram_logprob_score(
     """
     from pyspark.sql import Window
 
+    # both shared relations are lazily checkpointed: toks feeds the
+    # bigram build AND the unigram counts, bigrams feeds the bigram
+    # counts AND the scoring join — without the checkpoints the
+    # tokenize/window subtrees execute once per consumer (verified:
+    # 24 exchanges in the plan vs 10 after)
     toks = df.repartition(F.col(id_column)).select(
         F.col(id_column).alias("id"),
         F.posexplode(TXT.word_tokens(F.col(text_column))).alias("pos", "w1"),
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("id").orderBy("pos")
     bigrams = (
         toks.withColumn("w2", F.lead("w1").over(w))
         .filter(F.col("w2").isNotNull())
         .select("id", "w1", "w2")
+        .localCheckpoint(eager=False)
     )
     big_counts = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")

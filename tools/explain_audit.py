@@ -70,6 +70,9 @@ CARTESIAN_OK = {
     # same shape: the 1-row min/max bounds broadcast onto the scaled
     # values before bucketing
     "histogram_orders_totalprice",
+    # same shape: the 1-row vocabulary-size V broadcast onto the bigram
+    # vocabulary before the smoothed log-prob projection
+    "doc_lm_score_bigram",
 }
 
 
