@@ -1183,6 +1183,38 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("near_dup_edit_verified")
+def near_dup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup candidates re-scored with character-level edit
+    distance (the order-sensitive second opinion shingle-set overlap
+    can't give).  Oracle composed below: the full jaccard pipeline SQL
+    plus DuckDB's levenshtein — distances verified identical."""
+    from bdq_spark.operators.dedup import (
+        levenshtein_rescore,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return levenshtein_rescore(pairs, docs).select(
+        "id_a", "id_b", "jaccard", "edit_distance", "edit_similarity"
+    )
+
+
+ORACLE_SQL["near_dup_edit_verified"] = f"""
+    WITH jpairs AS ({ORACLE_SQL["near_dup_jaccard"]})
+    SELECT j.id_a, j.id_b, j.jaccard,
+           levenshtein(a.text, b.text) AS edit_distance,
+           CASE WHEN greatest(len(a.text), len(b.text)) = 0 THEN 1.0
+                ELSE round(1.0 - levenshtein(a.text, b.text)
+                           / greatest(len(a.text), len(b.text)), 6)
+           END AS edit_similarity
+    FROM jpairs j
+    JOIN documents a ON a.doc_id = j.id_a
+    JOIN documents b ON b.doc_id = j.id_b
+    """
+
+
 @_register(
     "near_dup_clusters",
     """
@@ -3713,6 +3745,32 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx_distinct=False,
     )
     return profile_drift(po, pn)
+
+
+@_register(
+    "quantiles_lineitem_by_flag",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q_25,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50), 6) AS q_50,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS q_75,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS q_99
+    FROM lineitem GROUP BY 1
+    """,
+)
+def quantiles_lineitem_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT quantiles (linear interpolation — DuckDB's
+    quantile_cont computes the identical formula, value-hash-matched).
+    The operator's approx=True flag flips to the mergeable
+    percentile_approx sketch for unbounded groups at scale."""
+    from bdq_spark.operators.profile import group_quantiles
+
+    return group_quantiles(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        ["l_returnflag"],
+        quantiles=(0.25, 0.5, 0.75, 0.99),
+    )
 
 
 @_register(

@@ -36,8 +36,10 @@ from bdq_spark.operators.cdc import apply_cdc, latest_changes
 from bdq_spark.operators.dedup import duplicate_spans, paragraph_dedup
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import (
+    group_quantiles,
     numeric_correlations,
     numeric_histogram,
+    profile_drift,
     profile_table,
 )
 from bdq_spark.operators.splits import (
@@ -79,6 +81,8 @@ __all__ = [
     "fixed_size_sample",
     "numeric_correlations",
     "numeric_histogram",
+    "profile_drift",
+    "group_quantiles",
     "paragraph_dedup",
     "duplicate_spans",
     "gopher_quality",

@@ -43,6 +43,7 @@ __all__ = [
     "incremental_fingerprint_dedup",
     "paragraph_dedup",
     "duplicate_spans",
+    "levenshtein_rescore",
     "shingle",
     "positional_shingles",
     "ngram_jaccard_pairs",
@@ -1271,3 +1272,52 @@ def duplicate_spans(
             "max_dup_docs",
         )
     )
+
+
+def levenshtein_rescore(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_distance: Optional[int] = None,
+) -> DataFrame:
+    """Re-score candidate near-dup pairs with character-level edit
+    distance — the second-opinion verifier: Jaccard/MinHash measure
+    SET overlap of shingles (order- and position-blind), Levenshtein
+    measures the actual edit cost, so reordered-but-same-vocabulary
+    pairs score high on Jaccard and low here.
+
+    Appends ``edit_distance`` and ``edit_similarity``
+    (``1 - distance / max(len_a, len_b)``, rounded to 6 dp; empty-both
+    pairs score 1.0) to the pair relation.  ``max_distance`` engages
+    Spark's bounded-DP early exit (distance reported as -1 beyond the
+    bound, similarity NULL) — essential when candidate texts are long,
+    since full Levenshtein is O(len_a x len_b) per pair.
+
+    Scale shape: two hash joins of the (post-LSH, small) pair relation
+    against the corpus text — the quadratic DP runs ONLY on surviving
+    candidates, never corpus-wide.  Pure codegen (``F.levenshtein``),
+    and engine-portable: DuckDB's ``levenshtein`` returns identical
+    distances, which the driver entry value-hash-checks.
+    """
+    a = docs.select(
+        F.col(id_column).alias(id_a), F.col(text_column).alias("__ta")
+    )
+    b = docs.select(
+        F.col(id_column).alias(id_b), F.col(text_column).alias("__tb")
+    )
+    joined = pairs.join(a, id_a).join(b, id_b)
+    if max_distance is not None:
+        dist = F.levenshtein("__ta", "__tb", max_distance)
+    else:
+        dist = F.levenshtein("__ta", "__tb")
+    longest = F.greatest(F.length("__ta"), F.length("__tb"))
+    joined = joined.withColumn("edit_distance", dist).withColumn(
+        "edit_similarity",
+        F.when(F.col("edit_distance") < 0, F.lit(None).cast("double"))
+        .when(longest == 0, F.lit(1.0))
+        .otherwise(F.round(1.0 - F.col("edit_distance") / longest, 6)),
+    )
+    return joined.drop("__ta", "__tb")

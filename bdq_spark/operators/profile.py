@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table", "numeric_correlations", "numeric_histogram", "profile_drift"]
+__all__ = ["profile_table", "numeric_correlations", "numeric_histogram", "profile_drift", "group_quantiles"]
 
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -353,3 +353,41 @@ def profile_drift(
         presence_drift.alias("presence_drift"),
         drifted.alias("drifted"),
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_column: str,
+    group_by: List[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+    rsd_accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles of a numeric column in one aggregation.
+
+    ``approx=False`` (default) uses Spark's EXACT ``percentile`` with
+    linear interpolation — engine-portable values (DuckDB's
+    ``quantile_cont`` computes the identical formula, which is what the
+    driver entry value-hash-checks), but the aggregate buffers each
+    group's values: right for bounded-cardinality groups, wrong for a
+    100 TB table with millions of rows per group.  ``approx=True``
+    switches to ``percentile_approx`` (mergeable t-digest-style sketch,
+    ``rsd_accuracy`` knob) — the scale path, engine-specific values.
+
+    Output: one row per group with ``q_<pct>`` columns rounded to 6 dp.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    if any(not 0 <= q <= 1 for q in quantiles):
+        raise ValueError("quantiles must be in [0, 1]")
+    val = F.col(value_column).cast("double")
+    aggs = []
+    for q in quantiles:
+        name = f"q_{int(round(q * 100))}"
+        expr = (
+            F.percentile_approx(val, F.lit(float(q)), F.lit(rsd_accuracy))
+            if approx
+            else F.percentile(val, F.lit(float(q)))
+        )
+        aggs.append(F.round(expr, 6).alias(name))
+    return df.groupBy(*group_by).agg(*aggs)

@@ -188,3 +188,23 @@ def test_profile_drift_null_rate_threshold(spark):
     loose = {r.column: r for r in profile_drift(po, pn, null_rate_delta=0.5).collect()}
     assert strict["s"].null_rate_drift       # 0 -> 0.25 > 0.1
     assert not loose["s"].null_rate_drift    # 0.25 < 0.5
+
+
+def test_group_quantiles_exact_and_approx(spark):
+    import numpy as np
+
+    from bdq_spark.operators.profile import group_quantiles
+
+    vals = [(i % 2, float(i)) for i in range(101)]
+    df = spark.createDataFrame(vals, "g int, v double")
+    got = {r.g: r for r in group_quantiles(df, "v", ["g"], (0.5,)).collect()}
+    a = np.percentile([v for g, v in vals if g == 0], 50)
+    b = np.percentile([v for g, v in vals if g == 1], 50)
+    assert got[0].q_50 == pytest.approx(a)
+    assert got[1].q_50 == pytest.approx(b)
+    approx = {r.g: r for r in group_quantiles(df, "v", ["g"], (0.5,), approx=True).collect()}
+    assert abs(approx[0].q_50 - a) <= 2.0  # sketch within tolerance
+    with pytest.raises(ValueError, match="quantiles"):
+        group_quantiles(df, "v", ["g"], ())
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        group_quantiles(df, "v", ["g"], (1.5,))

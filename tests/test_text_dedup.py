@@ -854,3 +854,23 @@ def test_bigram_lm_score_order_sensitivity(spark):
         for a, b in zip(toks[0], toks[0][1:])
     ) / 12
     assert rows[0].lm2_score == pytest.approx(round(exp, 6), abs=2e-6)
+
+
+def test_levenshtein_rescore(spark):
+    from bdq_spark.operators.dedup import levenshtein_rescore
+
+    docs = spark.createDataFrame(
+        [(1, "kitten sat here"), (2, "sitting sat here"), (3, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 3)], "id_a long, id_b long")
+    rows = {(r.id_a, r.id_b): r for r in
+            levenshtein_rescore(pairs, docs).collect()}
+    r = rows[(1, 2)]
+    assert r.edit_distance == 3  # kitten -> sitting
+    assert r.edit_similarity == pytest.approx(round(1 - 3 / 16, 6))
+    assert rows[(3, 3)].edit_similarity == 1.0  # empty-vs-empty
+    capped = {(r.id_a, r.id_b): r for r in
+              levenshtein_rescore(pairs, docs, max_distance=2).collect()}
+    assert capped[(1, 2)].edit_distance == -1
+    assert capped[(1, 2)].edit_similarity is None
