@@ -3928,6 +3928,38 @@ LIMIT 100
 """
 
 
+@_register(
+    "vocab_stats_documents",
+    """
+    WITH toks AS (
+      SELECT u.t FROM (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents) d, UNNEST(d.w) AS u(t)),
+    vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1),
+    totals AS (
+      SELECT sum(cnt) AS n_tokens, count(*) AS n_types,
+             sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+      FROM vocab),
+    head AS (
+      SELECT sum(cnt) AS head_mass FROM (
+        SELECT cnt FROM vocab ORDER BY cnt DESC, t LIMIT 100) h)
+    SELECT n_tokens::BIGINT AS n_tokens, n_types::BIGINT AS n_types,
+           round(n_types / n_tokens::DOUBLE, 6) AS type_token_ratio,
+           round(n_hapax / n_types::DOUBLE, 6) AS hapax_frac,
+           round(head_mass / n_tokens::DOUBLE, 6) AS top100_mass
+    FROM totals, head
+    """,
+)
+def vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary health (Zipf sanity check before tokenizer
+    training): type/token ratio, hapax fraction, head-mass share — one
+    row, everything partial-combinable or TakeOrdered."""
+    from bdq_spark.operators.corpus import vocabulary_stats
+
+    return vocabulary_stats(load_table(spark, sf_dir, "documents"))
+
+
 @_register("token_vocab_top100", _VOCAB_ORACLE)
 def token_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary counting pass (BPE/vocab prep): top-100 tokens

@@ -38,7 +38,7 @@ __all__ = [
     "token_vocabulary",
     "training_order_key",
     "with_training_order",
-]
+ "vocabulary_stats",]
 
 
 def prepare_corpus(
@@ -342,3 +342,50 @@ def with_training_order(
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame")
     return df.withColumn("__train_order", training_order_key(id_columns, seed))
+
+
+def vocabulary_stats(
+    df: DataFrame,
+    text_column: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """One-row corpus vocabulary health report: total tokens, distinct
+    types, type/token ratio, hapax fraction (types occurring once — the
+    long-tail mass, which explodes on OCR noise and drops on
+    boilerplate), and the token-mass share of the ``top_k`` most
+    frequent types (head concentration — near 1.0 means templated
+    text).  The standard Zipf sanity check before tokenizer training.
+
+    Cost: one token-count aggregate (partial-combinable), a 1-row stats
+    aggregate over the vocabulary, and a TakeOrdered top-k for the head
+    mass — nothing proportional to the corpus reaches the driver.
+    """
+    from bdq_spark.functions.text import word_tokens
+
+    vocab = (
+        df.select(F.explode(word_tokens(F.col(text_column))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds totals AND the top-k
+    )
+    totals = vocab.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    head = (
+        vocab.orderBy(F.col("cnt").desc(), "t")
+        .limit(top_k)
+        .agg(F.sum("cnt").alias("head_mass"))
+    )
+    return totals.crossJoin(F.broadcast(head)).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
+        F.round(F.col("head_mass") / F.col("n_tokens"), 6).alias(
+            f"top{top_k}_mass"
+        ),
+    )

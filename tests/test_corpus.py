@@ -159,3 +159,18 @@ def test_prepare_corpus_funnel(spark):
     assert sorted(r["chunk_idx"] for r in got if r["doc_id"] == t_keep) == [0, 1, 2]
     first = next(r for r in got if r["doc_id"] == t_keep and r["chunk_idx"] == 0)
     assert first["chunk_text"] == "the and is in it was for on"
+
+
+def test_vocabulary_stats(spark):
+    from bdq_spark.operators.corpus import vocabulary_stats
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a d")], "doc_id long, text string"
+    )
+    r = vocabulary_stats(df, top_k=2).collect()[0]
+    # tokens: a=4 b=2 c=1 d=1 -> 8 tokens, 4 types, 2 hapax
+    assert r.n_tokens == 8 and r.n_types == 4
+    assert r.type_token_ratio == pytest.approx(0.5)
+    assert r.hapax_frac == pytest.approx(0.5)
+    # top-2 mass = (4 + 2) / 8
+    assert r.top2_mass == pytest.approx(0.75)
