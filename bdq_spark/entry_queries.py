@@ -862,6 +862,29 @@ def doc_language(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["doc_language"] = _lang_oracle()
 
 
+@_register("language_confusion", None)
+def language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation matrix for the heuristic language-ID:
+    labeled language (the corpus ground truth) x predicted language,
+    with counts — the standard accuracy diagnostic, as one aggregate
+    over the scored scan."""
+    from bdq_spark.functions import text as TXT
+
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.select("lang", TXT.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_SQL["language_confusion"] = f"""
+    SELECT lang, lang_pred, count(*) AS n_docs
+    FROM ({_lang_oracle().replace("SELECT doc_id,", "SELECT lang,")}) p
+    GROUP BY 1, 2
+    """
+
+
 #: shared quality-score CTE chain (mirrors functions/text.py
 #: quality_score); used by the doc_quality AND corpus_prepare oracles so
 #: the formula lives in exactly one SQL copy.  Keeps the {sw_*}
@@ -3189,6 +3212,41 @@ def doc_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bdq_spark.operators.text_analysis import bigram_logprob_score
 
     return bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "doc_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.t AS term FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents) d, UNNEST(d.w) AS u(t)),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS score
+      FROM tf JOIN dfreq USING (term), n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF — boilerplate
+    (high-df) terms discount to ~0, so the ranking surfaces what each
+    doc is about.  Deterministic tie-break by term; the oracle replays
+    tf/df/idf and the ranking exactly."""
+    from bdq_spark.operators.text_analysis import top_terms
+
+    return top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
 @_register(

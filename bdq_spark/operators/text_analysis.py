@@ -23,6 +23,7 @@ __all__ = [
     "gopher_quality",
     "compression_ratio",
     "bigram_logprob_score",
+    "top_terms",
 ]
 
 #: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
@@ -395,4 +396,61 @@ def bigram_logprob_score(
                 F.sum("logp").cast("double") / F.count(F.lit(1)), 6
             ).alias("lm2_score"),
         )
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF
+    (``tf * ln((N+1)/(df+1))``) — the corpus-exploration staple that
+    surfaces what a document is ABOUT while boilerplate terms (high
+    document frequency) are discounted to zero.
+
+    Output: ``(id_column, term, score, rank)``, ranked by (score desc,
+    term asc) for determinism; scores rounded to 6 dp.
+
+    Scale shape: term frequencies are one partial-combinable aggregate;
+    document frequencies aggregate the (already per-doc-distinct) tf
+    relation; the scalar N broadcasts; the final top-k is a window over
+    each document's OWN terms (clustered by the tf shuffle — no extra
+    exchange).  The tf relation feeds two consumers and is lazily
+    checkpointed.
+    """
+    from pyspark.sql import Window
+
+    from bdq_spark.functions.text import word_tokens
+
+    tf = (
+        df.select(
+            F.col(id_column).alias("id"),
+            F.explode(word_tokens(F.col(text_column))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_column), "term", "score", "rank")
     )

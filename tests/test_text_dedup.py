@@ -874,3 +874,33 @@ def test_levenshtein_rescore(spark):
               levenshtein_rescore(pairs, docs, max_distance=2).collect()}
     assert capped[(1, 2)].edit_distance == -1
     assert capped[(1, 2)].edit_similarity is None
+
+
+def test_top_terms_tfidf(spark):
+    import math
+
+    from bdq_spark.operators.text_analysis import top_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "common zebra zebra zebra common"),
+            (1, "common yak yak"),
+            (2, "common emu"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r.doc_id, r.rank, r.term, r.score)
+            for r in top_terms(df, k=2).collect()]
+    by_doc = {}
+    for d, rk, t, s in rows:
+        by_doc.setdefault(d, []).append((rk, t, s))
+    # "common" appears in all 3 docs -> idf ln(4/4)=0 -> score 0; the
+    # rare terms win rank 1
+    assert by_doc[0][0][1] == "zebra"
+    assert by_doc[1][0][1] == "yak"
+    assert by_doc[2][0][1] == "emu"
+    exp_zebra = round(3 * math.log(4 / 2), 6)
+    assert by_doc[0][0][2] == pytest.approx(exp_zebra)
+    # "common" scores exactly 0 and ranks below the rare term
+    assert ("common" in [t for _, t, _ in by_doc[0]])
+    assert dict((t, s) for _, t, s in by_doc[0])["common"] == 0.0
