@@ -73,6 +73,10 @@ CARTESIAN_OK = {
     # same shape: the 1-row vocabulary-size V broadcast onto the bigram
     # vocabulary before the smoothed log-prob projection
     "doc_lm_score_bigram",
+    # same shape: 1-row scalar broadcasts (corpus size N for idf /
+    # vocabulary totals + head mass) onto small aggregates
+    "doc_top_terms",
+    "vocab_stats_documents",
 }
 
 
