@@ -1,0 +1,64 @@
+"""Driver-contract invariants over the query registry (no Spark needed).
+
+The driver checks a 50-entry prefix of ``queries()``; these tests pin
+the properties the round notes rely on so a refactor can't silently
+break the correctness gate's coverage.
+"""
+
+import json
+import os
+
+from bdq_spark import entry_queries as eq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_every_oracle_has_a_query():
+    missing = [n for n in eq.ORACLE_SQL if n not in eq.QUERIES]
+    assert missing == []
+
+
+def test_priority_fills_the_driver_window_exactly():
+    # the driver checks the first 50 entries; the priority list defines
+    # them — shorter wastes slots, longer silently drops entries out
+    assert len(eq._DRIVER_PRIORITY) == 50
+    assert list(eq.QUERIES)[:50] == eq._DRIVER_PRIORITY
+
+
+def test_no_query_is_unverifiable():
+    """Every registered query is either in the driver window, green in
+    the last recorded CORRECTNESS round, or has a value-hash oracle the
+    judge can replay locally (rows-only entries outside the window must
+    not accumulate)."""
+    names = list(eq.QUERIES)
+    window = set(names[:50])
+    last = {}
+    for r in range(9, 0, -1):
+        p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(p):
+            last = json.load(open(p))
+            break
+    orphans = [
+        n
+        for n in names
+        if n not in window and n not in last and n not in eq.ORACLE_SQL
+    ]
+    # doc_compression_ratio is the one deliberate exception (rows-only
+    # by necessity, pinned against zlib in test_text_dedup.py)
+    assert orphans in ([], ["doc_compression_ratio"])
+
+
+def test_oracle_sql_mentions_only_registered_views():
+    """Oracle SQL may only read the driver-registered tables."""
+    allowed = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    import re
+
+    for name, sql in eq.ORACLE_SQL.items():
+        for tbl in re.findall(r"FROM\s+'?([a-z_0-9]+)'?", sql, re.I):
+            t = tbl.lower()
+            # CTE names are fine; flag only clearly-unknown base tables
+            # that look like file paths or catalogs
+            assert "/" not in t and "." not in t, (name, tbl)
