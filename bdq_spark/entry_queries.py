@@ -2688,6 +2688,58 @@ def supplier_part_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "customer_retention_setops",
+    """
+    WITH y96 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    y97 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT 'retained' AS cohort, count(*) AS n_customers
+    FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97) t
+    UNION ALL
+    SELECT 'churned', count(*)
+    FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97) t
+    UNION ALL
+    SELECT 'new', count(*)
+    FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96) t
+    """,
+)
+def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/churn cohorts via relational set operations (INTERSECT
+    / EXCEPT — §2.3 notes the reference never uses them): distinct 1996
+    vs 1997 purchaser sets, intersected and differenced.  Catalyst
+    plans both as aggregated semi/anti joins on the distinct key sets."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def buyers(year: int):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = buyers(1996), buyers(1997)
+
+    def count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+
+    return (
+        count_as(y96.intersect(y97), "retained")
+        .unionByName(count_as(y96.exceptAll(y97), "churned"))
+        .unionByName(count_as(y97.exceptAll(y96), "new"))
+    )
+
+
+@_register(
     "large_order_customers",
     """
     WITH big AS (
