@@ -33,7 +33,7 @@ def test_no_query_is_unverifiable():
     names = list(eq.QUERIES)
     window = set(names[:50])
     last = {}
-    for r in range(9, 0, -1):
+    for r in range(30, 0, -1):
         p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
             last = json.load(open(p))
