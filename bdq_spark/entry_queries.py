@@ -3915,12 +3915,45 @@ def histogram_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("knn_quantized_embeddings")  # rows-only: int8 rounding ties are engine-specific
+@_register(
+    "knn_quantized_embeddings",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qz AS (
+      SELECT vec_id, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+      FROM base),
+    dq AS (
+      SELECT vec_id,
+             list_transform(e, x ->
+               sign(x / scale * 127) * floor(abs(x / scale * 127) + 0.5)
+               * scale / 127.0) AS v
+      FROM qz),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM base
+          WHERE vec_id IN (SELECT vec_id FROM base ORDER BY vec_id LIMIT 10)),
+    scored AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, d.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(d.v, d.v))), 6) AS cosine
+      FROM dq d CROSS JOIN q),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+)
 def knn_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over int8-QUANTIZED embeddings (the 4x
     storage path searched end-to-end): corpus quantized, dequantized in
     the scan expression, exact ranking — proving the codec composes with
-    the search operators without a separate decode job.
+    the search operators without a separate decode job.  The int8 codes
+    are engine-portable (explicit sign/floor half-away rounding — exact
+    IEEE steps), so the DuckDB oracle recomputes quantize → dequantize →
+    cosine → top-k and the result value-hashes.
 
     Bench note: this entry runs 10 queries x k=5 while ``knn_embeddings``
     runs 5 queries x k=10 — TWICE the pair workload, so its wall time is

@@ -71,6 +71,7 @@ def apply_cdc(
     order_by: List[str],
     op_column: str = "op",
     columns: Optional[List[str]] = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Apply a CDC feed to a snapshot; returns the new snapshot.
 
@@ -81,9 +82,11 @@ def apply_cdc(
     column set (default: the base table's columns — change-feed
     metadata like the op/version columns never leaks into the result).
 
-    Unknown op codes raise at plan-build time if statically detectable;
-    otherwise they are treated as upserts (the forgiving direction —
-    data lands and can be re-deleted, versus silently vanishing).
+    Unknown op codes are treated as upserts by default (the forgiving
+    direction — data lands and can be re-deleted, versus silently
+    vanishing).  ``strict=True`` instead fails the job on the first
+    unrecognized code (a runtime check over the feed: op validity is
+    data, not schema, so it cannot be decided at plan-build time).
     """
     out_cols = columns or base.columns
     missing = [c for c in out_cols if c not in changes.columns]
@@ -91,6 +94,22 @@ def apply_cdc(
         raise ValueError(
             f"changes is missing output columns {missing}; pass columns= "
             "to restrict the result schema"
+        )
+    if strict:
+        known = F.lower(F.col(op_column)).isin(
+            *(_UPSERT_OPS + _DELETE_OPS)
+        )
+        # a filter (not a dropped projection) so Catalyst can't prune
+        # the check away; one codegen pass over the small feed
+        changes = changes.filter(
+            F.when(known, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("apply_cdc: unknown op code: "),
+                        F.col(op_column).cast("string"),
+                    )
+                )
+            )
         )
     latest = latest_changes(changes, keys, order_by, op_column)
     is_delete = F.lower(F.col(op_column)).isin(*_DELETE_OPS)

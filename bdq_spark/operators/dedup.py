@@ -492,9 +492,11 @@ def ngram_jaccard_pairs(
     # eager: the plan references sh from parallel stages (index build,
     # semi-join prune, intersection, sizes) — a lazily-populated cache
     # gets the shingle subtree recomputed per stage before any copy
-    # lands (measured 27 s vs 6 s first-run at sf0.1)
-    sh = sh.cache()
-    sh.count()
+    # lands (measured 27 s vs 6 s first-run at sf0.1).  localCheckpoint
+    # rather than cache so the blocks are released by the context
+    # cleaner when the frame goes out of scope — an unpersist-less
+    # cache would accumulate across invocations in a long session.
+    sh = sh.localCheckpoint(eager=True)
 
     if prefix_filter:
         cand = _prefix_candidates(sh, threshold, max_shingle_doc_freq)
@@ -801,20 +803,22 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
 
     # with verify on, the shingle set is needed twice (signatures + exact
-    # re-score) — compute it once and share the cached copy.  Caches are
-    # populated EAGERLY (count actions): the downstream plan references
-    # sh up to 4x and sig 3x, and a lazily-cached frame whose references
-    # sit in PARALLEL stages of one job gets recomputed per stage before
-    # any copy lands in the cache — measured 2-4x wall-time swings on
-    # the full query vs a stable ~7 s with eager materialization.
+    # re-score) — compute it once and share the materialized copy.  The
+    # materialization is EAGER: the downstream plan references sh up to
+    # 4x and sig 3x, and a lazily-populated copy whose references sit in
+    # PARALLEL stages of one job gets recomputed per stage before any
+    # copy lands — measured 2-4x wall-time swings on the full query vs
+    # a stable ~7 s eager.  localCheckpoint (not cache) so the blocks
+    # self-release via the context cleaner instead of accumulating in
+    # the cache manager across invocations.
     sh = None
     if verify_threshold is not None:
-        sh = shingle(df, text_column, id_column, n).cache()
-        sh.count()
+        sh = shingle(df, text_column, id_column, n).localCheckpoint(
+            eager=True
+        )
     sig = minhash_signatures(
         df, text_column, id_column, n, num_hashes, shingles=sh, hash_fn=hash_fn
-    ).cache()
-    sig.count()
+    ).localCheckpoint(eager=True)
 
     banded = _band_keys(sig, bands, rows_per_band)
 
@@ -851,9 +855,8 @@ def minhash_lsh_candidates(
         # exact-verify ONLY the LSH survivors — |candidates| × doc-size
         # work, instead of re-scoring the whole corpus pair space.  The
         # candidate relation is read twice below (verify input + join
-        # back); eager-cache it so the banded self-join runs once.
-        out = out.cache()
-        out.count()
+        # back); eager-materialize it so the banded self-join runs once.
+        out = out.localCheckpoint(eager=True)
         out = _jaccard_for_pairs(out.select("id_a", "id_b"), sh).join(
             out, ["id_a", "id_b"]
         ).select("id_a", "id_b", "est_jaccard", "jaccard").filter(
@@ -977,7 +980,11 @@ def simhash_pairs(
             F.lit(mask)
         )
 
-    sig = simhash(df, text_column, id_column, hash_fn=hash_fn).cache()
+    # referenced by the key explode and both join sides — materialize
+    # once; localCheckpoint blocks self-release when the frame is GC'd
+    sig = simhash(df, text_column, id_column, hash_fn=hash_fn).localCheckpoint(
+        eager=True
+    )
     combos = list(combinations(range(b), t))
     keys = sig.select(
         "id",

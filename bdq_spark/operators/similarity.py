@@ -353,7 +353,7 @@ def knn_lsh(
 def quantize_embedding(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization as a pure expression:
     ``struct(q: array<tinyint>, scale: double)`` with
-    ``q[i] = round(x[i] / scale * 127)``, ``scale = max(|x|)``.
+    ``q[i] = round_half_away(x[i] / scale * 127)``, ``scale = max(|x|)``.
 
     At 100 TB this is the storage play: embeddings shrink 4x (plus
     better parquet encoding), decode is a narrow ``transform``, and the
@@ -361,6 +361,12 @@ def quantize_embedding(vec: Column) -> Column:
     Max dequantization error per element is ``scale/254`` (half a
     quantization step).  Zero vectors get scale 1.0 so they round-trip
     exactly.
+
+    Rounding is spelled out as ``sign(v) * floor(|v| + 0.5)`` instead of
+    an engine ``round`` call: every step (divide, multiply, abs, add,
+    floor) is an exact IEEE-754 operation, so any engine reproduces the
+    identical int8 codes — which is what lets a DuckDB oracle value-hash
+    the quantized KNN end to end.
     """
     scale = F.aggregate(
         vec,
@@ -368,9 +374,12 @@ def quantize_embedding(vec: Column) -> Column:
         lambda acc, x: F.greatest(acc, F.abs(x)),
     )
     safe = F.when(scale == 0, F.lit(1.0)).otherwise(scale)
-    q = F.transform(
-        vec, lambda x: F.round(x / safe * 127).cast("tinyint")
-    )
+
+    def _q(x):
+        v = x / safe * 127
+        return (F.signum(v) * F.floor(F.abs(v) + F.lit(0.5))).cast("tinyint")
+
+    q = F.transform(vec, _q)
     return F.struct(q.alias("q"), safe.alias("scale"))
 
 

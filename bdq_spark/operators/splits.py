@@ -306,11 +306,15 @@ def fixed_size_sample(
     Ties (duplicate keys) break by the full hash then the key columns,
     so the result is total-order deterministic.
 
-    Cost: one window (rank over hash within stratum).  The window sorts
-    only within strata; a global sample over a giant table pays one
-    single-partition top-n — prefer a stratum column at scale, or
-    pre-filter with :func:`deterministic_sample` to ~2x the target size
-    and rank the survivors.
+    Cost: one window (rank over hash within stratum).  The global
+    (``stratum_column=None``) variant does NOT pay a single-partition
+    sort of the whole table: it pre-selects per-HASH-BUCKET top-n first
+    (a parallel window over ~``spark.sql.shuffle.partitions`` balanced
+    buckets of the same hash), then ranks only the ``buckets * n``
+    survivors globally — the global smallest-n rows are necessarily
+    among their bucket's smallest n, so the result is identical to the
+    naive global window (property-tested), while the single-partition
+    stage touches a bounded row count at any table size.
     """
     if n_per_stratum <= 0:
         raise ValueError("n_per_stratum must be positive")
@@ -319,13 +323,26 @@ def fixed_size_sample(
         for c in key_columns
     ]
     h = F.md5(F.concat(F.lit(salt), *sum([[F.lit(_SEP), r] for r in rendered], [])))
-    w = (
-        Window.partitionBy(stratum_column)
-        if stratum_column is not None
-        else Window.partitionBy()
-    ).orderBy(h, *[F.col(c) for c in key_columns])
+    order = [h] + [F.col(c) for c in key_columns]
+    if stratum_column is not None:
+        w = Window.partitionBy(stratum_column).orderBy(*order)
+        return (
+            df.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= n_per_stratum)
+            .drop("__rank")
+        )
+    spark = df.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bucket = F.pmod(F.xxhash64(h), F.lit(n_buckets))
+    w_bucket = Window.partitionBy(bucket).orderBy(*order)
+    pre = (
+        df.withColumn("__brank", F.row_number().over(w_bucket))
+        .filter(F.col("__brank") <= n_per_stratum)
+        .drop("__brank")
+    )
+    w_global = Window.partitionBy().orderBy(*order)
     return (
-        df.withColumn("__rank", F.row_number().over(w))
+        pre.withColumn("__rank", F.row_number().over(w_global))
         .filter(F.col("__rank") <= n_per_stratum)
         .drop("__rank")
     )

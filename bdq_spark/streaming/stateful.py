@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame
 
 __all__ = ["running_counter", "sessionize"]
 
-_OUTPUT_SCHEMA = "key bigint, n_events bigint, total double, max_value double"
 _STATE_SCHEMA = "n bigint, total double, mx double"
 
 
@@ -47,6 +46,10 @@ def running_counter(
     same fold logic, which makes the operator's semantics checkable
     against plain ``groupBy`` aggregation.
     """
+    key_type = df.schema[key_column].dataType.simpleString()
+    output_schema = (
+        f"key {key_type}, n_events bigint, total double, max_value double"
+    )
 
     if df.isStreaming:
         from pyspark.sql.streaming.state import GroupState
@@ -74,7 +77,7 @@ def running_counter(
             df.groupBy(key_column)
             .applyInPandasWithState(
                 update,
-                outputStructType=_OUTPUT_SCHEMA,
+                outputStructType=output_schema,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=timeout,
@@ -92,13 +95,9 @@ def running_counter(
             }
         )
 
-    return df.groupBy(key_column).applyInPandas(one_shot, schema=_OUTPUT_SCHEMA)
+    return df.groupBy(key_column).applyInPandas(one_shot, schema=output_schema)
 
 
-_SESSION_OUTPUT = (
-    "user_id bigint, session_start_ms bigint, "
-    "session_end_ms bigint, n_events bigint"
-)
 _SESSION_STATE = "start_ms bigint, last_ms bigint, n bigint"
 
 
@@ -130,6 +129,14 @@ def sessionize(
     """
     import re as _re
 
+    # output schema follows the key column's name and actual type (a
+    # string or int key must not be mislabeled `user_id bigint`)
+    key_type = df.schema[key_column].dataType.simpleString()
+    session_output = (
+        f"{key_column} {key_type}, session_start_ms bigint, "
+        "session_end_ms bigint, n_events bigint"
+    )
+
     m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", gap.strip())
     if not m:
         raise ValueError("gap must look like '30 minutes' / '1 hour'")
@@ -141,16 +148,23 @@ def sessionize(
     }[m.group(2)]
 
     def _split(ts_sorted_ms, start, last, n):
-        """Fold timestamps into (closed_sessions, open_state)."""
+        """Fold timestamps into (closed_sessions, open_state).
+
+        A late event (older than the stored session's ``last`` but newer
+        than the watermark) falls INSIDE the open session: it must widen
+        the session bounds (min/max), never move ``last`` backwards —
+        otherwise ``session_end`` shrinks and later on-time events split
+        a session that never actually closed.
+        """
         closed = []
         for t in ts_sorted_ms:
-            if last is not None and t - last > gap_ms:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_ms:
                 closed.append((start, last + gap_ms, n))
                 start, last, n = t, t, 1
-            elif last is None:
-                start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                start, last, n = min(start, t), max(last, t), n + 1
         return closed, (start, last, n)
 
     if df.isStreaming:
@@ -162,7 +176,7 @@ def sessionize(
                 state.remove()
                 yield pd.DataFrame(
                     {
-                        "user_id": [key[0]],
+                        key_column: [key[0]],
                         "session_start_ms": [start],
                         "session_end_ms": [last + gap_ms],
                         "n_events": [n],
@@ -183,7 +197,7 @@ def sessionize(
             if closed:
                 yield pd.DataFrame(
                     {
-                        "user_id": [key[0]] * len(closed),
+                        key_column: [key[0]] * len(closed),
                         "session_start_ms": [c[0] for c in closed],
                         "session_end_ms": [c[1] for c in closed],
                         "n_events": [c[2] for c in closed],
@@ -195,7 +209,7 @@ def sessionize(
             .groupBy(key_column)
             .applyInPandasWithState(
                 update,
-                outputStructType=_SESSION_OUTPUT,
+                outputStructType=session_output,
                 stateStructType=_SESSION_STATE,
                 outputMode="append",
                 timeoutConf="EventTimeTimeout",
@@ -211,7 +225,7 @@ def sessionize(
             closed.append((start, last + gap_ms, n))
         return pd.DataFrame(
             {
-                "user_id": [pdf[key_column].iloc[0]] * len(closed),
+                key_column: [pdf[key_column].iloc[0]] * len(closed),
                 "session_start_ms": [c[0] for c in closed],
                 "session_end_ms": [c[1] for c in closed],
                 "n_events": [c[2] for c in closed],
@@ -219,5 +233,5 @@ def sessionize(
         )
 
     return df.groupBy(key_column).applyInPandas(
-        one_shot, schema=_SESSION_OUTPUT
+        one_shot, schema=session_output
     )

@@ -15,6 +15,7 @@ windows use Spark's native merging session-window state — no
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame
@@ -137,10 +138,29 @@ def interval_join(
     ``watermark`` (e.g. ``'1 hour'``) when either side is streaming.
 
     Column names are disambiguated with ``l_`` / ``r_`` prefixes on the
-    two timestamp columns; key columns come out once.
+    two timestamp columns; key columns come out once (coalesced across
+    sides, so right-only rows of an outer join keep their keys).
+
+    ``how`` is restricted to inner/left/right/full — the semi/anti
+    family would silently drop the right-side columns this operator
+    promises to emit.
     """
     if not keys:
         raise ValueError("keys must be non-empty")
+    allowed_how = {
+        "inner", "left", "left_outer", "leftouter",
+        "right", "right_outer", "rightouter",
+        "full", "outer", "full_outer", "fullouter",
+    }
+    if how not in allowed_how:
+        raise ValueError(
+            f"how={how!r} not supported; use inner/left/right/full"
+        )
+    for bound in (lower, upper):
+        if not re.fullmatch(r"-?\d+\s+[a-zA-Z]+", bound.strip()):
+            raise ValueError(
+                f"interval bound {bound!r} must look like '30 seconds'"
+            )
     if watermark:
         left = with_watermark(left, left_ts, watermark)
         right = with_watermark(right, right_ts, watermark)
@@ -163,7 +183,11 @@ def interval_join(
         if c not in keys and c != right_ts
     ]
     return out.select(
-        *[F.col(f"__l.{k}").alias(k) for k in keys],
+        # coalesce so right-only rows of outer joins keep their keys
+        *[
+            F.coalesce(F.col(f"__l.{k}"), F.col(f"__r.{k}")).alias(k)
+            for k in keys
+        ],
         lts.alias(f"l_{left_ts}"),
         rts.alias(f"r_{right_ts}"),
         *other_l,

@@ -79,3 +79,28 @@ def test_apply_cdc_idempotent_replay(spark):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_apply_cdc_strict_rejects_unknown_ops(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(2, "b2", 21.0, "truncate", 1)],
+        "id long, name string, bal double, op string, ver long",
+    )
+    # default: unknown codes land as upserts (forgiving direction)
+    got = {r.id: r.name for r in apply_cdc(base, changes, ["id"], ["ver"]).collect()}
+    assert got[2] == "b2"
+    # strict: the job fails at the first unrecognized code
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException), match="unknown op code"):
+        apply_cdc(base, changes, ["id"], ["ver"], strict=True).collect()
+    # strict with only known codes is a no-op on the result
+    ok = spark.createDataFrame(
+        [(2, "b3", 22.0, "U", 1)],
+        "id long, name string, bal double, op string, ver long",
+    )
+    strict_rows = sorted(map(tuple, apply_cdc(base, ok, ["id"], ["ver"], strict=True).collect()))
+    loose_rows = sorted(map(tuple, apply_cdc(base, ok, ["id"], ["ver"]).collect()))
+    assert strict_rows == loose_rows

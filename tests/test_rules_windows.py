@@ -222,6 +222,26 @@ def test_interval_join_batch(spark):
         interval_join(clicks, buys, [], "ts", "ts")
 
 
+def test_interval_join_how_validation_and_outer_keys(spark):
+    from bdq_spark.streaming import interval_join
+
+    clicks, buys = _ij_data(spark)
+    with pytest.raises(ValueError, match="how"):
+        interval_join(clicks, buys, ["user_id"], "ts", "ts", how="left_semi")
+    with pytest.raises(ValueError, match="interval bound"):
+        interval_join(
+            clicks, buys, ["user_id"], "ts", "ts",
+            upper="1 hour); DROP TABLE x",
+        )
+    # full outer: right-only rows (user 3 never clicks) must keep keys
+    full = interval_join(
+        clicks, buys, ["user_id"], "ts", "ts", upper="1 hour", how="full"
+    )
+    rows = {r.user_id for r in full.collect()}
+    assert None not in rows
+    assert 3 in rows  # buy 203's key survives via the coalesce
+
+
 def test_interval_join_stream_stream(spark, tmp_path):
     from bdq_spark.streaming import interval_join
 

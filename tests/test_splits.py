@@ -250,3 +250,35 @@ def test_fixed_size_sample_exact_and_nested(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="positive"):
         fixed_size_sample(df, 0, ["doc_id"])
+
+
+def test_fixed_size_sample_global_bucketed_equals_naive(spark):
+    """The bucketed two-stage global top-n must return EXACTLY the rows
+    the naive single-window rank returns, and bound the single-partition
+    stage's input to buckets*n rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.splits import fixed_size_sample
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id long, txt string"
+    ).repartition(13)
+    got = fixed_size_sample(df, 25, ["doc_id"])
+    # naive reference: one global window over everything
+    h = F.md5(F.concat(F.lit(""), F.lit("\x1f"),
+                       F.coalesce(F.col("doc_id").cast("string"), F.lit("@~<null>~@"))))
+    naive = (
+        df.withColumn("__r", F.row_number().over(
+            Window.partitionBy().orderBy(h, F.col("doc_id"))))
+        .filter("__r <= 25").drop("__r")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # nesting survives the bucketed path
+    small = {r.doc_id for r in fixed_size_sample(df, 5, ["doc_id"]).collect()}
+    assert small <= {r.doc_id for r in got.collect()}
+    # the plan carries the bucketed pre-rank: two Window nodes, the
+    # first partitioned by the pmod(xxhash64) bucket expression
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "pmod" in plan and "xxhash64" in plan

@@ -151,3 +151,67 @@ def _ms(*args):
     from datetime import datetime, timezone
 
     return int(datetime(*args, tzinfo=timezone.utc).timestamp() * 1000)
+
+
+def test_sessionize_string_key_schema(spark):
+    from datetime import datetime as DT
+
+    from bdq_spark.streaming import sessionize
+
+    ev = spark.createDataFrame(
+        [("a", DT(2024, 1, 1, 10, 0)), ("a", DT(2024, 1, 1, 10, 10)),
+         ("b", DT(2024, 1, 1, 9, 0))],
+        "device string, ts timestamp",
+    )
+    out = sessionize(ev, key_column="device", ts_column="ts", gap="1 hour")
+    assert out.schema["device"].dataType.simpleString() == "string"
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        ("a", _ms(2024, 1, 1, 10, 0), _ms(2024, 1, 1, 11, 10), 2),
+        ("b", _ms(2024, 1, 1, 9, 0), _ms(2024, 1, 1, 10, 0), 1),
+    ]
+
+
+def test_sessionize_late_event_widens_open_session(spark, tmp_path):
+    """A late event (older than the open session's last timestamp but
+    newer than the watermark) must widen the session, never move its end
+    backwards — a backwards `last` makes the next on-time event split a
+    session that never closed."""
+    from datetime import datetime as DT
+
+    from bdq_spark.streaming import sessionize
+
+    schema = "user_id long, ts timestamp"
+    src = tmp_path / "late_src"
+    # batch 1: open session (10:00, 10:29); watermark -> 9:29
+    spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 0)), (1, DT(2024, 1, 1, 10, 29))], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: 10:05 is LATE (inside the open session, above watermark);
+    # 10:40 is 11 min after the true last (10:29) -> same session.
+    # The buggy fold moved last back to 10:05, then split at 10:40.
+    spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 5)), (1, DT(2024, 1, 1, 10, 40))], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = sessionize(
+        stream, "user_id", "ts", gap="30 minutes", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("late_sink").collect()))
+    spark.catalog.dropTempView("late_sink")
+    # the watermark (max 10:40 - 1h = 9:40) never passes last+gap, so a
+    # correct fold emits NOTHING: the one session is still open in state
+    assert got == []
