@@ -1760,6 +1760,190 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(media)
 
 
+_BMP_PIXEL_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 3 + 1 AS INTEGER) AS h
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE w END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE h END AS INTEGER) AS height,
+       CASE WHEN doc_id % 5 = 0 THEN 0.0
+            ELSE round(list_sum(list_transform(range(0, CAST(w*3*h AS BIGINT)),
+                 j -> CAST((doc_id*31 + j) % 256 AS DOUBLE))) / (w*3*h), 6)
+       END AS mean_brightness,
+       doc_id % 5 <> 0 AS decode_ok
+FROM p
+"""
+
+
+@_register("multimodal_bmp_pixel_stats", _BMP_PIXEL_ORACLE)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level decode, oracle-checked end to end: builds VALID
+    uncompressed 24bpp BMPs (doc_id-derived dimensions, deterministic
+    pixel bytes ``(doc_id*31 + j) % 256``, correct 4-byte row padding)
+    entirely in Spark expressions, decodes the pixel array with the
+    pure-Python :func:`decode_bmp_pixels`, and the DuckDB oracle
+    recomputes the exact mean brightness from the generating expression.
+    Every fifth document gets a COMPRESSED payload (PNG) instead — the
+    codec-stub boundary must report ``decode_ok=false`` with zeroed
+    stats, and the oracle checks that refusal too.
+    """
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        image_pixel_stats,
+    )
+
+    did = F.col("doc_id").cast("bigint")
+    w = (did % 4 + 1).cast("bigint")
+    h = (did % 3 + 1).cast("bigint")
+
+    def he(col, width):  # big-endian hex, zero-padded to `width` nibbles
+        return F.lpad(F.hex(col), width, "0")
+
+    def le32(col):  # little-endian 4-byte hex of a value < 2^16
+        return F.concat(
+            he(col % 256, 2),
+            he(F.floor(col / 256).cast("bigint"), 2),
+            F.lit("0000"),
+        )
+
+    pad = (4 - (w * 3) % 4) % 4  # pad bytes per row
+    row_bytes = w * 3
+    rows_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), h - 1),
+            lambda s: F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0).cast("bigint"), row_bytes - 1),
+                        lambda b: he((did * 31 + s * row_bytes + b) % 256, 2),
+                    ),
+                    "",
+                ),
+                # row padding: `pad` zero bytes (column-valued length)
+                F.left(F.lit("000000"), (pad * 2).cast("int")),
+            ),
+        ),
+        "",
+    )
+    bmp = F.concat(
+        F.lit("424D" "00000000" "00000000" "36000000"),  # BM, offset 54
+        F.lit("28000000"),  # BITMAPINFOHEADER size 40
+        le32(w), le32(h),
+        F.lit("0100" "1800"),  # 1 plane, 24 bpp
+        F.lit("00000000" * 6),  # no compression, zeroed tail fields
+        rows_hex,
+    )
+    png = F.concat(  # compressed format: the decoder must refuse
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        he(w, 8), he(h, 8),
+        F.lit("0802000000DEADBEEF"),
+    )
+    payload = F.unhex(F.when(did % 5 == 0, png).otherwise(bmp))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", payload.alias("payload")
+    )
+    media = attach_media_metadata(
+        docs, content_column="payload", media_type="image", id_column="doc_id"
+    )
+    return image_pixel_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+        "decode_ok",
+    )
+
+
+_WAV_PCM_ORACLE = """
+WITH p AS (SELECT doc_id, CAST(doc_id % 50 + 1 AS BIGINT) AS n FROM documents),
+s AS (SELECT doc_id, n,
+        list_transform(range(0, n),
+          k -> CAST((doc_id*7 + k*13 + 32768) % 65536 - 32768 AS DOUBLE)) AS smp
+      FROM p)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE n END AS BIGINT) AS n_samples,
+       CASE WHEN doc_id % 5 = 0 THEN 0.0
+            ELSE round(list_sum(smp) / n, 6) END AS mean_amplitude,
+       CASE WHEN doc_id % 5 = 0 THEN 0.0
+            ELSE round(sqrt(list_sum(list_transform(smp, x -> x*x)) / n), 6)
+       END AS rms_amplitude,
+       doc_id % 5 <> 0 AS decode_ok
+FROM s
+"""
+
+
+@_register("multimodal_wav_pcm_stats", _WAV_PCM_ORACLE)
+def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-level audio decode, oracle-checked end to end: builds
+    VALID 16-bit PCM WAVs (mono 8 kHz, ``doc_id % 50 + 1`` samples whose
+    raw 16-bit words are ``(doc_id*7 + k*13) % 65536``, read back as
+    two's-complement signed samples) entirely
+    in Spark expressions, decodes the PCM stream with the pure-Python
+    :func:`decode_wav_samples`, and the DuckDB oracle recomputes the
+    exact mean / RMS amplitude from the generating expression.  Every
+    fifth document gets a COMPRESSED payload (FLAC) — the stub boundary
+    reports ``decode_ok=false``, checked by the oracle.
+    """
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        audio_pcm_stats,
+    )
+
+    did = F.col("doc_id").cast("bigint")
+    n = (did % 50 + 1).cast("bigint")
+
+    def he(col, width):
+        return F.lpad(F.hex(col), width, "0")
+
+    def le16(col):
+        return F.concat(
+            he(col % 256, 2), he(F.floor(col / 256).cast("bigint") % 256, 2)
+        )
+
+    def le32(col):
+        return F.concat(
+            he(col % 256, 2),
+            he(F.floor(col / 256).cast("bigint") % 256, 2),
+            he(F.floor(col / 65536).cast("bigint") % 256, 2),
+            he(F.floor(col / 16777216).cast("bigint") % 256, 2),
+        )
+
+    data_size = n * 2
+    samples_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n - 1),
+            lambda k: le16((did * 7 + k * 13) % 65536),
+        ),
+        "",
+    )
+    wav = F.concat(
+        F.lit("52494646"), le32(data_size + F.lit(36)),
+        F.lit("57415645" "666D7420" "10000000" "0100"),  # WAVE fmt(16) PCM
+        le16(F.lit(1)), le32(F.lit(8000)), le32(F.lit(16000)),
+        le16(F.lit(2)), F.lit("1000"),                   # align 2, 16 bps
+        F.lit("64617461"), le32(data_size),
+        samples_hex,
+    )
+    flac = F.lit("664C6143" + "00" * 30)  # compressed: decoder refuses
+    payload = F.unhex(F.when(did % 5 == 0, flac).otherwise(wav))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", payload.alias("payload")
+    )
+    media = attach_media_metadata(
+        docs, content_column="payload", media_type="audio", id_column="doc_id"
+    )
+    return audio_pcm_stats(media).select(
+        "media_id",
+        "n_samples",
+        F.round("mean_amplitude", 6).alias("mean_amplitude"),
+        F.round("rms_amplitude", 6).alias("rms_amplitude"),
+        "decode_ok",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — declarative quality rules (single-pass aggregation)
 # ---------------------------------------------------------------------------

@@ -389,3 +389,101 @@ def test_quantize_edge_vectors(spark):
     assert out[1].qs.scale == 1.0
     assert out[2].qs.q == [127, -127, 64]          # full-scale symmetric
     assert abs(out[2].back[2] - 0.5) <= 1.0 / 254  # half-step bound
+
+
+# ---------------------------------------------------------------------------
+# real pixel / PCM decode (pure Python, no codec)
+# ---------------------------------------------------------------------------
+
+def _bmp24(width, height, pixel_bytes, top_down=False):
+    import struct as st
+
+    row_size = (width * 3 + 3) // 4 * 4
+    arr = bytearray()
+    for r in range(height):
+        row = pixel_bytes[r * width * 3:(r + 1) * width * 3]
+        arr += bytes(row) + b"\x00" * (row_size - width * 3)
+    h = -height if top_down else height
+    header = (b"BM" + st.pack("<IHHI", 54 + len(arr), 0, 0, 54)
+              + st.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(arr),
+                        2835, 2835, 0, 0))
+    return bytes(header + arr)
+
+
+def _wav16(samples, sample_rate=8000, channels=1):
+    import struct as st
+
+    data = st.pack(f"<{len(samples)}h", *samples)
+    hdr = (b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + st.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                               sample_rate * channels * 2, channels * 2, 16)
+           + b"data" + st.pack("<I", len(data)))
+    return hdr + data
+
+
+def test_decode_bmp_pixels_golden():
+    from bdq_spark.operators.multimodal import decode_bmp_pixels
+
+    # 2x2 image, known bytes: rows [0..5] and [6..11]
+    px = list(range(12))
+    d = decode_bmp_pixels(_bmp24(2, 2, px))
+    assert d == {"width": 2, "height": 2, "mean_brightness": sum(px) / 12}
+    # top-down negative height decodes the same mean
+    d2 = decode_bmp_pixels(_bmp24(2, 2, px, top_down=True))
+    assert d2["mean_brightness"] == d["mean_brightness"]
+    # padding must NOT leak into the mean: width 1 has 1 pad byte per row
+    d3 = decode_bmp_pixels(_bmp24(1, 2, [10, 20, 30, 40, 50, 60]))
+    assert d3["mean_brightness"] == 35.0
+    # compressed / wrong depth / truncated -> None
+    assert decode_bmp_pixels(b"BM" + b"\x00" * 40) is None
+    truncated = _bmp24(4, 4, list(range(48)))[:-5]
+    assert decode_bmp_pixels(truncated) is None
+    assert decode_bmp_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30) is None
+
+
+def test_decode_wav_samples_golden():
+    from bdq_spark.operators.multimodal import decode_wav_samples
+
+    s = [0, 100, -100, 32767, -32768]
+    d = decode_wav_samples(_wav16(s))
+    assert d["n_samples"] == 5
+    assert d["mean_amplitude"] == sum(s) / 5
+    assert d["rms_amplitude"] == (sum(x * x for x in s) / 5) ** 0.5
+    # FLAC payload -> None (compressed: honest refusal)
+    assert decode_wav_samples(b"fLaC" + b"\x00" * 40) is None
+    # truncated data chunk -> None
+    w = _wav16(s)
+    assert decode_wav_samples(w[:-3]) is None
+
+
+def test_pixel_and_pcm_stats_operators(spark):
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        audio_pcm_stats,
+        image_pixel_stats,
+    )
+
+    img_rows = [
+        (0, _bmp24(1, 1, [9, 18, 27])),
+        (1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 30),   # compressed -> not ok
+        (2, None),
+    ]
+    media = attach_media_metadata(
+        spark.createDataFrame(img_rows, "doc_id long, content binary"),
+        id_column="doc_id",
+    )
+    got = {r.media_id: (r.width, r.height, r.mean_brightness, r.decode_ok)
+           for r in image_pixel_stats(media).collect()}
+    assert got[0] == (1, 1, 18.0, True)
+    assert got[1] == (0, 0, 0.0, False)
+    assert got[2] == (0, 0, 0.0, False)
+
+    au_rows = [(0, _wav16([1000, -1000])), (1, b"fLaC" + b"\x00" * 40)]
+    amedia = attach_media_metadata(
+        spark.createDataFrame(au_rows, "doc_id long, content binary"),
+        media_type="audio", id_column="doc_id",
+    )
+    a = {r.media_id: (r.n_samples, r.mean_amplitude, r.rms_amplitude, r.decode_ok)
+         for r in audio_pcm_stats(amedia).collect()}
+    assert a[0] == (2, 0.0, 1000.0, True)
+    assert a[1] == (0, 0.0, 0.0, False)
