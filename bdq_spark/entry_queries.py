@@ -4589,6 +4589,34 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("doc_bpe_packing")  # rows-only: BPE training is iterative
+# (argmax per merge) and FFD packing is sequential per shard — neither
+# is SQL-expressible; the composition's invariants (budget respected,
+# every document covered exactly once, counts = segmentation counts)
+# are pinned by test_bpe_encode_feeds_packing, and the encode step's
+# id sequences round-trip against the independent Python reference in
+# test_bpe_encode_corpus_roundtrip_matches_reference
+def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end "tokenize then pack" shape every LLM training
+    pipeline runs: train a 20-merge BPE model on the corpus, encode each
+    document to its REAL token-id sequence (:func:`bpe_encode_corpus` —
+    vocab join + in-row flatten, no per-document merge replay), then
+    first-fit-decreasing pack the documents into 512-token attention
+    windows using the true BPE counts as budgets instead of whitespace
+    proxies.  Output is the assignment relation (one row per document,
+    ``pack_id`` globally unique, oversize documents flagged rather than
+    truncated)."""
+    from bdq_spark.operators.packing import pack_documents
+    from bdq_spark.operators.tokenizer import bpe_encode_corpus, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = train_bpe(docs, n_merges=20)
+    enc = bpe_encode_corpus(docs, vocab)
+    return pack_documents(enc, "n_tokens", budget=512, id_column="id").select(
+        F.col("id").alias("doc_id"), "n_tokens", "shard", "pack_id", "oversize"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness harness checks a bounded
 # prefix of ``queries()`` (50 entries in rounds 1-2), so queries that have

@@ -46,6 +46,8 @@ __all__ = [
     "word_frequencies",
     "train_bpe",
     "bpe_segment_corpus",
+    "bpe_symbol_table",
+    "bpe_encode_corpus",
 ]
 
 
@@ -207,4 +209,103 @@ def bpe_segment_corpus(
     return seg.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_symbol_table(vocab: DataFrame) -> DataFrame:
+    """Deterministic ``(symbol, token_id)`` table for a trained model.
+
+    The symbol inventory is BOUNDED by construction — at most
+    ``|alphabet| + n_merges`` rows (every merge mints one new symbol) —
+    so the id-assigning global window is a window over a few hundred
+    rows, not a scale concern; ids are dense longs ordered by symbol,
+    a pure function of the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    syms = vocab.select(F.explode("syms").alias("symbol")).distinct()
+    w = Window.partitionBy().orderBy("symbol")
+    return syms.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def bpe_encode_corpus(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus to REAL token-id sequences with a trained model.
+
+    Returns ``(id, token_ids array<bigint>, n_tokens)`` per document —
+    the tensor-ready shape a training pipeline feeds to sequence packing
+    and batch assembly (vs :func:`bpe_segment_corpus`, which stops at
+    counts).
+
+    Plan shape (all linear, no per-document merge replay):
+
+    1. the corpus's DISTINCT words join the segmentation dictionary
+       (broadcast when small); OOV words fall back to character
+       segmentation, and characters unseen at training time encode as
+       ``-1`` (unk) — never dropped, so decode failures are countable;
+    2. each word's symbols join the bounded
+       :func:`bpe_symbol_table` and regroup to an ordered id array —
+       work proportional to the distinct-word vocabulary, not the
+       corpus;
+    3. documents explode to positioned words, join the per-word id
+       arrays on the compact word key, and reassemble via an in-row
+       ``array_sort`` + ``flatten`` — one shuffle keyed by the doc id.
+    """
+    symtab = bpe_symbol_table(vocab)
+    corpus_words = df.select(
+        F.col(id_column).alias("id"),
+        F.posexplode(word_tokens(F.col(text_column))).alias("wpos", "word"),
+    )
+    distinct_words = corpus_words.select("word").distinct()
+    word_syms = distinct_words.join(
+        vocab.select("word", "syms"), "word", "left"
+    ).select(
+        "word",
+        # char fallback for OOV — BPE's standard unknown-word behavior
+        F.coalesce("syms", F.split(F.col("word"), "")).alias("syms"),
+    )
+    word_ids = (
+        word_syms.select(
+            "word", F.posexplode("syms").alias("spos", "symbol")
+        )
+        .join(F.broadcast(symtab), "symbol", "left")
+        .groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("spos"),
+                        F.coalesce(F.col("token_id"), F.lit(-1)).alias(
+                            "token_id"
+                        ),
+                    )
+                )
+            ).alias("ps")
+        )
+        .select(
+            "word",
+            F.transform(F.col("ps"), lambda s: s.token_id).alias("wt"),
+        )
+    )
+    return (
+        corpus_words.join(word_ids, "word")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("wpos"), F.col("wt")))
+            ).alias("pw")
+        )
+        .select(
+            "id",
+            F.flatten(
+                F.transform(F.col("pw"), lambda s: s.wt)
+            ).alias("token_ids"),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
     )

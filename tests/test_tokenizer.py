@@ -122,3 +122,67 @@ def test_bpe_segment_oov_char_fallback(spark):
     )
     seg = bpe_segment_corpus(new, vocab).collect()
     assert seg[0]["n_words"] == 2 and seg[0]["n_tokens"] == 6
+
+
+def test_bpe_encode_corpus_roundtrip_matches_reference(spark):
+    """Token-id sequences decode back to the reference segmentation:
+    the id assignment is a pure function of the vocabulary, and the
+    flattened per-document sequence preserves word order."""
+    from bdq_spark.operators.tokenizer import (
+        bpe_encode_corpus,
+        bpe_symbol_table,
+    )
+
+    df = _docs_df(spark)
+    _, vocab = train_bpe(df, n_merges=25)
+    _, ref_vocab = _ref_train_bpe(CORPUS, n_merges=25)
+    id2sym = {
+        r["token_id"]: r["symbol"]
+        for r in bpe_symbol_table(vocab).collect()
+    }
+    enc = {r["id"]: (list(r["token_ids"]), r["n_tokens"])
+           for r in bpe_encode_corpus(df, vocab).collect()}
+    for i, t in enumerate(CORPUS):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        expected = [s for w in words for s in ref_vocab[w]]
+        ids, n = enc[i]
+        assert n == len(ids) == len(expected)
+        assert [id2sym[x] for x in ids] == expected
+
+
+def test_bpe_encode_oov_unk_ids(spark):
+    from bdq_spark.operators.tokenizer import bpe_encode_corpus
+
+    df = _docs_df(spark)
+    _, vocab = train_bpe(df, n_merges=10)
+    # "zzz" chars never seen in training -> -1 unk ids, never dropped
+    new = spark.createDataFrame([(99, "zzz the")], "doc_id long, text string")
+    row = bpe_encode_corpus(new, vocab).collect()[0]
+    ids = list(row["token_ids"])
+    assert row["n_tokens"] == len(ids)
+    assert ids[:3] == [-1, -1, -1]  # the three unseen z chars
+    assert len(ids) > 3 and all(x >= 0 for x in ids[3:])  # "the" is known
+
+
+def test_bpe_encode_feeds_packing(spark):
+    """The tokenize -> pack composition every training pipeline runs:
+    real BPE budgets in, packing invariants out."""
+    from bdq_spark.operators.packing import pack_documents
+    from bdq_spark.operators.tokenizer import bpe_encode_corpus
+
+    df = _docs_df(spark)
+    _, vocab = train_bpe(df, n_merges=15)
+    enc = bpe_encode_corpus(df, vocab)
+    packed = pack_documents(enc, "n_tokens", budget=12, id_column="id")
+    rows = packed.collect()
+    # coverage: every document exactly once
+    assert sorted(r["id"] for r in rows) == list(range(len(CORPUS)))
+    # budget respected for every non-oversize pack
+    fills = {}
+    for r in rows:
+        if not r["oversize"]:
+            fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= 12 for v in fills.values())
+    # token counts are the real BPE counts, not whitespace counts
+    seg = {r["id"]: r["n_tokens"] for r in bpe_segment_corpus(df, vocab).collect()}
+    assert {r["id"]: r["n_tokens"] for r in rows} == seg
