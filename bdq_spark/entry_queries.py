@@ -290,7 +290,7 @@ def surrogate_key_hash_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "cdc_apply_customer",
-    """
+    _CDC_SNAPSHOT_ORACLE := """
     SELECT c_custkey, c_name, acctbal FROM (
       SELECT c_custkey,
              CASE WHEN c_custkey % 10 = 1 THEN c_name || '_v2'
@@ -317,9 +317,26 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-restriction semantics are all value-hash-checked."""
     from bdq_spark.operators.cdc import apply_cdc
 
-    c = load_table(spark, sf_dir, "customer").select(
+    c = _cdc_customer_base(spark, sf_dir)
+    snap = apply_cdc(c, _cdc_customer_changes(c), ["c_custkey"], ["ver"])
+    return snap.select(
+        "c_custkey", "c_name", F.col("acctbal").cast("double").alias("acctbal")
+    )
+
+
+def _cdc_customer_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", _dec("c_acctbal").alias("acctbal")
     )
+
+
+def _cdc_customer_changes(c: DataFrame) -> DataFrame:
+    """The synthesized customer change feed shared by the batch and
+    streaming CDC entries (stale update superseded, update-then-delete,
+    fresh inserts) — every key's full change history touches ONE key
+    group (``c_custkey % 10``), which is what lets the streaming entry
+    partition the feed into key-group micro-batches whose processing
+    order cannot change the merged result."""
     m = F.col("c_custkey") % 10
 
     def gen(flt, key, name, bal, op, ver):
@@ -332,7 +349,7 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     k, n, b = F.col("c_custkey"), F.col("c_name"), F.col("acctbal")
-    changes = (
+    return (
         # stale v1 update that the v2 update must supersede
         gen(m == 1, k, F.concat(n, F.lit("_WRONG")), b, "U", 1)
         .unionByName(gen(m == 1, k, F.concat(n, F.lit("_v2")),
@@ -348,8 +365,68 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             b, "I", 1,
         ))
     )
-    snap = apply_cdc(c, changes, ["c_custkey"], ["ver"])
-    return snap.select(
+
+
+@_register("streaming_cdc_merge", _CDC_SNAPSHOT_ORACLE)
+def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming CDC ingest, value-hash-checked against the
+    ONE-SHOT merge oracle: the same change feed as ``cdc_apply_customer``
+    is staged as three key-group micro-batch files, driven through a
+    TRUE readStream → ``foreachBatch`` → :func:`cdc_merge_sink` run
+    (MERGE-per-micro-batch with the staged-promotion crash protocol),
+    and the final snapshot must equal applying all changes at once.
+    Each key's full history lives in one micro-batch, so the sequential
+    merge is order-independent and the batch oracle is exact — the
+    stream/batch unification claim for MERGE, not just aggregates.
+    Restart/replay convergence is pinned separately in
+    ``tests/test_streaming_step.py``."""
+    import hashlib
+    import os
+    import uuid
+
+    from bdq_spark.streaming import cdc_merge_sink
+
+    c = _cdc_customer_base(spark, sf_dir)
+    changes = _cdc_customer_changes(c)
+
+    key = hashlib.md5(f"{sf_dir}:cdc_feed".encode()).hexdigest()[:12]
+    feed = os.path.join(tempfile.gettempdir(), f"bdq_stage_cdc_feed_{key}")
+    marker = os.path.join(feed, "_STAGED")
+    if not os.path.exists(marker):
+        m = F.col("c_custkey") % 10
+        # group 3's inserts carry keys +1000000, which keeps m == 3
+        for i, flt in enumerate([m == 1, m == 2, m == 3]):
+            changes.filter(flt).withColumn(
+                "acctbal", F.col("acctbal").cast("decimal(12,2)")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(feed, f"g{i}")
+            )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+
+    table = f"cdc_stream_snap_{uuid.uuid4().hex[:12]}"
+    c.write.saveAsTable(table)
+    ckpt = tempfile.mkdtemp(prefix="entry_cdc_ckpt_")
+    merge = cdc_merge_sink(
+        spark, table, ["c_custkey"], ["ver"],
+        columns=["c_custkey", "c_name", "acctbal"],
+    )
+    stream = (
+        spark.readStream.schema(
+            "c_custkey bigint, c_name string, acctbal decimal(12,2), "
+            "op string, ver int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/g*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table).select(
         "c_custkey", "c_name", F.col("acctbal").cast("double").alias("acctbal")
     )
 

@@ -6,6 +6,7 @@ free — watermarks, event-time windows, within-watermark dedup — as thin,
 batch-compatible combinators.
 """
 
+from bdq_spark.streaming.cdc_sink import cdc_merge_sink
 from bdq_spark.streaming.stateful import running_counter, sessionize
 from bdq_spark.streaming.windows import (
     dedup_within_watermark,
@@ -25,4 +26,5 @@ __all__ = [
     "interval_join",
     "running_counter",
     "sessionize",
+    "cdc_merge_sink",
 ]

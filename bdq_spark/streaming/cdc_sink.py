@@ -1,0 +1,108 @@
+"""Exactly-once CDC ingest: MERGE-per-micro-batch into a catalog table.
+
+The production shape the pieces were built for: a streaming change feed
+drives ``foreachBatch`` (:func:`bdq_spark.plans.step_spark_for_each_batch`
+or plain ``writeStream.foreachBatch``), and every micro-batch is MERGED
+into a catalog snapshot table via :func:`bdq_spark.operators.cdc.apply_cdc`
+— what Delta/Iceberg pipelines execute as ``MERGE INTO`` per batch,
+re-expressed over plain catalog tables (cite:
+`/root/reference/bdq/spark_pipeline.py:515` for the reference's
+Delta-default sink this stands in for).
+
+Exactly-once reasoning (the guarantees, stated honestly):
+
+- **replay convergence** — after a crash, Structured Streaming replays
+  the last uncommitted batch.  ``apply_cdc`` is replay-idempotent
+  (latest-change-per-key with delete-wins ties:
+  ``apply(apply(base, c), c) == apply(base, c)``, property-tested in
+  ``tests/test_cdc.py``), so merging a replayed batch into an
+  already-merged snapshot is a no-op and the snapshot converges.
+- **no torn snapshots** — the merged snapshot is written to a durable
+  STAGING table first, then promoted over the main table, and staging is
+  dropped only after the promotion succeeds (the same crash-window
+  protocol as :class:`~bdq_spark.plans.CatalogPersistedStateStore`).
+  A leftover staging table at batch start means a previous promotion was
+  interrupted — it is promoted first, before the new batch merges.
+  Staging also breaks the self-read cycle (Spark rejects overwriting a
+  table its own plan reads).
+- catalog registration is the commit point of a ``saveAsTable`` write —
+  the same assumption the state store documents; a sink needing
+  byte-level write atomicity should sit on a transactional table format.
+
+Scale shape: per batch, the change feed collapses with one window over
+the SMALL batch, the base table pays one anti-join against the touched
+keys (broadcast when small), and the snapshot rewrite is the unavoidable
+cost of a non-transactional table format — on Delta/Iceberg the same
+batch function body becomes a genuine MERGE and the staging dance
+disappears.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bdq_spark.operators.cdc import apply_cdc
+
+__all__ = ["cdc_merge_sink"]
+
+
+def cdc_merge_sink(
+    spark: SparkSession,
+    table: str,
+    keys: List[str],
+    order_by: List[str],
+    op_column: str = "op",
+    columns: Optional[List[str]] = None,
+    strict: bool = False,
+) -> Callable:
+    """Build a ``foreachBatch`` function that merges each micro-batch of
+    CDC changes into the catalog table ``table``.
+
+    The returned callable accepts ``(batch_df, batch_id, ...)`` so it
+    slots into both ``writeStream.foreachBatch`` (2 args) and
+    ``step_spark_for_each_batch`` (4 args).  On the first batch the
+    snapshot is created from the change feed itself (``columns`` or the
+    feed's columns minus ``op_column``).
+
+    See the module docstring for the exactly-once protocol.
+    """
+    out_cols = columns
+    staging = f"{table}__staging"
+
+    def _promote() -> None:
+        spark.table(staging).write.mode("overwrite").option(
+            "overwriteSchema", "true"
+        ).saveAsTable(table)
+
+    def merge(batch_df: DataFrame, batch_id: int, *_ignored) -> None:
+        # finish an interrupted promotion first: a surviving staging
+        # table is a COMPLETE post-merge snapshot whose promotion
+        # crashed — the replayed batch must merge into it, not into
+        # the stale (or torn) main table
+        if spark.catalog.tableExists(staging):
+            _promote()
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+        cols = out_cols or [c for c in batch_df.columns if c != op_column]
+        if spark.catalog.tableExists(table):
+            base = spark.table(table).select(*cols)
+        else:
+            base = batch_df.select(*cols).limit(0)
+        snap = apply_cdc(
+            base,
+            batch_df,
+            keys,
+            order_by,
+            op_column=op_column,
+            columns=cols,
+            strict=strict,
+        )
+        snap.write.mode("overwrite").option(
+            "overwriteSchema", "true"
+        ).saveAsTable(staging)
+        _promote()
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+    return merge

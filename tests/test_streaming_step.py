@@ -212,3 +212,106 @@ def test_streaming_incremental_minhash_dedup(spark, stream_dirs, tmp_path):
     # 100 ~ seed corpus -> dropped; 101 novel -> kept;
     # 200 ~ batch A's 101 via the APPENDED index -> dropped
     assert kept_ids == {101}
+
+
+# ---------------------------------------------------------------------------
+# exactly-once CDC merge sink (foreachBatch + apply_cdc composition)
+# ---------------------------------------------------------------------------
+
+def _cdc_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, name string, bal double, op string, ver long"
+    )
+
+
+def test_cdc_merge_sink_restart_and_replay_converge(spark, stream_dirs):
+    """Two pipeline runs over one checkpoint, then a manual replay of the
+    final batch: the snapshot must converge to the sequential merge and
+    stay unchanged under replay (exactly-once via merge idempotence)."""
+    from bdq_spark.plans import SparkPipeline
+    from bdq_spark.streaming import cdc_merge_sink
+
+    src, ckpt = stream_dirs
+    table = "cdc_sink_snap"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+
+    b1 = [(1, "a", 1.0, "I", 1), (2, "b", 2.0, "I", 1), (3, "c", 3.0, "I", 1)]
+    b2 = [(2, "b2", 20.0, "U", 2), (3, "c", 0.0, "D", 2), (4, "d", 4.0, "I", 2)]
+    _cdc_rows(spark, b1).coalesce(1).write.parquet(str(src / "b1"))
+
+    merge = cdc_merge_sink(spark, table, ["id"], ["ver"])
+    schema = "id long, name string, bal double, op string, ver long"
+
+    def run(name):
+        ppn = SparkPipeline("cdc_stream", spark=spark)
+        ppn.spark_streaming_checkpoint_location = str(ckpt)
+
+        @ppn.step_spark_temp_view(outputs="cdc_feed")
+        def cdc_feed(step):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+
+        @ppn.step_spark_for_each_batch(
+            input_table="cdc_feed",
+            depends_on=[cdc_feed],
+            outputs=[],
+            trigger_availableNow=True,
+        )
+        def cdc_merge(df, batch_id, relative_batch_id, step):
+            merge(df, batch_id)
+
+        ppn(max_concurrent_steps=4)
+        assert ppn.is_success
+
+    run("r1")
+    snap1 = sorted((r.id, r.name, r.bal) for r in spark.table(table).collect())
+    assert snap1 == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+
+    # restart with the same checkpoint: only the new file is processed
+    _cdc_rows(spark, b2).coalesce(1).write.parquet(str(src / "b2"))
+    run("r2")
+    expected = [(1, "a", 1.0), (2, "b2", 20.0), (4, "d", 4.0)]
+    snap2 = sorted((r.id, r.name, r.bal) for r in spark.table(table).collect())
+    assert snap2 == expected
+
+    # crash-replay semantics: foreachBatch may re-deliver the last batch
+    # after a restart — the merge must be a no-op on the converged state
+    merge(_cdc_rows(spark, b2), 1)
+    snap3 = sorted((r.id, r.name, r.bal) for r in spark.table(table).collect())
+    assert snap3 == expected
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_merge_sink_recovers_interrupted_promotion(spark):
+    """A surviving staging table (crash between staging write and
+    promotion) is promoted BEFORE the next batch merges — the replayed
+    batch must see the completed snapshot, not the stale main table."""
+    from bdq_spark.streaming import cdc_merge_sink
+
+    table = "cdc_crash_snap"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+
+    merge = cdc_merge_sink(spark, table, ["id"], ["ver"])
+    merge(_cdc_rows(spark, [(1, "a", 1.0, "I", 1)]), 0)
+
+    # simulate a crash AFTER batch 1's staging write, BEFORE promotion:
+    # main still holds batch 0's snapshot, staging holds batch 1's
+    # (same schema a real staged snapshot has, version column included)
+    spark.createDataFrame(
+        [(1, "a", 1.0, 1), (2, "b", 2.0, 2)],
+        "id long, name string, bal double, ver long",
+    ).write.saveAsTable(f"{table}__staging")
+
+    # the replay of batch 1 must first promote staging, then merge —
+    # converging to the same snapshot as an uninterrupted run
+    merge(_cdc_rows(spark, [(2, "b", 2.0, "I", 2)]), 1)
+    got = sorted((r.id, r.name, r.bal) for r in spark.table(table).collect())
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+    assert not spark.catalog.tableExists(f"{table}__staging")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
