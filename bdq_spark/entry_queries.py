@@ -3528,6 +3528,76 @@ def doc_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_lm_score_trigram",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    train AS (SELECT * FROM words WHERE doc_id % 2 = 0),
+    sc AS (SELECT * FROM words WHERE doc_id % 2 = 1),
+    t1 AS (SELECT u.t AS w1 FROM train, UNNEST(w) AS u(t)),
+    c1 AS (SELECT w1, count(*) AS c1 FROM t1 GROUP BY 1),
+    c2 AS (SELECT big, count(*) AS c2 FROM (
+             SELECT u.b AS big FROM (
+               SELECT list_transform(range(1, len(w)),
+                        i -> w[i] || chr(31) || w[i+1]) AS bl
+               FROM train) t, UNNEST(bl) AS u(b)) GROUP BY 1),
+    c3 AS (SELECT tri, count(*) AS c3 FROM (
+             SELECT u.g AS tri FROM (
+               SELECT list_transform(range(1, len(w)-1),
+                        i -> w[i] || chr(31) || w[i+1] || chr(31) || w[i+2])
+                 AS tl
+               FROM train) t, UNNEST(tl) AS u(g)) GROUP BY 1),
+    nv AS (SELECT count(*) AS n, count(DISTINCT w1) AS v FROM t1),
+    strig AS (
+      SELECT doc_id, u.g AS tri,
+             split_part(u.g, chr(31), 1) AS w1,
+             split_part(u.g, chr(31), 2) AS w2,
+             split_part(u.g, chr(31), 3) AS w3
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(w)-1),
+                     i -> w[i] || chr(31) || w[i+1] || chr(31) || w[i+2])
+                     AS tl
+            FROM sc) t, UNNEST(tl) AS u(g)),
+    lp AS (
+      SELECT s.doc_id,
+             CAST(round(ln(
+               CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / ctx.c2
+                    WHEN bk.c2 IS NOT NULL THEN 0.4 * bk.c2 / c1b.c1
+                    ELSE 0.4 * 0.4 * (COALESCE(c1c.c1, 0) + 1)
+                         / (nv.n + nv.v)
+               END), 9) AS DECIMAL(14,9)) AS logp
+      FROM strig s
+      LEFT JOIN c3 ON s.tri = c3.tri
+      LEFT JOIN c2 ctx ON s.w1 || chr(31) || s.w2 = ctx.big
+      LEFT JOIN c2 bk ON s.w2 || chr(31) || s.w3 = bk.big
+      LEFT JOIN c1 c1b ON s.w2 = c1b.w1
+      LEFT JOIN c1 c1c ON s.w3 = c1c.w1
+      CROSS JOIN nv)
+    SELECT doc_id, count(*) AS n_trigrams,
+           round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS lm3_score
+    FROM lp GROUP BY doc_id
+    """,
+)
+def doc_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram STUPID-BACKOFF LM score (Brants et al. 2007), completing
+    the unigram → bigram → trigram CCNet-style quality stack: the LM
+    trains on the EVEN documents and scores the ODD ones, so all three
+    backoff levels genuinely fire (seen trigram / bigram backoff /
+    add-one unigram floor for OOV) and the oracle re-derives every
+    level's counts and the exact backoff cascade in SQL."""
+    from bdq_spark.operators.text_analysis import trigram_backoff_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_backoff_score(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        train=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+@_register(
     "doc_top_terms",
     """
     WITH toks AS (

@@ -23,6 +23,7 @@ __all__ = [
     "gopher_quality",
     "compression_ratio",
     "bigram_logprob_score",
+    "trigram_backoff_score",
     "top_terms",
 ]
 
@@ -395,6 +396,140 @@ def bigram_logprob_score(
             F.round(
                 F.sum("logp").cast("double") / F.count(F.lit(1)), 6
             ).alias("lm2_score"),
+        )
+    )
+
+
+def _positioned_tokens(df: DataFrame, text_column: str, id_column: str):
+    """(id, pos, w1) token stream clustered by document."""
+    return df.repartition(F.col(id_column)).select(
+        F.col(id_column).alias("id"),
+        F.posexplode(TXT.word_tokens(F.col(text_column))).alias("pos", "w1"),
+    )
+
+
+def trigram_backoff_score(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    train: DataFrame = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean trigram log-score under a STUPID-BACKOFF LM
+    (Brants et al., "Large Language Models in Machine Translation",
+    EMNLP 2007 — the count-based backoff designed for distributed
+    training), completing the unigram → bigram → trigram CCNet-style
+    quality stack:
+
+    ``S(w3|w1 w2) = c3/c2(w1 w2)`` when the trigram was seen in the
+    training corpus; else ``alpha * c2(w2 w3)/c1(w2)`` when the bigram
+    was; else ``alpha^2 * (c1(w3)+1)/(N+V)`` (add-one unigram floor, so
+    out-of-vocabulary words score finitely instead of ``ln 0``).
+
+    ``train`` is the corpus the counts come from (default: ``df``
+    itself — in which case every scored trigram is seen and the score
+    degenerates to the pure trigram ratio; pass a held-out/reference
+    slice to make the backoff levels fire, the CCNet deployment shape).
+
+    Output: ``(id_column, n_trigrams, lm3_score)``; documents with
+    fewer than 3 tokens emit no row.  Engine-determinism contract as
+    the lower orders: per-trigram ``ln`` rounded to 9 dp, summed as
+    exact decimals, mean rounded to 6.
+
+    Scale shape: all five count relations (c3, c2, c1, and the 1-row
+    N/V scalars) are partial-combinable aggregates over the train
+    token stream; the scoring side pays one shuffle join per backoff
+    level, each keyed by the compact n-gram, all linear in the scored
+    corpus; the scalars broadcast.
+    """
+    from pyspark.sql import Window
+
+    toks = _positioned_tokens(df, text_column, id_column).localCheckpoint(
+        eager=False
+    )
+    train_toks = (
+        toks
+        if train is None
+        else _positioned_tokens(train, text_column, id_column)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+
+    def ngrams(t, n_words):
+        out = t.withColumn("w2", F.lead("w1").over(w))
+        if n_words == 3:
+            out = out.withColumn("w3", F.lead("w1", 2).over(w))
+        cols = ["id", "w1", "w2"] + (["w3"] if n_words == 3 else [])
+        last = cols[-1]
+        return out.filter(F.col(last).isNotNull()).select(*cols)
+
+    c1 = train_toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = ngrams(train_toks, 2).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c3 = ngrams(train_toks, 3).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    nv = train_toks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("w1")).alias("__v"),
+    )
+
+    scored = (
+        ngrams(toks, 3)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(
+                F.col("w1"), F.col("w2"), F.col("c2").alias("c2_ctx")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2_bk"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w1").alias("w2"), F.col("c1").alias("c1_w2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w1").alias("w3"), F.col("c1").alias("c1_w3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    a = F.lit(alpha)
+    s = (
+        F.when(
+            F.col("c3").isNotNull(), F.col("c3") / F.col("c2_ctx")
+        )
+        .when(
+            F.col("c2_bk").isNotNull(),
+            a * F.col("c2_bk") / F.col("c1_w2"),
+        )
+        .otherwise(
+            a * a * (F.coalesce(F.col("c1_w3"), F.lit(0)) + F.lit(1))
+            / (F.col("__n") + F.col("__v"))
+        )
+    )
+    return (
+        scored.select(
+            "id", F.round(F.log(s), 9).cast("decimal(14,9)").alias("logp")
+        )
+        .groupBy(F.col("id").alias(id_column))
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("lm3_score"),
         )
     )
 

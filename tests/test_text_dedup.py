@@ -904,3 +904,75 @@ def test_top_terms_tfidf(spark):
     # "common" scores exactly 0 and ranks below the rare term
     assert ("common" in [t for _, t, _ in by_doc[0]])
     assert dict((t, s) for _, t, s in by_doc[0])["common"] == 0.0
+
+
+def test_trigram_backoff_score_matches_reference(spark):
+    """All three backoff levels against an exact Python reference: the
+    trigram level on seen contexts, the bigram level on unseen trigrams
+    with seen bigrams, and the add-one unigram floor on OOV words."""
+    import math
+    from collections import Counter
+
+    from bdq_spark.operators.text_analysis import trigram_backoff_score
+
+    train_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog sat",
+    ]
+    score_texts = [
+        "the cat sat on the rug",     # seen trigrams + seen-bigram backoff
+        "zebra cat sat quickly now",  # OOV words -> unigram floor
+    ]
+    train = spark.createDataFrame(
+        list(enumerate(train_texts)), "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        list(enumerate(score_texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in
+           trigram_backoff_score(score, train=train).collect()}
+
+    ttoks = [t.split() for t in train_texts]
+    c1 = Counter(w for ts in ttoks for w in ts)
+    c2 = Counter((a, b) for ts in ttoks for a, b in zip(ts, ts[1:]))
+    c3 = Counter(
+        (a, b, c) for ts in ttoks for a, b, c in zip(ts, ts[1:], ts[2:])
+    )
+    N, V = sum(c1.values()), len(c1)
+
+    def ref_score(ts):
+        tri = list(zip(ts, ts[1:], ts[2:]))
+        tot = 0
+        for a, b, c in tri:
+            if (a, b, c) in c3:
+                s = c3[(a, b, c)] / c2[(a, b)]
+            elif (b, c) in c2:
+                s = 0.4 * c2[(b, c)] / c1[b]
+            else:
+                s = 0.4 * 0.4 * (c1.get(c, 0) + 1) / (N + V)
+            tot += round(math.log(s), 9)
+        return len(tri), round(tot / len(tri), 6)
+
+    import pytest as _pt
+    for i, t in enumerate(score_texts):
+        n, exp = ref_score(t.split())
+        assert got[i].n_trigrams == n
+        assert got[i].lm3_score == _pt.approx(exp, abs=2e-6)
+
+    # order sensitivity one level above bigrams: a trigram-scrambled
+    # text with IDENTICAL bigram multiset is indistinguishable to the
+    # bigram scorer but not to the trigram scorer
+    natural = "a b c d a b c d a b c d"
+    # same bigrams (a b, b c, c d, d a) but trigram (d a b) contexts
+    # shift frequency mass away from the training distribution
+    self_train = spark.createDataFrame(
+        [(0, natural)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(0, "a b c d a b c d"), (1, "a b c a b c d d")],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r.lm3_score for r in
+         trigram_backoff_score(probe, train=self_train).collect()}
+    assert s[0] > s[1]

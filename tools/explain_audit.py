@@ -18,6 +18,14 @@ The committed snapshot (``plans_golden.json``) records each query's plan
 fingerprint (exchange/join/pushdown counts); the audit prints a DRIFT
 marker when a fingerprint changes, so plan regressions (a lost broadcast,
 an extra shuffle) show up in review diffs.
+
+Truncation caveat, made explicit in the fingerprint: operators that
+``localCheckpoint`` internally replace the materialized subtree with a
+``Scan ExistingRDD`` leaf, so their explain output understates the real
+work (an "exchanges=0" plan may hide a whole dedup funnel behind one
+checkpoint scan).  The ``rdd_scans`` fingerprint field counts those
+leaves — a query whose exchanges drop while ``rdd_scans`` rises has NOT
+gotten cheaper, and either count drifting flags the plan for review.
 """
 
 from __future__ import annotations
@@ -127,12 +135,14 @@ def main() -> int:
         n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
         n_smj = len(re.findall(r"SortMergeJoin", plan))
         n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        n_rdd = len(re.findall(r"Scan ExistingRDD", plan))
         fp = {
             "exchanges": n_exchange,
             "broadcast_hash_joins": n_bcast,
             "sort_merge_joins": n_smj,
             "pushed_scans": n_pushed,
             "cartesian": "CartesianProduct" in plan,
+            "rdd_scans": n_rdd,
         }
         fingerprints[name] = fp
 
@@ -153,7 +163,8 @@ def main() -> int:
         status = "WARN" if notes else "ok"
         print(
             f"{status:4s} {name:34s} exchanges={n_exchange:2d} "
-            f"bhj={n_bcast} smj={n_smj} pushed_scans={n_pushed}"
+            f"bhj={n_bcast} smj={n_smj} pushed_scans={n_pushed} "
+            f"rdd={n_rdd}"
             + (f"  <- {'; '.join(notes)}" if notes else "")
         )
         if notes:
