@@ -4772,76 +4772,72 @@ def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # displaced from the r3 window (VERDICT r3 "Next round" #3): every
-    # query here was green in r1/r2 but has no CORRECTNESS_r03 row —
-    # rotate them back so nothing goes two rounds unchecked
-    "knn_lsh_embeddings",
-    "knn_multiprobe_embeddings",
-    "quality_rules_lineitem",
-    "events_daily_by_type",
-    "events_user_sessions",
-    "pk_minimal_combinations",
-    "schema_diff_orders",
-    "column_combinations",
-    "dag_states",
-    "pipeline_odd_even",
-    "streaming_foreach_batch",
-    "statestore_roundtrip",
-    "lineitem_cube",
-    "orders_rollup_by_year",
-    "orders_pivot_priority_status",
-    "supplier_part_join_agg",
+    # ROUND-5 WINDOW (see NOTES_r5 and tests/test_registry.py): every
+    # entry with NO driver row in r1-r4 comes first, then this round's
+    # new entries, then the rows-only entries the r4 window displaced
+    # (VERDICT r4 "What's wrong" #1), then every entry whose CODE
+    # changed this round, and the remaining slots rotate in the entries
+    # whose last driver row is oldest.  Invariant: first-50 union all
+    # CORRECTNESS_r* rounds covers the whole registry.
+    #
+    # never driver-checked (r1-r4)
+    "cheapest_supplier_per_part",
+    "language_confusion",
+    "duplicate_spans_documents",
+    "near_dup_edit_verified",
+    "compact_roundtrip_orders",
+    "customer_retention_setops",
+    "stateful_sessionize",
+    "docs_fixed_sample_by_lang",
+    "doc_compression_ratio",
+    "doc_lm_score_bigram",
+    "doc_top_terms",
+    "profile_drift_orders",
+    "quantiles_lineitem_by_flag",
+    "histogram_orders_totalprice",
+    "vocab_stats_documents",
+    # new this round (no driver row possible yet)
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_pcm_stats",
+    "doc_bpe_packing",
+    "streaming_cdc_merge",
+    "doc_lm_score_trigram",
+    # rows-only entries displaced from the r4 window — all green in r3
+    # and in the full local check_oracle runs since
+    "surrogate_key_hash_customer",
+    "minhash_lsh_near_dup",
+    "incremental_minhash_near_dup",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "doc_sequence_packing",
+    "knn_quantized_embeddings",
+    "knn_ivf_embeddings",
+    # code changed this round (sessionize fold/schema, interval_join
+    # keys, apply_cdc strict, dedup-family localCheckpoint switch,
+    # quantize rounding — quantized KNN is already above)
     "stateful_running_counter",
-    "salted_join_revenue",
-    "doc_stratified_sample",
-    # new this round (no driver row yet)
-    "multimodal_audio_decode",
-    "minhash_md5_near_dup",
-    "simhash_md5_fingerprints",
-    "simhash_md5_pairs",
-    "corpus_prepare_neardup",
-    "doc_mixture_upsample",
-    "streaming_windowed_counts",
-    "doc_lm_score",
-    "embedding_dedup_clusters",
-    "events_sliding_windows",
-    "events_dedup_watermark",
-    "rules_quarantine_lineitem",
-    "jsonl_ingest_documents",
-    "sink_partitioned_roundtrip",
-    "bpe_train_merges",
-    "bpe_token_counts",
-    "csv_ingest_events",
-    "doc_gopher_quality",
-    "profile_lineitem_correlations",
     "streaming_interval_join",
-    "paragraph_dedup_documents",
-    "skew_report_lineitem_suppkey",
-    "orc_roundtrip_supplier",
-    "doc_temperature_mixture",
-    # brand-new hash-oracle entries (no r3 row possible) — these take
-    # priority over the changed-code re-checks below, which all HAVE
-    # green r3 rows and were locally re-verified via the full
-    # check_oracle suite this round
-    "large_order_customers",
-    "wealthy_low_activity_customers",
-    "top_supplier_by_period_revenue",
-    "customer_pseudonymize",
     "cdc_apply_customer",
-    # code changed this round — keep what the window can still hold;
-    # documents_deduped exercises the whole jaccard+CC funnel that
-    # near_dup_jaccard / near_dup_clusters / corpus_prepare share
+    "near_dup_jaccard",
+    "near_dup_clusters",
     "documents_deduped",
-    "knn_embeddings",
-    # displaced (window holds 50), all r3-green + locally re-verified:
-    # multimodal_decode (BMP fix golden-bytes pytest-covered; the
-    # in-window multimodal_audio_decode exercises the same plumbing),
-    # near_dup_jaccard, near_dup_clusters, corpus_prepare (subsumed by
-    # in-window documents_deduped / corpus_prepare_neardup),
-    # incremental_minhash_near_dup, minhash_lsh_near_dup,
-    # simhash_fingerprints, simhash_pairs, knn_quantized_embeddings,
-    # knn_ivf_embeddings (rows-only checks with pytest-pinned
-    # invariants and hash-checked in-window twins)
+    "corpus_prepare_neardup",
+    "minhash_md5_near_dup",
+    "simhash_md5_pairs",
+    # oldest driver rows (green r1-r3, displaced by the r4 window)
+    "latest_events",
+    "latest_events_conflict",
+    "compare_orders_diff",
+    "fk_broken_lineitem_part",
+    "fk_broken_sampled",
+    "pk_validate_lineitem_orderkey",
+    "pk_validate_lineitem_composite",
+    "surrogate_key_string_customer",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "nation_pair_volume",
+    "returned_items_top_customers",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

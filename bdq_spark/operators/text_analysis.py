@@ -463,10 +463,16 @@ def trigram_backoff_score(
         last = cols[-1]
         return out.filter(F.col(last).isNotNull()).select(*cols)
 
-    c1 = train_toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 and c2 each feed TWO scoring joins (context + backoff level);
+    # eager-materialize so the tokenize/window/agg subtree runs once —
+    # a lazy copy referenced from the parallel broadcast stages of one
+    # job would recompute per stage (the pathology NOTES_r4 documents)
+    c1 = train_toks.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    ).localCheckpoint(eager=True)
     c2 = ngrams(train_toks, 2).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")
-    )
+    ).localCheckpoint(eager=True)
     c3 = ngrams(train_toks, 3).groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
     )

@@ -85,6 +85,9 @@ CARTESIAN_OK = {
     # vocabulary totals + head mass) onto small aggregates
     "doc_top_terms",
     "vocab_stats_documents",
+    # same shape: the 1-row (N, V) train-corpus scalar broadcast onto
+    # the scored trigrams for the backoff floor
+    "doc_lm_score_trigram",
 }
 
 
