@@ -1494,6 +1494,76 @@ def minhash_md5_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCREMENTAL_MD5_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))
+      END AS shingles
+    FROM words) t, UNNEST(t.shingles) AS u(shingle)
+  WHERE shingle <> ''),
+base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+  FROM sh),
+sigs AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+         min((h * (((2 * t.i + 1) * 2654435761) % 2147483647)
+              + ((t.i * 40503 + 97) % 2147483647)) % 2147483647) AS m
+  FROM base, UNNEST(range(64)) AS t(i)
+  GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(m::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4),
+corpus AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+batch AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+vs_corpus AS (
+  SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b,
+         'corpus' AS match_side
+  FROM batch b JOIN corpus c
+    ON b.band = c.band AND b.band_key = c.band_key
+  WHERE b.doc_id <> c.doc_id),
+vs_batch AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         'batch' AS match_side
+  FROM batch a JOIN batch b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id)
+SELECT * FROM vs_corpus UNION ALL SELECT * FROM vs_batch
+"""
+
+
+@_register("incremental_minhash_md5", _INCREMENTAL_MD5_ORACLE)
+def incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL MinHash path (persisted band index + batch probe)
+    with the engine-portable md5 base hash — the md5 twin that upgrades
+    ``incremental_minhash_near_dup`` from rows-only to a value-hash row:
+    the corpus slice (doc_id % 3 != 0) builds the index, the batch slice
+    (doc_id % 3 == 0) probes it, and the DuckDB oracle recomputes
+    signatures, banding, the index join AND the batch-internal join.
+    Band keys hash the signature slice (xxhash64 of the joined string)
+    but two docs share a band iff their slices are equal, so the pair
+    set is engine-reproducible even though the key bytes aren't."""
+    from bdq_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = minhash_band_index(corpus, hash_fn="md5")
+    return incremental_minhash_near_dup(index, batch, hash_fn="md5")
+
+
 _SIMHASH_MD5_FP_CTES = r"""
 WITH toks AS (
   SELECT doc_id, u.tok FROM (
@@ -4802,6 +4872,7 @@ _DRIVER_PRIORITY = [
     "doc_bpe_packing",
     "streaming_cdc_merge",
     "doc_lm_score_trigram",
+    "incremental_minhash_md5",
     # rows-only entries displaced from the r4 window — all green in r3
     # and in the full local check_oracle runs since
     "surrogate_key_hash_customer",
@@ -4837,7 +4908,9 @@ _DRIVER_PRIORITY = [
     "shipping_priority",
     "local_supplier_volume",
     "nation_pair_volume",
-    "returned_items_top_customers",
+    # returned_items_top_customers is the one r1-r3-green entry this
+    # window can't hold (displaced by incremental_minhash_md5); its
+    # hash oracle keeps it judge-replayable
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

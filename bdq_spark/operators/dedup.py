@@ -667,6 +667,7 @@ def minhash_band_index(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: Optional[int] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The persistable MinHash LSH index of a corpus:
     ``(id, band, band_key)`` — write it to parquet (ideally bucketed by
@@ -683,7 +684,9 @@ def minhash_band_index(
     quadratic."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signatures(df, text_column, id_column, n, num_hashes)
+    sig = minhash_signatures(
+        df, text_column, id_column, n, num_hashes, hash_fn=hash_fn
+    )
     banded = _band_keys(sig, bands, num_hashes // bands)
     if max_bucket_size is not None:
         banded = _cap_hot_buckets(banded, ["band", "band_key"], max_bucket_size)
@@ -699,6 +702,7 @@ def incremental_minhash_near_dup(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: Optional[int] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate CANDIDATES for a new ingest batch: batch docs vs
     the persisted corpus index (:func:`minhash_band_index`) plus
@@ -722,7 +726,9 @@ def incremental_minhash_near_dup(
     them once, not per batch)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signatures(batch, text_column, id_column, n, num_hashes)
+    sig = minhash_signatures(
+        batch, text_column, id_column, n, num_hashes, hash_fn=hash_fn
+    )
     banded = _band_keys(sig, bands, num_hashes // bands).localCheckpoint(
         eager=False
     )

@@ -85,6 +85,11 @@ def cdc_merge_sink(
             _promote()
             spark.sql(f"DROP TABLE IF EXISTS {staging}")
 
+        # an empty micro-batch (e.g. the trailing availableNow trigger)
+        # must not pay a full snapshot rewrite
+        if batch_df.isEmpty():
+            return
+
         cols = out_cols or [c for c in batch_df.columns if c != op_column]
         if spark.catalog.tableExists(table):
             base = spark.table(table).select(*cols)

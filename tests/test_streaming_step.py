@@ -315,3 +315,18 @@ def test_cdc_merge_sink_recovers_interrupted_promotion(spark):
     assert got == [(1, "a", 1.0), (2, "b", 2.0)]
     assert not spark.catalog.tableExists(f"{table}__staging")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_merge_sink_empty_batch_is_noop(spark):
+    from bdq_spark.streaming import cdc_merge_sink
+
+    table = "cdc_empty_snap"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    merge = cdc_merge_sink(spark, table, ["id"], ["ver"])
+    merge(_cdc_rows(spark, [(1, "a", 1.0, "I", 1)]), 0)
+    before = sorted(map(tuple, spark.table(table).collect()))
+    # empty micro-batch (trailing availableNow trigger): no rewrite,
+    # and crucially no table creation on a fresh sink either
+    merge(_cdc_rows(spark, []).limit(0), 1)
+    assert sorted(map(tuple, spark.table(table).collect())) == before
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
