@@ -16,6 +16,7 @@ analytical query) end-to-end against the driver testdata.  Conventions:
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from typing import Callable, Dict
 
@@ -288,9 +289,9 @@ def surrogate_key_hash_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "cdc_apply_customer",
-    _CDC_SNAPSHOT_ORACLE := """
+#: expected post-merge customer snapshot — shared by the batch
+#: (`cdc_apply_customer`) and streaming (`streaming_cdc_merge`) entries
+_CDC_SNAPSHOT_ORACLE = """
     SELECT c_custkey, c_name, acctbal FROM (
       SELECT c_custkey,
              CASE WHEN c_custkey % 10 = 1 THEN c_name || '_v2'
@@ -306,8 +307,10 @@ def surrogate_key_hash_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
              'new_' || (c_custkey + 1000000)::VARCHAR,
              CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
       FROM customer WHERE c_custkey % 10 = 3) t
-    """,
-)
+    """
+
+
+@_register("cdc_apply_customer", _CDC_SNAPSHOT_ORACLE)
 def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge (the relational core of MERGE INTO): a synthesized
     change feed — stale update superseded by a v2 update, update
@@ -425,10 +428,22 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.table(table).select(
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming_cdc_merge: stream did not finish within 300 s — "
+            "refusing to return a partially merged snapshot"
+        )
+    # detach the result from the catalog table so the per-invocation
+    # table + checkpoint can be dropped (no unbounded warehouse growth
+    # across bench reps); localCheckpoint blocks self-release on GC
+    result = spark.table(table).select(
         "c_custkey", "c_name", F.col("acctbal").cast("double").alias("acctbal")
-    )
+    ).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 @_register(

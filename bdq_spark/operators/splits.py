@@ -332,7 +332,12 @@ def fixed_size_sample(
             .drop("__rank")
         )
     spark = df.sparkSession
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        n_buckets = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:  # e.g. "auto" on AQE-managed platforms
+        n_buckets = max(spark.sparkContext.defaultParallelism, 16)
     bucket = F.pmod(F.xxhash64(h), F.lit(n_buckets))
     w_bucket = Window.partitionBy(bucket).orderBy(*order)
     pre = (

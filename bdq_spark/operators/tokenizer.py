@@ -215,15 +215,30 @@ def bpe_segment_corpus(
 def bpe_symbol_table(vocab: DataFrame) -> DataFrame:
     """Deterministic ``(symbol, token_id)`` table for a trained model.
 
-    The symbol inventory is BOUNDED by construction — at most
-    ``|alphabet| + n_merges`` rows (every merge mints one new symbol) —
-    so the id-assigning global window is a window over a few hundred
-    rows, not a scale concern; ids are dense longs ordered by symbol,
-    a pure function of the vocabulary.
+    Covers the final segmentation symbols PLUS the full training
+    ALPHABET (every character of every vocab word): a base character
+    that was merged away in every final segmentation must still encode
+    — the char-fallback path for out-of-vocabulary words reaches for
+    it, and dropping it would inflate unk counts for letters the model
+    definitely saw.
+
+    The inventory is BOUNDED by construction — at most ``|alphabet| +
+    n_merges`` rows (every merge mints one new symbol) — so the
+    id-assigning global window is a window over a few hundred rows, not
+    a scale concern; ids are dense longs ordered by symbol, a pure
+    function of the vocabulary.
     """
     from pyspark.sql import Window
 
-    syms = vocab.select(F.explode("syms").alias("symbol")).distinct()
+    syms = (
+        vocab.select(F.explode("syms").alias("symbol"))
+        .unionByName(
+            vocab.select(
+                F.explode(F.split(F.col("word"), "")).alias("symbol")
+            )
+        )
+        .distinct()
+    )
     w = Window.partitionBy().orderBy("symbol")
     return syms.withColumn(
         "token_id", (F.row_number().over(w) - 1).cast("long")

@@ -63,8 +63,11 @@ def cdc_merge_sink(
     The returned callable accepts ``(batch_df, batch_id, ...)`` so it
     slots into both ``writeStream.foreachBatch`` (2 args) and
     ``step_spark_for_each_batch`` (4 args).  On the first batch the
-    snapshot is created from the change feed itself (``columns`` or the
-    feed's columns minus ``op_column``).
+    snapshot is created from the change feed itself; the default column
+    set is the feed's columns minus ``op_column`` and the ``order_by``
+    columns — matching ``apply_cdc``'s contract that change-feed
+    metadata never leaks into the result (pass ``columns`` to keep a
+    version column on purpose).
 
     See the module docstring for the exactly-once protocol.
     """
@@ -90,7 +93,11 @@ def cdc_merge_sink(
         if batch_df.isEmpty():
             return
 
-        cols = out_cols or [c for c in batch_df.columns if c != op_column]
+        cols = out_cols or [
+            c
+            for c in batch_df.columns
+            if c != op_column and c not in order_by
+        ]
         if spark.catalog.tableExists(table):
             base = spark.table(table).select(*cols)
         else:

@@ -150,22 +150,32 @@ def sessionize(
     def _split(ts_sorted_ms, start, last, n):
         """Fold timestamps into (closed_sessions, open_state).
 
-        A late event (older than the stored session's ``last`` but newer
-        than the watermark) falls INSIDE the open session: it must widen
-        the session bounds (min/max), never move ``last`` backwards —
-        otherwise ``session_end`` shrinks and later on-time events split
-        a session that never actually closed.
+        The stored open session is merged with the sorted batch as an
+        INTERVAL in timeline order, so late events behave exactly like
+        a batch replay of the same events: one inside the open session
+        widens it; one within ``gap`` of its start extends it backward;
+        one more than ``gap`` before its start forms its own earlier
+        session (emitted as closed) instead of being absorbed across a
+        silence longer than the gap.  Limitation (bounded one-session
+        state): a closed session emits as soon as a later event closes
+        it — a still-later late event that would have reopened it
+        starts a new session instead.
         """
-        closed = []
-        for t in ts_sorted_ms:
-            if last is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_ms:
-                closed.append((start, last + gap_ms, n))
-                start, last, n = t, t, 1
+        items = [(t, t, 1) for t in ts_sorted_ms]
+        if last is not None:
+            items.append((start, last, n))
+            items.sort()
+        if not items:
+            return [], (None, None, 0)
+        merged = [items[0]]
+        for s, e, c in items[1:]:
+            ps, pe, pc = merged[-1]
+            if s - pe <= gap_ms:
+                merged[-1] = (ps, max(pe, e), pc + c)
             else:
-                start, last, n = min(start, t), max(last, t), n + 1
-        return closed, (start, last, n)
+                merged.append((s, e, c))
+        closed = [(s, e + gap_ms, c) for s, e, c in merged[:-1]]
+        return closed, merged[-1]
 
     if df.isStreaming:
         from pyspark.sql.streaming.state import GroupState

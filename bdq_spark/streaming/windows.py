@@ -156,10 +156,15 @@ def interval_join(
         raise ValueError(
             f"how={how!r} not supported; use inner/left/right/full"
         )
+    # accept the full Spark interval literal grammar (compound and
+    # fractional units) while still refusing arbitrary SQL fragments —
+    # the bound is interpolated into F.expr below
+    _unit = r"-?\d+(\.\d+)?\s+[a-zA-Z]+"
     for bound in (lower, upper):
-        if not re.fullmatch(r"-?\d+\s+[a-zA-Z]+", bound.strip()):
+        if not re.fullmatch(rf"{_unit}(\s+{_unit})*", bound.strip()):
             raise ValueError(
-                f"interval bound {bound!r} must look like '30 seconds'"
+                f"interval bound {bound!r} must look like '30 seconds' "
+                "or '1 hour 30 minutes'"
             )
     if watermark:
         left = with_watermark(left, left_ts, watermark)

@@ -215,3 +215,47 @@ def test_sessionize_late_event_widens_open_session(spark, tmp_path):
     # the watermark (max 10:40 - 1h = 9:40) never passes last+gap, so a
     # correct fold emits NOTHING: the one session is still open in state
     assert got == []
+
+
+def test_sessionize_late_event_before_open_session_splits(spark, tmp_path):
+    """A late event more than `gap` BEFORE the open session's start must
+    form its own (closed) earlier session — not be absorbed across a
+    silence longer than the gap — matching what a batch replay of the
+    same events produces."""
+    from datetime import datetime as DT
+
+    from bdq_spark.streaming import sessionize
+
+    schema = "user_id long, ts timestamp"
+    src = tmp_path / "pre_src"
+    # batch 1: open session (10:29); watermark -> 9:29 (1h)
+    spark.createDataFrame([(1, DT(2024, 1, 1, 10, 29))], schema).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    # batch 2: 9:45 is late, above watermark, and 44 min (> 30 min gap)
+    # before the session start -> its own session, closed by the block
+    spark.createDataFrame([(1, DT(2024, 1, 1, 9, 45))], schema).coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = sessionize(
+        stream, "user_id", "ts", gap="30 minutes", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pre_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("pre_sink").collect()))
+    spark.catalog.dropTempView("pre_sink")
+    # the 9:45 pre-session closes in-batch against the 10:29 block;
+    # the 10:29 session stays open in state (watermark never passes it)
+    assert got == [(1, _ms(2024, 1, 1, 9, 45), _ms(2024, 1, 1, 10, 15), 1)]
