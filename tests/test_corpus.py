@@ -174,3 +174,28 @@ def test_vocabulary_stats(spark):
     assert r.hapax_frac == pytest.approx(0.5)
     # top-2 mass = (4 + 2) / 8
     assert r.top2_mass == pytest.approx(0.75)
+
+
+def test_corpus_training_pipeline_invariants(spark):
+    """The capstone composition (prepare -> train tokenizer -> encode ->
+    pack) holds its invariants end to end: every surviving chunk is
+    packed exactly once, no non-oversize pack exceeds the budget, and
+    the packed budgets are the real encoder counts."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["corpus_training_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "pipeline produced no packed chunks"
+    # exactly-once coverage: (doc_id, chunk_idx) unique
+    keys = [(r.doc_id, r.chunk_idx) for r in rows]
+    assert len(keys) == len(set(keys))
+    # budget respected for every non-oversize pack
+    fills = {}
+    for r in rows:
+        assert r.n_tokens > 0
+        if not r.oversize:
+            fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+        else:
+            assert r.n_tokens > 2048
+    assert fills and all(v <= 2048 for v in fills.values())
