@@ -101,6 +101,44 @@ def running_counter(
 _SESSION_STATE = "start_ms bigint, last_ms bigint, n bigint"
 
 
+def _fold_sessions(ts_sorted_ms, state, gap_ms):
+    """Fold sorted timestamps + the stored open session into
+    ``(closed_sessions, open_state)``.
+
+    The stored open session is merged with the sorted batch as an
+    INTERVAL in timeline order, so late events behave exactly like a
+    batch replay of the same events: one inside the open session widens
+    it; one within ``gap`` of its start extends it backward; one more
+    than ``gap`` before its start forms its own earlier session
+    (emitted as closed) instead of being absorbed across a silence
+    longer than the gap.  Limitation (bounded one-session state): a
+    closed session emits as soon as a later event closes it — a
+    still-later late event that would have reopened it starts a new
+    session instead.
+
+    Module-level (not a closure) so the in-order-delivery property —
+    incremental folding over ANY consecutive split of a sorted stream
+    equals the one-shot fold — is directly property-tested
+    (``tests/test_stateful.py``).
+    """
+    start, last, n = state
+    items = [(t, t, 1) for t in ts_sorted_ms]
+    if last is not None:
+        items.append((start, last, n))
+        items.sort()
+    if not items:
+        return [], (None, None, 0)
+    merged = [items[0]]
+    for s, e, c in items[1:]:
+        ps, pe, pc = merged[-1]
+        if s - pe <= gap_ms:
+            merged[-1] = (ps, max(pe, e), pc + c)
+        else:
+            merged.append((s, e, c))
+    closed = [(s, e + gap_ms, c) for s, e, c in merged[:-1]]
+    return closed, merged[-1]
+
+
 def sessionize(
     df: DataFrame,
     key_column: str = "user_id",
@@ -148,34 +186,7 @@ def sessionize(
     }[m.group(2)]
 
     def _split(ts_sorted_ms, start, last, n):
-        """Fold timestamps into (closed_sessions, open_state).
-
-        The stored open session is merged with the sorted batch as an
-        INTERVAL in timeline order, so late events behave exactly like
-        a batch replay of the same events: one inside the open session
-        widens it; one within ``gap`` of its start extends it backward;
-        one more than ``gap`` before its start forms its own earlier
-        session (emitted as closed) instead of being absorbed across a
-        silence longer than the gap.  Limitation (bounded one-session
-        state): a closed session emits as soon as a later event closes
-        it — a still-later late event that would have reopened it
-        starts a new session instead.
-        """
-        items = [(t, t, 1) for t in ts_sorted_ms]
-        if last is not None:
-            items.append((start, last, n))
-            items.sort()
-        if not items:
-            return [], (None, None, 0)
-        merged = [items[0]]
-        for s, e, c in items[1:]:
-            ps, pe, pc = merged[-1]
-            if s - pe <= gap_ms:
-                merged[-1] = (ps, max(pe, e), pc + c)
-            else:
-                merged.append((s, e, c))
-        closed = [(s, e + gap_ms, c) for s, e, c in merged[:-1]]
-        return closed, merged[-1]
+        return _fold_sessions(ts_sorted_ms, (start, last, n), gap_ms)
 
     if df.isStreaming:
         from pyspark.sql.streaming.state import GroupState

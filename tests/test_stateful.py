@@ -259,3 +259,73 @@ def test_sessionize_late_event_before_open_session_splits(spark, tmp_path):
     # the 9:45 pre-session closes in-batch against the 10:29 block;
     # the 10:29 session stays open in state (watermark never passes it)
     assert got == [(1, _ms(2024, 1, 1, 9, 45), _ms(2024, 1, 1, 10, 15), 1)]
+
+
+def test_fold_sessions_incremental_equals_oneshot_property():
+    """Property: for ANY consecutive split of a sorted event stream into
+    micro-batches (in-order delivery), incremental folding with carried
+    state produces exactly the one-shot sessions — closed sessions plus
+    the final open one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bdq_spark.streaming.stateful import _fold_sessions
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+        cuts=st.lists(st.integers(0, 39), max_size=5),
+        gap=st.integers(1, 500),
+    )
+    def check(ts, cuts, gap):
+        ts = sorted(ts)
+        one_closed, one_open = _fold_sessions(ts, (None, None, 0), gap)
+        bounds = sorted({c for c in cuts if c < len(ts)})
+        pieces, prev = [], 0
+        for b in bounds + [len(ts)]:
+            if b > prev:
+                pieces.append(ts[prev:b])
+                prev = b
+        state, closed = (None, None, 0), []
+        for piece in pieces:
+            c, state = _fold_sessions(piece, state, gap)
+            closed.extend(c)
+        assert closed == one_closed
+        assert state == one_open
+
+    check()
+
+
+def test_fold_sessions_late_event_matches_batch_replay_property():
+    """Property: delivering ONE event late (in a second batch, after the
+    rest) gives the same sessions as the sorted one-shot fold, provided
+    the late event is not more than `gap` before every already-emitted
+    session boundary — the bounded-state contract.  Restricting to
+    streams where nothing closed before the late event arrives makes
+    the equality exact."""
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    from bdq_spark.streaming.stateful import _fold_sessions
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(st.integers(0, 2_000), min_size=2, max_size=25),
+        late_idx=st.integers(0, 24),
+        gap=st.integers(200, 3_000),
+    )
+    def check(ts, late_idx, gap):
+        ts = sorted(ts)
+        late_idx %= len(ts)
+        late = ts[late_idx]
+        rest = ts[:late_idx] + ts[late_idx + 1:]
+        # batch 1: everything but the late event
+        c1, state = _fold_sessions(rest, (None, None, 0), gap)
+        # the contract covers late events while nothing has closed yet
+        assume(not c1)
+        # batch 2: the late event alone
+        c2, state = _fold_sessions([late], state, gap)
+        one_closed, one_open = _fold_sessions(ts, (None, None, 0), gap)
+        assert c1 + c2 + [state] == one_closed + [one_open]
+
+    check()
