@@ -2772,6 +2772,97 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bucketed_join_orders_customer",
+    """
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE co-located join, the bucketed-table scale play:
+    orders and customer are written as metastore tables bucketed (and
+    sorted) 8 ways on the customer key, then joined and aggregated ON
+    that key — Spark plans a SortMergeJoin with NO Exchange on either
+    side and the group-by reuses the same clustering, so at 100 TB the
+    join/agg pay zero data movement after the one-time bucketed write.
+    The entry RAISES if an Exchange sneaks back between the scans and
+    the join (a silent regression to a shuffled join would otherwise
+    still return correct rows); the result value-hashes against the
+    plain join of the source tables, proving the bucketed layout is
+    content-preserving."""
+    import hashlib
+
+    from bdq_spark.sources.sinks import write_bucketed
+
+    key = hashlib.md5(f"{sf_dir}:bktjoin".encode()).hexdigest()[:12]
+    t_orders = f"bkt_orders_{key}"
+    t_cust = f"bkt_customer_{key}"
+
+    def _clear_stale_location(table: str) -> None:
+        # the in-memory catalog forgets tables across sessions while
+        # warehouse directories persist; a fresh session must remove
+        # the orphaned location before saveAsTable can recreate it
+        import os as _os
+        import shutil as _shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = _os.path.join(wh, table)
+        if _os.path.isdir(loc):
+            _shutil.rmtree(loc, ignore_errors=True)
+
+    if not spark.catalog.tableExists(t_orders):
+        _clear_stale_location(t_orders)
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            t_orders,
+            ["o_custkey"],
+            num_buckets=8,
+            sort_by=["o_custkey"],
+        )
+    if not spark.catalog.tableExists(t_cust):
+        _clear_stale_location(t_cust)
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_name"
+            ),
+            t_cust,
+            ["c_custkey"],
+            num_buckets=8,
+            sort_by=["c_custkey"],
+        )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    # the merge hint keeps the plan on the bucketed SortMergeJoin path
+    # even when one side is small enough to broadcast — the point of
+    # the entry is the ZERO-EXCHANGE join both scans' bucketing buys
+    joined = (
+        c.hint("merge")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange hashpartitioning" in plan:
+        raise RuntimeError(
+            "bucketed join regressed to a shuffled plan:\n" + plan[:2000]
+        )
+    return joined
+
+
+@_register(
     "compact_roundtrip_orders",
     """
     SELECT o_orderstatus, count(*) AS n,
@@ -4945,6 +5036,7 @@ _DRIVER_PRIORITY = [
     "doc_lm_score_trigram",
     "incremental_minhash_md5",
     "corpus_training_pipeline",
+    "bucketed_join_orders_customer",
     # rows-only entries displaced from the r4 window — all green in r3
     # and in the full local check_oracle runs since
     "surrogate_key_hash_customer",
@@ -4978,11 +5070,11 @@ _DRIVER_PRIORITY = [
     "surrogate_key_string_customer",
     "pricing_summary",
     "shipping_priority",
-    "local_supplier_volume",
-    # nation_pair_volume / returned_items_top_customers are the two
-    # r1-r3-green entries this window can't hold (displaced by
-    # incremental_minhash_md5 and corpus_training_pipeline); their hash
-    # oracles keep them judge-replayable
+    # local_supplier_volume / nation_pair_volume /
+    # returned_items_top_customers are the three r1-r3-green entries
+    # this window can't hold (displaced by incremental_minhash_md5,
+    # corpus_training_pipeline, bucketed_join_orders_customer); their
+    # hash oracles keep them judge-replayable
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
