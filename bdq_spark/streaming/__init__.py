@@ -7,7 +7,11 @@ batch-compatible combinators.
 """
 
 from bdq_spark.streaming.cdc_sink import cdc_merge_sink
-from bdq_spark.streaming.stateful import running_counter, sessionize
+from bdq_spark.streaming.stateful import (
+    running_counter,
+    running_zscore,
+    sessionize,
+)
 from bdq_spark.streaming.windows import (
     dedup_within_watermark,
     interval_join,
@@ -25,6 +29,7 @@ __all__ = [
     "dedup_within_watermark",
     "interval_join",
     "running_counter",
+    "running_zscore",
     "sessionize",
     "cdc_merge_sink",
 ]

@@ -20,7 +20,7 @@ from typing import Iterable, List
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["running_counter", "sessionize"]
+__all__ = ["running_counter", "running_zscore", "sessionize"]
 
 _STATE_SCHEMA = "n bigint, total double, mx double"
 
@@ -96,6 +96,112 @@ def running_counter(
         )
 
     return df.groupBy(key_column).applyInPandas(one_shot, schema=output_schema)
+
+
+_ZSCORE_STATE = "n bigint, s bigint, q bigint"
+
+
+def _zscore_rows(pdf: pd.DataFrame, state, value_column, scale):
+    """Score a sorted batch against the carried (n, Σc, Σc²) state,
+    folding each event in AFTER it is scored (prior-only statistics).
+    Values are scaled to exact integers, so the accumulated sums are
+    exact and every engine derives the identical doubles — the same
+    portability contract the LM scorers use with decimals."""
+    n, s, q = state
+    n_priors, zs = [], []
+    for v in pdf[value_column]:
+        c = int(round(float(v) * scale))
+        n_priors.append(n)
+        if n >= 2:
+            mean = s / n
+            var = q / n - mean * mean
+            zs.append(
+                round((c - mean) / var**0.5, 6) if var > 0 else None
+            )
+        else:
+            zs.append(None)
+        n, s, q = n + 1, s + c, q + c * c
+    out = pdf.copy()
+    out["n_prior"] = n_priors
+    out["zscore"] = pd.array(zs, dtype="Float64")
+    return out, (n, s, q)
+
+
+def running_zscore(
+    df: DataFrame,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    order_columns: List[str] = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key streaming anomaly score: each event's z-score against the
+    statistics of all PRIOR events of the same key — the standard
+    production anomaly-detection shape (payment spikes, sensor drift)
+    expressed as arbitrary-state streaming.
+
+    Events are processed in ``(ts_column, *order_columns)`` order per
+    key; the first two events of a key score NULL (no variance to
+    compare against), as does any event whose prior values are all
+    equal.  Output: the key, ordering and value columns plus
+    ``(n_prior, zscore)``, one row per input event (append semantics).
+
+    ``scale`` declares the input's fixed-point precision (default 100 =
+    2-decimal money): statistics accumulate as EXACT scaled-integer
+    sums, which is what makes the operator value-hash-checkable against
+    a SQL window re-derivation — floating-point running sums would
+    diverge across engines by accumulation order.
+
+    Scale shape: one shuffle on the key per micro-batch; state is three
+    longs per key.  Batch mode runs the identical fold per key via
+    ``applyInPandas``, so streaming and batch provably agree.
+    """
+    order_columns = order_columns or []
+    key_type = df.schema[key_column].dataType.simpleString()
+    carried = [ts_column] + order_columns + [value_column]
+    carried_ddl = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in carried
+    )
+    output_schema = (
+        f"{key_column} {key_type}, {carried_ddl}, "
+        "n_prior bigint, zscore double"
+    )
+    sort_cols = [ts_column] + order_columns
+    out_cols = [key_column] + carried + ["n_prior", "zscore"]
+
+    if df.isStreaming:
+        from pyspark.sql.streaming.state import GroupState
+
+        def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+            st = state.get if state.exists else (0, 0, 0)
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(sort_cols, kind="mergesort")
+                scored, st = _zscore_rows(pdf, st, value_column, scale)
+                scored[key_column] = key[0]
+                yield scored[out_cols]
+            state.update(st)
+
+        return (
+            df.groupBy(key_column)
+            .applyInPandasWithState(
+                update,
+                outputStructType=output_schema,
+                stateStructType=_ZSCORE_STATE,
+                outputMode="append",
+                timeoutConf="NoTimeout",
+            )
+        )
+
+    def one_shot(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        scored, _ = _zscore_rows(pdf, (0, 0, 0), value_column, scale)
+        return scored[out_cols]
+
+    return df.groupBy(key_column).applyInPandas(
+        one_shot, schema=output_schema
+    )
 
 
 _SESSION_STATE = "start_ms bigint, last_ms bigint, n bigint"

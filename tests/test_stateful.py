@@ -329,3 +329,73 @@ def test_fold_sessions_late_event_matches_batch_replay_property():
         assert c1 + c2 + [state] == one_closed + [one_open]
 
     check()
+
+
+def test_running_zscore_batch_reference(spark):
+    from bdq_spark.streaming import running_zscore
+
+    ev = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([10.0, 12.0, 11.0, 50.0])]
+        + [(2, 0, 5.0), (2, 1, 5.0), (2, 2, 5.0)],
+        "user_id long, event_id long, value double",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("event_id")))
+    out = {(r.user_id, r.event_id): (r.n_prior, r.zscore)
+           for r in running_zscore(ev, order_columns=["event_id"]).collect()}
+    # first two events of a key: no variance -> NULL
+    assert out[(1, 0)] == (0, None) and out[(1, 1)] == (1, None)
+    # exact reference: priors [1000, 1200] cents -> mean 1100, var 10000
+    assert out[(1, 2)] == (2, round((1100 - 1100.0) / 100.0, 6))
+    # priors [1000,1200,1100]: mean 1100, var = (0+10000+0)/3
+    import math
+    var = (1000**2 + 1200**2 + 1100**2) / 3 - 1100.0**2
+    assert out[(1, 3)] == (3, round((5000 - 1100.0) / math.sqrt(var), 6))
+    # constant priors: variance 0 -> NULL, never a division blowup
+    assert out[(2, 2)] == (2, None)
+
+
+def test_running_zscore_streaming_state_across_batches(spark, tmp_path):
+    """The (n, sum, sumsq) state must carry across micro-batches: an
+    event in batch 2 is scored against batch 1's priors."""
+    from bdq_spark.streaming import running_zscore
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    src = tmp_path / "zsrc"
+    from datetime import datetime as DT
+
+    spark.createDataFrame(
+        [(1, 0, DT(2024, 1, 1, 0, 0), 10.0),
+         (1, 1, DT(2024, 1, 1, 0, 1), 12.0),
+         (1, 2, DT(2024, 1, 1, 0, 2), 11.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(1, 3, DT(2024, 1, 1, 0, 3), 50.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = running_zscore(stream, order_columns=["event_id"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("z_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: (r.n_prior, r.zscore)
+           for r in spark.table("z_sink").collect()}
+    spark.catalog.dropTempView("z_sink")
+    # batch 2's event scored against batch 1's three priors
+    import math
+    var = (1000**2 + 1200**2 + 1100**2) / 3 - 1100.0**2
+    assert got[3] == (3, round((5000 - 1100.0) / math.sqrt(var), 6))
+    # batch/streaming parity with the batch path
+    batch = {r.event_id: (r.n_prior, r.zscore)
+             for r in running_zscore(
+                 spark.read.parquet(f"{src}/*"), order_columns=["event_id"]
+             ).collect()}
+    assert got == batch
