@@ -428,22 +428,27 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "streaming_cdc_merge: stream did not finish within 300 s — "
-            "refusing to return a partially merged snapshot"
-        )
-    # detach the result from the catalog table so the per-invocation
-    # table + checkpoint can be dropped (no unbounded warehouse growth
-    # across bench reps); localCheckpoint blocks self-release on GC
-    result = spark.table(table).select(
-        "c_custkey", "c_name", F.col("acctbal").cast("double").alias("acctbal")
-    ).localCheckpoint(eager=True)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return result
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_cdc_merge: stream did not finish within "
+                "300 s — refusing to return a partially merged snapshot"
+            )
+        # detach the result from the catalog table so the per-invocation
+        # table + checkpoint can be dropped (no unbounded warehouse
+        # growth across bench reps); localCheckpoint blocks self-release
+        # on GC
+        return spark.table(table).select(
+            "c_custkey",
+            "c_name",
+            F.col("acctbal").cast("double").alias("acctbal"),
+        ).localCheckpoint(eager=True)
+    finally:
+        # the timeout/raise path must not leak the table either
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @_register(
@@ -2806,15 +2811,14 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         # the in-memory catalog forgets tables across sessions while
         # warehouse directories persist; a fresh session must remove
         # the orphaned location before saveAsTable can recreate it
-        import os as _os
-        import shutil as _shutil
+        import os
 
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
-        loc = _os.path.join(wh, table)
-        if _os.path.isdir(loc):
-            _shutil.rmtree(loc, ignore_errors=True)
+        loc = os.path.join(wh, table)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
 
     if not spark.catalog.tableExists(t_orders):
         _clear_stale_location(t_orders)

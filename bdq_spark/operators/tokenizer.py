@@ -258,6 +258,11 @@ def bpe_encode_corpus(
     and batch assembly (vs :func:`bpe_segment_corpus`, which stops at
     counts).
 
+    Documents whose text yields NO word tokens encode as an EMPTY
+    sequence (``n_tokens = 0``) rather than disappearing — downstream
+    coverage contracts (packing: one row per input document) depend on
+    every id surviving.
+
     Plan shape (all linear, no per-document merge replay):
 
     1. the corpus's DISTINCT words join the segmentation dictionary
@@ -308,7 +313,7 @@ def bpe_encode_corpus(
             F.transform(F.col("ps"), lambda s: s.token_id).alias("wt"),
         )
     )
-    return (
+    encoded = (
         corpus_words.join(word_ids, "word")
         .groupBy("id")
         .agg(
@@ -324,3 +329,16 @@ def bpe_encode_corpus(
         )
         .withColumn("n_tokens", F.size("token_ids").cast("long"))
     )
+    # token-less documents never reach the explode — re-attach them as
+    # empty sequences so every input id survives
+    empty = (
+        df.select(F.col(id_column).alias("id"))
+        .distinct()
+        .join(encoded.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.array().cast("array<bigint>").alias("token_ids"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        )
+    )
+    return encoded.unionByName(empty)

@@ -106,15 +106,21 @@ def _zscore_rows(pdf: pd.DataFrame, state, value_column, scale):
     folding each event in AFTER it is scored (prior-only statistics).
     Values are scaled to exact integers, so the accumulated sums are
     exact and every engine derives the identical doubles — the same
-    portability contract the LM scorers use with decimals."""
+    portability contract the LM scorers use with decimals.
+
+    The sums are converted to double BEFORE dividing (``float(s) / n``,
+    not Python's correctly-rounded big-int division) so the rounding
+    order matches a SQL engine's ``CAST(s AS DOUBLE) / n`` even once a
+    key's Σc² exceeds 2^53 — below that the two are identical anyway.
+    """
     n, s, q = state
     n_priors, zs = [], []
     for v in pdf[value_column]:
         c = int(round(float(v) * scale))
         n_priors.append(n)
         if n >= 2:
-            mean = s / n
-            var = q / n - mean * mean
+            mean = float(s) / n
+            var = float(q) / n - mean * mean
             zs.append(
                 round((c - mean) / var**0.5, 6) if var > 0 else None
             )

@@ -187,9 +187,27 @@ def test_corpus_training_pipeline_invariants(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows, "pipeline produced no packed chunks"
-    # exactly-once coverage: (doc_id, chunk_idx) unique
+    # exactly-once coverage: (doc_id, chunk_idx) unique AND complete —
+    # every chunk the prepare funnel emits must be packed (token-less
+    # chunks encode as empty sequences, never drop)
     keys = [(r.doc_id, r.chunk_idx) for r in rows]
     assert len(keys) == len(set(keys))
+    from bdq_spark.operators.corpus import prepare_corpus
+    from bdq_spark.sources import load_table
+
+    expected = prepare_corpus(
+        load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        ),
+        quality_threshold=0.5,
+        eval_fraction=0.2,
+        contamination_n=3,
+        contamination_threshold=0.8,
+        max_tokens=64,
+        overlap=8,
+        pipeline_name="corpus_train_pipe_ref",
+    ).select("doc_id", "chunk_idx").collect()
+    assert sorted(keys) == sorted((r.doc_id, r.chunk_idx) for r in expected)
     # budget respected for every non-oversize pack
     fills = {}
     for r in rows:

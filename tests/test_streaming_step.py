@@ -301,8 +301,11 @@ def test_cdc_merge_sink_recovers_interrupted_promotion(spark):
     merge(_cdc_rows(spark, [(1, "a", 1.0, "I", 1)]), 0)
 
     # simulate a crash AFTER batch 1's staging write, BEFORE promotion:
-    # main still holds batch 0's snapshot, staging holds batch 1's
-    # (same schema a real staged snapshot has, version column included)
+    # main still holds batch 0's snapshot, staging holds batch 1's.
+    # The extra ver column stands in for a caller that passed
+    # columns= to keep the version — promotion must carry whatever
+    # schema was staged, and the next default-columns merge then
+    # projects it back down
     spark.createDataFrame(
         [(1, "a", 1.0, 1), (2, "b", 2.0, 2)],
         "id long, name string, bal double, ver long",

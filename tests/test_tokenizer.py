@@ -186,3 +186,21 @@ def test_bpe_encode_feeds_packing(spark):
     # token counts are the real BPE counts, not whitespace counts
     seg = {r["id"]: r["n_tokens"] for r in bpe_segment_corpus(df, vocab).collect()}
     assert {r["id"]: r["n_tokens"] for r in rows} == seg
+
+
+def test_bpe_encode_tokenless_docs_survive(spark):
+    """A document whose text yields no word tokens encodes as an EMPTY
+    sequence — never silently dropped (packing coverage depends on it)."""
+    from bdq_spark.operators.tokenizer import bpe_encode_corpus
+
+    df = _docs_df(spark)
+    _, vocab = train_bpe(df, n_merges=5)
+    probe = spark.createDataFrame(
+        [(1, "the cat"), (2, "*** ### ---"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (list(r["token_ids"]), r["n_tokens"])
+           for r in bpe_encode_corpus(probe, vocab).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == ([], 0) and got[3] == ([], 0)
+    assert got[1][1] > 0
