@@ -327,6 +327,14 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Version of the synthesized CDC feed staged to the shared temp dir by
+# ``streaming_cdc_merge``.  BUMP whenever ``_cdc_customer_changes``, the
+# micro-batch partitioning, or the staged schema changes — the version
+# is baked into the staging key and the ``_STAGED`` marker body, so a
+# stale cache regenerates instead of silently testing old parquet.
+_CDC_FEED_VERSION = 1
+
+
 def _cdc_customer_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", _dec("c_acctbal").alias("acctbal")
@@ -392,10 +400,21 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _cdc_customer_base(spark, sf_dir)
     changes = _cdc_customer_changes(c)
 
-    key = hashlib.md5(f"{sf_dir}:cdc_feed".encode()).hexdigest()[:12]
+    # _CDC_FEED_VERSION is part of the staging key AND the marker body:
+    # bump it whenever _cdc_customer_changes / the partitioning / the
+    # schema below changes, so a machine that cached the old feed
+    # regenerates instead of silently testing stale parquet.
+    key = hashlib.md5(
+        f"{sf_dir}:cdc_feed:v{_CDC_FEED_VERSION}".encode()
+    ).hexdigest()[:12]
     feed = os.path.join(tempfile.gettempdir(), f"bdq_stage_cdc_feed_{key}")
     marker = os.path.join(feed, "_STAGED")
-    if not os.path.exists(marker):
+    expected_marker = f"{sf_dir}:v{_CDC_FEED_VERSION}"
+    staged = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            staged = fh.read() == expected_marker
+    if not staged:
         m = F.col("c_custkey") % 10
         # group 3's inserts carry keys +1000000, which keeps m == 3
         for i, flt in enumerate([m == 1, m == 2, m == 3]):
@@ -405,7 +424,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(feed, f"g{i}")
             )
         with open(marker, "w") as fh:
-            fh.write(sf_dir)
+            fh.write(expected_marker)
 
     table = f"cdc_stream_snap_{uuid.uuid4().hex[:12]}"
     c.write.saveAsTable(table)

@@ -223,22 +223,28 @@ def parse_audio_header(payload: bytes) -> Optional[dict]:
             cid = payload[i : i + 4]
             size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
             if cid == b"fmt " and fmt is None and i + 24 <= n:
+                audio_tag = struct.unpack("<H", payload[i + 8 : i + 10])[0]
                 channels, sample_rate = struct.unpack(
                     "<HI", payload[i + 10 : i + 16]
                 )
                 byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
                 bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
-                fmt = (channels, sample_rate, byte_rate, bits)
+                fmt = (audio_tag, channels, sample_rate, byte_rate, bits)
             elif cid == b"data" and data_size is None:
                 data_size = size
             i += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or data_size is None:
             return None
-        channels, sample_rate, byte_rate, bits = fmt
+        audio_tag, channels, sample_rate, byte_rate, bits = fmt
         if sample_rate == 0 or byte_rate == 0:
             return None
         return {
             "format": "wav",
+            # fmt-chunk codec tag: 1 = integer PCM.  Anything else
+            # (ADPCM=2, float=3, EXTENSIBLE=0xFFFE, ...) means the data
+            # chunk is NOT raw PCM even if it declares 16 bits, so the
+            # PCM decoder below must refuse it.
+            "audio_format": audio_tag,
             "sample_rate": sample_rate,
             "channels": channels,
             "bits_per_sample": bits,
@@ -374,7 +380,12 @@ def decode_wav_samples(payload: bytes) -> Optional[dict]:
     :func:`decode_bmp_pixels`.
     """
     hdr = parse_audio_header(payload)
-    if hdr is None or hdr["format"] != "wav" or hdr["bits_per_sample"] != 16:
+    if (
+        hdr is None
+        or hdr["format"] != "wav"
+        or hdr.get("audio_format") != 1  # fmt tag 1 = integer PCM only
+        or hdr["bits_per_sample"] != 16
+    ):
         return None
     n = len(payload)
     i = 12

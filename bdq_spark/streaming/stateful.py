@@ -179,10 +179,16 @@ def running_zscore(
         from pyspark.sql.streaming.state import GroupState
 
         def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+            # Arrow delivers a key's micro-batch as MULTIPLE chunks (at
+            # spark.sql.execution.arrow.maxRecordsPerBatch rows each) in
+            # arbitrary row order; sorting chunks independently would
+            # score events against statistics that already include later
+            # events.  Gather the whole micro-batch, sort ONCE, fold
+            # once — same shape as sessionize's extend-then-sort below.
             st = state.get if state.exists else (0, 0, 0)
-            for pdf in pdfs:
-                if not len(pdf):
-                    continue
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True)
                 pdf = pdf.sort_values(sort_cols, kind="mergesort")
                 scored, st = _zscore_rows(pdf, st, value_column, scale)
                 scored[key_column] = key[0]

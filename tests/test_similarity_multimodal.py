@@ -172,10 +172,11 @@ def test_parse_image_header_golden_bytes():
     assert p(b"\xff\xd8\xff\xda\x00\x02") is None   # SOS before SOFn
 
 
-def _wav_bytes(sample_rate, channels, data_size, bits=16, data_bytes=b""):
+def _wav_bytes(sample_rate, channels, data_size, bits=16, data_bytes=b"",
+               tag=1):
     byte_rate = sample_rate * channels * bits // 8
     fmt = (b"fmt " + struct.pack("<I", 16)
-           + struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+           + struct.pack("<HHIIHH", tag, channels, sample_rate, byte_rate,
                          channels * bits // 8, bits))
     data = b"data" + struct.pack("<I", data_size) + data_bytes
     body = fmt + data
@@ -207,8 +208,10 @@ def test_parse_audio_header_golden_bytes():
 
     # WAV: 44.1kHz stereo 16-bit, 1 s of data (176400 bytes)
     assert p(_wav_bytes(44100, 2, 176400)) == {
-        "format": "wav", "sample_rate": 44100, "channels": 2,
-        "bits_per_sample": 16, "duration_ms": 1000}
+        "format": "wav", "audio_format": 1, "sample_rate": 44100,
+        "channels": 2, "bits_per_sample": 16, "duration_ms": 1000}
+    # non-PCM codec tag surfaces so the PCM decoder can refuse it
+    assert p(_wav_bytes(44100, 2, 176400, tag=0xFFFE))["audio_format"] == 0xFFFE
     # WAV with a LIST chunk before fmt (chunk walk, not fixed offsets)
     listed = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
               + b"LIST" + struct.pack("<I", 4) + b"INFO"
@@ -451,6 +454,14 @@ def test_decode_wav_samples_golden():
     assert d["rms_amplitude"] == (sum(x * x for x in s) / 5) ** 0.5
     # FLAC payload -> None (compressed: honest refusal)
     assert decode_wav_samples(b"fLaC" + b"\x00" * 40) is None
+    # non-PCM fmt tag declaring 16 bits (EXTENSIBLE / ADPCM): the data
+    # chunk is NOT raw PCM — must refuse, not emit garbage stats
+    assert decode_wav_samples(
+        _wav_bytes(8000, 1, 10, data_bytes=b"\x00" * 10, tag=0xFFFE)
+    ) is None
+    assert decode_wav_samples(
+        _wav_bytes(8000, 1, 10, data_bytes=b"\x00" * 10, tag=2)
+    ) is None
     # truncated data chunk -> None
     w = _wav16(s)
     assert decode_wav_samples(w[:-3]) is None

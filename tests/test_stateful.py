@@ -399,3 +399,55 @@ def test_running_zscore_streaming_state_across_batches(spark, tmp_path):
                  spark.read.parquet(f"{src}/*"), order_columns=["event_id"]
              ).collect()}
     assert got == batch
+
+
+def test_running_zscore_multi_chunk_micro_batch(spark, tmp_path):
+    """A key whose micro-batch exceeds Arrow's maxRecordsPerBatch arrives
+    as MULTIPLE out-of-order chunks; the fold must gather and sort the
+    whole micro-batch before scoring, or events get scored against
+    statistics that already include later events."""
+    from datetime import datetime as DT
+
+    from bdq_spark.streaming import running_zscore
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    src = tmp_path / "zsrc"
+    # 50 events for one key, written in REVERSE event order so the
+    # Arrow chunks deliver the latest events first
+    rows = [
+        (1, i, DT(2024, 1, 1, 0, 0, i), float(10 + (i * 7) % 13))
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows[::-1], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            running_zscore(stream, order_columns=["event_id"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("z_chunk_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.event_id: (r.n_prior, r.zscore)
+               for r in spark.table("z_chunk_sink").collect()}
+        spark.catalog.dropTempView("z_chunk_sink")
+        batch = {r.event_id: (r.n_prior, r.zscore)
+                 for r in running_zscore(
+                     spark.read.parquet(f"{src}/*"),
+                     order_columns=["event_id"],
+                 ).collect()}
+        assert len(got) == 50
+        assert got == batch
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
