@@ -383,19 +383,21 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming CDC ingest, value-hash-checked against the
     ONE-SHOT merge oracle: the same change feed as ``cdc_apply_customer``
     is staged as three key-group micro-batch files, driven through a
-    TRUE readStream → ``foreachBatch`` → :func:`cdc_merge_sink` run
-    (MERGE-per-micro-batch with the staged-promotion crash protocol),
-    and the final snapshot must equal applying all changes at once.
-    Each key's full history lives in one micro-batch, so the sequential
-    merge is order-independent and the batch oracle is exact — the
-    stream/batch unification claim for MERGE, not just aggregates.
-    Restart/replay convergence is pinned separately in
+    TRUE readStream → ``foreachBatch`` → :func:`cdc_merge_sink_partitioned`
+    run (MERGE-per-micro-batch into a key-hash-partitioned snapshot:
+    only the buckets a batch touches are read or rewritten — the
+    O(touched)-per-trigger scale path, with the staged-promotion crash
+    protocol per partition), and the final snapshot must equal applying
+    all changes at once.  Each key's full history lives in one
+    micro-batch, so the sequential merge is order-independent and the
+    batch oracle is exact — the stream/batch unification claim for
+    MERGE, not just aggregates.  Restart/replay/crash convergence and
+    the untouched-buckets-unmodified file census are pinned in
     ``tests/test_streaming_step.py``."""
     import hashlib
     import os
-    import uuid
 
-    from bdq_spark.streaming import cdc_merge_sink
+    from bdq_spark.streaming import BUCKET_COLUMN, cdc_merge_sink_partitioned
 
     c = _cdc_customer_base(spark, sf_dir)
     changes = _cdc_customer_changes(c)
@@ -426,13 +428,18 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write(expected_marker)
 
-    table = f"cdc_stream_snap_{uuid.uuid4().hex[:12]}"
-    c.write.saveAsTable(table)
-    ckpt = tempfile.mkdtemp(prefix="entry_cdc_ckpt_")
-    merge = cdc_merge_sink(
-        spark, table, ["c_custkey"], ["ver"],
+    snap_path = tempfile.mkdtemp(prefix="entry_cdc_snap_")
+    merge = cdc_merge_sink_partitioned(
+        spark, snap_path, ["c_custkey"], ["ver"],
         columns=["c_custkey", "c_name", "acctbal"],
+        num_buckets=16,
     )
+    # seed the snapshot with the base table (batch -1 of the protocol:
+    # an all-insert feed), so the stream's batches merge into it
+    merge(
+        c.withColumn("op", F.lit("I")).withColumn("ver", F.lit(0)), -1
+    )
+    ckpt = tempfile.mkdtemp(prefix="entry_cdc_ckpt_")
     stream = (
         spark.readStream.schema(
             "c_custkey bigint, c_name string, acctbal decimal(12,2), "
@@ -454,19 +461,23 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "streaming_cdc_merge: stream did not finish within "
                 "300 s — refusing to return a partially merged snapshot"
             )
-        # detach the result from the catalog table so the per-invocation
-        # table + checkpoint can be dropped (no unbounded warehouse
-        # growth across bench reps); localCheckpoint blocks self-release
-        # on GC
-        return spark.table(table).select(
-            "c_custkey",
-            "c_name",
-            F.col("acctbal").cast("double").alias("acctbal"),
-        ).localCheckpoint(eager=True)
+        # detach the result from the snapshot path so the per-invocation
+        # dir + checkpoint can be dropped (no unbounded temp growth
+        # across bench reps); localCheckpoint blocks self-release on GC
+        return (
+            spark.read.parquet(snap_path)
+            .drop(BUCKET_COLUMN)
+            .select(
+                "c_custkey",
+                "c_name",
+                F.col("acctbal").cast("double").alias("acctbal"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
-        # the timeout/raise path must not leak the table either
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+        # the timeout/raise path must not leak the snapshot either
+        shutil.rmtree(snap_path, ignore_errors=True)
+        shutil.rmtree(snap_path + "__staging", ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -2130,6 +2141,124 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_PIXEL_ORACLE = """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS w,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS h
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE w END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE h END AS INTEGER) AS height,
+       CASE WHEN doc_id % 5 = 0 THEN 0.0
+            ELSE round(list_sum(list_transform(range(0, w*h),
+                 j -> CAST((doc_id*31 + j) % 256 AS DOUBLE))) / (w*h), 6)
+       END AS mean_brightness,
+       doc_id % 5 <> 0 AS decode_ok
+FROM p
+"""
+
+
+@_register("multimodal_png_pixel_stats", _PNG_PIXEL_ORACLE)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode, oracle-checked end to end: builds VALID
+    grayscale 8-bit PNGs entirely in Spark expressions — IDAT is a
+    genuine zlib stream (0x7801 header, one STORED deflate block whose
+    LEN/NLEN and adler32 checksum are computed in-expression: the adler
+    ``(A, B)`` pair folds over the filter-byte-prefixed scanlines with
+    ``F.aggregate``), filter type 0 rows with pixel bytes
+    ``(doc_id*31 + j) % 256`` — then inflates and unfilters them with
+    the pure-Python stdlib-zlib :func:`decode_png_pixels`, and the
+    DuckDB oracle recomputes the exact mean brightness from the
+    generating expression.  Chunk CRCs are zeroed (the decoder
+    deliberately doesn't verify CRCs; zlib's adler32 check still
+    guards stream integrity and IS computed for real).  Every fifth
+    document gets an Adam7-INTERLACED PNG — the honest-refusal
+    boundary must report ``decode_ok=false``, checked by the oracle.
+    """
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        image_pixel_stats,
+    )
+
+    did = F.col("doc_id").cast("bigint")
+    w = (did % 4 + 1).cast("bigint")
+    h = (did % 3 + 1).cast("bigint")
+    npix = w * h
+    nstream = h * (w + 1)  # + one filter byte per scanline
+
+    def he(col, width):  # big-endian hex, zero-padded to `width` nibbles
+        return F.lpad(F.hex(col), width, "0")
+
+    def le16(col):
+        return F.concat(
+            he(col % 256, 2), he(F.floor(col / 256).cast("bigint") % 256, 2)
+        )
+
+    zero = F.lit(0).cast("bigint")
+    pix = lambda p: (did * 31 + p) % 256  # noqa: E731
+    # adler32 over the stream bytes (filter bytes are 0, so only pixels
+    # contribute): A = 1 + sum(d); B = N + sum((N - j) * d_j) with j the
+    # byte's 0-based stream position
+    sum_d = F.aggregate(
+        F.sequence(zero, npix - 1), zero, lambda acc, p: acc + pix(p)
+    )
+    sum_w = F.aggregate(
+        F.sequence(zero, npix - 1),
+        zero,
+        lambda acc, p: acc
+        + (
+            nstream
+            - (F.floor(p / w).cast("bigint") * (w + 1) + 1 + p % w)
+        )
+        * pix(p),
+    )
+    adler_a = (sum_d + 1) % 65521
+    adler_b = (nstream + sum_w) % 65521
+    scanlines_hex = F.array_join(
+        F.transform(
+            F.sequence(zero, h - 1),
+            lambda s: F.concat(
+                F.lit("00"),  # filter type 0 (None)
+                F.array_join(
+                    F.transform(
+                        F.sequence(zero, w - 1),
+                        lambda b: he(pix(s * w + b), 2),
+                    ),
+                    "",
+                ),
+            ),
+        ),
+        "",
+    )
+    interlace = F.when(did % 5 == 0, F.lit("01")).otherwise(F.lit("00"))
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"),                     # signature
+        F.lit("0000000D" "49484452"), he(w, 8), he(h, 8),
+        F.lit("08" "00" "00" "00"), interlace,         # depth 8, gray
+        F.lit("00000000"),                             # IHDR CRC (unchecked)
+        he(nstream + 11, 8), F.lit("49444154"),        # IDAT length+type
+        F.lit("7801" "01"),                            # zlib hdr, stored+final
+        le16(nstream), le16(F.lit(65535) - nstream),   # LEN, NLEN
+        scanlines_hex,
+        he(adler_b, 4), he(adler_a, 4),                # adler32 (BE)
+        F.lit("00000000"),                             # IDAT CRC (unchecked)
+        F.lit("00000000" "49454E44" "00000000"),       # IEND
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(png).alias("payload")
+    )
+    media = attach_media_metadata(
+        docs, content_column="payload", media_type="image", id_column="doc_id"
+    )
+    return image_pixel_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+        "decode_ok",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — declarative quality rules (single-pass aggregation)
 # ---------------------------------------------------------------------------
@@ -2877,7 +3006,15 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue"),
         )
     )
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # self-enforcing zero-exchange proof via the PUBLIC explain surface
+    # (same capture as tools/explain_audit.py) — no py4j internals
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
     if "Exchange hashpartitioning" in plan:
         raise RuntimeError(
             "bucketed join regressed to a shuffled plan:\n" + plan[:2000]

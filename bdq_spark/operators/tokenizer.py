@@ -100,12 +100,102 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _merge_pairs_multi(syms: Column, rules: List[tuple]) -> Column:
+    """One left-fold applying a BATCH of symbol-disjoint merge rules
+    ``[(left, right, merged), ...]`` simultaneously.  Because the rules
+    share no symbols (and no rule's merged token is another's operand),
+    at most one rule can match at any position and the simultaneous
+    pass provably equals applying the rules sequentially — see
+    :func:`_select_safe_batch` for the selection proof obligations.
+    """
+
+    def step(acc: Column, s: Column) -> Column:
+        out = None
+        for left, right, merged in rules:
+            cond = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right))
+            )
+            repl = F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            )
+            out = F.when(cond, repl) if out is None else out.when(cond, repl)
+        append = F.concat(acc, F.array(s))
+        return out.otherwise(append) if out is not None else append
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _select_safe_batch(rows: List, complete: bool, cap: int) -> List[tuple]:
+    """Longest PREFIX of the ``(pair_count desc, left, right)``-sorted
+    pair list that sequential BPE is guaranteed to merge in exactly this
+    order — so one batched fold replaces up to ``cap`` argmax jobs with
+    an identical result (the standard parallel-BPE trick, stated with
+    its exact safety conditions rather than applied heuristically).
+
+    A candidate extends the batch only if:
+
+    1. **prefix** — batches never skip a pair: a skipped pair would be
+       the true argmax of a later step;
+    2. **symbol-disjoint** — its ``{left, right, merged}`` intersects no
+       earlier selection's: then earlier batch merges can neither
+       destroy nor create occurrences of the candidate, so its count —
+       and the single-fold simultaneity — are exact;
+    3. **no created pair can outrank it** — merging ``(L, R)`` only
+       creates pairs ``(x, LR)`` (from an old ``(x, L)`` adjacency) and
+       ``(LR, y)`` (from ``(R, y)``), each with count bounded by its
+       source pair's.  So the candidate stays the argmax of its step iff
+       every existing pair with ``right == L_j`` or ``left == R_j`` (for
+       any earlier selection j) counts STRICTLY below the candidate —
+       ties are rejected because a created pair could win the
+       lexicographic tie-break;
+    4. **coverage** — the collected window must provably contain every
+       pair counting ≥ the candidate (``complete`` list, or a tail row
+       below it); otherwise danger could hide past the window.
+    """
+    batch: List[tuple] = []
+    used: set = set()
+    sel_left: set = set()
+    sel_right: set = set()
+    for idx, row in enumerate(rows):
+        left, right, cnt = row["left"], row["right"], row["pair_count"]
+        if batch:
+            if (
+                left in used
+                or right in used
+                or (left + right) in used
+            ):
+                break
+            if not complete and rows[-1]["pair_count"] >= cnt:
+                break
+            danger = False
+            for j, other in enumerate(rows):
+                if other["pair_count"] < cnt:
+                    break
+                if j == idx:
+                    continue
+                if other["right"] in sel_left or other["left"] in sel_right:
+                    danger = True
+                    break
+            if danger:
+                break
+        batch.append((left, right, cnt))
+        used.update((left, right, left + right))
+        sel_left.add(left)
+        sel_right.add(right)
+        if len(batch) >= cap:
+            break
+    return batch
+
+
 def train_bpe(
     df: DataFrame,
     text_column: str = "text",
     n_merges: int = 50,
     min_pair_count: int = 2,
     word_freq: Optional[DataFrame] = None,
+    max_batch: int = 16,
 ) -> Tuple[List[tuple], DataFrame]:
     """Learn a BPE merge table from a corpus.
 
@@ -146,7 +236,10 @@ def train_bpe(
 
     merges: List[tuple] = []
     prev = words
-    for rank in range(n_merges):
+    # the collected pair-list window: big enough that real batches never
+    # hit the coverage guard, still a bounded driver materialization
+    window = max(64, 16 * max_batch)
+    while len(merges) < n_merges:
         pair_counts = (
             words.select(
                 "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
@@ -155,20 +248,30 @@ def train_bpe(
             .agg(F.sum("freq").alias("pair_count"))
             .filter(F.col("pair_count") >= min_pair_count)
         )
-        # single-row argmax; ties break lexicographically for determinism
+        # bounded top-window collect; ties break lexicographically for
+        # determinism.  _select_safe_batch then takes the longest prefix
+        # sequential BPE would provably merge in this exact order, so
+        # one fold applies up to max_batch merges — ~batch× fewer jobs,
+        # bit-identical merge table (equivalence pinned in
+        # tests/test_tokenizer.py against the Sennrich reference).
         top = pair_counts.orderBy(
             F.col("pair_count").desc(), "left", "right"
-        ).limit(1).collect()
+        ).limit(window).collect()
         if not top:
             break
-        left, right, cnt = top[0]["left"], top[0]["right"], top[0][
-            "pair_count"
-        ]
-        merges.append((rank, left, right, left + right, cnt))
-        # LAZY checkpoint: next iteration's argmax is the action that
-        # materializes it — one job per merge, lineage stays flat
+        batch = _select_safe_batch(
+            top,
+            complete=len(top) < window,
+            cap=min(max_batch, n_merges - len(merges)),
+        )
+        rules = []
+        for left, right, cnt in batch:
+            merges.append((len(merges), left, right, left + right, cnt))
+            rules.append((left, right, left + right))
+        # LAZY checkpoint: next iteration's collect is the action that
+        # materializes it — one job per BATCH, lineage stays flat
         words = words.withColumn(
-            "syms", _merge_pair(F.col("syms"), left, right)
+            "syms", _merge_pairs_multi(F.col("syms"), rules)
         ).localCheckpoint(eager=False)
         prev = words
 

@@ -6,7 +6,11 @@ free — watermarks, event-time windows, within-watermark dedup — as thin,
 batch-compatible combinators.
 """
 
-from bdq_spark.streaming.cdc_sink import cdc_merge_sink
+from bdq_spark.streaming.cdc_sink import (
+    BUCKET_COLUMN,
+    cdc_merge_sink,
+    cdc_merge_sink_partitioned,
+)
 from bdq_spark.streaming.stateful import (
     running_counter,
     running_zscore,
@@ -32,4 +36,6 @@ __all__ = [
     "running_zscore",
     "sessionize",
     "cdc_merge_sink",
+    "cdc_merge_sink_partitioned",
+    "BUCKET_COLUMN",
 ]

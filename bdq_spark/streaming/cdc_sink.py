@@ -35,17 +35,31 @@ keys (broadcast when small), and the snapshot rewrite is the unavoidable
 cost of a non-transactional table format — on Delta/Iceberg the same
 batch function body becomes a genuine MERGE and the staging dance
 disappears.
+
+:func:`cdc_merge_sink` (catalog table) pays that rewrite over the FULL
+snapshot each batch — O(table) per trigger, fine for small dimensions,
+a scale-killer for a steady trickle into a 100 TB table.
+:func:`cdc_merge_sink_partitioned` is the scale path: the snapshot is a
+path-based parquet table hash-partitioned on the key into a fixed number
+of buckets, each micro-batch derives its TOUCHED buckets from the batch
+keys (a bounded ``distinct`` ≤ ``num_buckets``), reads only those
+partitions (directory pruning), merges, and rewrites ONLY the touched
+partitions — per-batch cost is O(touched buckets), not O(table), which
+is exactly what Delta's MERGE file-pruning buys on a transactional
+format.
 """
 
 from __future__ import annotations
 
+import posixpath
 from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bdq_spark.operators.cdc import apply_cdc
 
-__all__ = ["cdc_merge_sink"]
+__all__ = ["cdc_merge_sink", "cdc_merge_sink_partitioned", "BUCKET_COLUMN"]
 
 
 def cdc_merge_sink(
@@ -116,5 +130,171 @@ def cdc_merge_sink(
         ).saveAsTable(staging)
         _promote()
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+    return merge
+
+
+#: partition column the partitioned sink adds to the stored snapshot
+#: (``pmod(xxhash64(*keys), num_buckets)``) — strip it when reading the
+#: snapshot as a logical table
+BUCKET_COLUMN = "__cdc_bucket"
+
+#: staging-complete commit marker: promotion only ever runs on a staging
+#: dir that carries this file, so a crash mid-staging-write can never be
+#: promoted as if it were a complete batch
+_TOUCHED_MARKER = "_TOUCHED"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for ``path`` via the Hadoop FS API —
+    portable to HDFS/S3A/local, same pattern as
+    :func:`bdq_spark.sources.sinks.compact_parquet`."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _promote_staging(spark: SparkSession, path: str, staging: str) -> None:
+    """Promote a COMPLETE staging dir: for every bucket listed in its
+    ``_TOUCHED`` marker, replace the main table's partition dir with the
+    staged one (delete + rename — rename is the atomic unit on HDFS /
+    local; on object stores it is a copy, the documented non-atomicity
+    any path-based format shares).
+
+    Idempotent by construction, so it doubles as crash recovery: a
+    staged bucket dir that is GONE was already renamed into place by an
+    interrupted earlier promotion and is skipped; one still present is
+    (re-)promoted.  The staging dir (and with it the marker) is removed
+    only after every touched bucket is in place — the same
+    commit-point-last ordering as the catalog protocol above.
+    """
+    fs, Path = _hadoop_fs(spark, path)
+    marker = Path(posixpath.join(staging, _TOUCHED_MARKER))
+    if not fs.exists(marker):  # torn staging write: discard, never promote
+        fs.delete(Path(staging), True)
+        return
+    stream = fs.open(marker)
+    try:
+        touched = [
+            int(b) for b in bytes(stream.readAllBytes()).decode().split(",") if b
+        ]
+    finally:
+        stream.close()
+    fs.mkdirs(Path(path))
+    for b in touched:
+        part = f"{BUCKET_COLUMN}={b}"
+        src = Path(posixpath.join(staging, part))
+        dst = Path(posixpath.join(path, part))
+        if not fs.exists(src):
+            continue  # already renamed into place by an interrupted run
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"cdc promote: rename {src} -> {dst} failed")
+    fs.delete(Path(staging), True)
+
+
+def cdc_merge_sink_partitioned(
+    spark: SparkSession,
+    path: str,
+    keys: List[str],
+    order_by: List[str],
+    op_column: str = "op",
+    columns: Optional[List[str]] = None,
+    strict: bool = False,
+    num_buckets: int = 64,
+) -> Callable:
+    """Build a ``foreachBatch`` function that merges each micro-batch of
+    CDC changes into the path-based parquet snapshot at ``path``,
+    rewriting ONLY the key-hash partitions the batch touches.
+
+    The snapshot is partitioned by ``BUCKET_COLUMN =
+    pmod(xxhash64(*keys), num_buckets)``.  Per batch: the touched
+    buckets are a bounded ``distinct`` over the batch keys (≤
+    ``num_buckets`` values to the driver), the base rows come from a
+    pruned read of just those partition dirs, :func:`apply_cdc` merges,
+    and the result is staged then promoted partition-by-partition
+    (see :func:`_promote_staging` for the crash protocol; a bucket the
+    merge empties is staged as an empty partition dir so its deletion
+    promotes too).  Untouched buckets' files are never opened, read, or
+    rewritten — per-batch cost is O(touched data), not O(table).
+
+    ``num_buckets`` is a layout constant for the table's lifetime —
+    changing it re-keys the directory layout, so pick it like you would
+    a bucketed table's bucket count (≈ table size / healthy partition
+    size).  Read the snapshot back with
+    ``spark.read.parquet(path).drop(BUCKET_COLUMN)``.
+    """
+    out_cols = columns
+    staging = path.rstrip("/") + "__staging"
+
+    def bucket_of(df: DataFrame):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
+
+    def merge(batch_df: DataFrame, batch_id: int, *_ignored) -> None:
+        fs, Path = _hadoop_fs(spark, path)
+        # finish (or discard) an interrupted previous batch first
+        if fs.exists(Path(staging)):
+            _promote_staging(spark, path, staging)
+        if batch_df.isEmpty():
+            return
+
+        cols = out_cols or [
+            c
+            for c in batch_df.columns
+            if c != op_column and c not in order_by
+        ]
+        touched = sorted(
+            r[0]
+            for r in batch_df.select(
+                bucket_of(batch_df).alias("b")
+            ).distinct().collect()  # bounded: ≤ num_buckets rows
+        )
+        # glob for actual data files: an all-deleted table leaves only
+        # EMPTY bucket dirs, which parquet schema inference rejects
+        if fs.exists(Path(path)) and fs.globStatus(
+            Path(posixpath.join(path, f"{BUCKET_COLUMN}=*", "*.parquet"))
+        ):
+            base = (
+                spark.read.parquet(path)
+                .filter(F.col(BUCKET_COLUMN).isin(touched))
+                .select(*cols)
+            )
+        else:
+            base = batch_df.select(*cols).limit(0)
+        snap = apply_cdc(
+            base,
+            batch_df,
+            keys,
+            order_by,
+            op_column=op_column,
+            columns=cols,
+            strict=strict,
+        )
+        (
+            snap.withColumn(BUCKET_COLUMN, bucket_of(snap))
+            .repartition(max(len(touched), 1), BUCKET_COLUMN)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COLUMN)
+            .parquet(staging)
+        )
+        # a bucket whose keys were ALL deleted produces no staged rows,
+        # hence no partition dir — stage an EMPTY dir so promotion still
+        # replaces (deletes) the main table's copy of that bucket
+        for b in touched:
+            part = Path(posixpath.join(staging, f"{BUCKET_COLUMN}={b}"))
+            if not fs.exists(part):
+                fs.mkdirs(part)
+        # commit point of the staging write: the marker both records the
+        # touched-bucket list and gates promotion/recovery
+        out = fs.create(
+            Path(posixpath.join(staging, _TOUCHED_MARKER)), True
+        )
+        try:
+            out.write(",".join(str(b) for b in touched).encode())
+        finally:
+            out.close()
+        _promote_staging(spark, path, staging)
 
     return merge

@@ -498,3 +498,110 @@ def test_pixel_and_pcm_stats_operators(spark):
          for r in audio_pcm_stats(amedia).collect()}
     assert a[0] == (2, 0.0, 1000.0, True)
     assert a[1] == (0, 0.0, 0.0, False)
+
+
+def _png_full(w, h, rows, color_type=2, bit_depth=8, filters=None,
+               interlace=0, corrupt_idat=False):
+    """Reference PNG encoder for the decoder goldens: applies the chosen
+    per-row filter (0-4) exactly per the PNG spec, deflates with zlib,
+    and writes real chunk CRCs."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels * (bit_depth // 8) or 1
+    raw = b""
+    prev = [0] * len(rows[0])
+    for r, row in enumerate(rows):
+        f = filters[r] if filters else 0
+        if f == 0:
+            enc = list(row)
+        elif f == 1:
+            enc = [(row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                   for x in range(len(row))]
+        elif f == 2:
+            enc = [(row[x] - prev[x]) & 0xFF for x in range(len(row))]
+        elif f == 3:
+            enc = [(row[x] - (((row[x - bpp] if x >= bpp else 0)
+                               + prev[x]) >> 1)) & 0xFF
+                   for x in range(len(row))]
+        else:  # Paeth
+            enc = []
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((row[x] - pred) & 0xFF)
+        raw += bytes([f]) + bytes(enc)
+        prev = list(row)
+    idat = zlib.compress(raw)
+    if corrupt_idat:
+        idat = idat[:-2] + b"\x00\x00"
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+                       interlace)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_decode_png_pixels_golden():
+    from bdq_spark.operators.multimodal import decode_png_pixels
+
+    # RGB 3x2, all five filter types across reruns of the same pixels:
+    # the unfiltered result must always equal the source pixels
+    rows = [[(r * 37 + x * 11) % 256 for x in range(9)] for r in range(2)]
+    expect = sum(sum(r) for r in rows) / 18
+    for f in range(5):
+        d = decode_png_pixels(_png_full(3, 2, rows, filters=[f, f]))
+        assert d == {"width": 3, "height": 2, "mean_brightness": expect}, f
+    # mixed filters + grayscale and RGBA color types
+    d = decode_png_pixels(_png_full(3, 2, rows, filters=[1, 4]))
+    assert d["mean_brightness"] == expect
+    gray = [[5, 250, 7], [130, 31, 99]]
+    d = decode_png_pixels(_png_full(3, 2, gray, color_type=0))
+    assert d == {"width": 3, "height": 2,
+                 "mean_brightness": sum(map(sum, gray)) / 6}
+    rgba = [[(r + x * 29) % 256 for x in range(12)] for r in range(3)]
+    d = decode_png_pixels(_png_full(3, 3, rgba, color_type=6,
+                                     filters=[4, 3, 2]))
+    assert d["mean_brightness"] == sum(map(sum, rgba)) / 36
+    # honest refusals: interlaced, 16-bit, palette, corrupt DEFLATE,
+    # truncated chunk, not-a-png
+    assert decode_png_pixels(
+        _png_full(3, 2, rows, interlace=1)) is None
+    assert decode_png_pixels(
+        _png_full(3, 2, rows, bit_depth=16)) is None
+    assert decode_png_pixels(
+        _png_full(3, 2, gray, color_type=3)) is None
+    assert decode_png_pixels(
+        _png_full(3, 2, rows, corrupt_idat=True)) is None
+    assert decode_png_pixels(_png_full(3, 2, rows)[:-20]) is None
+    assert decode_png_pixels(b"BM" + b"\x00" * 60) is None
+
+
+def test_image_pixel_stats_decodes_png_and_bmp(spark):
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        image_pixel_stats,
+    )
+
+    rows = [[(x * 7) % 256 for x in range(6)] for _ in range(2)]
+    img_rows = [
+        (0, _bmp24(1, 1, [9, 18, 27])),
+        (1, _png_full(2, 2, rows, filters=[2, 4])),
+        (2, _png_full(2, 2, rows, interlace=1)),   # refused
+        (3, None),
+    ]
+    df = spark.createDataFrame(img_rows, "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="image", id_column="media_id")
+    got = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    assert got[0].decode_ok and got[0].mean_brightness == 18.0
+    assert got[1].decode_ok and got[1].width == 2
+    assert got[1].mean_brightness == sum(map(sum, rows)) / 12
+    assert not got[2].decode_ok and not got[3].decode_ok

@@ -333,3 +333,177 @@ def test_cdc_merge_sink_empty_batch_is_noop(spark):
     merge(_cdc_rows(spark, []).limit(0), 1)
     assert sorted(map(tuple, spark.table(table).collect())) == before
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _file_census(root):
+    """{relative_path: (size, mtime_ns)} for every file under root."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _snap(spark, path):
+    from bdq_spark.streaming import BUCKET_COLUMN
+
+    return sorted(
+        (r.id, r.name, r.bal)
+        for r in spark.read.parquet(path).drop(BUCKET_COLUMN).collect()
+    )
+
+
+def test_cdc_merge_sink_partitioned_converges(spark, tmp_path):
+    """The partitioned sink must produce the SAME snapshot as the
+    sequential merge, across inserts/updates/deletes and replay."""
+    from bdq_spark.streaming import cdc_merge_sink_partitioned
+
+    path = str(tmp_path / "snap")
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=8
+    )
+    b1 = [(i, f"n{i}", float(i), "I", 1) for i in range(16)]
+    b2 = [(2, "b2", 20.0, "U", 2), (3, "c", 0.0, "D", 2),
+          (40, "d", 4.0, "I", 2)]
+    merge(_cdc_rows(spark, b1), 0)
+    assert _snap(spark, path) == sorted(
+        (i, f"n{i}", float(i)) for i in range(16)
+    )
+    merge(_cdc_rows(spark, b2), 1)
+    expected = sorted(
+        [(i, f"n{i}", float(i)) for i in range(16) if i not in (2, 3)]
+        + [(2, "b2", 20.0), (40, "d", 4.0)]
+    )
+    assert _snap(spark, path) == expected
+    # replay of the last batch is a no-op (exactly-once via idempotence)
+    merge(_cdc_rows(spark, b2), 1)
+    assert _snap(spark, path) == expected
+    # empty micro-batch: no rewrite at all
+    before = _file_census(path)
+    merge(_cdc_rows(spark, []).limit(0), 2)
+    assert _file_census(path) == before
+
+
+def test_cdc_merge_sink_partitioned_prunes_untouched_buckets(spark, tmp_path):
+    """A one-key micro-batch must leave every untouched bucket's files
+    byte-for-byte and mtime-for-mtime unmodified — the O(touched)
+    rewrite claim, asserted by filesystem census, not plan reading."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.streaming import BUCKET_COLUMN, cdc_merge_sink_partitioned
+
+    path = str(tmp_path / "snap")
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=8
+    )
+    merge(_cdc_rows(
+        spark, [(i, f"n{i}", float(i), "I", 1) for i in range(64)]
+    ), 0)
+    before = _file_census(path)
+    # the bucket the one-key batch lands in, computed the same way the
+    # sink computes it
+    target = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(8)).alias("b")
+    ).collect()[0].b
+    merge(_cdc_rows(spark, [(7, "seven", 77.0, "U", 2)]), 1)
+    after = _file_census(path)
+    prefix = f"{BUCKET_COLUMN}={target}"
+    untouched_before = {k: v for k, v in before.items()
+                        if not k.startswith(prefix)}
+    untouched_after = {k: v for k, v in after.items()
+                       if not k.startswith(prefix)}
+    assert untouched_before == untouched_after
+    assert {k: v for k, v in after.items() if k.startswith(prefix)} != {
+        k: v for k, v in before.items() if k.startswith(prefix)
+    }
+    got = _snap(spark, path)
+    assert (7, "seven", 77.0) in got and len(got) == 64
+
+
+def test_cdc_merge_sink_partitioned_crash_recovery(spark, tmp_path, monkeypatch):
+    """Crash between the staging write and promotion: the staged batch
+    survives, and the replayed batch first promotes it then re-merges —
+    converging to the uninterrupted snapshot.  A TORN staging dir (no
+    _TOUCHED marker) is discarded, never promoted."""
+    import os
+
+    import bdq_spark.streaming.cdc_sink as sink_mod
+    from bdq_spark.streaming import cdc_merge_sink_partitioned
+
+    path = str(tmp_path / "snap")
+    staging = path + "__staging"
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=4
+    )
+    merge(_cdc_rows(
+        spark, [(i, f"n{i}", float(i), "I", 1) for i in range(8)]
+    ), 0)
+    base = _snap(spark, path)
+
+    b1 = [(1, "one", 11.0, "U", 2), (2, "x", 0.0, "D", 2)]
+    real_promote = sink_mod._promote_staging
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before promotion")
+
+    monkeypatch.setattr(sink_mod, "_promote_staging", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge(_cdc_rows(spark, b1), 1)
+    monkeypatch.setattr(sink_mod, "_promote_staging", real_promote)
+    # staging survived complete (marker present); main is the OLD snapshot
+    assert os.path.exists(os.path.join(staging, "_TOUCHED"))
+    assert _snap(spark, path) == base
+    # replay converges: promote-then-merge
+    merge(_cdc_rows(spark, b1), 1)
+    expected = sorted(
+        [(i, f"n{i}", float(i)) for i in range(8) if i not in (1, 2)]
+        + [(1, "one", 11.0)]
+    )
+    assert _snap(spark, path) == expected
+    assert not os.path.exists(staging)
+
+    # torn staging (crash MID-write: no marker) must be discarded
+    os.makedirs(os.path.join(staging, "__cdc_bucket=0"))
+    with open(os.path.join(staging, "__cdc_bucket=0", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    merge(_cdc_rows(spark, [(9, "nine", 9.0, "I", 3)]), 2)
+    assert not os.path.exists(staging)
+    assert (9, "nine", 9.0) in _snap(spark, path)
+
+
+def test_cdc_merge_sink_partitioned_delete_empties_bucket(spark, tmp_path):
+    """Deleting EVERY key of a bucket must actually remove those rows:
+    the emptied bucket stages as an empty partition dir whose promotion
+    deletes the main table's copy."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.streaming import cdc_merge_sink_partitioned
+
+    path = str(tmp_path / "snap")
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=4
+    )
+    rows = [(i, f"n{i}", float(i), "I", 1) for i in range(12)]
+    merge(_cdc_rows(spark, rows), 0)
+    # delete every key that hashes into bucket 2
+    buckets = {
+        r.id: r.b
+        for r in spark.createDataFrame(
+            [(i,) for i in range(12)], "id long"
+        ).select(
+            "id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("b")
+        ).collect()
+    }
+    victims = [i for i in range(12) if buckets[i] == 2]
+    assert victims, "test needs at least one key in bucket 2"
+    merge(_cdc_rows(
+        spark, [(i, f"n{i}", float(i), "D", 2) for i in victims]
+    ), 1)
+    got = _snap(spark, path)
+    assert got == sorted(
+        (i, f"n{i}", float(i)) for i in range(12) if i not in victims
+    )

@@ -204,3 +204,78 @@ def test_bpe_encode_tokenless_docs_survive(spark):
     assert set(got) == {1, 2, 3}
     assert got[2] == ([], 0) and got[3] == ([], 0)
     assert got[1][1] > 0
+
+
+def test_select_safe_batch_conditions():
+    from bdq_spark.operators.tokenizer import _select_safe_batch
+
+    def rows(*t):
+        return [{"left": l, "right": r, "pair_count": c} for l, r, c in t]
+
+    # disjoint pairs with strictly-descending counts batch together
+    got = _select_safe_batch(
+        rows(("a", "b", 10), ("c", "d", 5), ("e", "f", 3)),
+        complete=True, cap=16,
+    )
+    assert got == [("a", "b", 10), ("c", "d", 5), ("e", "f", 3)]
+    # shared symbol stops the batch (prefix rule: no skipping)
+    got = _select_safe_batch(
+        rows(("a", "b", 10), ("b", "c", 5), ("e", "f", 3)),
+        complete=True, cap=16,
+    )
+    assert got == [("a", "b", 10)]
+    # danger: (x, a) with count >= candidate means merging (a, b) can
+    # create (x, ab) that outranks the candidate
+    got = _select_safe_batch(
+        rows(("a", "b", 10), ("x", "a", 7), ("c", "d", 5)),
+        complete=True, cap=16,
+    )
+    assert got == [("a", "b", 10)]
+    # ...but a (x, a) BELOW the candidate is harmless
+    got = _select_safe_batch(
+        rows(("a", "b", 10), ("c", "d", 5), ("x", "a", 3)),
+        complete=True, cap=16,
+    )
+    assert got[:2] == [("a", "b", 10), ("c", "d", 5)]
+    # equal counts tie-danger is rejected (created pair could win the
+    # lexicographic tie-break)
+    got = _select_safe_batch(
+        rows(("a", "b", 10), ("z", "a", 5), ("c", "d", 5)),
+        complete=True, cap=16,
+    )
+    assert got == [("a", "b", 10)]
+    # incomplete window whose tail still counts >= candidate: stop
+    got = _select_safe_batch(
+        rows(("a", "b", 10), ("c", "d", 10)), complete=False, cap=16
+    )
+    assert got == [("a", "b", 10)]
+    # cap respected
+    got = _select_safe_batch(
+        rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7)),
+        complete=True, cap=2,
+    )
+    assert got == [("a", "b", 9), ("c", "d", 8)]
+
+
+def test_train_bpe_batched_equals_sequential_reference(spark):
+    """Randomized corpora: the batched trainer must reproduce the
+    pure-sequential reference EXACTLY — merges and final vocab."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(2):
+        base = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+            for _ in range(40)
+        ]
+        texts = [
+            " ".join(rng.choice(base) for _ in range(30)) for _ in range(5)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges, vocab = train_bpe(df, n_merges=30)
+        ref_merges, ref_vocab = _ref_train_bpe(texts, n_merges=30)
+        assert merges == ref_merges, f"trial {trial}"
+        got = {r["word"]: tuple(r["syms"]) for r in vocab.collect()}
+        assert got == ref_vocab, f"trial {trial}"
