@@ -3091,8 +3091,23 @@ def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("streaming_foreach_batch")  # rows-only: side-effecting micro-batches
+@_register(
+    "streaming_foreach_batch",
+    """
+    SELECT r_regionkey AS regionkey, count(*) AS n,
+           CAST(sum(length(r_name)) AS BIGINT) AS name_chars
+    FROM region GROUP BY 1
+    """,
+)
 def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``step_spark_for_each_batch`` driven end to end and VALUE-HASHED:
+    the region table streams through ``foreachBatch``, each micro-batch
+    contributes per-key partial aggregates to an accumulator, and the
+    cross-batch SUM must equal the one-shot batch aggregation DuckDB
+    computes — exactly-once delivery stated as data, independent of how
+    the file source happens to split micro-batches."""
+    from collections import defaultdict
+
     from bdq_spark.plans import SparkPipeline
 
     # stream checkpoint must be FRESH per invocation (an existing one
@@ -3101,7 +3116,8 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_table_dir(spark, sf_dir, "region")
     ckpt = tempfile.mkdtemp(prefix="entry_feb_ckpt_")
     region = load_table(spark, sf_dir, "region")
-    counts = []
+    acc: dict = defaultdict(lambda: [0, 0])
+    n_batches = [0]
 
     ppn = SparkPipeline("entry_feb", spark=spark)
     ppn.spark_streaming_checkpoint_location = ckpt
@@ -3113,7 +3129,7 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     @ppn.step_spark_for_each_batch(
         input_table="feb_in",
         depends_on=[feb_in],
-        # sink-only batch function: results travel through `counts`, so
+        # sink-only batch function: results travel through `acc`, so
         # declare no outputs (a declared output would be re-read in the
         # MAIN session, where the cloned batch session's views are
         # invisible — see step_spark_for_each_batch docstring)
@@ -3121,20 +3137,45 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigger_availableNow=True,
     )
     def feb_out(df, batch_id, relative_batch_id, step):
-        counts.append((batch_id, relative_batch_id, df.count()))
-        df.limit(0).createOrReplaceTempView("__feb_sink")
+        n_batches[0] += 1
+        partial = (
+            df.groupBy("r_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("r_name")).alias("chars"),
+            )
+            .collect()  # bounded: ≤ |region keys| rows per batch
+        )
+        for r in partial:
+            acc[r.r_regionkey][0] += r.n
+            acc[r.r_regionkey][1] += r.chars
 
     ppn(max_concurrent_steps=4)
-    if not counts:
+    if not n_batches[0]:
         raise RuntimeError("stream terminated without processing any batch")
-    total = sum(c for _, _, c in counts)
     return spark.createDataFrame(
-        [(len(counts), total)], "n_batches:long, rows_processed:long"
+        [(k, v[0], v[1]) for k, v in acc.items()],
+        "regionkey:long, n:long, name_chars:long",
     )
 
 
-@_register("statestore_roundtrip")  # rows-only: catalog side effects
+@_register(
+    "statestore_roundtrip",
+    """
+    SELECT 'p' AS pipeline_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    """,
+)
 def statestore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store persistence VALUE-HASHED through real data: orders
+    aggregates are saved as two timestamped metric records (the JSON
+    envelope encodes the metrics dict), ``load()`` must return the
+    LATEST record, and its decoded numbers must hash-match DuckDB's
+    recomputation from the orders table — the save→JSON→catalog→load
+    roundtrip verified end to end, not just exercised."""
     from datetime import datetime
 
     import uuid
@@ -3154,16 +3195,39 @@ def statestore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_encoded_columns=["metrics"],
         spark=spark,
     )
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice", 14)).cast("double").alias("rev"),
+        )
+        .first()
+    )
+    # a stale earlier record load() must NOT return
     store.save(
-        {"pipeline_name": "p", "start_ts": datetime(2024, 1, 1), "metrics": {"n": 1}}
+        {
+            "pipeline_name": "p",
+            "start_ts": datetime(2024, 1, 1),
+            "metrics": {"n_orders": -1, "revenue": 0.0},
+        }
     )
     store.save(
-        {"pipeline_name": "p", "start_ts": datetime(2024, 6, 1), "metrics": {"n": 2}}
+        {
+            "pipeline_name": "p",
+            "start_ts": datetime(2024, 6, 1),
+            "metrics": {"n_orders": agg["n"], "revenue": agg["rev"]},
+        }
     )
     latest = store.load()
     return spark.createDataFrame(
-        [(latest["pipeline_name"], latest["metrics"]["n"])],
-        "pipeline_name:string, latest_n:long",
+        [
+            (
+                latest["pipeline_name"],
+                latest["metrics"]["n_orders"],
+                latest["metrics"]["revenue"],
+            )
+        ],
+        "pipeline_name:string, n_orders:long, revenue:double",
     )
 
 
@@ -5221,76 +5285,69 @@ def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-5 WINDOW (see NOTES_r5 and tests/test_registry.py): every
-    # entry with NO driver row in r1-r4 comes first, then this round's
-    # new entries, then the rows-only entries the r4 window displaced
-    # (VERDICT r4 "What's wrong" #1), then every entry whose CODE
-    # changed this round, and the remaining slots rotate in the entries
-    # whose last driver row is oldest.  Invariant: first-50 union all
-    # CORRECTNESS_r* rounds covers the whole registry.
+    # ROUND-6 WINDOW (see NOTES_r6 and tests/test_registry.py): the 30
+    # entries with NO driver row in r4 or r5 come first (rotating the
+    # r1-r3-green analytics/dedup/profile entries back in, plus the new
+    # PNG entry), then every entry whose CODE or oracle changed this
+    # round (partitioned CDC sink, value-hash upgrades, batched BPE,
+    # PNG-aware pixel stats, zscore chunk fix), and the remaining slots
+    # rotate the oldest driver rows (r4-only, displaced by the r5
+    # window).  Invariant: first-50 union all CORRECTNESS_r* rounds
+    # covers the whole registry.
     #
-    # never driver-checked (r1-r4)
-    "cheapest_supplier_per_part",
-    "language_confusion",
-    "duplicate_spans_documents",
-    "near_dup_edit_verified",
-    "compact_roundtrip_orders",
-    "customer_retention_setops",
-    "stateful_sessionize",
-    "docs_fixed_sample_by_lang",
-    "doc_compression_ratio",
-    "doc_lm_score_bigram",
-    "doc_top_terms",
-    "profile_drift_orders",
-    "quantiles_lineitem_by_flag",
-    "histogram_orders_totalprice",
-    "vocab_stats_documents",
-    # new this round (no driver row possible yet)
-    "multimodal_bmp_pixel_stats",
-    "multimodal_wav_pcm_stats",
-    "doc_bpe_packing",
+    # no driver row in r4 or r5 (r1-r3 green or brand-new)
+    "shipping_priority",
+    "local_supplier_volume",
+    "nation_pair_volume",
+    "returned_items_top_customers",
+    "top_customers_by_revenue",
+    "order_priority_check",
+    "customers_per_region",
+    "dedup_events_by_user_type",
+    "doc_stats",
+    "doc_language",
+    "doc_quality",
+    "dedup_fingerprint_documents",
+    "incremental_dedup_batch",
+    "embedding_near_dup_pairs",
+    "multimodal_decode",
+    "multimodal_png_pixel_stats",
+    "doc_pii_redaction",
+    "doc_repetition",
+    "doc_contamination",
+    "doc_contamination_weighted",
+    "doc_contamination_spans",
+    "orders_hash_split",
+    "range_join_price_tiers",
+    "asof_click_purchase",
+    "profile_orders_numeric",
+    "doc_bpe_tokens",
+    "doc_chunking",
+    "token_vocab_top100",
+    "doc_training_order",
+    "corpus_prepare",
+    # code or oracle changed this round
     "streaming_cdc_merge",
-    "doc_lm_score_trigram",
-    "incremental_minhash_md5",
+    "statestore_roundtrip",
+    "streaming_foreach_batch",
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "doc_bpe_packing",
     "corpus_training_pipeline",
-    "bucketed_join_orders_customer",
+    "multimodal_wav_pcm_stats",
+    "multimodal_bmp_pixel_stats",
     "events_running_zscore",
-    # rows-only entries displaced from the r4 window — all green in r3
-    # and in the full local check_oracle runs since
-    "surrogate_key_hash_customer",
-    "minhash_lsh_near_dup",
-    "incremental_minhash_near_dup",
-    "simhash_fingerprints",
-    "simhash_pairs",
-    "doc_sequence_packing",
-    "knn_quantized_embeddings",
-    "knn_ivf_embeddings",
-    # code changed this round (sessionize fold/schema, interval_join
-    # keys, apply_cdc strict, dedup-family localCheckpoint switch,
-    # quantize rounding — quantized KNN is already above)
-    "stateful_running_counter",
-    "streaming_interval_join",
-    "cdc_apply_customer",
-    "near_dup_jaccard",
-    "near_dup_clusters",
-    "documents_deduped",
-    "corpus_prepare_neardup",
-    "minhash_md5_near_dup",
-    "simhash_md5_pairs",
-    # oldest driver rows (green r1-r3, displaced by the r4 window)
-    "latest_events",
-    "latest_events_conflict",
-    "compare_orders_diff",
-    "fk_broken_lineitem_part",
-    "fk_broken_sampled",
-    "pk_validate_lineitem_orderkey",
-    "pk_validate_lineitem_composite",
-    "surrogate_key_string_customer",
-    "pricing_summary",
-    # shipping_priority / local_supplier_volume / nation_pair_volume /
-    # returned_items_top_customers are the four r1-r3-green entries
-    # this window can't hold (displaced by this round's new entries);
-    # their hash oracles keep them judge-replayable
+    "multimodal_audio_decode",
+    # oldest driver rows (r4-only, displaced by the r5 window)
+    "customer_pseudonymize",
+    "doc_gopher_quality",
+    "paragraph_dedup_documents",
+    "simhash_md5_fingerprints",
+    "knn_embeddings",
+    "embedding_dedup_clusters",
+    "knn_lsh_embeddings",
+    "knn_multiprobe_embeddings",
+    "quality_rules_lineitem",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
