@@ -48,6 +48,7 @@ __all__ = [
     "audio_pcm_stats",
     "decode_audio",
     "decode_bmp_pixels",
+    "decode_gif_pixels",
     "decode_png_pixels",
     "decode_images",
     "decode_wav_samples",
@@ -473,6 +474,164 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
     }
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW decode (LSB-first bit packing, variable code
+    width 3..12 bits, Clear/EOI codes, dictionary grows per emitted
+    code).  Returns the index list, or ``None`` on a corrupt stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list = []
+    # bit reader state
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width):
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            if (byte >> ((bitpos + i) & 7)) & 1:
+                v |= 1 << i
+        bitpos += width
+        return v
+
+    def reset():
+        return (
+            {i: (i,) for i in range(clear)},
+            min_code_size + 1,
+            None,
+        )
+
+    table, width, prev = reset()
+    while True:
+        code = read(width)
+        if code is None:
+            return None  # ran out of bits before EOI
+        if code == clear:
+            table, width, prev = reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == len(table) + 2:  # the KwKwK case
+            entry = table[prev] + (table[prev][0],)
+        else:
+            return None
+        out.extend(entry)
+        if len(out) > max_pixels:
+            return None  # more indices than declared pixels — corrupt
+        if prev is not None:
+            table[len(table) + 2] = table[prev] + (entry[0],)
+        prev = code
+        # widen when the NEXT code could address the new entry
+        if len(table) + 2 == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def decode_gif_pixels(payload: bytes) -> Optional[dict]:
+    """REAL pixel decode for non-interlaced GIF87a/89a — pure Python:
+    walks the block stream to the first image descriptor, LZW-decodes
+    the index stream (:func:`_gif_lzw_decode` — GIF's only compression,
+    no codec library needed), and maps indices through the local or
+    global color table.  Returns ``(width, height, mean_brightness)``
+    with ``mean_brightness`` the exact mean over every pixel's R, G and
+    B bytes — the same contract as :func:`decode_bmp_pixels` /
+    :func:`decode_png_pixels`.
+
+    Honest refusals (``None``): interlaced frames, a frame smaller than
+    the logical screen (partial-frame animations), missing color
+    tables, truncated sub-blocks, corrupt LZW streams.
+    """
+    n = len(payload)
+    if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (2 << (packed & 0x07))
+        gct = payload[13 : 13 + size]
+        if len(gct) < size:
+            return None
+        i = 13 + size
+    while i < n:
+        b = payload[i]
+        if b == 0x21:  # extension: label byte then sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None
+            left, top, w, h = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+            ipacked = payload[i + 9]
+            i += 10
+            table = gct
+            if ipacked & 0x80:  # local color table
+                size = 3 * (2 << (ipacked & 0x07))
+                table = payload[i : i + size]
+                if len(table) < size:
+                    return None
+                i += size
+            if (
+                table is None
+                or ipacked & 0x40  # interlaced
+                or (left, top) != (0, 0)
+                or (w, h) != (sw, sh)  # partial frame (animation)
+                or w == 0
+                or h == 0
+            ):
+                return None
+            if i >= n:
+                return None
+            min_code = payload[i]
+            i += 1
+            if not 2 <= min_code <= 11:
+                return None
+            data = bytearray()
+            while i < n and payload[i] != 0:
+                ln = payload[i]
+                chunk = payload[i + 1 : i + 1 + ln]
+                if len(chunk) < ln:
+                    return None  # truncated sub-block
+                data += chunk
+                i += 1 + ln
+            if i >= n:
+                return None
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            idx = idx[: w * h]
+            ncolors = len(table) // 3
+            if any(v >= ncolors for v in idx):
+                return None  # index past the color table — corrupt
+            total = 0
+            for v in idx:
+                o = 3 * v
+                total += table[o] + table[o + 1] + table[o + 2]
+            return {
+                "width": w,
+                "height": h,
+                # exact integer sum / count: engine-reproducible double
+                "mean_brightness": total / (w * h * 3),
+            }
+        elif b == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None  # unknown block type — no guessing
+    return None
+
+
 def decode_wav_samples(payload: bytes) -> Optional[dict]:
     """REAL sample decode for 16-bit PCM WAV — pure Python: little-endian
     signed samples from the ``data`` chunk.  Returns ``(n_samples,
@@ -524,11 +683,13 @@ _PIXEL_SCHEMA = (
 def image_pixel_stats(df: DataFrame, content_column: str = "content") -> DataFrame:
     """Pixel-level image statistics via Arrow-batched ``mapInPandas``.
 
-    REAL decode for uncompressed 24bpp BMP (:func:`decode_bmp_pixels`)
-    AND non-interlaced 8-bit PNG (:func:`decode_png_pixels` — stdlib
-    zlib inflates IDAT, the five row filters are undone in pure Python);
-    formats needing an external codec (JPEG/interlaced or 16-bit PNG/
-    palette PNG/...) report ``decode_ok=false`` with zeroed stats — a
+    REAL decode for uncompressed 24bpp BMP (:func:`decode_bmp_pixels`),
+    non-interlaced 8-bit PNG (:func:`decode_png_pixels` — stdlib zlib
+    inflates IDAT, the five row filters are undone in pure Python) AND
+    non-interlaced GIF (:func:`decode_gif_pixels` — pure-Python LZW +
+    color-table mapping); formats needing an external codec
+    (JPEG/interlaced or 16-bit PNG/palette PNG/animated-partial GIF/...)
+    report ``decode_ok=false`` with zeroed stats — a
     fabricated brightness would be worse than an honest refusal.  Same
     batch/partitioning contract as :func:`decode_images`; payload bytes
     are dropped on the way out.
@@ -536,7 +697,11 @@ def image_pixel_stats(df: DataFrame, content_column: str = "content") -> DataFra
 
     def decode_any(b) -> Optional[dict]:
         payload = bytes(b) if b is not None else b""
-        return decode_bmp_pixels(payload) or decode_png_pixels(payload)
+        return (
+            decode_bmp_pixels(payload)
+            or decode_png_pixels(payload)
+            or decode_gif_pixels(payload)
+        )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -605,3 +605,126 @@ def test_image_pixel_stats_decodes_png_and_bmp(spark):
     assert got[1].decode_ok and got[1].width == 2
     assert got[1].mean_brightness == sum(map(sum, rows)) / 12
     assert not got[2].decode_ok and not got[3].decode_ok
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Independent GIF-LZW encoder for the decoder goldens: textbook
+    dictionary build, LSB-first bit packing, Clear upfront, EOI last."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    bits = []
+
+    def emit(code, w):
+        for i in range(w):
+            bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    run = ()
+    for v in indices:
+        cand = run + (v,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        run = (v,)
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _gif_bytes_full(w, h, indices, palette, min_code_size=None,
+                    interlace=False, sub_block=255):
+    """Build a complete single-frame GIF89a around the encoder above."""
+    ncolors = len(palette) // 3
+    gct_bits = max(1, (ncolors - 1).bit_length()) - 1
+    gct_size = 3 * (2 << gct_bits)
+    pal = bytes(palette) + b"\x00" * (gct_size - len(palette))
+    if min_code_size is None:
+        min_code_size = max(2, gct_bits + 1)
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), sub_block):
+        chunk = lzw[i : i + sub_block]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    header = (b"GIF89a" + struct.pack("<HH", w, h)
+              + bytes([0x80 | gct_bits, 0, 0]) + pal)
+    img = (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+           + bytes([0x40 if interlace else 0])
+           + bytes([min_code_size]) + bytes(blocks))
+    return header + img + b"\x3B"
+
+
+def test_decode_gif_pixels_golden():
+    from bdq_spark.operators.multimodal import decode_gif_pixels
+
+    # 4-color palette, 4x3 frame exercising dictionary growth (repeats)
+    palette = [0, 0, 0, 255, 255, 255, 10, 20, 30, 200, 100, 50]
+    idx = [0, 1, 2, 3, 0, 1, 2, 3, 1, 1, 2, 2]
+    g = decode_gif_pixels(_gif_bytes_full(4, 3, idx, palette))
+    expect = sum(palette[3 * v] + palette[3 * v + 1] + palette[3 * v + 2]
+                 for v in idx) / (12 * 3)
+    assert g == {"width": 4, "height": 3, "mean_brightness": expect}
+    # long runs force code-width growth past the initial width
+    big_idx = [(i * 7 + (i // 5)) % 4 for i in range(400)]
+    g2 = decode_gif_pixels(_gif_bytes_full(20, 20, big_idx, palette))
+    exp2 = sum(palette[3 * v] + palette[3 * v + 1] + palette[3 * v + 2]
+               for v in big_idx) / (400 * 3)
+    assert g2 == {"width": 20, "height": 20, "mean_brightness": exp2}
+    # sub-block splitting must be transparent (tiny 4-byte sub-blocks)
+    g3 = decode_gif_pixels(_gif_bytes_full(20, 20, big_idx, palette,
+                                           sub_block=4))
+    assert g3 == g2
+    # an extension block before the image descriptor is skipped
+    gce = (b"\x21\xF9\x04\x00\x00\x00\x00\x00")
+    full = _gif_bytes_full(4, 3, idx, palette)
+    with_ext = full[:13 + 12] + gce + full[13 + 12:]
+    assert decode_gif_pixels(with_ext) == g
+    # honest refusals: interlaced, truncated LZW, index past palette,
+    # not a GIF
+    assert decode_gif_pixels(
+        _gif_bytes_full(4, 3, idx, palette, interlace=True)) is None
+    assert decode_gif_pixels(full[:-8]) is None
+    assert decode_gif_pixels(b"GIF89a" + b"\x00" * 20) is None
+    assert decode_gif_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30) is None
+
+
+def test_image_pixel_stats_decodes_gif(spark):
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        image_pixel_stats,
+    )
+
+    palette = [0, 0, 0, 90, 180, 30]
+    idx = [0, 1, 1, 0, 1, 0]
+    rows = [(0, _gif_bytes_full(3, 2, idx, palette)),
+            (1, _gif_bytes_full(3, 2, idx, palette, interlace=True))]
+    df = spark.createDataFrame(rows, "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="image", id_column="media_id")
+    got = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    assert got[0].decode_ok
+    assert got[0].mean_brightness == 3 * (90 + 180 + 30) / 18
+    assert not got[1].decode_ok
+
+
+def test_decode_gif_lzw_kwkwk_case():
+    """A run of identical indices forces the decoder's KwKwK branch
+    (a code referenced before its table entry exists)."""
+    from bdq_spark.operators.multimodal import decode_gif_pixels
+
+    pal = [10, 20, 30, 0, 0, 0]
+    g = decode_gif_pixels(_gif_bytes_full(3, 2, [0] * 6, pal))
+    assert g == {"width": 3, "height": 2, "mean_brightness": 20.0}

@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Scale-curve harness for the heavy dedup-family queries.
+
+The per-round bench holds data size fixed (sf0.1) — it can't observe
+whether an operator's cost curve is actually ~linear, which is the load-
+bearing claim behind every "scales to 100 TB by construction" argument
+(banded joins, bucket caps, islands windows).  This harness MEASURES the
+curve: it synthesizes 1x / 3x / 10x versions of the sf0.1 documents
+table, times each query end-to-end at every size (noop sink, same
+materialization as bench.py), and fits the scaling exponent
+``t ~ rows^e`` by least squares over the log-log points.
+
+Corpus synthesis keeps duplicate DENSITY constant as size grows —
+matching how real corpora scale (a 10x corpus does not have 10x the
+near-dup rate per document): copy ``i`` Caesar-shifts every letter of
+``text`` by ``i`` places, preserving word lengths, shingle structure and
+intra-copy duplicate structure while making cross-copy text unrelated;
+``doc_id`` is offset per copy so ids stay unique.  Only measurement uses
+these synthetic corpora — oracle correctness is judged at sf0.01 on the
+driver's own testdata as usual.
+
+Usage::
+
+    python tools/scale_curve.py                  # default heavy set
+    python tools/scale_curve.py near_dup_jaccard # subset
+
+Writes ``BENCH_SCALE.json`` at the repo root and prints one summary JSON
+line per query: ``{"query", "rows": {...}, "sec": {...}, "exponent"}``.
+An exponent ≲ 1.3 is the pass bar (linear with a shuffle-log factor);
+anything above names a scale problem the design arguments missed.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = [1, 3, 10]
+DEFAULT_QUERIES = [
+    "near_dup_jaccard",
+    "minhash_lsh_near_dup",
+    "documents_deduped",
+    "duplicate_spans_documents",
+    "corpus_prepare_neardup",
+]
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _scaled_dir(spark, factor: int) -> str:
+    """Stage a ``factor``x documents table (plus passthrough copies of
+    the small lookup tables some funnels read) under /tmp, reused across
+    runs of this tool on the same machine."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bdq_spark.sources import load_table
+
+    tag = os.path.basename(BASE_SF_DIR.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"bdq_scale_{tag}_x{factor}")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    docs = load_table(spark, BASE_SF_DIR, "documents")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    copies = []
+    for i in range(factor):
+        shift = i % 26
+        shifted = ALPHA[shift:] + ALPHA[:shift]
+        c = docs.select(
+            (F.col("doc_id") + i * n).alias("doc_id"),
+            F.translate(
+                F.translate(F.col("text"), ALPHA, shifted),
+                ALPHA.upper(),
+                shifted.upper(),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        copies.append(c)
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(f"{BASE_SF_DIR}:{factor}")
+    return out
+
+
+def main() -> int:
+    only = sys.argv[1:] or DEFAULT_QUERIES
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bdq_spark-scale-curve")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    unknown = [q for q in only if q not in queries]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    dirs = {f: _scaled_dir(spark, f) for f in FACTORS}
+    rows = {
+        f: spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+        for f, d in dirs.items()
+    }
+
+    results = {}
+    for name in only:
+        fn = queries[name]
+        secs = {}
+        for f in FACTORS:
+            best = None
+            for _ in range(reps):
+                start = time.perf_counter()
+                fn(spark, dirs[f]).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - start
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+                for jrdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    jrdd.unpersist()
+                spark.sparkContext._jvm.System.gc()
+            secs[f] = round(best, 3)
+        xs = [math.log(rows[f]) for f in FACTORS]
+        ys = [math.log(secs[f]) for f in FACTORS]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        exponent = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        results[name] = {
+            "rows": {str(f): rows[f] for f in FACTORS},
+            "sec": {str(f): secs[f] for f in FACTORS},
+            "exponent": round(exponent, 3),
+        }
+        print(json.dumps({"query": name, **results[name]}))
+
+    # merge into any existing snapshot so per-query invocations compose
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    merged = results
+    if os.path.exists(path):
+        try:
+            prior = json.load(open(path)).get("queries", {})
+            merged = {**prior, **results}
+        except (ValueError, OSError):
+            pass
+    out = {
+        "base_sf_dir": BASE_SF_DIR,
+        "factors": FACTORS,
+        "reps": reps,
+        "cpus": int(cpus),
+        "queries": merged,
+    }
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote BENCH_SCALE.json ({len(merged)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
