@@ -728,3 +728,109 @@ def test_decode_gif_lzw_kwkwk_case():
     pal = [10, 20, 30, 0, 0, 0]
     g = decode_gif_pixels(_gif_bytes_full(3, 2, [0] * 6, pal))
     assert g == {"width": 3, "height": 2, "mean_brightness": 20.0}
+
+
+def _mp4_bytes(timescale=1000, duration=5000, w=640, h=480, mvhd_ver=0):
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    if mvhd_ver == 1:
+        mvhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+                + b"\x00" * 80)
+    else:
+        mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">I", timescale) + struct.pack(">I", duration)
+                + b"\x00" * 80)
+    tkhd = (b"\x00\x00\x00\x07" + b"\x00" * 72
+            + struct.pack(">II", w << 16, h << 16))
+    trak = box(b"trak", box(b"tkhd", tkhd))
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + box(b"mdat", b"\x00" * 32)
+
+
+def _avi_bytes(w=320, h=240, frames=(), us_per_frame=40000, junk_chunk=False):
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form, body):
+        return (b"LIST" + struct.pack("<I", 4 + len(body)) + form + body)
+
+    avih = (struct.pack("<IIIII", us_per_frame, 0, 0, 0, len(frames))
+            + b"\x00" * 12 + struct.pack("<II", w, h) + b"\x00" * 16)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi_body = b""
+    for i, f in enumerate(frames):
+        if junk_chunk and i == 1:
+            movi_body += chunk(b"01wb", b"\x11\x22\x33")  # audio chunk
+        movi_body += chunk(b"00dc", f)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_video_header_golden():
+    from bdq_spark.operators.multimodal import parse_video_header as p
+
+    got = p(_mp4_bytes(timescale=600, duration=1200, w=1920, h=1080))
+    assert got == {"format": "mp4", "width": 1920, "height": 1080,
+                   "duration_ms": 2000, "n_frames": 0}
+    # 64-bit mvhd version 1
+    got = p(_mp4_bytes(timescale=90000, duration=90000 * 3, mvhd_ver=1))
+    assert got["duration_ms"] == 3000
+    # AVI: 25 fps x 50 frames = 2000 ms
+    got = p(_avi_bytes(w=320, h=240, frames=[b"x"] * 50))
+    assert got == {"format": "avi", "width": 320, "height": 240,
+                   "duration_ms": 2000, "n_frames": 50}
+    # rejections
+    assert p(b"") is None
+    assert p(b"RIFF\x10\x00\x00\x00WAVEdata") is None   # audio RIFF
+    assert p(b"\x00" * 40) is None
+    assert p(_mp4_bytes()[:20]) is None                  # moov truncated away
+
+
+def test_extract_avi_frames_real_walk():
+    from bdq_spark.operators.multimodal import extract_avi_frames
+
+    frames = [_jpeg_bytes(4 + i, 3) for i in range(6)]
+    avi = _avi_bytes(frames=frames, junk_chunk=True)
+    got = extract_avi_frames(avi)
+    assert [f for _, f in got] == frames          # audio chunk skipped
+    assert [i for i, _ in got] == list(range(6))
+    # every 2nd frame
+    got2 = extract_avi_frames(avi, every_n=2)
+    assert [i for i, _ in got2] == [0, 2, 4]
+    # the extracted MJPEG frames are REAL JPEGs: header-parsable dims
+    from bdq_spark.operators.multimodal import parse_image_header
+    dims = [parse_image_header(f)["width"] for _, f in got2]
+    assert dims == [4, 6, 8]
+    # truncated mid-chunk: stops at the last complete frame
+    assert len(extract_avi_frames(avi[:-10])) < 6
+    assert extract_avi_frames(b"not a riff") is None
+
+
+def test_decode_video_and_frame_sampling_distributed(spark):
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_video,
+        sample_container_frames,
+    )
+
+    frames = [_jpeg_bytes(8, 6) for _ in range(4)]
+    rows = [
+        (0, _mp4_bytes(timescale=1000, duration=7000)),
+        (1, _avi_bytes(frames=frames)),
+        (2, b"\x42" * 200),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="video", id_column="media_id")
+    got = {r.media_id: r for r in decode_video(media).collect()}
+    assert got[0].format == "mp4" and got[0].duration_ms == 7000
+    assert got[1].format == "avi" and got[1].n_frames == 4
+    assert not got[2].decode_ok and not got[3].decode_ok
+    fr = sample_container_frames(media, every_n=2).collect()
+    assert {(r.media_id, r.frame_idx) for r in fr} == {(1, 0), (1, 2)}
+    assert all(bytes(r.frame) == frames[r.frame_idx] for r in fr)
