@@ -834,3 +834,61 @@ def test_decode_video_and_frame_sampling_distributed(spark):
     fr = sample_container_frames(media, every_n=2).collect()
     assert {(r.media_id, r.frame_idx) for r in fr} == {(1, 0), (1, 2)}
     assert all(bytes(r.frame) == frames[r.frame_idx] for r in fr)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 5),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    data=st.data(),
+)
+def test_decode_png_pixels_property_roundtrip(w, h, color_type, data):
+    """Random pixels + per-row random filter types: encoder(filter) then
+    decoder(unfilter) must reproduce the exact mean over source bytes."""
+    from bdq_spark.operators.multimodal import decode_png_pixels
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rows = [
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * channels,
+                max_size=w * channels,
+            )
+        )
+        for _ in range(h)
+    ]
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    d = decode_png_pixels(
+        _png_full(w, h, rows, color_type=color_type, filters=filters)
+    )
+    assert d is not None
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_brightness"] == sum(map(sum, rows)) / (w * channels * h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ncolors_bits=st.integers(1, 4),
+    data=st.data(),
+)
+def test_decode_gif_lzw_property_roundtrip(ncolors_bits, data):
+    """Random index streams through the independent LZW encoder: the
+    decoder must reproduce them exactly (dictionary growth, KwKwK runs,
+    width boundaries all land here eventually)."""
+    from bdq_spark.operators.multimodal import _gif_lzw_decode
+
+    ncolors = 1 << ncolors_bits
+    idx = data.draw(
+        st.lists(st.integers(0, ncolors - 1), min_size=1, max_size=300)
+    )
+    min_code = max(2, ncolors_bits)
+    enc = _gif_lzw_encode(idx, min_code)
+    assert _gif_lzw_decode(enc, min_code, len(idx)) == idx
