@@ -11,6 +11,17 @@ grouping columns (shuffled once per micro-batch); timeouts bound state
 size.  The same operator runs on batch frames via ``applyInPandas`` with
 a fresh empty state per key — so the logic is unit-testable and
 oracle-checkable without a stream.
+
+API choice note: Spark 4's newer state-v2 API
+(``transformWithStateInPandas`` — typed ValueState/ListState/MapState,
+TTL, timers) was evaluated for these operators and is ENVIRONMENT-
+BLOCKED here: its state-server protocol requires the ``protobuf``
+package (``pyspark/sql/streaming/proto/StateMessage_pb2.py`` imports
+``google.protobuf``), which is not in this container and cannot be
+installed.  ``applyInPandasWithState`` expresses the same per-key
+arbitrary-state semantics with no extra dependency; porting these
+operators to ``transformWithState`` when protobuf is available is a
+mechanical init/handleInputRows re-wrap of the same module-level folds.
 """
 
 from __future__ import annotations

@@ -54,12 +54,22 @@ def test_profile_job_count_independent_of_columns(spark, sample):
     sc = spark.sparkContext
     tracker = sc.statusTracker()
 
-    def jobs_for(columns):
-        before = len(tracker.getJobIdsForGroup(None) or [])
-        profile_table(sample, columns=columns, approx_distinct=False).collect()
-        return len(tracker.getJobIdsForGroup(None) or []) - before
+    def jobs_for(columns, tag):
+        # count within a DEDICATED job group: the default group also
+        # collects unrelated async jobs (context cleaner, neighbouring
+        # tests' stream teardown), which made this flaky in-suite
+        sc.setJobGroup(tag, tag)
+        try:
+            profile_table(
+                sample, columns=columns, approx_distinct=False
+            ).collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(tracker.getJobIdsForGroup(tag) or [])
 
-    assert jobs_for(["id"]) == jobs_for(["id", "v", "s", "t"])
+    assert jobs_for(["id"], "prof_one") == jobs_for(
+        ["id", "v", "s", "t"], "prof_four"
+    )
 
 
 def test_profile_column_subset_and_validation(spark, sample):
