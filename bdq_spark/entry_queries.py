@@ -332,7 +332,7 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # micro-batch partitioning, or the staged schema changes — the version
 # is baked into the staging key and the ``_STAGED`` marker body, so a
 # stale cache regenerates instead of silently testing old parquet.
-_CDC_FEED_VERSION = 1
+_CDC_FEED_VERSION = 2
 
 
 def _cdc_customer_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,9 +417,16 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker) as fh:
             staged = fh.read() == expected_marker
     if not staged:
-        m = F.col("c_custkey") % 10
-        # group 3's inserts carry keys +1000000, which keeps m == 3
-        for i, flt in enumerate([m == 1, m == 2, m == 3]):
+        # micro-batches grouped by SNAPSHOT BUCKET ranges (the same
+        # pmod(xxhash64(key), 16) the sink partitions by): each key's
+        # full history still lands in exactly one batch (key → one
+        # bucket → one group, so the sequential merge stays
+        # order-independent and the one-shot oracle exact), and each
+        # batch touches a DISJOINT third of the partitions — the
+        # pruned-rewrite path this entry exists to exercise, instead of
+        # three batches that each rewrite every bucket.
+        b = F.pmod(F.xxhash64(F.col("c_custkey").cast("bigint")), F.lit(16))
+        for i, flt in enumerate([b <= 5, (b > 5) & (b <= 10), b > 10]):
             changes.filter(flt).withColumn(
                 "acctbal", F.col("acctbal").cast("decimal(12,2)")
             ).coalesce(1).write.mode("overwrite").parquet(

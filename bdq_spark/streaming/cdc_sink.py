@@ -245,17 +245,33 @@ def cdc_merge_sink_partitioned(
             for c in batch_df.columns
             if c != op_column and c not in order_by
         ]
+        # glob for actual data files: an all-deleted table leaves only
+        # EMPTY bucket dirs, which parquet schema inference rejects
+        has_data = fs.exists(Path(path)) and fs.globStatus(
+            Path(posixpath.join(path, f"{BUCKET_COLUMN}=*", "*.parquet"))
+        )
+        if has_data:
+            # bucket placement hashes the key BYTES, so the key TYPES
+            # must stay exactly as the first batch fixed them: a feed
+            # that later widens a key (int -> bigint) would hash the
+            # same value to a DIFFERENT bucket, strand the stale row in
+            # the old partition, and duplicate the key.  Pin every
+            # batch to the snapshot's key types before hashing.
+            snap_types = {
+                f.name: f.dataType
+                for f in spark.read.parquet(path).schema.fields
+                if f.name in keys
+            }
+            batch_df = batch_df.withColumns(
+                {k: F.col(k).cast(t) for k, t in snap_types.items()}
+            )
         touched = sorted(
             r[0]
             for r in batch_df.select(
                 bucket_of(batch_df).alias("b")
             ).distinct().collect()  # bounded: ≤ num_buckets rows
         )
-        # glob for actual data files: an all-deleted table leaves only
-        # EMPTY bucket dirs, which parquet schema inference rejects
-        if fs.exists(Path(path)) and fs.globStatus(
-            Path(posixpath.join(path, f"{BUCKET_COLUMN}=*", "*.parquet"))
-        ):
+        if has_data:
             base = (
                 spark.read.parquet(path)
                 .filter(F.col(BUCKET_COLUMN).isin(touched))

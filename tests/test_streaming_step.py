@@ -507,3 +507,33 @@ def test_cdc_merge_sink_partitioned_delete_empties_bucket(spark, tmp_path):
     assert got == sorted(
         (i, f"n{i}", float(i)) for i in range(12) if i not in victims
     )
+
+
+def test_cdc_merge_sink_partitioned_key_type_widening(spark, tmp_path):
+    """Bucket placement hashes key BYTES: a feed that widens the key
+    type (int -> bigint) must still hash each value to its original
+    bucket, or the stale row strands in the old partition and the key
+    duplicates.  The sink pins every batch to the snapshot's key types."""
+    from bdq_spark.streaming import cdc_merge_sink_partitioned
+
+    path = str(tmp_path / "snap")
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=8
+    )
+    # seed with INT keys
+    seed = spark.createDataFrame(
+        [(i, f"n{i}", float(i), "I", 1) for i in range(16)],
+        "id int, name string, bal double, op string, ver long",
+    )
+    merge(seed, 0)
+    # update every key via a BIGINT-keyed feed
+    upd = spark.createDataFrame(
+        [(i, f"u{i}", float(100 + i), "U", 2) for i in range(16)],
+        "id long, name string, bal double, op string, ver long",
+    )
+    merge(upd, 1)
+    got = sorted(
+        (int(r.id), r.name, r.bal)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(i, f"u{i}", float(100 + i)) for i in range(16)]
