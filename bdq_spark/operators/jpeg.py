@@ -1,0 +1,372 @@
+"""Pure-Python baseline JPEG decoder (ITU-T T.81 sequential DCT).
+
+The last compressed IMAGE format this engine stubbed: BMP is raw, PNG is
+zlib (stdlib), GIF is LZW (pure Python) — JPEG needs huffman + IDCT,
+both implementable exactly in Python with no codec library.  This
+module decodes baseline sequential JPEGs (the overwhelmingly common
+variant) far too slowly for production pixels — the point is an HONEST,
+verifiable reference decode for the multimodal pipeline's
+``image_pixel_stats`` at test/oracle scale, with the same refusal
+contract as the other decoders: anything outside the supported profile
+returns ``None``, never a guess.
+
+Supported profile:
+
+- SOF0 baseline sequential, 8-bit precision;
+- grayscale (1 component) and YCbCr with no chroma subsampling
+  (all sampling factors 1x1, i.e. 4:4:4);
+- restart intervals (DRI/RSTn), 0xFF00 byte stuffing.
+
+Refused: progressive (SOF2), arithmetic coding, 12-bit precision,
+subsampled chroma (4:2:0/4:2:2 — the MCU interleave logic differs),
+truncated streams.
+
+Verification strategy (``tests/test_jpeg.py``): an independent in-test
+ENCODER (FDCT + quantize + huffman with the T.81 Annex K tables);
+flat-color images with unit quant tables roundtrip BIT-EXACTLY (a
+constant block is DC-only and the DC path is lossless with q=1), random
+images roundtrip within quantization tolerance, and the fast separable
+IDCT here is cross-checked against the direct O(N^4) textbook formula
+on random coefficient blocks.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import List, Optional, Tuple
+
+__all__ = ["decode_jpeg_pixels"]
+
+#: zigzag scan order: zigzag index -> (row, col) natural index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# precomputed C(u) * cos((2x+1) u pi / 16) table for the separable IDCT
+_COS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+def _idct_2d(coef: List[float]) -> List[float]:
+    """Separable 2-D inverse DCT (rows then columns), float-exact to the
+    direct formula up to IEEE rounding — cross-checked in tests."""
+    # rows: for each row y of coefficients, idct over u
+    tmp = [0.0] * 64
+    for y in range(8):
+        base = y * 8
+        row = coef[base : base + 8]
+        for x in range(8):
+            c = _COS[x]
+            tmp[base + x] = (
+                row[0] * c[0] + row[1] * c[1] + row[2] * c[2]
+                + row[3] * c[3] + row[4] * c[4] + row[5] * c[5]
+                + row[6] * c[6] + row[7] * c[7]
+            )
+    out = [0.0] * 64
+    for x in range(8):
+        col = [tmp[y * 8 + x] for y in range(8)]
+        for y in range(8):
+            c = _COS[y]
+            out[y * 8 + x] = 0.25 * (
+                col[0] * c[0] + col[1] * c[1] + col[2] * c[2]
+                + col[3] * c[3] + col[4] * c[4] + col[5] * c[5]
+                + col[6] * c[6] + col[7] * c[7]
+            )
+    return out
+
+
+class _Huff:
+    """Canonical huffman decoder from a DHT (counts, symbols) spec."""
+
+    def __init__(self, counts: List[int], symbols: bytes):
+        # (first_code, first_index) per bit length, canonical ordering
+        self.lookup = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, reader) -> Optional[int]:
+        code = 0
+        for length in range(1, 17):
+            bit = reader.read_bit()
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        return None
+
+
+class _BitReader:
+    """MSB-first entropy-data reader with 0xFF00 unstuffing; stops at
+    any real marker (returns None)."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bitpos = 0
+        self.cur = None
+
+    def _next_byte(self) -> Optional[int]:
+        d = self.data
+        n = len(d)
+        while self.pos < n:
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < n and d[self.pos + 1] == 0x00:
+                    self.pos += 2
+                    return 0xFF
+                return None  # a real marker terminates entropy data
+            self.pos += 1
+            return b
+        return None
+
+    def read_bit(self) -> Optional[int]:
+        if self.cur is None:
+            self.cur = self._next_byte()
+            if self.cur is None:
+                return None
+            self.bitpos = 0
+        bit = (self.cur >> (7 - self.bitpos)) & 1
+        self.bitpos += 1
+        if self.bitpos == 8:
+            self.cur = None
+        return bit
+
+    def receive(self, nbits: int) -> Optional[int]:
+        v = 0
+        for _ in range(nbits):
+            b = self.read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align_to_marker(self) -> Optional[int]:
+        """Drop partial byte, skip to the next marker, return its code."""
+        self.cur = None
+        d = self.data
+        n = len(d)
+        i = self.pos
+        while i + 1 < n:
+            if d[i] == 0xFF and d[i + 1] != 0x00:
+                self.pos = i + 2
+                return d[i + 1]
+            i += 1
+        return None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> Optional[dict]:
+    """Decode a baseline JPEG to ``(width, height, mean_brightness)``,
+    the same contract as the BMP/PNG/GIF decoders: ``mean_brightness``
+    is the mean over every output pixel byte (gray byte for 1-component
+    images, R, G and B for color).  See the module docstring for the
+    supported profile; anything else returns ``None``.
+    """
+    n = len(payload)
+    if n < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt = {}  # table id -> 64 natural-order ints
+    dc_tabs = {}
+    ac_tabs = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if len(seg) < seg_len - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                prec = seg[j] >> 4
+                tid = seg[j] & 0x0F
+                j += 1
+                if prec == 0:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", seg[j + 2 * k : j + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    j += 128
+                if len(vals) < 64:
+                    return None
+                nat = [0] * 64
+                for z, v in enumerate(vals):
+                    nat[ZIGZAG[z]] = v
+                qt[tid] = nat
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                cls = seg[j] >> 4
+                tid = seg[j] & 0x0F
+                counts = list(seg[j + 1 : j + 17])
+                total = sum(counts)
+                syms = seg[j + 17 : j + 17 + total]
+                if len(syms) < total:
+                    return None
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _Huff(counts, syms)
+                j += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                return None  # 12-bit precision
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    return None  # subsampled chroma out of profile
+                comps.append({"id": cid, "q": qid})
+            if ncomp not in (1, 3) or w == 0 or h == 0:
+                return None
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                tabs = seg[2 + 2 * c]
+                scan[cid] = (tabs >> 4, tabs & 0x0F)
+            return _decode_scan(
+                payload, i + 2 + seg_len, frame, scan, qt,
+                dc_tabs, ac_tabs, restart_interval,
+            )
+        i += 2 + seg_len
+    return None
+
+
+def _decode_scan(payload, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    ncomp = len(comps)
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    reader = _BitReader(payload, start)
+    # per-component decoded planes (block-row lists)
+    planes = [
+        [[0.0] * (bw * 8) for _ in range(bh * 8)] for _ in range(ncomp)
+    ]
+    pred = [0] * ncomp
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and mcu and mcu % dri == 0:
+                m = reader.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    return None
+                pred = [0] * ncomp
+            for ci, comp in enumerate(comps):
+                if comp["id"] not in scan or comp["q"] not in qt:
+                    return None
+                dc_id, ac_id = scan[comp["id"]]
+                dc_tab = dc_tabs.get(dc_id)
+                ac_tab = ac_tabs.get(ac_id)
+                if dc_tab is None or ac_tab is None:
+                    return None
+                q = qt[comp["q"]]
+                t = dc_tab.decode(reader)
+                if t is None or t > 15:
+                    return None
+                diff_bits = reader.receive(t)
+                if diff_bits is None:
+                    return None
+                pred[ci] += _extend(diff_bits, t)
+                coef = [0.0] * 64
+                coef[0] = pred[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = ac_tab.decode(reader)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        return None
+                    bits = reader.receive(s)
+                    if bits is None:
+                        return None
+                    nat = ZIGZAG[k]
+                    coef[nat] = _extend(bits, s) * q[nat]
+                    k += 1
+                px = _idct_2d(coef)
+                plane = planes[ci]
+                oy, ox = by * 8, bx * 8
+                for yy in range(8):
+                    row = plane[oy + yy]
+                    base = yy * 8
+                    for xx in range(8):
+                        v = int(round(px[base + xx])) + 128
+                        row[ox + xx] = 0 if v < 0 else (255 if v > 255 else v)
+            mcu += 1
+    total = 0
+    if ncomp == 1:
+        plane = planes[0]
+        for y in range(h):
+            total += sum(plane[y][:w])
+        denom = w * h
+    else:
+        py_, pcb, pcr = planes
+        for y in range(h):
+            ry, rcb, rcr = py_[y], pcb[y], pcr[y]
+            for x in range(w):
+                Y, cb, cr = ry[x], rcb[x] - 128, rcr[x] - 128
+                r = int(round(Y + 1.402 * cr))
+                g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(Y + 1.772 * cb))
+                total += (
+                    (0 if r < 0 else (255 if r > 255 else r))
+                    + (0 if g < 0 else (255 if g > 255 else g))
+                    + (0 if b < 0 else (255 if b > 255 else b))
+                )
+        denom = w * h * 3
+    return {"width": w, "height": h, "mean_brightness": total / denom}

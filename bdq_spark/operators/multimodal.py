@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bdq_spark.operators.jpeg import decode_jpeg_pixels
+
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
@@ -51,6 +53,7 @@ __all__ = [
     "decode_gif_pixels",
     "decode_png_pixels",
     "decode_images",
+    "decode_jpeg_pixels",
     "decode_video",
     "decode_wav_samples",
     "extract_image_features",
@@ -689,10 +692,14 @@ def image_pixel_stats(df: DataFrame, content_column: str = "content") -> DataFra
 
     REAL decode for uncompressed 24bpp BMP (:func:`decode_bmp_pixels`),
     non-interlaced 8-bit PNG (:func:`decode_png_pixels` — stdlib zlib
-    inflates IDAT, the five row filters are undone in pure Python) AND
+    inflates IDAT, the five row filters are undone in pure Python),
     non-interlaced GIF (:func:`decode_gif_pixels` — pure-Python LZW +
-    color-table mapping); formats needing an external codec
-    (JPEG/interlaced or 16-bit PNG/palette PNG/animated-partial GIF/...)
+    color-table mapping) AND baseline 4:4:4/grayscale JPEG
+    (:func:`bdq_spark.operators.jpeg.decode_jpeg_pixels` — pure-Python
+    huffman + dequant + IDCT + YCbCr; reference-grade, not
+    production-speed); out-of-profile variants (progressive or
+    chroma-subsampled JPEG, interlaced/16-bit/palette PNG,
+    animated-partial GIF, ...)
     report ``decode_ok=false`` with zeroed stats — a
     fabricated brightness would be worse than an honest refusal.  Same
     batch/partitioning contract as :func:`decode_images`; payload bytes
@@ -705,6 +712,7 @@ def image_pixel_stats(df: DataFrame, content_column: str = "content") -> DataFra
             decode_bmp_pixels(payload)
             or decode_png_pixels(payload)
             or decode_gif_pixels(payload)
+            or decode_jpeg_pixels(payload)
         )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -892,3 +892,25 @@ def test_decode_gif_lzw_property_roundtrip(ncolors_bits, data):
     min_code = max(2, ncolors_bits)
     enc = _gif_lzw_encode(idx, min_code)
     assert _gif_lzw_decode(enc, min_code, len(idx)) == idx
+
+
+def test_image_pixel_stats_decodes_jpeg(spark):
+    from test_jpeg import encode_jpeg
+
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        image_pixel_stats,
+    )
+
+    rows = [
+        (0, encode_jpeg([33] * (8 * 8), 8, 8)),                # flat gray
+        (1, encode_jpeg([(10, 200, 55)] * 64, 8, 8, color=True)),
+        (2, encode_jpeg([1] * 64, 8, 8).replace(               # progressive
+            b"\xff\xc0", b"\xff\xc2", 1)),
+    ]
+    df = spark.createDataFrame(rows, "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="image", id_column="media_id")
+    got = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    assert got[0].decode_ok and got[0].mean_brightness == 33.0
+    assert got[1].decode_ok and got[1].width == 8
+    assert not got[2].decode_ok
