@@ -13,13 +13,14 @@ returns ``None``, never a guess.
 Supported profile:
 
 - SOF0 baseline sequential, 8-bit precision;
-- grayscale (1 component) and YCbCr with no chroma subsampling
-  (all sampling factors 1x1, i.e. 4:4:4);
+- grayscale (1 component) and YCbCr with sampling factors 1 or 2 per
+  axis — the general T.81 interleaved MCU, covering 4:4:4, 4:2:2 AND
+  4:2:0 (the dominant real-world layout); subsampled chroma upsampled
+  by nearest-neighbour replication;
 - restart intervals (DRI/RSTn), 0xFF00 byte stuffing.
 
 Refused: progressive (SOF2), arithmetic coding, 12-bit precision,
-subsampled chroma (4:2:0/4:2:2 — the MCU interleave logic differs),
-truncated streams.
+sampling factors above 2, truncated streams.
 
 Verification strategy (``tests/test_jpeg.py``): an independent in-test
 ENCODER (FDCT + quantize + huffman with the T.81 Annex K tables);
@@ -252,11 +253,14 @@ def decode_jpeg_pixels(payload: bytes) -> Optional[dict]:
             comps = []
             for c in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    return None  # subsampled chroma out of profile
-                comps.append({"id": cid, "q": qid})
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None  # 4x factors out of profile
+                comps.append({"id": cid, "q": qid, "h": hi, "v": vi})
             if ncomp not in (1, 3) or w == 0 or h == 0:
                 return None
+            if ncomp == 1:
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -280,21 +284,67 @@ def decode_jpeg_pixels(payload: bytes) -> Optional[dict]:
     return None
 
 
+def _decode_block(reader, dc_tab, ac_tab, q, pred):
+    """Decode one entropy-coded block; returns (pixels, new_pred) or
+    None on a corrupt stream."""
+    t = dc_tab.decode(reader)
+    if t is None or t > 15:
+        return None
+    diff_bits = reader.receive(t)
+    if diff_bits is None:
+        return None
+    pred += _extend(diff_bits, t)
+    coef = [0.0] * 64
+    coef[0] = pred * q[0]
+    k = 1
+    while k < 64:
+        rs = ac_tab.decode(reader)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            return None
+        bits = reader.receive(s)
+        if bits is None:
+            return None
+        nat = ZIGZAG[k]
+        coef[nat] = _extend(bits, s) * q[nat]
+        k += 1
+    return _idct_2d(coef), pred
+
+
 def _decode_scan(payload, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
+    """General T.81 interleaved-MCU scan: each MCU carries hi*vi blocks
+    per component in raster order, so 4:4:4, 4:2:2 and 4:2:0 all fall
+    out of the same loop; subsampled chroma planes are upsampled by
+    nearest-neighbour replication at the color-convert step (decoders
+    legitimately differ here — bilinear vs nearest is a quality choice,
+    not a spec requirement; ours is pinned by the roundtrip tests)."""
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
     ncomp = len(comps)
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     reader = _BitReader(payload, start)
-    # per-component decoded planes (block-row lists)
-    planes = [
-        [[0.0] * (bw * 8) for _ in range(bh * 8)] for _ in range(ncomp)
-    ]
+    # per-component planes sized to the MCU grid at THAT component's
+    # sampling (chroma planes are smaller when subsampled)
+    planes = []
+    for c in comps:
+        pw = mcus_x * c["h"] * 8
+        ph = mcus_y * c["v"] * 8
+        planes.append([[0] * pw for _ in range(ph)])
     pred = [0] * ncomp
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if dri and mcu and mcu % dri == 0:
                 m = reader.align_to_marker()
                 if m is None or not (0xD0 <= m <= 0xD7):
@@ -309,44 +359,26 @@ def _decode_scan(payload, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
                 if dc_tab is None or ac_tab is None:
                     return None
                 q = qt[comp["q"]]
-                t = dc_tab.decode(reader)
-                if t is None or t > 15:
-                    return None
-                diff_bits = reader.receive(t)
-                if diff_bits is None:
-                    return None
-                pred[ci] += _extend(diff_bits, t)
-                coef = [0.0] * 64
-                coef[0] = pred[ci] * q[0]
-                k = 1
-                while k < 64:
-                    rs = ac_tab.decode(reader)
-                    if rs is None:
-                        return None
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        return None
-                    bits = reader.receive(s)
-                    if bits is None:
-                        return None
-                    nat = ZIGZAG[k]
-                    coef[nat] = _extend(bits, s) * q[nat]
-                    k += 1
-                px = _idct_2d(coef)
-                plane = planes[ci]
-                oy, ox = by * 8, bx * 8
-                for yy in range(8):
-                    row = plane[oy + yy]
-                    base = yy * 8
-                    for xx in range(8):
-                        v = int(round(px[base + xx])) + 128
-                        row[ox + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                for v in range(comp["v"]):
+                    for hb in range(comp["h"]):
+                        got = _decode_block(
+                            reader, dc_tab, ac_tab, q, pred[ci]
+                        )
+                        if got is None:
+                            return None
+                        px, pred[ci] = got
+                        plane = planes[ci]
+                        oy = (my * comp["v"] + v) * 8
+                        ox = (mx * comp["h"] + hb) * 8
+                        for yy in range(8):
+                            row = plane[oy + yy]
+                            base = yy * 8
+                            for xx in range(8):
+                                val = int(round(px[base + xx])) + 128
+                                row[ox + xx] = (
+                                    0 if val < 0
+                                    else (255 if val > 255 else val)
+                                )
             mcu += 1
     total = 0
     if ncomp == 1:
@@ -355,11 +387,17 @@ def _decode_scan(payload, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
             total += sum(plane[y][:w])
         denom = w * h
     else:
+        hs = [c["h"] for c in comps]
+        vs = [c["v"] for c in comps]
         py_, pcb, pcr = planes
         for y in range(h):
-            ry, rcb, rcr = py_[y], pcb[y], pcr[y]
+            ry = py_[y * vs[0] // vmax]
+            rcb = pcb[y * vs[1] // vmax]
+            rcr = pcr[y * vs[2] // vmax]
             for x in range(w):
-                Y, cb, cr = ry[x], rcb[x] - 128, rcr[x] - 128
+                Y = ry[x * hs[0] // hmax]
+                cb = rcb[x * hs[1] // hmax] - 128
+                cr = rcr[x * hs[2] // hmax] - 128
                 r = int(round(Y + 1.402 * cr))
                 g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
                 b = int(round(Y + 1.772 * cb))

@@ -172,33 +172,53 @@ def _dqt(tid, q_nat):
 
 
 def encode_jpeg(pixels, w, h, color=False, q_lum=None, q_chr=None,
-                restart=0):
-    """Minimal baseline encoder: grayscale or 4:4:4 YCbCr.  ``pixels``
-    is row-major; gray = ints, color = (r, g, b) tuples."""
+                restart=0, subsample=(1, 1)):
+    """Minimal baseline encoder: grayscale, 4:4:4, or (via
+    ``subsample=(2, 2)`` / ``(2, 1)``) 4:2:0 / 4:2:2 YCbCr with
+    box-filter chroma downsampling.  ``pixels`` is row-major; gray =
+    ints, color = (r, g, b) tuples."""
     q_lum = q_lum or [1] * 64
     q_chr = q_chr or q_lum
+    hs, vs = subsample if color else (1, 1)
     if color:
-        planes = [[], [], []]
+        full = [[], [], []]
         for px in pixels:
             r, g, b = px
             y = 0.299 * r + 0.587 * g + 0.114 * b
             cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
             cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
             for i, v in enumerate((y, cb, cr)):
-                v = int(round(v))
-                planes[i].append(max(0, min(255, v)))
+                full[i].append(max(0, min(255, int(round(v)))))
+        cw, ch = (w + hs - 1) // hs, (h + vs - 1) // vs
+        planes = [(full[0], w, h)]
+        for ci in (1, 2):
+            sub = []
+            for y in range(ch):
+                for x in range(cw):
+                    acc, cnt = 0, 0
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            sy, sx = y * vs + dy, x * hs + dx
+                            if sy < h and sx < w:
+                                acc += full[ci][sy * w + sx]
+                                cnt += 1
+                    sub.append(int(round(acc / cnt)))
+            planes.append((sub, cw, ch))
+        samps = [(hs, vs), (1, 1), (1, 1)]
     else:
-        planes = [list(pixels)]
+        planes = [(list(pixels), w, h)]
+        samps = [(1, 1)]
     ncomp = len(planes)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    mcus_x = (w + 8 * hs - 1) // (8 * hs)
+    mcus_y = (h + 8 * vs - 1) // (8 * vs)
 
-    def block_of(plane, bx, by):
+    def block_of(plane, pw, ph, bx, by):
         out = []
         for yy in range(8):
-            sy = min(by * 8 + yy, h - 1)
+            sy = min(by * 8 + yy, ph - 1)
             for xx in range(8):
-                sx = min(bx * 8 + xx, w - 1)
-                out.append(plane[sy * w + sx])
+                sx = min(bx * 8 + xx, pw - 1)
+                out.append(plane[sy * pw + sx])
         return out
 
     dc_l, ac_l = _codes(*DC_LUM), _codes(*AC_LUM)
@@ -207,8 +227,8 @@ def encode_jpeg(pixels, w, h, color=False, q_lum=None, q_chr=None,
     pred = [0] * ncomp
     mcu = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart and mcu and mcu % restart == 0:
                 writer.pad()
                 writer.out.append(0xFF)
@@ -216,12 +236,18 @@ def encode_jpeg(pixels, w, h, color=False, q_lum=None, q_chr=None,
                 rst += 1
                 pred = [0] * ncomp
             for ci in range(ncomp):
+                plane, pw, ph = planes[ci]
+                chs, cvs = samps[ci]
                 q = q_lum if ci == 0 else q_chr
                 dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                pred[ci] = _encode_block(
-                    writer, block_of(planes[ci], bx, by), q, pred[ci],
-                    dc, ac,
-                )
+                for v in range(cvs):
+                    for hb in range(chs):
+                        pred[ci] = _encode_block(
+                            writer,
+                            block_of(plane, pw, ph,
+                                     mx * chs + hb, my * cvs + v),
+                            q, pred[ci], dc, ac,
+                        )
             mcu += 1
     writer.pad()
 
@@ -231,8 +257,12 @@ def encode_jpeg(pixels, w, h, color=False, q_lum=None, q_chr=None,
     sos_comps = b""
     if ncomp == 3:
         out += _dqt(1, q_chr)
-        for cid, qid, tabs in ((1, 0, 0x00), (2, 1, 0x11), (3, 1, 0x11)):
-            sof_comps += bytes([cid, 0x11, qid])
+        for cid, qid, tabs, (sh, sv) in (
+            (1, 0, 0x00, samps[0]),
+            (2, 1, 0x11, samps[1]),
+            (3, 1, 0x11, samps[2]),
+        ):
+            sof_comps += bytes([cid, (sh << 4) | sv, qid])
             sos_comps += bytes([cid, tabs])
     else:
         sof_comps = bytes([1, 0x11, 0])
@@ -340,15 +370,59 @@ def test_restart_markers():
     assert abs(d["mean_brightness"] - ref["mean_brightness"]) < 0.5
 
 
+def test_420_flat_exact_roundtrip():
+    # flat color survives box-filter chroma downsampling losslessly, so
+    # the 4:2:0 interleave path asserts an EXACT mean (same expectation
+    # math as the 4:4:4 flat test)
+    r, g, b = 64, 192, 12
+    y = int(round(0.299 * r + 0.587 * g + 0.114 * b))
+    cb = int(round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))
+    cr = int(round(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
+    er = max(0, min(255, int(round(y + 1.402 * (cr - 128)))))
+    eg = max(0, min(255, int(round(
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))))
+    eb = max(0, min(255, int(round(y + 1.772 * (cb - 128)))))
+    # 20x12 with 2x2 sampling: 2x1 MCU grid WITH edge-partial MCUs
+    jpg = encode_jpeg([(r, g, b)] * (20 * 12), 20, 12, color=True,
+                      subsample=(2, 2))
+    d = decode_jpeg_pixels(jpg)
+    assert (d["width"], d["height"]) == (20, 12)
+    assert d["mean_brightness"] == (er + eg + eb) / 3
+
+
+def test_420_and_422_smooth_tolerance():
+    w, h = 32, 24
+    px = [((x * 6) % 256, (y * 8) % 256, ((x + y) * 4) % 256)
+          for y in range(h) for x in range(w)]
+    src_mean = sum(a + b_ + c for a, b_, c in px) / (len(px) * 3)
+    for sub in ((2, 2), (2, 1), (1, 2)):
+        jpg = encode_jpeg(px, w, h, color=True, subsample=sub,
+                          q_lum=_qtable_nat(QLUM_ZZ, 90),
+                          q_chr=_qtable_nat(QLUM_ZZ, 90))
+        d = decode_jpeg_pixels(jpg)
+        assert (d["width"], d["height"]) == (w, h), sub
+        assert abs(d["mean_brightness"] - src_mean) < 10.0, sub
+
+
+def test_420_restart_markers():
+    rng = random.Random(11)
+    w, h = 48, 16  # 3 MCUs at 2x2 sampling
+    px = [(rng.randrange(256),) * 3 for _ in range(w * h)]
+    jpg = encode_jpeg(px, w, h, color=True, subsample=(2, 2), restart=1)
+    ref = encode_jpeg(px, w, h, color=True, subsample=(2, 2), restart=0)
+    d, dref = decode_jpeg_pixels(jpg), decode_jpeg_pixels(ref)
+    assert abs(d["mean_brightness"] - dref["mean_brightness"]) < 0.5
+
+
 def test_refusals():
     jpg = encode_jpeg([5] * 64, 8, 8)
     # progressive: flip SOF0 -> SOF2
     prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg_pixels(prog) is None
-    # subsampled: patch the SOF sampling byte 0x11 -> 0x22
+    # sampling factor above 2: out of profile
     i = jpg.index(b"\xff\xc0")
     sub = bytearray(jpg)
-    sub[i + 11] = 0x22  # component 1 sampling factors
+    sub[i + 11] = 0x33  # component 1 sampling factors 3x3
     assert decode_jpeg_pixels(bytes(sub)) is None
     # truncated entropy data
     assert decode_jpeg_pixels(jpg[:-6]) is None
