@@ -441,10 +441,19 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["c_custkey", "c_name", "acctbal"],
         num_buckets=16,
     )
-    # seed the snapshot with the base table (batch -1 of the protocol:
-    # an all-insert feed), so the stream's batches merge into it
-    merge(
-        c.withColumn("op", F.lit("I")).withColumn("ver", F.lit(0)), -1
+    # seed the snapshot DIRECTLY in the sink's layout (the initial-load
+    # path: a straight partitioned write, not a MERGE of an all-insert
+    # feed — base rows have no per-key history to collapse, so paying
+    # latest_changes + anti-join over the full table buys nothing)
+    (
+        c.withColumn(
+            BUCKET_COLUMN,
+            F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(16)),
+        )
+        .repartition(16, BUCKET_COLUMN)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COLUMN)
+        .parquet(snap_path)
     )
     ckpt = tempfile.mkdtemp(prefix="entry_cdc_ckpt_")
     stream = (
