@@ -2275,6 +2275,64 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 3, scale: int = 10**12) -> str:
+    """Unrolled quantized-PageRank power iteration in portable SQL —
+    every operation an exact bigint op (DuckDB ``//`` == Spark ``div``
+    for the all-positive operands here), so the hash match is exact,
+    not float-lucky.  The graph is symmetric (both directions of every
+    part—supplier incidence), hence no dangling term."""
+    ctes = [
+        "fwd AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,"
+        " CAST(l_suppkey AS BIGINT) + 10000000 AS dst FROM lineitem)",
+        "edges AS (SELECT src, dst FROM fwd"
+        " UNION SELECT dst, src FROM fwd)",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT id, (SELECT {scale} // n FROM nn) AS r"
+        " FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS id, sum(r{k-1}.r // deg.d) AS c"
+            f" FROM edges e JOIN r{k-1} ON e.src = r{k-1}.id"
+            " JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT n.id,"
+            f" (SELECT (15 * ({scale} // nn.n)) // 100 FROM nn)"
+            f" + (85 * COALESCE(c{k}.c, 0)) // 100 AS r"
+            f" FROM nodes n LEFT JOIN c{k} ON n.id = c{k}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(r AS BIGINT) AS rank_q FROM r{iterations}"
+    )
+
+
+@_register("pagerank_part_supplier", _pagerank_oracle())
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric part—supplier incidence graph
+    (suppliers offset by 1e7 to keep the id spaces disjoint) — the
+    graph-analytics companion to connected components, run through the
+    QUANTIZED twin (:func:`pagerank_quantized`: exact bigint power
+    iteration, floor divisions) so the DuckDB oracle replays all three
+    iterations bit-exactly.  The float :func:`pagerank` sibling is
+    reference-tested in ``tests/test_components.py``; the quantized
+    ranks differ from it by < 4e-12 while being engine-portable."""
+    from bdq_spark.operators.components import pagerank_quantized
+
+    l = load_table(spark, sf_dir, "lineitem")
+    fwd = l.select(
+        F.col("l_partkey").cast("bigint").alias("src"),
+        (F.col("l_suppkey").cast("bigint") + 10000000).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_quantized(edges, iterations=3).select("id", "rank_q")
+
+
 _VIDEO_FRAMES_ORACLE = """
 WITH p AS (SELECT doc_id,
         CAST(doc_id % 6 + 1 AS BIGINT) AS nf,
@@ -5531,6 +5589,7 @@ _DRIVER_PRIORITY = [
     "events_running_zscore",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    "pagerank_part_supplier",
     # oldest driver rows (r4-only, displaced by the r5 window)
     "customer_pseudonymize",
     "doc_gopher_quality",
@@ -5539,7 +5598,6 @@ _DRIVER_PRIORITY = [
     "knn_embeddings",
     "embedding_dedup_clusters",
     "knn_lsh_embeddings",
-    "knn_multiprobe_embeddings",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

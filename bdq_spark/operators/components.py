@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "apply_dedup_clusters"]
+__all__ = ["connected_components", "apply_dedup_clusters", "pagerank", "pagerank_quantized"]
 
 
 def connected_components(
@@ -120,3 +120,163 @@ def apply_dedup_clusters(
         F.col("id").alias(id_column)
     )
     return df.join(non_keepers, id_column, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank power iteration over an edge relation —
+    the standard importance measure for entity graphs a data pipeline
+    derives (co-purchase, citation, link graphs), complementing
+    :func:`connected_components` on the graph-analytics surface.
+
+    Returns ``(id, rank)`` for every node appearing as a source or
+    destination.  Per Page et al. (1999):
+
+    ``r_{k+1}(v) = (1-d)/N + d * (sum_{u->v} r_k(u)/outdeg(u)
+    + dangling_mass_k / N)``
+
+    where dangling (out-degree-0) nodes donate their mass uniformly.
+    Fixed ``iterations`` (vs convergence-tested) keeps the result a
+    pure function of the input — required for the value-hash oracle,
+    and the standard choice for bounded-latency batch ranking.
+
+    Scale mechanics, per iteration: ONE shuffle (edges join ranks on
+    the source, partial-agg sum per destination), a broadcast of the
+    1-row dangling-mass aggregate, and a LAZY ``localCheckpoint`` to
+    keep the plan flat (same iterative-lineage cure as
+    :func:`connected_components`).  Driver state: none beyond the
+    1-row mass scalar per iteration.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            deg, ranks["id"] == deg["src"], "left"
+        ).select("id", "rank", "deg")
+        # out-degree-0 nodes donate their whole mass uniformly
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            e.join(with_deg.filter(F.col("deg").isNotNull()),
+                   e["src"] == F.col("id"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dangling / n_nodes)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Engine-portable PageRank twin: the same power iteration as
+    :func:`pagerank` carried out entirely in EXACT bigint arithmetic —
+    ranks scaled by ``scale``, every division an explicit floor — so
+    the result is bit-identical across engines and value-hash-checkable
+    (float PageRank is not: partial-agg summation order perturbs the
+    low bits, and over thousands of nodes some value always lands on a
+    rounding boundary).  Same role as the md5 twins of the xxhash64
+    MinHash/SimHash paths.
+
+    Quantization: each node's rank differs from the float iteration by
+    at most ``iterations / scale`` — at the default scale, 3e-12 —
+    so ordering is preserved for any real rank gap.  Damping is fixed
+    at the standard 85/100 (integer percent keeps the update exact).
+
+    Update rule (all integer ops)::
+
+        base  = (15 * (scale // N)) // 100
+        r'(v) = base + (85 * (sum_{u->v} r(u) // deg(u)
+                              + dangling // N)) // 100
+
+    Scale mechanics: identical to :func:`pagerank` — one shuffle per
+    iteration, broadcast 1-row dangling scalar, lazy localCheckpoint.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn(
+        "rank_q", F.lit(scale // n_nodes).cast("bigint")
+    )
+    base = (15 * (scale // n_nodes)) // 100
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            deg, ranks["id"] == deg["src"], "left"
+        ).select("id", "rank_q", "deg")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("bigint"))
+            .first()[0]
+        )
+        contrib = (
+            e.join(with_deg.filter(F.col("deg").isNotNull()),
+                   e["src"] == F.col("id"))
+            .groupBy("dst")
+            .agg(
+                # `div` is Spark's EXACT integer division — floor() of
+                # the double quotient can misround for large operands
+                F.sum(F.expr("rank_q div deg")).alias("c")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({base} + (85 * (c + {dangling // n_nodes}))"
+                    " div 100 AS BIGINT)"
+                ).alias("rank_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -108,3 +108,74 @@ def test_apply_dedup_clusters_end_to_end(spark):
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     for r in clusters.collect():
         assert (r.id in kept_ids) == r.is_keeper
+
+
+def _ref_pagerank(edges, iterations=3, d=0.85):
+    """Independent dict-based power iteration (Page et al.), dangling
+    mass redistributed uniformly."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] / out[u]
+        r = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_reference(spark):
+    from bdq_spark.operators.components import pagerank
+
+    # directed graph WITH a dangling node (4 has no out-edges) and an
+    # authority hub (everything points at 3)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, iterations=4).collect()}
+    ref = _ref_pagerank(edges, iterations=4)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12, v
+    # rank mass is conserved (teleport + dangling redistribution)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # ordering agrees with the reference (3 feeds everything to 4, so
+    # the dangling sink 4 actually tops the in-degree hub 3)
+    assert max(got, key=got.get) == max(ref, key=ref.get)
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    from bdq_spark.operators.components import pagerank
+
+    # a symmetric cycle is regular: PageRank must be exactly uniform
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    cyc += [(v, u) for u, v in cyc]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    got = [r.rank for r in pagerank(df, iterations=6).collect()]
+    assert all(abs(v - 0.2) < 1e-12 for v in got)
+
+
+def test_pagerank_quantized_tracks_float(spark):
+    from bdq_spark.operators.components import pagerank, pagerank_quantized
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (5, 1), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    S = 10**12
+    q = {r.id: r.rank_q for r in
+         pagerank_quantized(df, iterations=4, scale=S).collect()}
+    f = {r.id: r.rank for r in pagerank(df, iterations=4).collect()}
+    assert set(q) == set(f)
+    for v in f:
+        # quantization error is bounded by ~iterations+1 units of 1/S
+        assert abs(q[v] / S - f[v]) < 6 / S, v
+    # integer determinism: a second run is bit-identical
+    q2 = {r.id: r.rank_q for r in
+          pagerank_quantized(df, iterations=4, scale=S).collect()}
+    assert q == q2
