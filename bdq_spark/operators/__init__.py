@@ -21,6 +21,8 @@ from bdq_spark.operators.joins import key_skew_report, range_join, salted_join
 from bdq_spark.operators.components import (
     apply_dedup_clusters,
     connected_components,
+    pagerank,
+    pagerank_quantized,
 )
 from bdq_spark.operators.contamination import (
     contamination_check,
@@ -100,4 +102,6 @@ __all__ = [
     "contamination_spans",
     "connected_components",
     "apply_dedup_clusters",
+    "pagerank",
+    "pagerank_quantized",
 ]
