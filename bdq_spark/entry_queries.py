@@ -1367,6 +1367,44 @@ def near_dup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("near_dup_triangles")
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the near-duplicate pair graph — the
+    cluster-QUALITY signal connected components can't give: a
+    triangle-dense cluster is a true duplicate group (pairwise-similar
+    clique), while a triangle-free chain is borderline links
+    transitively glued, the classic near-dup false-merge shape.  Runs
+    the orientation-bounded :func:`triangle_counts` (Suri &
+    Vassilvitskii) over the exact Jaccard pairs; the oracle recomputes
+    the full shingle pipeline AND the triangle enumeration."""
+    from bdq_spark.operators.components import triangle_counts
+    from bdq_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+    return triangle_counts(pairs, src="id_a", dst="id_b")
+
+
+ORACLE_SQL["near_dup_triangles"] = f"""
+    WITH jpairs AS ({ORACLE_SQL["near_dup_jaccard"]}),
+    e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                 greatest(id_a, id_b) AS b
+          FROM jpairs WHERE id_a <> id_b),
+    verts AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e),
+    t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+    credit AS (SELECT v, count(*) AS n FROM (
+        SELECT x AS v FROM t
+        UNION ALL SELECT y AS v FROM t
+        UNION ALL SELECT z AS v FROM t) u GROUP BY 1)
+    SELECT verts.id, CAST(COALESCE(credit.n, 0) AS BIGINT) AS n_triangles
+    FROM verts LEFT JOIN credit ON verts.id = credit.v
+"""
+
+
 ORACLE_SQL["near_dup_edit_verified"] = f"""
     WITH jpairs AS ({ORACLE_SQL["near_dup_jaccard"]})
     SELECT j.id_a, j.id_b, j.jaccard,
@@ -5590,6 +5628,7 @@ _DRIVER_PRIORITY = [
     "multimodal_audio_decode",
     "multimodal_video_frames",
     "pagerank_part_supplier",
+    "near_dup_triangles",
     # oldest driver rows (r4-only, displaced by the r5 window)
     "customer_pseudonymize",
     "doc_gopher_quality",
@@ -5597,7 +5636,6 @@ _DRIVER_PRIORITY = [
     "simhash_md5_fingerprints",
     "knn_embeddings",
     "embedding_dedup_clusters",
-    "knn_lsh_embeddings",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -23,6 +23,7 @@ from bdq_spark.operators.components import (
     connected_components,
     pagerank,
     pagerank_quantized,
+    triangle_counts,
 )
 from bdq_spark.operators.contamination import (
     contamination_check,
@@ -104,4 +105,5 @@ __all__ = [
     "apply_dedup_clusters",
     "pagerank",
     "pagerank_quantized",
+    "triangle_counts",
 ]

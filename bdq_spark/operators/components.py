@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "apply_dedup_clusters", "pagerank", "pagerank_quantized"]
+__all__ = ["connected_components", "apply_dedup_clusters", "pagerank", "pagerank_quantized", "triangle_counts"]
 
 
 def connected_components(
@@ -280,3 +280,85 @@ def pagerank_quantized(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge relation — the
+    clustering-structure primitive (community cores, spam/link-farm
+    signals) next to :func:`connected_components` and :func:`pagerank`.
+
+    Algorithm: degree-based edge ORIENTATION (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11) —
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one, which makes the graph acyclic and bounds every
+    out-degree by O(sqrt(m)); then one self-join of the oriented edges
+    on the source enumerates wedges, and one join back against the
+    oriented edge set closes them.  Each triangle is found exactly
+    once, so the per-node counts (each triangle credits its three
+    vertices) are exact and orientation-independent.
+
+    Scale shape: two shuffles (wedge join + closing join) after the
+    degree aggregation; the orientation is precisely what prevents the
+    one-hot-vertex wedge explosion a naive join pays on skewed degree
+    distributions.  Output: ``(id, n_triangles)`` for EVERY vertex in
+    the edge set (zeros included — a deterministic relation).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = und.select(F.col("a").alias("id")).union(
+        und.select(F.col("b").alias("id"))
+    )
+    deg = verts.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    # total order: (degree, id) packed into one sortable key
+    keyed = (
+        und.join(deg.withColumnRenamed("id", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("id", "b").withColumnRenamed(
+                "deg", "deg_b"
+            ),
+            "b",
+        )
+    )
+    ka = F.col("deg_a") * F.lit(1 << 32) + F.col("a")
+    kb = F.col("deg_b") * F.lit(1 << 32) + F.col("b")
+    oriented = keyed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    wedges = e1.join(e2, "u").filter(F.col("w1") < F.col("w2"))
+    # close the wedge: the (w1, w2) oriented edge may run either way
+    closer = oriented.select(
+        F.least("u", "v").alias("w1"), F.greatest("u", "v").alias("w2")
+    )
+    tris = wedges.join(closer, ["w1", "w2"])
+    credit = (
+        tris.select(F.col("u").alias("id"))
+        .union(tris.select(F.col("w1").alias("id")))
+        .union(tris.select(F.col("w2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select("id")
+        .join(credit, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+    )

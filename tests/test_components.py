@@ -179,3 +179,64 @@ def test_pagerank_quantized_tracks_float(spark):
     q2 = {r.id: r.rank_q for r in
           pagerank_quantized(df, iterations=4, scale=S).collect()}
     assert q == q2
+
+
+def _ref_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    count = {v: 0 for v in nodes}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b not in adj[a]:
+                continue
+            for c in nodes:
+                if c > b and c in adj[a] and c in adj[b]:
+                    count[a] += 1
+                    count[b] += 1
+                    count[c] += 1
+    return count
+
+
+def test_triangle_counts_goldens(spark):
+    from bdq_spark.operators.components import triangle_counts
+
+    # K4: 4 triangles, every vertex in 3; plus a dangling chain (0)
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+          (4, 5), (5, 6)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+    # duplicate + reversed + self-loop edges are normalized away
+    noisy = k4 + [(2, 1), (1, 1), (3, 2)]
+    got2 = {r.id: r.n_triangles
+            for r in triangle_counts(
+                spark.createDataFrame(noisy, "src long, dst long")
+            ).collect()}
+    assert got2 == got
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from bdq_spark.operators.components import triangle_counts
+
+    und = [e for e in edges if e[0] != e[1]]
+    if not und:
+        return
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _ref_triangles(und)
