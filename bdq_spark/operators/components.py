@@ -145,12 +145,14 @@ def pagerank(
     pure function of the input — required for the value-hash oracle,
     and the standard choice for bounded-latency batch ranking.
 
-    Scale mechanics, per iteration: ONE shuffle (edges join ranks on
-    the source, partial-agg sum per destination), a broadcast of the
-    1-row dangling-mass aggregate, and a LAZY ``localCheckpoint`` to
-    keep the plan flat (same iterative-lineage cure as
-    :func:`connected_components`).  Driver state: none beyond the
-    1-row mass scalar per iteration.
+    Scale mechanics: the edge⋈degree relation and the DANGLING NODE SET
+    are both static across iterations, so they are computed and
+    checkpointed ONCE; per iteration the only work is one shuffle
+    (pre-degreed edges join ranks on the source, partial-agg sum per
+    destination) plus — only when dangling nodes exist at all — a 1-row
+    mass aggregate.  A LAZY ``localCheckpoint`` per iteration keeps the
+    plan flat (same iterative-lineage cure as
+    :func:`connected_components`).
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -165,21 +167,24 @@ def pagerank(
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # static across iterations: each edge with its source's out-degree
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    dangling_nodes = nodes.join(
+        deg.select(F.col("src").alias("id")), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = dangling_nodes.count() > 0
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
-        with_deg = ranks.join(
-            deg, ranks["id"] == deg["src"], "left"
-        ).select("id", "rank", "deg")
-        # out-degree-0 nodes donate their whole mass uniformly
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
+            dangling_nodes.join(ranks, "id")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
+            if has_dangling
+            else 0.0
         )
         contrib = (
-            e.join(with_deg.filter(F.col("deg").isNotNull()),
-                   e["src"] == F.col("id"))
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
@@ -244,22 +249,26 @@ def pagerank_quantized(
     if n_nodes == 0:
         return nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # static across iterations — same precomputation as :func:`pagerank`
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    dangling_nodes = nodes.join(
+        deg.select(F.col("src").alias("id")), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = dangling_nodes.count() > 0
     ranks = nodes.withColumn(
         "rank_q", F.lit(scale // n_nodes).cast("bigint")
     )
     base = (15 * (scale // n_nodes)) // 100
     for _ in range(iterations):
-        with_deg = ranks.join(
-            deg, ranks["id"] == deg["src"], "left"
-        ).select("id", "rank_q", "deg")
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
+            dangling_nodes.join(ranks, "id")
             .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("bigint"))
             .first()[0]
+            if has_dangling
+            else 0
         )
         contrib = (
-            e.join(with_deg.filter(F.col("deg").isNotNull()),
-                   e["src"] == F.col("id"))
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
             .groupBy("dst")
             .agg(
                 # `div` is Spark's EXACT integer division — floor() of
