@@ -340,8 +340,12 @@ def triangle_counts(
             "b",
         )
     )
-    ka = F.col("deg_a") * F.lit(1 << 32) + F.col("a")
-    kb = F.col("deg_b") * F.lit(1 << 32) + F.col("b")
+    # lexicographic STRUCT comparison, not a packed integer key: packing
+    # deg * 2^32 + id silently stops being a total order once ids reach
+    # 2^32 (realistic at fleet scale), and a non-total orientation can
+    # create cycles that double-count or miss triangles
+    ka = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("i"))
     oriented = keyed.select(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),

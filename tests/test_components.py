@@ -240,3 +240,16 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     df = spark.createDataFrame(und, "src long, dst long")
     got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == _ref_triangles(und)
+
+
+def test_triangle_counts_huge_ids(spark):
+    """Orientation must stay a total order for ids beyond 2^32 — a
+    packed deg*2^32+id key silently breaks there."""
+    from bdq_spark.operators.components import triangle_counts
+
+    big = 1 << 40
+    k4 = [(big + 1, big + 2), (big + 1, 3), (big + 1, big + 4),
+          (big + 2, 3), (big + 2, big + 4), (3, big + 4)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {big + 1: 3, big + 2: 3, 3: 3, big + 4: 3}
