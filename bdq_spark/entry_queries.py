@@ -3414,6 +3414,8 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def feb_in(step):
         return spark.readStream.schema(region.schema).parquet(src)
 
+    seen_batches = set()
+
     @ppn.step_spark_for_each_batch(
         input_table="feb_in",
         depends_on=[feb_in],
@@ -3425,7 +3427,11 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigger_availableNow=True,
     )
     def feb_out(df, batch_id, relative_batch_id, step):
-        n_batches[0] += 1
+        # a replayed/retried micro-batch must not double-count: the
+        # accumulator keys on batch_id, the same idempotence a real
+        # sink gets from transactional writes
+        if batch_id in seen_batches:
+            return
         partial = (
             df.groupBy("r_regionkey")
             .agg(
@@ -3434,6 +3440,8 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # bounded: ≤ |region keys| rows per batch
         )
+        seen_batches.add(batch_id)
+        n_batches[0] += 1
         for r in partial:
             acc[r.r_regionkey][0] += r.n
             acc[r.r_regionkey][1] += r.chars
