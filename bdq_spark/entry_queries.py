@@ -2313,6 +2313,80 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pruned_scan_orders",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    GROUP BY 1
+    """,
+)
+def pruned_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-ENFORCING scan-pruning proof — the pushdown sibling of the
+    zero-exchange bucketed-join entry: orders staged once as a
+    directory-partitioned table on ``o_orderstatus``, then filtered and
+    aggregated.  The entry RAISES unless the physical plan shows BOTH
+    prunings actually reaching the scan: a ``PartitionFilters`` entry
+    on the partition column (whole directories skipped at planning —
+    at 100 TB the difference between scanning one status and scanning
+    everything) and a ``PushedFilters`` entry on ``o_totalprice``
+    (row-group statistics skipping inside the files).  A regression
+    that silently re-reads everything would still return correct rows
+    — only the plan assertion catches it.  Values hash against
+    DuckDB's filter over the unpartitioned source, proving the layout
+    is content-preserving."""
+    import hashlib
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    key = hashlib.md5(f"{sf_dir}:ppart_orders".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_ppart_orders_{key}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        from bdq_spark.sources.sinks import write_partitioned
+
+        write_partitioned(
+            load_table(spark, sf_dir, "orders"),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    out = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice", 14))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    part = re.search(r"PartitionFilters: \[[^\]]*o_orderstatus[^\]]*\]", plan)
+    pushed = re.search(r"PushedFilters: \[[^\]]*o_totalprice[^\]]*\]", plan)
+    if not part or not pushed:
+        raise RuntimeError(
+            "scan pruning regressed — PartitionFilters/PushedFilters "
+            "missing from the scan:\n" + plan[:2000]
+        )
+    return out
+
+
 def _pagerank_oracle(iterations: int = 3, scale: int = 10**12) -> str:
     """Unrolled quantized-PageRank power iteration in portable SQL —
     every operation an exact bigint op (DuckDB ``//`` == Spark ``div``
@@ -5637,13 +5711,13 @@ _DRIVER_PRIORITY = [
     "multimodal_video_frames",
     "pagerank_part_supplier",
     "near_dup_triangles",
+    "pruned_scan_orders",
     # oldest driver rows (r4-only, displaced by the r5 window)
     "customer_pseudonymize",
     "doc_gopher_quality",
     "paragraph_dedup_documents",
     "simhash_md5_fingerprints",
     "knn_embeddings",
-    "embedding_dedup_clusters",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
