@@ -10,6 +10,7 @@ from bdq_spark.streaming.cdc_sink import (
     BUCKET_COLUMN,
     cdc_merge_sink,
     cdc_merge_sink_partitioned,
+    recover_snapshot,
 )
 from bdq_spark.streaming.stateful import (
     running_counter,
@@ -37,5 +38,6 @@ __all__ = [
     "sessionize",
     "cdc_merge_sink",
     "cdc_merge_sink_partitioned",
+    "recover_snapshot",
     "BUCKET_COLUMN",
 ]

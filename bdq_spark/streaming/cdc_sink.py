@@ -59,7 +59,12 @@ from pyspark.sql import functions as F
 
 from bdq_spark.operators.cdc import apply_cdc
 
-__all__ = ["cdc_merge_sink", "cdc_merge_sink_partitioned", "BUCKET_COLUMN"]
+__all__ = [
+    "cdc_merge_sink",
+    "cdc_merge_sink_partitioned",
+    "recover_snapshot",
+    "BUCKET_COLUMN",
+]
 
 
 def cdc_merge_sink(
@@ -193,6 +198,23 @@ def _promote_staging(spark: SparkSession, path: str, staging: str) -> None:
         if not fs.rename(src, dst):
             raise IOError(f"cdc promote: rename {src} -> {dst} failed")
     fs.delete(Path(staging), True)
+
+
+def recover_snapshot(spark: SparkSession, path: str) -> bool:
+    """Maintenance entry point: heal a partitioned CDC snapshot whose
+    writer crashed, WITHOUT constructing the merge closure — finish a
+    complete-but-unpromoted staging dir (its ``_TOUCHED`` marker
+    present) or discard a torn one.  The merge function performs the
+    same recovery on its next batch; this exposes it for operational
+    use (cron vacuum, pre-read validation).  Returns True if a staging
+    dir was found and resolved, False if there was nothing to do.
+    Idempotent and safe to run while no writer is active."""
+    staging = path.rstrip("/") + "__staging"
+    fs, Path = _hadoop_fs(spark, path)
+    if not fs.exists(Path(staging)):
+        return False
+    _promote_staging(spark, path, staging)
+    return True
 
 
 def cdc_merge_sink_partitioned(

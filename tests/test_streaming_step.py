@@ -537,3 +537,37 @@ def test_cdc_merge_sink_partitioned_key_type_widening(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     )
     assert got == [(i, f"u{i}", float(100 + i)) for i in range(16)]
+
+
+def test_recover_snapshot_maintenance_api(spark, tmp_path, monkeypatch):
+    """The public recovery entry point resolves a crashed sink exactly
+    like the next merge would: promotes a complete staging dir,
+    discards a torn one, no-ops on a healthy snapshot."""
+    import os
+
+    import bdq_spark.streaming.cdc_sink as sink_mod
+    from bdq_spark.streaming import (
+        cdc_merge_sink_partitioned,
+        recover_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    staging = path + "__staging"
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=4
+    )
+    merge(_cdc_rows(spark, [(1, "a", 1.0, "I", 1), (2, "b", 2.0, "I", 1)]), 0)
+    assert recover_snapshot(spark, path) is False  # healthy: nothing to do
+
+    real = sink_mod._promote_staging
+    monkeypatch.setattr(
+        sink_mod, "_promote_staging",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError):
+        merge(_cdc_rows(spark, [(1, "a2", 11.0, "U", 2)]), 1)
+    monkeypatch.setattr(sink_mod, "_promote_staging", real)
+    assert os.path.exists(staging)
+    assert recover_snapshot(spark, path) is True
+    assert not os.path.exists(staging)
+    assert _snap(spark, path) == [(1, "a2", 11.0), (2, "b", 2.0)]
