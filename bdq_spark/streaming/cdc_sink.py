@@ -226,10 +226,20 @@ def cdc_merge_sink_partitioned(
     columns: Optional[List[str]] = None,
     strict: bool = False,
     num_buckets: int = 64,
+    evolve_schema: bool = False,
 ) -> Callable:
     """Build a ``foreachBatch`` function that merges each micro-batch of
     CDC changes into the path-based parquet snapshot at ``path``,
     rewriting ONLY the key-hash partitions the batch touches.
+
+    Schema drift (only when ``columns`` is not fixed by the caller): by
+    default a feed whose column set diverges from the snapshot's FAILS
+    with a clear error — silent narrowing would strip a column from
+    rewritten buckets while untouched buckets keep it, a torn schema.
+    With ``evolve_schema=True`` the output column set becomes snapshot
+    ∪ batch (snapshot order first): a NEW feed column backfills as NULL
+    on existing rows, and a feed MISSING a snapshot column upserts NULL
+    there — full-row replace semantics, stated rather than implied.
 
     The snapshot is partitioned by ``BUCKET_COLUMN =
     pmod(xxhash64(*keys), num_buckets)``.  Per batch: the touched
@@ -262,16 +272,19 @@ def cdc_merge_sink_partitioned(
         if batch_df.isEmpty():
             return
 
-        cols = out_cols or [
+        batch_cols = [
             c
             for c in batch_df.columns
             if c != op_column and c not in order_by
         ]
+        cols = out_cols or batch_cols
         # glob for actual data files: an all-deleted table leaves only
         # EMPTY bucket dirs, which parquet schema inference rejects
         has_data = fs.exists(Path(path)) and fs.globStatus(
             Path(posixpath.join(path, f"{BUCKET_COLUMN}=*", "*.parquet"))
         )
+        base_pad: dict = {}
+        evolve_all = False
         if has_data:
             # bucket placement hashes the key BYTES, so the key TYPES
             # must stay exactly as the first batch fixed them: a feed
@@ -287,18 +300,70 @@ def cdc_merge_sink_partitioned(
             batch_df = batch_df.withColumns(
                 {k: F.col(k).cast(t) for k, t in snap_types.items()}
             )
+            if out_cols is None:
+                snap_fields = {
+                    f.name: f.dataType
+                    for f in spark.read.parquet(path).schema.fields
+                    if f.name != BUCKET_COLUMN
+                }
+                batch_types = dict(
+                    (f.name, f.dataType) for f in batch_df.schema.fields
+                )
+                new_cols = [c for c in batch_cols if c not in snap_fields]
+                missing = [c for c in snap_fields if c not in batch_cols]
+                if (new_cols or missing) and not evolve_schema:
+                    raise ValueError(
+                        "cdc_merge_sink_partitioned: feed columns "
+                        f"diverge from the snapshot (new: {new_cols}, "
+                        f"missing: {missing}); pass columns= to fix the "
+                        "set or evolve_schema=True to union them"
+                    )
+                if new_cols or missing:
+                    cols = list(snap_fields) + new_cols
+                    # NULL-pad both sides: the base lacks the new feed
+                    # columns, the feed lacks dropped/late columns
+                    base_pad = {
+                        c: F.lit(None).cast(batch_types[c])
+                        for c in new_cols
+                    }
+                    batch_df = batch_df.withColumns(
+                        {
+                            c: F.lit(None).cast(snap_fields[c])
+                            for c in missing
+                        }
+                    )
+                    # an evolving batch rewrites EVERY bucket: leaving
+                    # old-schema files in untouched partitions makes
+                    # later default reads nondeterministic (parquet
+                    # schema inference samples one file unless
+                    # mergeSchema is set) — pay one full rewrite per
+                    # schema change and stay homogeneous
+                    evolve_all = True
         touched = sorted(
             r[0]
             for r in batch_df.select(
                 bucket_of(batch_df).alias("b")
             ).distinct().collect()  # bounded: ≤ num_buckets rows
         )
+        if evolve_all:
+            on_disk = [
+                int(st.getPath().getName().split("=", 1)[1])
+                for st in fs.globStatus(
+                    Path(posixpath.join(path, f"{BUCKET_COLUMN}=*"))
+                )
+            ]
+            touched = sorted(set(touched) | set(on_disk))
         if has_data:
+            # mergeSchema: the one batch that EVOLVES the schema reads
+            # a snapshot whose files do not all agree yet
             base = (
-                spark.read.parquet(path)
+                spark.read.option("mergeSchema", "true")
+                .parquet(path)
                 .filter(F.col(BUCKET_COLUMN).isin(touched))
-                .select(*cols)
             )
+            if base_pad:
+                base = base.withColumns(base_pad)
+            base = base.select(*cols)
         else:
             base = batch_df.select(*cols).limit(0)
         snap = apply_cdc(

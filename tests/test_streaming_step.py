@@ -571,3 +571,48 @@ def test_recover_snapshot_maintenance_api(spark, tmp_path, monkeypatch):
     assert recover_snapshot(spark, path) is True
     assert not os.path.exists(staging)
     assert _snap(spark, path) == [(1, "a2", 11.0), (2, "b", 2.0)]
+
+
+def test_cdc_merge_sink_partitioned_schema_evolution(spark, tmp_path):
+    """Default: a diverging feed fails loudly (silent narrowing would
+    tear the snapshot schema across buckets).  evolve_schema=True:
+    snapshot ∪ batch columns, NULL-padded both ways."""
+    from bdq_spark.streaming import cdc_merge_sink_partitioned
+
+    path = str(tmp_path / "snap")
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=4
+    )
+    merge(_cdc_rows(spark, [(1, "a", 1.0, "I", 1), (2, "b", 2.0, "I", 1)]), 0)
+
+    # feed adds `tier` and drops `bal`
+    evolved = spark.createDataFrame(
+        [(2, "b2", "gold", "U", 2), (3, "c", "silver", "I", 2)],
+        "id long, name string, tier string, op string, ver long",
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge(evolved, 1)
+
+    merge_ev = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=4, evolve_schema=True
+    )
+    merge_ev(evolved, 1)
+    got = {
+        r.id: (r.name, r.bal, r.tier)
+        for r in spark.read.parquet(path).collect()
+    }
+    # the evolving batch rewrites EVERY bucket (heterogeneous-schema
+    # partitions would make later default reads nondeterministic), so
+    # the untouched row deterministically keeps bal and gains NULL tier
+    assert got[1] == ("a", 1.0, None)
+    assert got[2] == ("b2", None, "gold")   # full-row replace: bal -> NULL
+    assert got[3] == ("c", None, "silver")
+    # a second evolved batch merges cleanly against the widened snapshot
+    merge_ev(spark.createDataFrame(
+        [(1, "a3", "bronze", "U", 3)],
+        "id long, name string, tier string, op string, ver long",
+    ), 2)
+    got2 = {r.id: (r.name, r.tier)
+            for r in spark.read.parquet(path).collect()}
+    assert got2[1] == ("a3", "bronze")
+    assert len(got2) == 3
