@@ -392,8 +392,12 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
     sample BYTE (all channels, same contract as
     :func:`decode_bmp_pixels`).
 
+    Palette images (color type 3, 8-bit indices) decode through the
+    PLTE table: each index maps to its RGB triple and the mean is over
+    those mapped bytes — the same contract as GIF's color-table path.
+
     Honest refusals (``None``): interlaced (Adam7), 16-bit depth,
-    sub-byte depths, palette color (needs PLTE indirection), truncated
+    sub-byte depths, missing/short PLTE for palette images, truncated
     chunks, and corrupt DEFLATE streams — the decoder only claims what
     it fully decodes.
     """
@@ -403,6 +407,7 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
     i = 8
     ihdr = None
     idat = []
+    plte = None
     while i + 8 <= n:
         ln = int.from_bytes(payload[i : i + 4], "big")
         typ = payload[i + 8 - 4 : i + 8]
@@ -413,6 +418,8 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
             ihdr = data
         elif typ == b"IDAT":
             idat.append(data)
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IEND":
             break
         i += 12 + ln  # length + type + data + CRC
@@ -420,9 +427,8 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
         return None
     w, h = struct.unpack(">II", ihdr[:8])
     bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
-    # color types without palette indirection: 0 gray, 2 RGB,
-    # 4 gray+alpha, 6 RGBA
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    # 0 gray, 2 RGB, 3 palette (1 index byte), 4 gray+alpha, 6 RGBA
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if (
         bit_depth != 8
         or comp != 0
@@ -433,6 +439,8 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
         or h == 0
     ):
         return None
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        return None  # palette image without a usable PLTE
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
@@ -470,14 +478,24 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
                 line[x] = (line[x] + pred) & 0xFF
         else:
             return None  # invalid filter byte — corrupt stream
-        total += sum(line)
+        if color_type == 3:
+            ncolors = len(plte) // 3
+            if any(v >= ncolors for v in line):
+                return None  # index past the palette — corrupt
+            total += sum(
+                plte[3 * v] + plte[3 * v + 1] + plte[3 * v + 2]
+                for v in line
+            )
+        else:
+            total += sum(line)
         prev = line
+    denom = (w * 3 * h) if color_type == 3 else (stride * h)
     return {
         "width": w,
         "height": h,
         # exact integer sum / exact integer count — any engine
         # reproduces the identical double
-        "mean_brightness": total / (stride * h),
+        "mean_brightness": total / denom,
     }
 
 
@@ -640,10 +658,12 @@ def decode_gif_pixels(payload: bytes) -> Optional[dict]:
 
 
 def decode_wav_samples(payload: bytes) -> Optional[dict]:
-    """REAL sample decode for 16-bit PCM WAV — pure Python: little-endian
-    signed samples from the ``data`` chunk.  Returns ``(n_samples,
+    """REAL sample decode for integer-PCM WAV at 8, 16 or 24 bits —
+    pure Python from the ``data`` chunk.  Returns ``(n_samples,
     mean_amplitude, rms_amplitude)`` computed over every sample (all
-    channels interleaved).  Non-PCM / non-16-bit payloads return
+    channels interleaved); 16/24-bit samples are little-endian signed,
+    8-bit PCM is unsigned with a 128 bias (per the WAV spec) and is
+    centered to signed amplitudes here.  Non-PCM / other depths return
     ``None`` — same honest-boundary contract as
     :func:`decode_bmp_pixels`.
     """
@@ -652,9 +672,10 @@ def decode_wav_samples(payload: bytes) -> Optional[dict]:
         hdr is None
         or hdr["format"] != "wav"
         or hdr.get("audio_format") != 1  # fmt tag 1 = integer PCM only
-        or hdr["bits_per_sample"] != 16
+        or hdr["bits_per_sample"] not in (8, 16, 24)
     ):
         return None
+    width = hdr["bits_per_sample"] // 8
     n = len(payload)
     i = 12
     while i + 8 <= n:
@@ -662,12 +683,22 @@ def decode_wav_samples(payload: bytes) -> Optional[dict]:
         size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
         if cid == b"data":
             raw = payload[i + 8 : i + 8 + size]
-            if len(raw) < size or size % 2:
-                return None  # truncated / odd-byte data — no guesses
-            count = size // 2
+            if len(raw) < size or size % width:
+                return None  # truncated / ragged data — no guesses
+            count = size // width
             if count == 0:
                 return None
-            samples = struct.unpack(f"<{count}h", raw)
+            if width == 1:
+                samples = [b - 128 for b in raw]
+            elif width == 2:
+                samples = struct.unpack(f"<{count}h", raw)
+            else:  # 24-bit: 3-byte little-endian two's complement
+                samples = [
+                    int.from_bytes(
+                        raw[3 * k : 3 * k + 3], "little", signed=True
+                    )
+                    for k in range(count)
+                ]
             total = sum(samples)
             sumsq = sum(s * s for s in samples)
             # integer sums are exact; the divisions and sqrt are then

@@ -914,3 +914,67 @@ def test_image_pixel_stats_decodes_jpeg(spark):
     assert got[0].decode_ok and got[0].mean_brightness == 33.0
     assert got[1].decode_ok and got[1].width == 8
     assert not got[2].decode_ok
+
+
+def test_decode_png_palette():
+    """Palette (color type 3) PNGs decode through PLTE — index bytes
+    unfilter like any other, then map to RGB triples."""
+    import zlib as _zlib
+
+    from bdq_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _zlib.crc32(typ + data)))
+
+    palette = bytes([10, 20, 30, 200, 100, 0, 5, 5, 5])
+    idx_rows = [[0, 1, 2, 1], [2, 2, 0, 0]]
+    raw = b"".join(bytes([1]) + bytes(
+        [(v - (row[i - 1] if i else 0)) & 0xFF for i, v in enumerate(row)]
+    ) for row in idx_rows)  # filter 1 (Sub) on index bytes
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", palette)
+           + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png_pixels(png)
+    expect = sum(palette[3 * v] + palette[3 * v + 1] + palette[3 * v + 2]
+                 for row in idx_rows for v in row) / (8 * 3)
+    assert got == {"width": 4, "height": 2, "mean_brightness": expect}
+    # palette image without PLTE refuses; out-of-range index refuses
+    no_plte = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert decode_png_pixels(no_plte) is None
+    bad_idx = [[7, 0, 0, 0], [0, 0, 0, 0]]
+    raw2 = b"".join(bytes([0]) + bytes(row) for row in bad_idx)
+    png2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", _zlib.compress(raw2)) + chunk(b"IEND", b""))
+    assert decode_png_pixels(png2) is None
+
+
+def test_decode_wav_8_and_24_bit():
+    from bdq_spark.operators.multimodal import decode_wav_samples
+
+    # 8-bit PCM: unsigned bytes, 128-biased
+    vals8 = [0, 128, 255, 200]
+    w8 = _wav_bytes(8000, 1, 4, bits=8, data_bytes=bytes(vals8))
+    d = decode_wav_samples(w8)
+    centered = [v - 128 for v in vals8]
+    assert d["n_samples"] == 4
+    assert d["mean_amplitude"] == sum(centered) / 4
+    # 24-bit PCM: signed 3-byte LE
+    vals24 = [0, 1, -1, 8388607, -8388608]
+    raw24 = b"".join(v.to_bytes(3, "little", signed=True) for v in vals24)
+    w24 = _wav_bytes(8000, 1, len(raw24), bits=24, data_bytes=raw24)
+    d = decode_wav_samples(w24)
+    assert d["n_samples"] == 5
+    assert d["mean_amplitude"] == sum(vals24) / 5
+    assert d["rms_amplitude"] == (sum(v * v for v in vals24) / 5) ** 0.5
+    # ragged 24-bit data refuses
+    assert decode_wav_samples(
+        _wav_bytes(8000, 1, 4, bits=24, data_bytes=b"\x00" * 4)
+    ) is None
+    # 32-bit depth stays out of profile
+    assert decode_wav_samples(
+        _wav_bytes(8000, 1, 8, bits=32, data_bytes=b"\x00" * 8)
+    ) is None
