@@ -1162,7 +1162,10 @@ def sample_container_frames(
 def sample_video_frames(
     df: DataFrame, content_column: str = "content", every_n_bytes: int = 1024
 ) -> DataFrame:
-    """STUB frame sampler (real impl: ffmpeg/pyav keyframe extraction).
+    """STUB frame sampler (real impl: ffmpeg/pyav keyframe extraction) —
+    for CONTAINERS this library can walk, use the REAL
+    :func:`sample_container_frames` instead (AVI movi chunks are actual
+    codec frames; only non-walkable formats need this fake).
 
     The fake emits one "frame" (a byte slice) per ``every_n_bytes`` of
     payload — exercising the one-row-to-many-rows fan-out shape that real
