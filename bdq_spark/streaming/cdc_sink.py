@@ -258,6 +258,14 @@ def cdc_merge_sink_partitioned(
     size).  Read the snapshot back with
     ``spark.read.parquet(path).drop(BUCKET_COLUMN)``.
     """
+    if columns is not None:
+        missing_keys = [k for k in keys if k not in columns]
+        if missing_keys:
+            raise ValueError(
+                "cdc_merge_sink_partitioned: columns= must include the "
+                f"key columns (missing {missing_keys}) — the snapshot "
+                "cannot be bucketed without them"
+            )
     out_cols = columns
     staging = path.rstrip("/") + "__staging"
 
