@@ -3666,6 +3666,98 @@ def orders_rollup_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general multi-grouping Catalyst
+    Expand primitive CUBE/ROLLUP desugar into) — three grouping layouts
+    in ONE pass over the scan, vs three separate aggregations: the
+    multi-report shape every nightly summary job has."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    out = spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS revenue
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+    return out
+
+
+@_register(
+    "window_suite_orders",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+             row_number() OVER pw AS rn,
+             lag(o_orderkey) OVER pw AS prev_order,
+             lead(o_orderkey) OVER pw AS next_order,
+             ntile(4) OVER pw AS quartile,
+             round(percent_rank() OVER pw, 6) AS pct_rank,
+             round(cume_dist() OVER pw, 6) AS cume,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                        o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE) AS running_spend
+      FROM orders
+      WINDOW pw AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey))
+    SELECT o_custkey, o_orderkey, prev_order, next_order, quartile,
+           pct_rank, cume, running_spend
+    FROM w WHERE rn <= 5
+    """,
+)
+def window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic window-function suite over per-customer order
+    history — lag/lead (neighbor navigation), ntile (quartiles),
+    percent_rank/cume_dist (distribution position), and a running-sum
+    frame — all sharing ONE window partitioning, so Catalyst plans a
+    single sort+window over one shuffle.  Deterministic ordering via
+    the (o_orderdate, o_orderkey) tie-break; decimal-exact running
+    sums."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    pw = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = pw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(pw).alias("rn"),
+            F.lag("o_orderkey").over(pw).alias("prev_order"),
+            F.lead("o_orderkey").over(pw).alias("next_order"),
+            F.ntile(4).over(pw).alias("quartile"),
+            F.round(F.percent_rank().over(pw), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(pw), 6).alias("cume"),
+            F.sum(_dec("o_totalprice", 14))
+            .over(run)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@_register(
     "orders_pivot_priority_status",
     """
     SELECT o_orderpriority,
@@ -5712,12 +5804,12 @@ _DRIVER_PRIORITY = [
     "pagerank_part_supplier",
     "near_dup_triangles",
     "pruned_scan_orders",
+    "orders_grouping_sets",
+    "window_suite_orders",
     # oldest driver rows (r4-only, displaced by the r5 window)
     "customer_pseudonymize",
     "doc_gopher_quality",
     "paragraph_dedup_documents",
-    "simhash_md5_fingerprints",
-    "knn_embeddings",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
