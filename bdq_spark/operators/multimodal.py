@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bdq_spark.operators.flac import decode_flac_samples
 from bdq_spark.operators.jpeg import decode_jpeg_pixels
 
 __all__ = [
@@ -50,6 +51,7 @@ __all__ = [
     "audio_pcm_stats",
     "decode_audio",
     "decode_bmp_pixels",
+    "decode_flac_samples",
     "decode_gif_pixels",
     "decode_png_pixels",
     "decode_images",
@@ -773,17 +775,22 @@ _PCM_SCHEMA = (
 def audio_pcm_stats(df: DataFrame, content_column: str = "content") -> DataFrame:
     """Sample-level audio statistics via Arrow-batched ``mapInPandas``.
 
-    REAL decode for 16-bit PCM WAV (:func:`decode_wav_samples`);
-    compressed formats (FLAC/MP3) report ``decode_ok=false`` with zeroed
-    stats.  Same contract as :func:`decode_audio`.
+    REAL decode for 8/16/24-bit integer-PCM WAV
+    (:func:`decode_wav_samples`) AND in-profile FLAC
+    (:func:`bdq_spark.operators.flac.decode_flac_samples` — FLAC is
+    lossless integer coding, so rice residuals + predictors decode in
+    pure Python, no codec library); MP3 and out-of-profile streams
+    report ``decode_ok=false`` with zeroed stats.  Same contract as
+    :func:`decode_audio`.
     """
+
+    def decode_any(b) -> Optional[dict]:
+        payload = bytes(b) if b is not None else b""
+        return decode_wav_samples(payload) or decode_flac_samples(payload)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [
-                decode_wav_samples(bytes(b) if b is not None else b"")
-                for b in pdf[content_column]
-            ]
+            out = [decode_any(b) for b in pdf[content_column]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

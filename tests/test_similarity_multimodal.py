@@ -978,3 +978,30 @@ def test_decode_wav_8_and_24_bit():
     assert decode_wav_samples(
         _wav_bytes(8000, 1, 8, bits=32, data_bytes=b"\x00" * 8)
     ) is None
+
+
+def test_audio_pcm_stats_decodes_flac(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_flac import encode_flac
+
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        audio_pcm_stats,
+    )
+
+    sig = [100, -50, 25, 0, 75, -100]
+    rows = [
+        (0, encode_flac([sig], modes=[("fixed", 2)])),
+        (1, _wav_bytes(8000, 1, 12,
+                       data_bytes=struct.pack("<6h", *sig))),
+        (2, b"\xff\xfb" + b"\x00" * 100),   # MP3: still refused
+    ]
+    df = spark.createDataFrame(rows, "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="audio", id_column="media_id")
+    got = {r.media_id: r for r in audio_pcm_stats(media).collect()}
+    mean = sum(sig) / len(sig)
+    assert got[0].decode_ok and got[0].mean_amplitude == mean
+    assert got[1].decode_ok and got[1].mean_amplitude == mean
+    assert got[0].rms_amplitude == got[1].rms_amplitude
+    assert not got[2].decode_ok
