@@ -5,18 +5,27 @@ Extension mandate (BASELINE.json north_star): treat media as opaque
 resize / frame-sample run as Arrow-batched Pandas functions over
 ``mapInPandas``.
 
-The Spark-side plumbing here is real and tested: schemas, partitioning,
-UDF signatures, and batch shapes all work at scale.  Image DIMENSION
-decode is also real: :func:`parse_image_header` reads PNG/JPEG/GIF/BMP/
-WebP headers in pure Python (PIL, when installed, takes precedence for
-full-decode fidelity).  Audio STREAM-PARAMETER decode is real too:
-:func:`parse_audio_header` reads WAV/FLAC/MP3 headers (sample rate,
-channels, bit depth, duration) in pure Python.  Pixel/sample-level work
-(feature extraction, frame sampling) still stubs the codec call — the
-vision/video libraries (PIL, torchaudio, ffmpeg) are not in this
-container — behind clearly-marked deterministic fakes, so the
-distributed pipeline is exercisable end to end; swap the stub for the
-real codec and nothing else changes.
+The decode surface here is REAL wherever pure Python can truly decode,
+and an honest ``decode_ok=false`` refusal everywhere else:
+
+- headers/containers: PNG/JPEG/GIF/BMP/WebP image headers, WAV/FLAC/MP3
+  audio headers, MP4/AVI video containers (incl. real AVI frame
+  extraction — MJPEG frames come out as complete JPEGs);
+- image PIXELS: uncompressed 24bpp BMP, non-interlaced 8-bit PNG
+  (stdlib zlib + the five row filters, palette via PLTE), non-interlaced
+  GIF (pure-Python LZW), baseline JPEG
+  (:mod:`bdq_spark.operators.jpeg` — huffman + IDCT + YCbCr,
+  gray/4:4:4/4:2:2/4:2:0);
+- audio SAMPLES: 8/16/24-bit integer-PCM WAV and in-profile FLAC
+  (:mod:`bdq_spark.operators.flac` — rice residuals + fixed/LPC
+  predictors, lossless so roundtrips are bit-exact).
+
+What remains stubbed is exactly the DSP-bound work no pure-Python
+implementation can honestly claim at reasonable scope: MP3 sample
+synthesis (MDCT filterbank) and video codec payload decode; the
+feature-extraction fake is likewise labeled.  Swap a stub for a real
+codec and nothing else changes — schemas, partitioning, batch shapes
+are production-real and tested.
 
 Scale notes:
 
