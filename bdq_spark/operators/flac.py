@@ -152,9 +152,8 @@ def _read_residual(bits: _Bits, blocksize: int, order: int) -> Optional[List[int
     if porder is None:
         return None
     nparts = 1 << porder
-    if blocksize % nparts or blocksize >> porder <= order and nparts == 1:
-        if blocksize % nparts:
-            return None
+    if blocksize % nparts:
+        return None  # partitions must divide the block evenly
     out: List[int] = []
     for p in range(nparts):
         count = (blocksize >> porder) - (order if p == 0 else 0)
