@@ -35,7 +35,11 @@ class _BitWriter:
             self.write(0, 8 - self.nbits)
 
 
-def _rice_encode(w, residuals, param):
+def _rice_encode(w, residuals, param=None):
+    if param is None:
+        # adaptive: keep unary quotients tiny even for wild residuals
+        top = max((abs(e) for e in residuals), default=0)
+        param = min(14, max(0, (top.bit_length() + 1) - 1))
     w.write(0, 2)       # method 0: 4-bit rice
     w.write(0, 4)       # partition order 0
     w.write(param, 4)
@@ -73,7 +77,7 @@ def _subframe(w, samples, depth, mode, order=0, lpc=None):
                              for j, c in enumerate(coefs))
             for i in range(order, len(samples))
         ]
-        _rice_encode(w, res, param=6)
+        _rice_encode(w, res)
         return
     if mode == "lpc":
         coefs, shift, prec = lpc
@@ -92,7 +96,7 @@ def _subframe(w, samples, depth, mode, order=0, lpc=None):
                >> shift)
             for i in range(order, len(samples))
         ]
-        _rice_encode(w, res, param=6)
+        _rice_encode(w, res)
         return
     raise AssertionError(mode)
 
@@ -140,8 +144,12 @@ def encode_flac(channel_samples, sample_rate=8000, depth=16,
             for ci, s in enumerate(sl):
                 m = (modes or ["verbatim"] * channels)[ci]
                 if isinstance(m, tuple):
-                    _subframe(w, s, depth, m[0], order=m[1],
-                              lpc=m[2] if len(m) > 2 else None)
+                    order = (len(m[2][0]) if m[0] == "lpc" else m[1])
+                    if len(s) <= order:
+                        _subframe(w, s, depth, "verbatim")  # tail frame
+                    else:
+                        _subframe(w, s, depth, m[0], order=m[1],
+                                  lpc=m[2] if len(m) > 2 else None)
                 else:
                     _subframe(w, s, depth, m)
         else:
@@ -241,3 +249,31 @@ def test_flac_refusals():
     # not flac / header-only
     assert decode_flac_samples(b"RIFF\x00\x00\x00\x00WAVE") is None
     assert decode_flac_samples(_streaminfo(8000, 1, 16, 10)) is None
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_flac_property_roundtrip(data):
+    """Random signals through random subframe modes, block sizes and
+    depths: the decode must be bit-exact (lossless, no tolerance)."""
+    depth = data.draw(st.sampled_from([8, 16, 24]))
+    lim = 1 << (depth - 1)
+    n = data.draw(st.integers(8, 120))
+    sig = data.draw(
+        st.lists(st.integers(-lim, lim - 1), min_size=n, max_size=n)
+    )
+    mode = data.draw(
+        st.sampled_from(
+            ["verbatim", ("fixed", 0), ("fixed", 1), ("fixed", 2)]
+        )
+    )
+    block = data.draw(st.sampled_from([n, 16, 33]))
+    fl = encode_flac([sig], depth=depth, modes=[mode], block=min(block, n))
+    d = decode_flac_samples(fl)
+    cnt, mean, rms = _stats([sig])
+    assert d == {"n_samples": cnt, "mean_amplitude": mean,
+                 "rms_amplitude": rms}
