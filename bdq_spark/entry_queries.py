@@ -53,6 +53,21 @@ def _dec(col: str, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})")
 
 
+def _plan_has_exchange(plan: str) -> bool:
+    """True iff a formatted physical plan contains a shuffle Exchange.
+
+    ``explain("formatted")`` prints the node name (``(7) Exchange``) and
+    its arguments (``Arguments: hashpartitioning(...)``) on SEPARATE
+    lines, so matching the legacy single-line substring ``"Exchange
+    hashpartitioning"`` never fires — a vacuous guard (round-6 ADVICE).
+    Match the node-header shape instead; BroadcastExchange is a
+    different node name and intentionally not matched.
+    """
+    import re
+
+    return re.search(r"\(\d+\) Exchange\b", plan) is not None
+
+
 # ---------------------------------------------------------------------------
 # O6 — get_latest_records: latest event per user (flagship)
 # ---------------------------------------------------------------------------
@@ -3377,7 +3392,7 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     with redirect_stdout(buf):
         joined.explain("formatted")
     plan = buf.getvalue()
-    if "Exchange hashpartitioning" in plan:
+    if _plan_has_exchange(plan):
         raise RuntimeError(
             "bucketed join regressed to a shuffled plan:\n" + plan[:2000]
         )

@@ -209,6 +209,8 @@ def decode_jpeg_pixels(payload: bytes) -> Optional[dict]:
         if marker == 0xD9:
             return None  # EOI before SOS
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if seg_len < 2:
+            return None  # length must cover its own two bytes
         seg = payload[i + 4 : i + 2 + seg_len]
         if len(seg) < seg_len - 2:
             return None
@@ -218,6 +220,9 @@ def decode_jpeg_pixels(payload: bytes) -> Optional[dict]:
                 prec = seg[j] >> 4
                 tid = seg[j] & 0x0F
                 j += 1
+                # truncated-table guard: refuse, don't crash the task
+                if prec > 1 or j + (64 if prec == 0 else 128) > len(seg):
+                    return None
                 if prec == 0:
                     vals = list(seg[j : j + 64])
                     j += 64
@@ -246,10 +251,14 @@ def decode_jpeg_pixels(payload: bytes) -> Optional[dict]:
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _Huff(counts, syms)
                 j += 17 + total
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                return None  # truncated frame header
             if seg[0] != 8:
                 return None  # 12-bit precision
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                return None  # truncated component specs
             comps = []
             for c in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
@@ -266,11 +275,15 @@ def decode_jpeg_pixels(payload: bytes) -> Optional[dict]:
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame types
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None  # truncated restart interval
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
-            if frame is None:
+            if frame is None or not seg:
                 return None
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                return None  # truncated scan component specs
             scan = {}
             for c in range(ns):
                 cid = seg[1 + 2 * c]

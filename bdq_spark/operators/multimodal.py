@@ -582,9 +582,13 @@ def decode_gif_pixels(payload: bytes) -> Optional[dict]:
     B bytes — the same contract as :func:`decode_bmp_pixels` /
     :func:`decode_png_pixels`.
 
-    Honest refusals (``None``): interlaced frames, a frame smaller than
-    the logical screen (partial-frame animations), missing color
-    tables, truncated sub-blocks, corrupt LZW streams.
+    Interlaced frames are accepted: interlace is a four-pass row
+    permutation of the same index stream, and every returned statistic
+    is row-order invariant.
+
+    Honest refusals (``None``): a frame smaller than the logical screen
+    (partial-frame animations), missing color tables, truncated
+    sub-blocks, corrupt LZW streams.
     """
     n = len(payload)
     if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -621,13 +625,20 @@ def decode_gif_pixels(payload: bytes) -> Optional[dict]:
                 i += size
             if (
                 table is None
-                or ipacked & 0x40  # interlaced
                 or (left, top) != (0, 0)
                 or (w, h) != (sw, sh)  # partial frame (animation)
                 or w == 0
                 or h == 0
             ):
                 return None
+            # Interlaced frames (ipacked & 0x40) carry the SAME index
+            # stream, stored as a four-pass row permutation (rows
+            # 0,8,16,…; 4,12,…; 2,6,…; 1,3,…).  Every statistic this
+            # decoder returns — width, height, mean over all pixels —
+            # is invariant under row permutation, so interlace needs no
+            # special handling here.  (Real-file witness: the two
+            # interlaced CPython idlelib icons decode to the same stats
+            # either way.)
             if i >= n:
                 return None
             min_code = payload[i]
@@ -733,16 +744,18 @@ def image_pixel_stats(df: DataFrame, content_column: str = "content") -> DataFra
     """Pixel-level image statistics via Arrow-batched ``mapInPandas``.
 
     REAL decode for uncompressed 24bpp BMP (:func:`decode_bmp_pixels`),
-    non-interlaced 8-bit PNG (:func:`decode_png_pixels` — stdlib zlib
-    inflates IDAT, the five row filters are undone in pure Python),
-    non-interlaced GIF (:func:`decode_gif_pixels` — pure-Python LZW +
-    color-table mapping) AND baseline 4:4:4/grayscale JPEG
+    non-interlaced 8-bit PNG incl. color-type-3 palette via PLTE
+    (:func:`decode_png_pixels` — stdlib zlib inflates IDAT, the five
+    row filters are undone in pure Python), GIF incl. interlaced frames
+    (:func:`decode_gif_pixels` — pure-Python LZW + color-table mapping;
+    interlace only permutes rows, which these stats are invariant to)
+    AND baseline JPEG at 4:4:4/4:2:2/4:2:0/grayscale sampling
     (:func:`bdq_spark.operators.jpeg.decode_jpeg_pixels` — pure-Python
     huffman + dequant + IDCT + YCbCr; reference-grade, not
     production-speed); out-of-profile variants (progressive or
-    chroma-subsampled JPEG, interlaced/16-bit/palette PNG,
-    animated-partial GIF, ...)
-    report ``decode_ok=false`` with zeroed stats — a
+    arithmetic JPEG, 12-bit precision, sampling factors above 2,
+    interlaced/16-bit PNG, animated-partial GIF, truncated or corrupt
+    streams, ...) report ``decode_ok=false`` with zeroed stats — a
     fabricated brightness would be worse than an honest refusal.  Same
     batch/partitioning contract as :func:`decode_images`; payload bytes
     are dropped on the way out.
@@ -1023,7 +1036,12 @@ def parse_video_header(payload: bytes) -> Optional[dict]:
         for typ, s, e in walk(moov[1], moov[2], ("moov",)):
             if typ == b"mvhd" and e - s >= 20:
                 ver = payload[s]
-                if ver == 1 and e - s >= 28:
+                # version-1 mvhd: 64-bit duration ends at s+32, so the
+                # body must hold ≥32 bytes (a 28..31-byte body would read
+                # past the box end / raise on a truncated payload)
+                if ver == 1:
+                    if e - s < 32:
+                        continue  # truncated v1 box: don't misread as v0
                     timescale = struct.unpack(">I", payload[s + 20 : s + 24])[0]
                     duration = struct.unpack(">Q", payload[s + 24 : s + 32])[0]
                 else:

@@ -6,6 +6,16 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Derandomize hypothesis so a green `pytest tests/` run is reproducible:
+# every property test explores the same example sequence on every run
+# (examples are derived from the test body, not a random seed).  Boundary
+# cases found by past random exploration are pinned as deterministic
+# regression tests next to their property test.
+from hypothesis import settings as _hyp_settings
+
+_hyp_settings.register_profile("bdq_ci", derandomize=True)
+_hyp_settings.load_profile("bdq_ci")
+
 from pyspark.sql import SparkSession
 
 

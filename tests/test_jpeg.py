@@ -428,3 +428,41 @@ def test_refusals():
     assert decode_jpeg_pixels(jpg[:-6]) is None
     assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
     assert decode_jpeg_pixels(b"not a jpeg") is None
+
+
+def test_truncated_marker_segments_refused_not_crash():
+    """Round-6 ADVICE: truncated MARKER SEGMENTS (not just truncated
+    entropy data) used to raise struct.error/IndexError — in
+    image_pixel_stats's mapInPandas a single malformed payload would
+    fail the whole Spark task instead of yielding decode_ok=false.
+    Every case here must return None, never raise."""
+
+    def soi(*segs):
+        return b"\xff\xd8" + b"".join(segs)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # SOF0 with a 1-byte body (the reproduced crash: unpack('>HH', seg[1:5]))
+    assert decode_jpeg_pixels(soi(seg(0xC0, b"\x08"))) is None
+    # SOF0 with 0-byte body (seg[0] IndexError)
+    assert decode_jpeg_pixels(soi(seg(0xC0, b""))) is None
+    # SOF0 truncated component specs (ncomp says 3, body has 1)
+    assert decode_jpeg_pixels(
+        soi(seg(0xC0, b"\x08\x00\x08\x00\x08\x03\x01"))) is None
+    # empty SOS body (seg[0] IndexError)
+    valid_sof = seg(0xC0, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+    assert decode_jpeg_pixels(soi(valid_sof, seg(0xDA, b""))) is None
+    # SOS truncated scan specs (ns=2, one byte of specs)
+    assert decode_jpeg_pixels(soi(valid_sof, seg(0xDA, b"\x02\x01"))) is None
+    # truncated 16-bit DQT (prec=1 needs 128 bytes, given 10)
+    assert decode_jpeg_pixels(soi(seg(0xDB, b"\x10" + b"\x00" * 10))) is None
+    # truncated 8-bit DQT (needs 64, given 20)
+    assert decode_jpeg_pixels(soi(seg(0xDB, b"\x00" + b"\x00" * 20))) is None
+    # DRI with a 1-byte body
+    assert decode_jpeg_pixels(soi(seg(0xDD, b"\x05"))) is None
+    # declared segment length shorter than its own 2 length bytes
+    assert decode_jpeg_pixels(
+        soi(b"\xff\xdb" + struct.pack(">H", 1) + b"\x00" * 4)) is None
+    # a truncated segment must also not crash inside mapInPandas-shaped
+    # batch decode: exercised via the same pure function, so this is it

@@ -609,33 +609,55 @@ def test_image_pixel_stats_decodes_png_and_bmp(spark):
 
 def _gif_lzw_encode(indices, min_code_size):
     """Independent GIF-LZW encoder for the decoder goldens: textbook
-    dictionary build, LSB-first bit packing, Clear upfront, EOI last."""
+    dictionary build, LSB-first bit packing, Clear upfront, EOI last.
+
+    Width schedule: the encoder emits every code at exactly the width a
+    canonical GIF decoder will use to read it, by shadowing the decoder's
+    state machine — the decoder defines one table entry per code read
+    (starting from the SECOND code after a clear, since the first defines
+    nothing) and widens when its next-to-define code reaches
+    ``1 << width``.  An encoder-side counter rule is famously easy to get
+    off by one here (the decoder lags the encoder by one entry mid-stream
+    but catches up at the final flush, where the encoder emits without
+    defining): round 6's version widened one entry late and disagreed
+    with the decoder exactly when the boundary landed on the code right
+    before EOI — see test_gif_lzw_width_boundary_at_eoi_regression."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     table = {(i,): i for i in range(clear)}
     next_code = eoi + 1
     width = min_code_size + 1
+    dec_defined = 0  # table entries the decoder has defined since clear
+    emitted_since_clear = 0
     bits = []
 
-    def emit(code, w):
+    def emit_raw(code, w):
         for i in range(w):
             bits.append((code >> i) & 1)
 
-    emit(clear, width)
+    def emit(code):
+        # write at the decoder's CURRENT width, then advance the shadow
+        nonlocal width, dec_defined, emitted_since_clear
+        emit_raw(code, width)
+        emitted_since_clear += 1
+        if emitted_since_clear >= 2:  # decoder defines on 2nd+ read
+            dec_defined += 1
+            if clear + 2 + dec_defined == (1 << width) and width < 12:
+                width += 1
+
+    emit_raw(clear, width)
     run = ()
     for v in indices:
         cand = run + (v,)
         if cand in table:
             run = cand
             continue
-        emit(table[run], width)
+        emit(table[run])
         table[cand] = next_code
         next_code += 1
-        if next_code - 1 == (1 << width) and width < 12:
-            width += 1
         run = (v,)
     if run:
-        emit(table[run], width)
-    emit(eoi, width)
+        emit(table[run])
+    emit_raw(eoi, width)
     out = bytearray()
     for i in range(0, len(bits), 8):
         byte = 0
@@ -693,10 +715,10 @@ def test_decode_gif_pixels_golden():
     full = _gif_bytes_full(4, 3, idx, palette)
     with_ext = full[:13 + 12] + gce + full[13 + 12:]
     assert decode_gif_pixels(with_ext) == g
-    # honest refusals: interlaced, truncated LZW, index past palette,
-    # not a GIF
+    # interlace is a row permutation — stats are identical to sequential
     assert decode_gif_pixels(
-        _gif_bytes_full(4, 3, idx, palette, interlace=True)) is None
+        _gif_bytes_full(4, 3, idx, palette, interlace=True)) == g
+    # honest refusals: truncated LZW, index past palette, not a GIF
     assert decode_gif_pixels(full[:-8]) is None
     assert decode_gif_pixels(b"GIF89a" + b"\x00" * 20) is None
     assert decode_gif_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30) is None
@@ -717,7 +739,8 @@ def test_image_pixel_stats_decodes_gif(spark):
     got = {r.media_id: r for r in image_pixel_stats(media).collect()}
     assert got[0].decode_ok
     assert got[0].mean_brightness == 3 * (90 + 180 + 30) / 18
-    assert not got[1].decode_ok
+    assert got[1].decode_ok  # interlace: same stats, permuted rows
+    assert got[1].mean_brightness == got[0].mean_brightness
 
 
 def test_decode_gif_lzw_kwkwk_case():
@@ -789,6 +812,18 @@ def test_parse_video_header_golden():
     assert p(b"RIFF\x10\x00\x00\x00WAVEdata") is None   # audio RIFF
     assert p(b"\x00" * 40) is None
     assert p(_mp4_bytes()[:20]) is None                  # moov truncated away
+    # round-6 ADVICE: version-1 mvhd whose body stops INSIDE the 64-bit
+    # duration (28..31 bytes) must fall back cleanly, not read past the
+    # box or raise struct.error on a truncated payload
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    for body_len in (28, 29, 30, 31):
+        short_mvhd = b"\x01" + b"\x00" * (body_len - 1)
+        clip = (box(b"ftyp", b"isom\x00\x00\x02\x00")
+                + box(b"moov", box(b"mvhd", short_mvhd)))
+        got = p(clip)  # must not raise; duration falls back to 0
+        assert got is None or got["duration_ms"] == 0
 
 
 def test_extract_avi_frames_real_walk():
@@ -892,6 +927,31 @@ def test_decode_gif_lzw_property_roundtrip(ncolors_bits, data):
     min_code = max(2, ncolors_bits)
     enc = _gif_lzw_encode(idx, min_code)
     assert _gif_lzw_decode(enc, min_code, len(idx)) == idx
+
+
+def test_gif_lzw_width_boundary_at_eoi_regression():
+    """Round-6 falsifying example (hypothesis): this 18-pixel stream
+    assigns a dictionary code exactly at the width boundary right before
+    EOI.  The pre-fix test encoder widened one entry LATE (after
+    assigning code 1<<width instead of when next-to-assign reached it),
+    so it wrote EOI at 4 bits where the giflib-canonical decoder reads 5
+    — output ``b'\\x84\\x11\\x87\\x18iQ'``, which the decoder rightly
+    refuses.  Pinned: (a) the fixed encoder roundtrips the stream, (b)
+    the old mis-widened bytes still decode to None (running out of bits
+    before EOI), (c) single-symbol and boundary-crossing tails roundtrip.
+    """
+    from bdq_spark.operators.multimodal import _gif_lzw_decode
+
+    idx = [0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 1, 1, 1, 0, 0, 0, 1]
+    enc = _gif_lzw_encode(idx, 2)
+    assert enc != b"\x84\x11\x87\x18iQ"  # the mis-widened r6 bytes
+    assert _gif_lzw_decode(enc, 2, len(idx)) == idx
+    assert _gif_lzw_decode(b"\x84\x11\x87\x18iQ", 2, len(idx)) is None
+    # sweep tails around the boundary so EOI lands at every width offset
+    for tail in range(6):
+        stream = idx + [1, 0] * tail
+        e = _gif_lzw_encode(stream, 2)
+        assert _gif_lzw_decode(e, 2, len(stream)) == stream
 
 
 def test_image_pixel_stats_decodes_jpeg(spark):

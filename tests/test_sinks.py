@@ -51,6 +51,42 @@ def test_write_bucketed_join_without_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_plan_has_exchange_guard_not_vacuous(spark):
+    """Round-6 ADVICE: explain('formatted') prints '(N) Exchange' and
+    'Arguments: hashpartitioning(...)' on separate lines, so the old
+    single-line 'Exchange hashpartitioning' substring never matched and
+    the bucketed entry's self-check was vacuous.  Prove the replacement
+    actually fires on a deliberately shuffled plan and stays silent on
+    a shuffle-free one."""
+    import io
+    from contextlib import redirect_stdout
+
+    from bdq_spark.entry_queries import _plan_has_exchange
+
+    def formatted(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+        b = spark.range(0, 100).withColumn("w", F.col("id") * 3)
+        shuffled = formatted(a.join(b, "id"))  # unbucketed SMJ: 2 shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning" not in shuffled  # the vacuous form
+    assert _plan_has_exchange(shuffled)
+
+    clean = formatted(spark.range(0, 100).filter("id > 5"))
+    assert not _plan_has_exchange(clean)
+    # BroadcastExchange must NOT count as a shuffle
+    bc = formatted(a.join(F.broadcast(b), "id"))
+    assert "BroadcastExchange" in bc and not _plan_has_exchange(bc)
+
+
 def test_compact_parquet_shrinks_files_preserves_content(spark, tmp_path):
     from bdq_spark.sources.sinks import compact_parquet
 
