@@ -401,8 +401,9 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE readStream → ``foreachBatch`` → :func:`cdc_merge_sink_partitioned`
     run (MERGE-per-micro-batch into a key-hash-partitioned snapshot:
     only the buckets a batch touches are read or rewritten — the
-    O(touched)-per-trigger scale path, with the staged-promotion crash
-    protocol per partition), and the final snapshot must equal applying
+    O(touched)-per-trigger scale path, committed per batch by the atomic
+    manifest rename that gives concurrent readers whole-generation
+    snapshot isolation), and the final snapshot must equal applying
     all changes at once.  Each key's full history lives in one
     micro-batch, so the sequential merge is order-independent and the
     batch oracle is exact — the stream/batch unification claim for
@@ -412,7 +413,11 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    from bdq_spark.streaming import BUCKET_COLUMN, cdc_merge_sink_partitioned
+    from bdq_spark.streaming import (
+        cdc_merge_sink_partitioned,
+        init_snapshot,
+        read_snapshot,
+    )
 
     c = _cdc_customer_base(spark, sf_dir)
     changes = _cdc_customer_changes(c)
@@ -456,20 +461,12 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["c_custkey", "c_name", "acctbal"],
         num_buckets=16,
     )
-    # seed the snapshot DIRECTLY in the sink's layout (the initial-load
-    # path: a straight partitioned write, not a MERGE of an all-insert
-    # feed — base rows have no per-key history to collapse, so paying
-    # latest_changes + anti-join over the full table buys nothing)
-    (
-        c.withColumn(
-            BUCKET_COLUMN,
-            F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(16)),
-        )
-        .repartition(16, BUCKET_COLUMN)
-        .write.mode("overwrite")
-        .partitionBy(BUCKET_COLUMN)
-        .parquet(snap_path)
-    )
+    # seed the snapshot via the bulk initial-load path (a straight
+    # bucketed write committed as generation 1, not a MERGE of an
+    # all-insert feed — base rows have no per-key history to collapse,
+    # so paying latest_changes + anti-join over the full table buys
+    # nothing)
+    init_snapshot(spark, snap_path, c, ["c_custkey"], num_buckets=16)
     ckpt = tempfile.mkdtemp(prefix="entry_cdc_ckpt_")
     stream = (
         spark.readStream.schema(
@@ -496,8 +493,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dir + checkpoint can be dropped (no unbounded temp growth
         # across bench reps); localCheckpoint blocks self-release on GC
         return (
-            spark.read.parquet(snap_path)
-            .drop(BUCKET_COLUMN)
+            read_snapshot(spark, snap_path)
             .select(
                 "c_custkey",
                 "c_name",
@@ -507,8 +503,8 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         # the timeout/raise path must not leak the snapshot either
+        # (generations + manifests all live under snap_path)
         shutil.rmtree(snap_path, ignore_errors=True)
-        shutil.rmtree(snap_path + "__staging", ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 

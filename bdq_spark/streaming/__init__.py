@@ -10,6 +10,8 @@ from bdq_spark.streaming.cdc_sink import (
     BUCKET_COLUMN,
     cdc_merge_sink,
     cdc_merge_sink_partitioned,
+    init_snapshot,
+    read_snapshot,
     recover_snapshot,
 )
 from bdq_spark.streaming.stateful import (
@@ -38,6 +40,8 @@ __all__ = [
     "sessionize",
     "cdc_merge_sink",
     "cdc_merge_sink_partitioned",
+    "init_snapshot",
+    "read_snapshot",
     "recover_snapshot",
     "BUCKET_COLUMN",
 ]

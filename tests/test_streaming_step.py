@@ -349,11 +349,11 @@ def _file_census(root):
 
 
 def _snap(spark, path):
-    from bdq_spark.streaming import BUCKET_COLUMN
+    from bdq_spark.streaming import read_snapshot
 
     return sorted(
         (r.id, r.name, r.bal)
-        for r in spark.read.parquet(path).drop(BUCKET_COLUMN).collect()
+        for r in read_snapshot(spark, path).collect()
     )
 
 
@@ -394,7 +394,7 @@ def test_cdc_merge_sink_partitioned_prunes_untouched_buckets(spark, tmp_path):
     rewrite claim, asserted by filesystem census, not plan reading."""
     from pyspark.sql import functions as F
 
-    from bdq_spark.streaming import BUCKET_COLUMN, cdc_merge_sink_partitioned
+    from bdq_spark.streaming import cdc_merge_sink_partitioned
 
     path = str(tmp_path / "snap")
     merge = cdc_merge_sink_partitioned(
@@ -411,31 +411,44 @@ def test_cdc_merge_sink_partitioned_prunes_untouched_buckets(spark, tmp_path):
     ).collect()[0].b
     merge(_cdc_rows(spark, [(7, "seven", 77.0, "U", 2)]), 1)
     after = _file_census(path)
-    prefix = f"{BUCKET_COLUMN}={target}"
-    untouched_before = {k: v for k, v in before.items()
-                        if not k.startswith(prefix)}
-    untouched_after = {k: v for k, v in after.items()
-                       if not k.startswith(prefix)}
-    assert untouched_before == untouched_after
-    assert {k: v for k, v in after.items() if k.startswith(prefix)} != {
-        k: v for k, v in before.items() if k.startswith(prefix)
-    }
+
+    def bucket_files(census, prefix):
+        return {k: v for k, v in census.items() if k.startswith(prefix)}
+
+    def untouched(census):
+        # data files of every bucket EXCEPT the target (manifests at the
+        # root change on every commit by design)
+        return {
+            k: v
+            for k, v in census.items()
+            if k.startswith("b") and not k.startswith(f"b{target}/")
+        }
+
+    # untouched buckets: byte-for-byte and mtime-for-mtime identical —
+    # their generation-1 dirs were never listed, opened, or rewritten
+    assert untouched(before) == untouched(after)
+    # the touched bucket gained a NEW generation dir; its old one is
+    # retained untouched for in-flight readers (retain_generations=1)
+    assert bucket_files(before, f"b{target}/g1") == bucket_files(
+        after, f"b{target}/g1"
+    )
+    assert bucket_files(after, f"b{target}/g2")
     got = _snap(spark, path)
     assert (7, "seven", 77.0) in got and len(got) == 64
 
 
 def test_cdc_merge_sink_partitioned_crash_recovery(spark, tmp_path, monkeypatch):
-    """Crash between the staging write and promotion: the staged batch
-    survives, and the replayed batch first promotes it then re-merges —
-    converging to the uninterrupted snapshot.  A TORN staging dir (no
-    _TOUCHED marker) is discarded, never promoted."""
+    """Crash ANYWHERE before the manifest rename: readers keep seeing
+    the previous generation exactly (the staged dirs are unreferenced),
+    and the replayed batch overwrites them and commits — converging to
+    the uninterrupted snapshot.  A torn manifest write (``.tmp`` left
+    behind) is never resolved by readers."""
     import os
 
     import bdq_spark.streaming.cdc_sink as sink_mod
     from bdq_spark.streaming import cdc_merge_sink_partitioned
 
     path = str(tmp_path / "snap")
-    staging = path + "__staging"
     merge = cdc_merge_sink_partitioned(
         spark, path, ["id"], ["ver"], num_buckets=4
     )
@@ -445,33 +458,37 @@ def test_cdc_merge_sink_partitioned_crash_recovery(spark, tmp_path, monkeypatch)
     base = _snap(spark, path)
 
     b1 = [(1, "one", 11.0, "U", 2), (2, "x", 0.0, "D", 2)]
-    real_promote = sink_mod._promote_staging
+    real_commit = sink_mod._commit_manifest
 
     def crash(*a, **k):
-        raise RuntimeError("simulated crash before promotion")
+        raise RuntimeError("simulated crash before manifest commit")
 
-    monkeypatch.setattr(sink_mod, "_promote_staging", crash)
+    monkeypatch.setattr(sink_mod, "_commit_manifest", crash)
     with pytest.raises(RuntimeError, match="simulated crash"):
         merge(_cdc_rows(spark, b1), 1)
-    monkeypatch.setattr(sink_mod, "_promote_staging", real_promote)
-    # staging survived complete (marker present); main is the OLD snapshot
-    assert os.path.exists(os.path.join(staging, "_TOUCHED"))
+    monkeypatch.setattr(sink_mod, "_commit_manifest", real_commit)
+    # generation-2 data dirs exist on disk but are UNREFERENCED: every
+    # reader still resolves generation 1, bit-exact
+    assert any(
+        d.startswith("g2")
+        for b in os.listdir(path) if b.startswith("b")
+        for d in os.listdir(os.path.join(path, b))
+    )
     assert _snap(spark, path) == base
-    # replay converges: promote-then-merge
+    # replay converges: overwrite the orphan dirs, commit generation 2
     merge(_cdc_rows(spark, b1), 1)
     expected = sorted(
         [(i, f"n{i}", float(i)) for i in range(8) if i not in (1, 2)]
         + [(1, "one", 11.0)]
     )
     assert _snap(spark, path) == expected
-    assert not os.path.exists(staging)
 
-    # torn staging (crash MID-write: no marker) must be discarded
-    os.makedirs(os.path.join(staging, "__cdc_bucket=0"))
-    with open(os.path.join(staging, "__cdc_bucket=0", "junk.parquet"), "wb") as f:
-        f.write(b"not parquet")
+    # a torn manifest write (crash between create and rename) leaves a
+    # .tmp that readers and later commits must ignore
+    with open(os.path.join(path, "_MANIFEST.3.tmp"), "w") as f:
+        f.write('{"generation": 3, "buckets"')  # truncated JSON
+    assert _snap(spark, path) == expected
     merge(_cdc_rows(spark, [(9, "nine", 9.0, "I", 3)]), 2)
-    assert not os.path.exists(staging)
     assert (9, "nine", 9.0) in _snap(spark, path)
 
 
@@ -532,17 +549,22 @@ def test_cdc_merge_sink_partitioned_key_type_widening(spark, tmp_path):
         "id long, name string, bal double, op string, ver long",
     )
     merge(upd, 1)
+    from bdq_spark.streaming import read_snapshot
+
     got = sorted(
         (int(r.id), r.name, r.bal)
-        for r in spark.read.parquet(path).collect()
+        for r in read_snapshot(spark, path).collect()
     )
     assert got == [(i, f"u{i}", float(100 + i)) for i in range(16)]
 
 
 def test_recover_snapshot_maintenance_api(spark, tmp_path, monkeypatch):
-    """The public recovery entry point resolves a crashed sink exactly
-    like the next merge would: promotes a complete staging dir,
-    discards a torn one, no-ops on a healthy snapshot."""
+    """The public recovery entry point is a vacuum: it deletes the
+    unreferenced leavings of a crashed writer (the manifest commit is
+    atomic, so there is never a half-promoted state to finish), keeps
+    every retained generation, and no-ops on a clean snapshot.  The
+    snapshot CONTENT is never changed by recovery — the crashed batch's
+    data returns via stream replay, not via promotion."""
     import os
 
     import bdq_spark.streaming.cdc_sink as sink_mod
@@ -552,24 +574,42 @@ def test_recover_snapshot_maintenance_api(spark, tmp_path, monkeypatch):
     )
 
     path = str(tmp_path / "snap")
-    staging = path + "__staging"
     merge = cdc_merge_sink_partitioned(
         spark, path, ["id"], ["ver"], num_buckets=4
     )
     merge(_cdc_rows(spark, [(1, "a", 1.0, "I", 1), (2, "b", 2.0, "I", 1)]), 0)
-    assert recover_snapshot(spark, path) is False  # healthy: nothing to do
+    assert recover_snapshot(spark, path) is False  # clean: nothing to do
 
-    real = sink_mod._promote_staging
+    real = sink_mod._commit_manifest
     monkeypatch.setattr(
-        sink_mod, "_promote_staging",
+        sink_mod, "_commit_manifest",
         lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
     )
     with pytest.raises(RuntimeError):
         merge(_cdc_rows(spark, [(1, "a2", 11.0, "U", 2)]), 1)
-    monkeypatch.setattr(sink_mod, "_promote_staging", real)
-    assert os.path.exists(staging)
-    assert recover_snapshot(spark, path) is True
-    assert not os.path.exists(staging)
+    monkeypatch.setattr(sink_mod, "_commit_manifest", real)
+
+    def orphan_dirs():
+        return [
+            f"{b}/{d}"
+            for b in os.listdir(path) if b.startswith("b")
+            for d in os.listdir(os.path.join(path, b)) if d == "g2"
+        ]
+
+    assert orphan_dirs()  # the crashed attempt left unreferenced dirs
+    base = _snap(spark, path)
+    assert recover_snapshot(spark, path) is True   # vacuumed them
+    assert not orphan_dirs()
+    assert _snap(spark, path) == base              # content untouched
+    assert recover_snapshot(spark, path) is False  # idempotent
+
+    # the replayed batch then lands normally
+    merge(_cdc_rows(spark, [(1, "a2", 11.0, "U", 2)]), 1)
+    assert _snap(spark, path) == [(1, "a2", 11.0), (2, "b", 2.0)]
+
+    # retention: with retain_generations=0 the previous generation's
+    # superseded dirs are collectable; the current one never is
+    assert recover_snapshot(spark, path, retain_generations=0) is True
     assert _snap(spark, path) == [(1, "a2", 11.0), (2, "b", 2.0)]
 
 
@@ -596,13 +636,15 @@ def test_cdc_merge_sink_partitioned_schema_evolution(spark, tmp_path):
     merge_ev = cdc_merge_sink_partitioned(
         spark, path, ["id"], ["ver"], num_buckets=4, evolve_schema=True
     )
+    from bdq_spark.streaming import read_snapshot
+
     merge_ev(evolved, 1)
     got = {
         r.id: (r.name, r.bal, r.tier)
-        for r in spark.read.parquet(path).collect()
+        for r in read_snapshot(spark, path).collect()
     }
-    # the evolving batch rewrites EVERY bucket (heterogeneous-schema
-    # partitions would make later default reads nondeterministic), so
+    # the evolving batch rewrites EVERY live bucket (a generation is
+    # schema-homogeneous; the manifest schema is the contract), so
     # the untouched row deterministically keeps bal and gains NULL tier
     assert got[1] == ("a", 1.0, None)
     assert got[2] == ("b2", None, "gold")   # full-row replace: bal -> NULL
@@ -613,6 +655,111 @@ def test_cdc_merge_sink_partitioned_schema_evolution(spark, tmp_path):
         "id long, name string, tier string, op string, ver long",
     ), 2)
     got2 = {r.id: (r.name, r.tier)
-            for r in spark.read.parquet(path).collect()}
+            for r in read_snapshot(spark, path).collect()}
     assert got2[1] == ("a3", "bronze")
     assert len(got2) == 3
+
+
+def test_cdc_reader_snapshot_isolation(spark, tmp_path, monkeypatch):
+    """Round-6 VERDICT gap #1: a reader concurrent with a promotion must
+    never see bucket A at generation N+1 and bucket B at generation N.
+    With the manifest commit this holds by construction — proven here at
+    each point of the commit sequence, including a reader whose plan was
+    RESOLVED before the commit and collected after it."""
+    import bdq_spark.streaming.cdc_sink as sink_mod
+    from bdq_spark.streaming import (
+        cdc_merge_sink_partitioned,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=4
+    )
+    rows1 = [(i, f"n{i}", float(i), "I", 1) for i in range(32)]
+    merge(_cdc_rows(spark, rows1), 0)
+    gen1 = _snap(spark, path)
+
+    # a batch that touches EVERY bucket, so a torn read would be visible
+    # as a mix of old and new rows
+    rows2 = [(i, f"u{i}", float(100 + i), "U", 2) for i in range(32)]
+    gen2 = sorted((i, f"u{i}", float(100 + i)) for i in range(32))
+
+    # reader resolves its plan against generation 1 BEFORE the commit
+    pre_resolved = read_snapshot(spark, path)
+
+    # --- mid-promotion state: staged dirs exist, manifest not renamed
+    real_commit = sink_mod._commit_manifest
+    captured = {}
+
+    def capture_and_crash(fs, Path, p, manifest):
+        captured["manifest"] = manifest
+        raise RuntimeError("pause before the atomic rename")
+
+    monkeypatch.setattr(sink_mod, "_commit_manifest", capture_and_crash)
+    with pytest.raises(RuntimeError):
+        merge(_cdc_rows(spark, rows2), 1)
+    # every read mid-promotion is WHOLLY generation 1
+    assert _snap(spark, path) == gen1
+    assert sorted(
+        (r.id, r.name, r.bal) for r in pre_resolved.collect()
+    ) == gen1
+
+    # --- the commit point itself: one atomic rename flips all buckets
+    monkeypatch.setattr(sink_mod, "_commit_manifest", real_commit)
+    fs, Path = sink_mod._hadoop_fs(spark, path)
+    real_commit(fs, Path, path, captured["manifest"])
+    assert _snap(spark, path) == gen2
+
+    # --- retention: the pre-commit reader's generation-1 dirs are kept
+    # for retain_generations=1, so its late collect still succeeds and
+    # still sees generation 1 exactly (never a mix)
+    assert sorted(
+        (r.id, r.name, r.bal) for r in pre_resolved.collect()
+    ) == gen1
+
+    # bucket-pruned read resolves through the same manifest
+    from pyspark.sql import functions as F
+
+    target = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(5).cast("long")), F.lit(4)).alias("b")
+    ).collect()[0].b
+    pruned = read_snapshot(spark, path, buckets=[int(target)])
+    got = {(r.id, r.name, r.bal) for r in pruned.collect()}
+    assert (5, "u5", 105.0) in got
+    assert got < set(gen2)  # a strict subset: only one bucket was read
+
+
+def test_cdc_init_snapshot_bulk_load(spark, tmp_path):
+    """init_snapshot commits a straight bucketed write as generation 1;
+    the sink merges into it and read_snapshot resolves it."""
+    from bdq_spark.streaming import (
+        cdc_merge_sink_partitioned,
+        init_snapshot,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(20)],
+        "id long, name string, bal double",
+    )
+    init_snapshot(spark, path, seed, ["id"], num_buckets=4)
+    assert _snap(spark, path) == sorted(
+        (i, f"n{i}", float(i)) for i in range(20)
+    )
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=4
+    )
+    merge(_cdc_rows(spark, [(3, "three", 33.0, "U", 1),
+                            (4, "x", 0.0, "D", 1)]), 0)
+    got = _snap(spark, path)
+    assert (3, "three", 33.0) in got
+    assert all(r[0] != 4 for r in got) and len(got) == 19
+    # an empty snapshot (every key deleted) still reads back with schema
+    merge(_cdc_rows(
+        spark, [(r[0], "", 0.0, "D", 2) for r in got]
+    ), 1)
+    empty = read_snapshot(spark, path)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "name", "bal"}
