@@ -37,7 +37,7 @@ import math
 import struct
 from typing import List, Optional, Tuple
 
-__all__ = ["decode_jpeg_pixels"]
+__all__ = ["decode_jpeg_pixels", "encode_flat_jpeg"]
 
 #: zigzag scan order: zigzag index -> (row, col) natural index
 ZIGZAG = [
@@ -421,3 +421,70 @@ def _decode_scan(payload, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
                 )
         denom = w * h * 3
     return {"width": w, "height": h, "mean_brightness": total / denom}
+
+
+def encode_flat_jpeg(gray: int, w: int = 8, h: int = 8) -> bytes:
+    """Synthesize a minimal VALID baseline JPEG whose every pixel is
+    exactly ``gray`` — the frame generator for MJPEG test/oracle
+    payloads (entry ``multimodal_mjpeg_pixel_stats``), NOT a general
+    encoder.  ``w``/``h`` must be multiples of 8.
+
+    Why exactness holds: a flat block is DC-only; with the DC quantizer
+    pinned to 8 the dequantized coefficient is ``(gray-128)*8`` and the
+    2-D IDCT of a DC-only block is the constant ``coef/8 + 128 = gray``
+    in exact float arithmetic, so :func:`decode_jpeg_pixels` returns
+    ``mean_brightness == gray`` bit-for-bit (pinned in
+    ``tests/test_jpeg.py``).  Tables are a legal minimal pair: a custom
+    DC table holding categories 0-8 at four bits each and an AC table
+    holding only EOB at two bits — exercising the decoder's DHT path
+    with something other than the Annex K tables real cameras emit.
+    """
+    if w % 8 or h % 8 or not 0 <= gray <= 255:
+        raise ValueError("encode_flat_jpeg: w/h must be multiples of 8 "
+                         "and 0 <= gray <= 255")
+
+    # canonical codes: categories 0..8, all length 4 -> codes 0000..1000
+    dc_code = {s: (s, 4) for s in range(9)}
+    eob_code = (0b00, 2)
+
+    bits: List[int] = []
+
+    def put(code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    diff = gray - 128
+    s = abs(diff).bit_length()
+    put(*dc_code[s])
+    if s:
+        put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    put(*eob_code)
+    for _ in range((w // 8) * (h // 8) - 1):  # remaining blocks: diff 0
+        put(*dc_code[0])
+        put(*eob_code)
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per the spec
+    entropy = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        entropy.append(byte)
+        if byte == 0xFF:
+            entropy.append(0x00)  # byte stuffing
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([8] * 64))  # q[k] = 8
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([1, 1, 0x11, 0]))
+    counts_dc = [0] * 16
+    counts_dc[3] = 9  # nine 4-bit codes (index 3 = length 4)
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(counts_dc) + bytes(range(9)))
+    counts_ac = [0] * 16
+    counts_ac[1] = 1  # one 2-bit code: EOB
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(counts_ac) + bytes([0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + bytes(entropy) + b"\xff\xd9")

@@ -75,6 +75,7 @@ __all__ = [
     "parse_video_header",
     "sample_container_frames",
     "sample_video_frames",
+    "video_pixel_stats",
 ]
 
 #: Canonical media-column bundle: opaque payload + typed metadata.
@@ -1191,6 +1192,58 @@ def sample_container_frames(
             )
 
     return df.mapInPandas(sample, schema=_FRAMES_SCHEMA)
+
+
+_VIDEO_PIXEL_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "mean_brightness double, decode_ok boolean"
+)
+
+
+def video_pixel_stats(
+    df: DataFrame, content_column: str = "content", every_n: int = 1
+) -> DataFrame:
+    """REAL per-frame pixel statistics for MJPEG AVI videos via
+    Arrow-batched ``mapInPandas`` — the composition that closes the
+    "video codec payload" stub for the one codec this engine already
+    decodes: :func:`extract_avi_frames` walks the container (every
+    ``every_n``-th video chunk), and each frame's COMPLETE JPEG goes
+    through :func:`bdq_spark.operators.jpeg.decode_jpeg_pixels`.  One
+    output row per sampled frame, ``image_pixel_stats``'s contract per
+    frame: out-of-profile or corrupt frames report ``decode_ok=false``
+    with zeroed stats.  Non-AVI payloads (or AVIs without a ``movi``
+    list) emit NO rows — count against :func:`decode_video`'s
+    ``n_frames`` to see refusals, same as
+    :func:`sample_container_frames`.  Non-MJPEG codecs (raw ``##db``
+    frames, cinepak, ...) land as per-frame refusals, the honest
+    boundary.  Scale shape: one pass, no shuffle, bounded per-batch
+    memory; pure-Python decode throughput is the documented
+    oracle-scale constant factor."""
+    from bdq_spark.operators.jpeg import decode_jpeg_pixels
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[tuple] = []
+            for mid, b in zip(pdf["media_id"], pdf[content_column]):
+                got = extract_avi_frames(
+                    bytes(b) if b is not None else b"", every_n=every_n
+                )
+                for idx, fr in got or []:
+                    d = decode_jpeg_pixels(fr)
+                    if d is None:
+                        rows.append((mid, idx, 0, 0, 0.0, False))
+                    else:
+                        rows.append(
+                            (mid, idx, d["width"], d["height"],
+                             d["mean_brightness"], True)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height",
+                         "mean_brightness", "decode_ok"],
+            )
+
+    return df.mapInPandas(stats, schema=_VIDEO_PIXEL_SCHEMA)
 
 
 def sample_video_frames(

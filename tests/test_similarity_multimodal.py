@@ -743,6 +743,73 @@ def test_image_pixel_stats_decodes_gif(spark):
     assert got[1].mean_brightness == got[0].mean_brightness
 
 
+def test_video_pixel_stats_mjpeg(spark):
+    """MJPEG AVI → per-frame JPEG pixel stats: container walk composed
+    with the real JPEG decoder.  Frames come from the INDEPENDENT
+    in-test encoder; a flat frame's mean is exact, a corrupt frame and
+    a non-JPEG codec payload refuse per frame, a non-AVI payload emits
+    no rows, and the product-side encode_flat_jpeg cross-checks against
+    the independent decoder's view of the same container."""
+    from test_jpeg import encode_jpeg
+
+    from bdq_spark.operators.jpeg import encode_flat_jpeg
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        video_pixel_stats,
+    )
+
+    frames0 = [
+        encode_jpeg([40] * 64, 8, 8),                 # flat gray: exact
+        encode_jpeg([200] * (16 * 8), 16, 8),          # different dims
+        b"\xff\xd8corrupt",                            # refusal mid-video
+        encode_flat_jpeg(90, 8, 8),                    # product encoder
+    ]
+    frames1 = [b"raw-rgb-not-jpeg" * 4]                 # non-MJPEG codec
+    rows = [
+        (0, _avi_bytes(16, 8, frames=frames0)),
+        (1, _avi_bytes(4, 4, frames=frames1)),
+        (2, b"not a video at all"),                     # no rows
+    ]
+    df = spark.createDataFrame(rows, "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="video", id_column="media_id")
+    got = {
+        (r.media_id, r.frame_idx): r
+        for r in video_pixel_stats(media).collect()
+    }
+    assert len(got) == 5
+    assert got[(0, 0)].decode_ok and got[(0, 0)].mean_brightness == 40.0
+    assert got[(0, 1)].decode_ok and (got[(0, 1)].width,
+                                      got[(0, 1)].height) == (16, 8)
+    assert got[(0, 1)].mean_brightness == 200.0
+    assert not got[(0, 2)].decode_ok
+    assert got[(0, 3)].decode_ok and got[(0, 3)].mean_brightness == 90.0
+    assert not got[(1, 0)].decode_ok
+    assert not any(k[0] == 2 for k in got)
+    # every-other-frame sampling composes with the decode
+    sampled = video_pixel_stats(media, every_n=2).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in sampled) == [
+        (0, 0), (0, 2), (1, 0)
+    ]
+
+
+def test_encode_flat_jpeg_exact_roundtrip():
+    """The flat-frame synthesizer must decode to EXACTLY its gray level
+    at every size — the property the MJPEG oracle entry relies on."""
+    from bdq_spark.operators.jpeg import decode_jpeg_pixels, encode_flat_jpeg
+
+    for g in (0, 1, 127, 128, 129, 200, 255):
+        for (w, h) in ((8, 8), (16, 8), (8, 16), (24, 16)):
+            d = decode_jpeg_pixels(encode_flat_jpeg(g, w, h))
+            assert d == {"width": w, "height": h,
+                         "mean_brightness": float(g)}, (g, w, h, d)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_flat_jpeg(10, 9, 8)  # not a multiple of 8
+    with _pytest.raises(ValueError):
+        encode_flat_jpeg(300, 8, 8)
+
+
 def test_decode_gif_lzw_kwkwk_case():
     """A run of identical indices forces the decoder's KwKwK branch
     (a code referenced before its table entry exists)."""
