@@ -4,11 +4,14 @@ The last compressed IMAGE format this engine stubbed: BMP is raw, PNG is
 zlib (stdlib), GIF is LZW (pure Python) — JPEG needs huffman + IDCT,
 both implementable exactly in Python with no codec library.  This
 module decodes baseline sequential JPEGs (the overwhelmingly common
-variant) far too slowly for production pixels — the point is an HONEST,
-verifiable reference decode for the multimodal pipeline's
-``image_pixel_stats`` at test/oracle scale, with the same refusal
-contract as the other decoders: anything outside the supported profile
-returns ``None``, never a guess.
+variant) — entropy decode scalar (huffman positions are inherently
+serial; an 8-bit peek table resolves most symbols in one lookup), then
+IDCT / level shift / upsampling / color conversion batched in numpy
+with bit-identical arithmetic (see :func:`_idct_batch`).  Still not
+production-speed — the point is an HONEST, verifiable reference decode
+for the multimodal pipeline's ``image_pixel_stats`` at test/oracle
+scale, with the same refusal contract as the other decoders: anything
+outside the supported profile returns ``None``, never a guess.
 
 Supported profile:
 
@@ -37,6 +40,8 @@ import math
 import struct
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 __all__ = ["decode_jpeg_pixels", "encode_flat_jpeg"]
 
 #: zigzag scan order: zigzag index -> (row, col) natural index
@@ -56,6 +61,28 @@ _COS = [
     ]
     for x in range(8)
 ]
+
+
+_COS_NP = np.array(_COS)  # (x, u) orientation, identical values
+
+
+def _idct_batch(coefs: "np.ndarray") -> "np.ndarray":
+    """Batched separable 2-D inverse DCT over ``(N, 8, 8)`` coefficient
+    blocks.  Accumulates the eight ``u`` terms in the same left-to-right
+    order as :func:`_idct_2d`'s chained additions, with element-wise
+    IEEE multiplies, so the output is BIT-IDENTICAL to running
+    ``_idct_2d`` per block (asserted in ``tests/test_jpeg.py``) — this
+    is vectorization of the loop, not a numerically different IDCT."""
+    M = _COS_NP
+    # rows: tmp[n, y, x] = sum_u coefs[n, y, u] * M[x, u]
+    tmp = coefs[:, :, 0, None] * M[:, 0]
+    for u in range(1, 8):
+        tmp = tmp + coefs[:, :, u, None] * M[:, u]
+    # cols: out[n, y, x] = 0.25 * sum_u M[y, u] * tmp[n, u, x]
+    acc = M[:, 0][None, :, None] * tmp[:, 0, :][:, None, :]
+    for u in range(1, 8):
+        acc = acc + M[:, u][None, :, None] * tmp[:, u, :][:, None, :]
+    return 0.25 * acc
 
 
 def _idct_2d(coef: List[float]) -> List[float]:
@@ -87,28 +114,59 @@ def _idct_2d(coef: List[float]) -> List[float]:
 
 
 class _Huff:
-    """Canonical huffman decoder from a DHT (counts, symbols) spec."""
+    """Canonical huffman decoder from a DHT (counts, symbols) spec.
+
+    Besides the per-bit canonical walk, builds a 256-entry peek table
+    covering every code of length <= 8 (the overwhelming majority of
+    symbols in practice): an 8-bit peek resolves symbol + length in one
+    lookup.  Longer codes and the stream tail (fewer than 8 bits before
+    a marker) fall back to the per-bit walk — same decoded symbols in
+    every case, this is a lookup strategy, not a format change."""
 
     def __init__(self, counts: List[int], symbols: bytes):
         # (first_code, first_index) per bit length, canonical ordering
         self.lookup = {}
+        self.fast = [None] * 256
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
                 self.lookup[(length, code)] = symbols[k]
+                if length <= 8:
+                    base = code << (8 - length)
+                    hit = (symbols[k], length)
+                    for i in range(1 << (8 - length)):
+                        self.fast[base + i] = hit
                 code += 1
                 k += 1
             code <<= 1
 
     def decode(self, reader) -> Optional[int]:
-        code = 0
-        for length in range(1, 17):
+        if reader.navail >= 8 or reader._fill(8):
+            hit = self.fast[(reader.acc >> (reader.navail - 8)) & 0xFF]
+            if hit is not None:
+                sym, length = hit
+                navail = reader.navail - length
+                reader.acc &= (1 << navail) - 1
+                reader.navail = navail
+                return sym
+            # no code of length <= 8 matches this prefix: consume the
+            # peeked byte as the first 8 code bits and walk 9..16
+            code = (reader.acc >> (reader.navail - 8)) & 0xFF
+            navail = reader.navail - 8
+            reader.acc &= (1 << navail) - 1
+            reader.navail = navail
+            start = 9
+        else:
+            code = 0
+            start = 1
+        lookup = self.lookup
+        for length in range(start, 17):
             bit = reader.read_bit()
             if bit is None:
                 return None
             code = (code << 1) | bit
-            sym = self.lookup.get((length, code))
+            sym = lookup.get((length, code))
             if sym is not None:
                 return sym
         return None
@@ -116,52 +174,68 @@ class _Huff:
 
 class _BitReader:
     """MSB-first entropy-data reader with 0xFF00 unstuffing; stops at
-    any real marker (returns None)."""
+    any real marker (returns None).  Buffers whole bytes into an int
+    accumulator so ``receive`` extracts a multi-bit field with one
+    shift instead of a per-bit loop — pure integer logic, identical
+    bit semantics to the original single-byte reader."""
 
     def __init__(self, data: bytes, start: int):
         self.data = data
         self.pos = start
-        self.bitpos = 0
-        self.cur = None
+        self.acc = 0
+        self.navail = 0
 
-    def _next_byte(self) -> Optional[int]:
+    def _fill(self, need: int) -> bool:
         d = self.data
         n = len(d)
-        while self.pos < n:
-            b = d[self.pos]
+        pos = self.pos
+        acc = self.acc
+        navail = self.navail
+        while navail < need:
+            if pos >= n:
+                self.pos, self.acc, self.navail = pos, acc, navail
+                return False
+            b = d[pos]
             if b == 0xFF:
-                if self.pos + 1 < n and d[self.pos + 1] == 0x00:
-                    self.pos += 2
-                    return 0xFF
-                return None  # a real marker terminates entropy data
-            self.pos += 1
-            return b
-        return None
+                if pos + 1 < n and d[pos + 1] == 0x00:
+                    pos += 2  # stuffed 0xFF data byte
+                else:  # a real marker terminates entropy data
+                    self.pos, self.acc, self.navail = pos, acc, navail
+                    return False
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            navail += 8
+        self.pos, self.acc, self.navail = pos, acc, navail
+        return True
 
     def read_bit(self) -> Optional[int]:
-        if self.cur is None:
-            self.cur = self._next_byte()
-            if self.cur is None:
-                return None
-            self.bitpos = 0
-        bit = (self.cur >> (7 - self.bitpos)) & 1
-        self.bitpos += 1
-        if self.bitpos == 8:
-            self.cur = None
+        if self.navail < 1 and not self._fill(1):
+            return None
+        navail = self.navail - 1
+        bit = (self.acc >> navail) & 1
+        # trim consumed high bits so acc never grows into a bignum
+        self.acc &= (1 << navail) - 1
+        self.navail = navail
         return bit
 
     def receive(self, nbits: int) -> Optional[int]:
-        v = 0
-        for _ in range(nbits):
-            b = self.read_bit()
-            if b is None:
-                return None
-            v = (v << 1) | b
+        if nbits == 0:
+            return 0
+        if self.navail < nbits and not self._fill(nbits):
+            return None
+        navail = self.navail - nbits
+        v = (self.acc >> navail) & ((1 << nbits) - 1)
+        self.acc &= (1 << navail) - 1
+        self.navail = navail
         return v
 
     def align_to_marker(self) -> Optional[int]:
-        """Drop partial byte, skip to the next marker, return its code."""
-        self.cur = None
+        """Drop buffered partial bytes, skip to the next marker, return
+        its code.  Any whole bytes still buffered are pre-marker pad
+        the byte-at-a-time reader would have skipped here anyway."""
+        self.acc = 0
+        self.navail = 0
         d = self.data
         n = len(d)
         i = self.pos
@@ -298,8 +372,10 @@ def decode_jpeg_pixels(payload: bytes) -> Optional[dict]:
 
 
 def _decode_block(reader, dc_tab, ac_tab, q, pred):
-    """Decode one entropy-coded block; returns (pixels, new_pred) or
-    None on a corrupt stream."""
+    """Decode one entropy-coded block; returns (dequantized natural-
+    order coefficients, new_pred) or None on a corrupt stream.  The
+    IDCT happens later, batched over every block of the scan
+    (:func:`_idct_batch`)."""
     t = dc_tab.decode(reader)
     if t is None or t > 15:
         return None
@@ -329,7 +405,7 @@ def _decode_block(reader, dc_tab, ac_tab, q, pred):
         nat = ZIGZAG[k]
         coef[nat] = _extend(bits, s) * q[nat]
         k += 1
-    return _idct_2d(coef), pred
+    return coef, pred
 
 
 def _decode_scan(payload, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
@@ -347,15 +423,17 @@ def _decode_scan(payload, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     reader = _BitReader(payload, start)
-    # per-component planes sized to the MCU grid at THAT component's
-    # sampling (chroma planes are smaller when subsampled)
-    planes = []
-    for c in comps:
-        pw = mcus_x * c["h"] * 8
-        ph = mcus_y * c["v"] * 8
-        planes.append([[0] * pw for _ in range(ph)])
+    # Entropy decode is inherently serial (each huffman code's position
+    # depends on the previous one), so the scan loop stays scalar but
+    # only COLLECTS dequantized coefficient blocks + their plane
+    # positions; the IDCT, level shift/clamp, chroma upsampling and
+    # YCbCr->RGB conversion all run batched in numpy afterwards —
+    # bit-identical arithmetic (see _idct_batch), ~order-of-magnitude
+    # fewer interpreter operations per pixel.
     pred = [0] * ncomp
     mcu = 0
+    coef_blocks: List[List[float]] = []
+    block_pos: List[Tuple[int, int, int]] = []  # (ci, oy, ox)
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and mcu and mcu % dri == 0:
@@ -379,46 +457,51 @@ def _decode_scan(payload, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
                         )
                         if got is None:
                             return None
-                        px, pred[ci] = got
-                        plane = planes[ci]
-                        oy = (my * comp["v"] + v) * 8
-                        ox = (mx * comp["h"] + hb) * 8
-                        for yy in range(8):
-                            row = plane[oy + yy]
-                            base = yy * 8
-                            for xx in range(8):
-                                val = int(round(px[base + xx])) + 128
-                                row[ox + xx] = (
-                                    0 if val < 0
-                                    else (255 if val > 255 else val)
-                                )
+                        coef, pred[ci] = got
+                        coef_blocks.append(coef)
+                        block_pos.append((
+                            ci,
+                            (my * comp["v"] + v) * 8,
+                            (mx * comp["h"] + hb) * 8,
+                        ))
             mcu += 1
-    total = 0
+    # batched IDCT + level shift + clamp (int(round(x)) and np.round
+    # both round half-to-even, so pixel values match the scalar path)
+    px = _idct_batch(
+        np.asarray(coef_blocks, dtype=np.float64).reshape(-1, 8, 8)
+    )
+    px = np.clip(np.round(px).astype(np.int64) + 128, 0, 255)
+    # per-component planes sized to the MCU grid at THAT component's
+    # sampling (chroma planes are smaller when subsampled)
+    planes = []
+    for c in comps:
+        pw = mcus_x * c["h"] * 8
+        ph = mcus_y * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.int64))
+    for bi, (ci, oy, ox) in enumerate(block_pos):
+        planes[ci][oy : oy + 8, ox : ox + 8] = px[bi]
     if ncomp == 1:
-        plane = planes[0]
-        for y in range(h):
-            total += sum(plane[y][:w])
+        total = int(planes[0][:h, :w].sum())
         denom = w * h
     else:
         hs = [c["h"] for c in comps]
         vs = [c["v"] for c in comps]
-        py_, pcb, pcr = planes
-        for y in range(h):
-            ry = py_[y * vs[0] // vmax]
-            rcb = pcb[y * vs[1] // vmax]
-            rcr = pcr[y * vs[2] // vmax]
-            for x in range(w):
-                Y = ry[x * hs[0] // hmax]
-                cb = rcb[x * hs[1] // hmax] - 128
-                cr = rcr[x * hs[2] // hmax] - 128
-                r = int(round(Y + 1.402 * cr))
-                g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
-                b = int(round(Y + 1.772 * cb))
-                total += (
-                    (0 if r < 0 else (255 if r > 255 else r))
-                    + (0 if g < 0 else (255 if g > 255 else g))
-                    + (0 if b < 0 else (255 if b > 255 else b))
-                )
+        ys = np.arange(h)
+        xs = np.arange(w)
+        # nearest-neighbour upsample via integer index maps — the same
+        # y*vi//vmax, x*hi//hmax source pixel as the scalar loop
+        up = [
+            planes[ci][(ys * vs[ci]) // vmax][:, (xs * hs[ci]) // hmax]
+            for ci in range(3)
+        ]
+        Y, cb, cr = up[0], up[1] - 128, up[2] - 128
+        r = np.round(Y + 1.402 * cr)
+        g = np.round(Y - 0.344136 * cb - 0.714136 * cr)
+        b = np.round(Y + 1.772 * cb)
+        total = sum(
+            int(np.clip(ch, 0, 255).astype(np.int64).sum())
+            for ch in (r, g, b)
+        )
         denom = w * h * 3
     return {"width": w, "height": h, "mean_brightness": total / denom}
 

@@ -46,6 +46,7 @@ import struct
 import zlib
 from typing import Iterator, List, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -399,7 +400,10 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
     most common image format on the web needs no codec library at all):
     walk the chunks, inflate the concatenated IDAT data, then undo the
     five per-row filters (None/Sub/Up/Average/Paeth) exactly as the PNG
-    spec defines them.  Returns ``(width, height, mean_brightness)``
+    spec defines them — None/Sub/Up numpy-vectorized (Sub is a
+    per-channel-lane cumulative sum mod 256), Average/Paeth scalar
+    because their in-row dependency admits no exact vectorization.
+    Returns ``(width, height, mean_brightness)``
     where ``mean_brightness`` is the exact mean over every unfiltered
     sample BYTE (all channels, same contract as
     :func:`decode_bmp_pixels`).
@@ -461,25 +465,54 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
     if len(raw) != (stride + 1) * h:
         return None
     bpp = channels  # bytes per pixel (8-bit samples)
+    # Unfilter with numpy where the filter admits it (None is a no-op,
+    # Up is element-wise, Sub is a per-channel-lane cumulative sum mod
+    # 256); Average and Paeth keep the scalar loop because their in-row
+    # dependency on the just-reconstructed ``line[x-bpp]`` has no exact
+    # closed form (the textbook "Paeth cannot be vectorized" case).
+    # All arithmetic stays integer-exact, so outputs are bit-identical
+    # to the original pure-Python loops (goldens unchanged).
     prev = bytearray(stride)
     total = 0
+    if color_type == 3:
+        ncolors = len(plte) // 3
+        pal = np.frombuffer(bytes(plte), dtype=np.uint8).astype(np.int64)
+        plte_sums = pal[0::3] + pal[1::3] + pal[2::3]
     for r in range(h):
         off = r * (stride + 1)
         ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
+        # Unfilter with numpy where the filter admits it (None is a
+        # no-op, Up is element-wise, Sub is a per-channel-lane
+        # cumulative sum mod 256); Average and Paeth keep the scalar
+        # bytearray loop because their in-row dependency on the
+        # just-reconstructed ``line[x-bpp]`` has no exact closed form
+        # (the textbook "Paeth cannot be vectorized" case).  Integer
+        # arithmetic throughout — bit-identical to the scalar loops.
         if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+        elif ftype == 1:  # Sub: cumulative sum along the pixel axis
+            lanes = np.cumsum(
+                np.frombuffer(raw, np.uint8, stride, off + 1)
+                .reshape(-1, bpp).astype(np.int64),
+                axis=0,
+            )
+            lanes &= 0xFF
+            line = bytearray(lanes.astype(np.uint8).tobytes())
         elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
+            s = (
+                np.frombuffer(raw, np.uint8, stride, off + 1)
+                .astype(np.int16)
+                + np.frombuffer(prev, np.uint8)
+            )
+            s &= 0xFF
+            line = bytearray(s.astype(np.uint8).tobytes())
+        elif ftype == 3:  # Average — serial dependency on x-bpp
+            line = bytearray(raw[off + 1 : off + 1 + stride])
             for x in range(stride):
                 a = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+        elif ftype == 4:  # Paeth — serial dependency on x-bpp
+            line = bytearray(raw[off + 1 : off + 1 + stride])
             for x in range(stride):
                 a = line[x - bpp] if x >= bpp else 0
                 b = prev[x]
@@ -491,13 +524,10 @@ def decode_png_pixels(payload: bytes) -> Optional[dict]:
         else:
             return None  # invalid filter byte — corrupt stream
         if color_type == 3:
-            ncolors = len(plte) // 3
-            if any(v >= ncolors for v in line):
+            idx = np.frombuffer(line, np.uint8)
+            if int(idx.max()) >= ncolors:
                 return None  # index past the palette — corrupt
-            total += sum(
-                plte[3 * v] + plte[3 * v + 1] + plte[3 * v + 2]
-                for v in line
-            )
+            total += int(plte_sums[idx].sum())
         else:
             total += sum(line)
         prev = line

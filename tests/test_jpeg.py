@@ -289,6 +289,26 @@ def _qtable_nat(zz_table, quality=90):
     return nat
 
 
+def test_idct_batch_bit_identical_to_scalar():
+    """The batched numpy IDCT is a vectorization of _idct_2d's exact
+    accumulation order, so outputs must match BIT-FOR-BIT (==, not
+    approx) — the guarantee that lets the decoder batch without
+    changing a single decoded pixel."""
+    import numpy as np
+
+    from bdq_spark.operators.jpeg import _idct_batch
+
+    rng = random.Random(11)
+    blocks = [[rng.uniform(-2000, 2000) for _ in range(64)]
+              for _ in range(17)]
+    batched = _idct_batch(np.array(blocks).reshape(-1, 8, 8))
+    for n, coef in enumerate(blocks):
+        scalar = _idct_2d(coef)
+        for y in range(8):
+            for x in range(8):
+                assert batched[n, y, x] == scalar[y * 8 + x]
+
+
 def test_idct_matches_direct_formula():
     rng = random.Random(7)
     for _ in range(5):
