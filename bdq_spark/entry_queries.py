@@ -1828,31 +1828,105 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b"))
 
 
-@_register("knn_lsh_embeddings")  # rows-only: approximate by construction
+def _knn_lsh_md5_oracle(num_planes: int, n_probe: int, dim: int = 64,
+                        k: int = 10) -> str:
+    """DuckDB oracle for :func:`knn_lsh_md5`: recomputes the md5-derived
+    INTEGER hyperplanes, the quantized int64 sign margins (exact in any
+    summation order), the bucket codes, the multi-probe flip order
+    (ascending ``(|margin|, plane)``), the bucket-join candidate set and
+    the rounded-cosine ranking — the WHOLE approximate pipeline is
+    value-checked, not just its exact fallback."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    comp AS (
+      -- DuckDB lists are 1-indexed; j is the 0-based component index
+      SELECT vec_id, CAST(tj.j AS INT) AS j,
+             CAST(round(v.e[CAST(tj.j AS INT) + 1] * 10000) AS BIGINT) AS q
+      FROM v CROSS JOIN range({dim}) tj(j)),
+    planes AS (
+      SELECT tp.p, tj.j,
+             (('0x' || substr(md5('bdq_lshq:' || tp.p || ':' || tj.j),
+                              1, 15))::BIGINT % 20001) - 10000 AS hv
+      FROM range({num_planes}) tp(p) CROSS JOIN range({dim}) tj(j)),
+    margins AS (
+      SELECT c.vec_id, pl.p, CAST(sum(c.q * pl.hv) AS BIGINT) AS margin
+      FROM comp c JOIN planes pl ON pl.j = c.j
+      GROUP BY 1, 2),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN margin >= 0
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM margins GROUP BY 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, bucket AS probe
+      FROM buckets WHERE vec_id < 5
+      UNION ALL
+      SELECT m.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << m.p)
+      FROM (SELECT vec_id, p,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY abs(margin), p) AS rk
+            FROM margins WHERE vec_id < 5) m
+      JOIN buckets b ON b.vec_id = m.vec_id
+      WHERE m.rk <= {n_probe - 1}),
+    cand AS (
+      SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+      FROM qprobe qp JOIN buckets cb ON cb.bucket = qp.probe),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM cand c
+      JOIN v a ON a.vec_id = c.query_id
+      JOIN v b ON b.vec_id = c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("knn_lsh_embeddings", _knn_lsh_md5_oracle(num_planes=4, n_probe=1))
 def knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bdq_spark.operators.similarity import knn_lsh
+    """LSH ANN, graduated from rows-only to value-hash via the
+    md5-integer twin (:func:`knn_lsh_md5`): buckets come from exact
+    int64 margins of round(x*10000) quantized vectors against
+    md5-derived integer hyperplanes, so DuckDB reproduces the EXACT
+    candidate set and ranking — approximation is a property of the
+    (deterministic) bucketing, not an excuse to skip value checking.
+    The float sha256-hyperplane production path (:func:`knn_lsh`,
+    numpy-matmul bucketing) stays pytest-covered in
+    ``tests/test_similarity_multimodal.py``."""
+    from bdq_spark.operators.similarity import knn_lsh_md5
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return knn_lsh(emb, queries, k=10, num_planes=4)
+    return knn_lsh_md5(emb, queries, k=10, num_planes=4, dim=64)
 
 
-@_register("knn_multiprobe_embeddings")  # rows-only: approximate by construction
+@_register("knn_multiprobe_embeddings",
+           _knn_lsh_md5_oracle(num_planes=6, n_probe=4))
 def knn_multiprobe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: higher recall at the same corpus bucketing.
 
     Extension op (SURVEY §2.4 vector similarity); probing strategy after
-    Lv et al., "Multi-Probe LSH" (VLDB 2007).
-    """
-    from bdq_spark.operators.similarity import knn_lsh
+    Lv et al., "Multi-Probe LSH" (VLDB 2007).  Graduated to value-hash
+    via the md5-integer twin: the probe order itself (ascending
+    ``(|margin|, plane)`` single-bit flips) is exact-integer and
+    recomputed by the oracle, so the approximate candidate set matches
+    bit-for-bit."""
+    from bdq_spark.operators.similarity import knn_lsh_md5
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return knn_lsh(emb, queries, k=10, num_planes=6, n_probe=4)
+    return knn_lsh_md5(emb, queries, k=10, num_planes=6, n_probe=4, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -5864,69 +5938,71 @@ def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-6 WINDOW (see NOTES_r6 and tests/test_registry.py): the 30
-    # entries with NO driver row in r4 or r5 come first (rotating the
-    # r1-r3-green analytics/dedup/profile entries back in, plus the new
-    # PNG entry), then every entry whose CODE or oracle changed this
-    # round (partitioned CDC sink, value-hash upgrades, batched BPE,
-    # PNG-aware pixel stats, zscore chunk fix), and the remaining slots
-    # rotate the oldest driver rows (r4-only, displaced by the r5
-    # window).  Invariant: first-50 union all CORRECTNESS_r* rounds
-    # covers the whole registry.
+    # ROUND-7 WINDOW (see NOTES_r7 and tests/test_registry.py): first
+    # every entry that is brand-new or whose CODE or ORACLE changed in
+    # r7 (MJPEG pixel stats; the md5-twin value-hash graduation of the
+    # LSH ANN entries; the manifest-committed CDC sink; the
+    # numpy-vectorized PNG/JPEG decode paths + GIF interlace acceptance
+    # + JPEG/MP4 hardening behind the multimodal entries; the repaired
+    # zero-exchange self-check in the bucketed-join proof), then ALL 35
+    # entries whose latest driver row is r4 (the oldest coverage), then
+    # r5-era rotations adjacent to this round's changed families
+    # (CDC/streaming/core-diff).  Invariant: first-50 union all
+    # CORRECTNESS_r* rounds covers the whole registry.
     #
-    # no driver row in r4 or r5 (r1-r3 green or brand-new)
-    "shipping_priority",
-    "local_supplier_volume",
-    "nation_pair_volume",
-    "returned_items_top_customers",
-    "top_customers_by_revenue",
-    "order_priority_check",
-    "customers_per_region",
-    "dedup_events_by_user_type",
-    "doc_stats",
-    "doc_language",
-    "doc_quality",
-    "dedup_fingerprint_documents",
-    "incremental_dedup_batch",
-    "embedding_near_dup_pairs",
+    # brand-new or code/oracle changed in r7
+    "multimodal_mjpeg_pixel_stats",
+    "knn_lsh_embeddings",
+    "knn_multiprobe_embeddings",
+    "streaming_cdc_merge",
     "multimodal_decode",
     "multimodal_png_pixel_stats",
-    "doc_pii_redaction",
-    "doc_repetition",
-    "doc_contamination",
-    "doc_contamination_weighted",
-    "doc_contamination_spans",
-    "orders_hash_split",
-    "range_join_price_tiers",
-    "asof_click_purchase",
-    "profile_orders_numeric",
-    "doc_bpe_tokens",
-    "doc_chunking",
-    "token_vocab_top100",
-    "doc_training_order",
-    "corpus_prepare",
-    # code or oracle changed this round
-    "streaming_cdc_merge",
-    "statestore_roundtrip",
-    "streaming_foreach_batch",
-    "bpe_train_merges",
-    "bpe_token_counts",
-    "doc_bpe_packing",
-    "corpus_training_pipeline",
-    "multimodal_wav_pcm_stats",
-    "multimodal_bmp_pixel_stats",
-    "events_running_zscore",
-    "multimodal_audio_decode",
     "multimodal_video_frames",
-    "pagerank_part_supplier",
-    "near_dup_triangles",
-    "pruned_scan_orders",
-    "orders_grouping_sets",
-    "window_suite_orders",
-    # oldest driver rows (r4-only, displaced by the r5 window)
-    "customer_pseudonymize",
-    "doc_gopher_quality",
-    "paragraph_dedup_documents",
+    "multimodal_bmp_pixel_stats",
+    "bucketed_join_orders_customer",
+    # oldest driver coverage (latest row is r4)
+    "column_combinations",
+    "csv_ingest_events",
+    "dag_states",
+    "doc_lm_score",
+    "doc_mixture_upsample",
+    "doc_stratified_sample",
+    "doc_temperature_mixture",
+    "embedding_dedup_clusters",
+    "events_daily_by_type",
+    "events_dedup_watermark",
+    "events_sliding_windows",
+    "events_user_sessions",
+    "jsonl_ingest_documents",
+    "knn_embeddings",
+    "large_order_customers",
+    "lineitem_cube",
+    "orc_roundtrip_supplier",
+    "orders_pivot_priority_status",
+    "orders_rollup_by_year",
+    "pipeline_odd_even",
+    "pk_minimal_combinations",
+    "profile_lineitem_correlations",
+    "quality_rules_lineitem",
+    "rules_quarantine_lineitem",
+    "salted_join_revenue",
+    "schema_diff_orders",
+    "simhash_md5_fingerprints",
+    "sink_partitioned_roundtrip",
+    "skew_report_lineitem_suppkey",
+    "streaming_windowed_counts",
+    "supplier_part_join_agg",
+    "top_supplier_by_period_revenue",
+    "wealthy_low_activity_customers",
+    # r5-era rotations adjacent to the r7 changed families
+    "cdc_apply_customer",
+    "stateful_running_counter",
+    "stateful_sessionize",
+    "streaming_interval_join",
+    "latest_events",
+    "latest_events_conflict",
+    "compare_orders_diff",
+    "pricing_summary",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -34,6 +34,8 @@ __all__ = [
     "lsh_bucket_vectors",
     "lsh_probe_buckets",
     "knn_lsh",
+    "lsh_bucket_vectors_md5",
+    "knn_lsh_md5",
     "quantize_embedding",
     "dequantize_embedding",
 ]
@@ -327,6 +329,191 @@ def knn_lsh(
         )
     )
     if n_probe > 1:
+        candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
+    cos = cosine_from_norms(
+        F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _md5_planes_int(num_planes: int, dim: int, seed: str = "bdq_lshq"):
+    """INTEGER hyperplane components in [-10000, 10000] derived from
+    md5 — the engine-portable twin of :func:`_hyperplanes`.  Any engine
+    with an md5 function recomputes the exact same integers:
+    ``(int(md5(f"{seed}:{p}:{j}").hexdigest()[:15], 16) % 20001) - 10000``
+    (DuckDB: ``(('0x' || substr(md5(s), 1, 15))::BIGINT % 20001) -
+    10000`` — the same first-60-bits recipe as the md5 minhash twin)."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % 20001
+            )
+            - 10000
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_vectors_md5(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    num_planes: int = 6,
+    dim: Optional[int] = None,
+    scale: int = 10000,
+    seed: str = "bdq_lshq",
+) -> DataFrame:
+    """Integer-exact LSH bucketing — the engine-portable twin of
+    :func:`lsh_bucket_vectors`.  Quantizes each component to
+    ``round(x * scale)`` int64 and signs the dot against
+    :func:`_md5_planes_int` INTEGER hyperplanes, entirely in codegen
+    expressions (``aggregate(zip_with(...))``), so the bucket of every
+    vector is reproducible by any engine with md5 + int64 arithmetic
+    regardless of summation order.  Output columns: ``id, vec, bucket,
+    margins`` (``margins`` are the exact per-plane int64 dots — the
+    multi-probe flip order derives from them)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vector_column)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = first["d"]
+    planes = _md5_planes_int(num_planes, dim, seed)
+    qv = F.transform(
+        F.col(vector_column),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    margins = [
+        F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(c).cast("long") for c in row]),
+                lambda x, hv: x * hv,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        for row in planes
+    ]
+    bucket = None
+    for p in range(num_planes):
+        term = F.when(
+            margins[p] >= 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = term if bucket is None else bucket + term
+    return df.select(
+        F.col(id_column).alias("id"),
+        F.col(vector_column).alias("vec"),
+        bucket.alias("bucket"),
+        F.array(*margins).alias("margins"),
+    )
+
+
+def knn_lsh_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 6,
+    n_probe: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    dim: Optional[int] = None,
+    scale: int = 10000,
+    seed: str = "bdq_lshq",
+) -> DataFrame:
+    """Engine-portable LSH ANN whose every BUCKET decision is exact
+    int64 arithmetic — the oracle twin of :func:`knn_lsh` (same pattern
+    as the md5 minhash/simhash twins: the production path keeps the
+    fast primitive, the twin makes the whole pipeline recomputable by
+    any engine for value-level verification).
+
+    Vectors are quantized to ``round(x * scale)`` int64 components and
+    hashed against :func:`_md5_planes_int` INTEGER hyperplanes, so sign
+    margins — and therefore buckets, probe order (ascending
+    ``(|margin|, plane)``) and the candidate set — are bit-identical in
+    Spark and the DuckDB oracle; float summation order never flips a
+    sign.  Candidate scoring then ranks by the usual
+    ``round(cosine, 6)`` on the ORIGINAL float vectors with a
+    deterministic ``(cosine DESC, neighbor_id ASC)`` tiebreak.
+
+    Pure codegen expressions (``aggregate(zip_with(...))`` dots,
+    ``transform``/``array_sort`` probe flips) — no UDFs; corpus scanned
+    once, query side broadcast, same 100 TB shape as :func:`knn_lsh`.
+    Output: ``query_id, neighbor_id, rank, cosine``.
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        first = corpus.select(
+            F.size(F.col(corpus_vec)).alias("d")
+        ).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = first["d"]
+
+    n_probe = max(1, min(n_probe, num_planes + 1))
+
+    cb = lsh_bucket_vectors_md5(
+        corpus, corpus_vec, corpus_id, num_planes, dim, scale, seed
+    ).select("id", "vec", "bucket", l2_norm(F.col("vec")).alias("__n"))
+
+    # query probes: exact bucket first, then single-bit flips in
+    # ascending (|margin|, plane) order — margins are exact ints, so
+    # the flip order is deterministic and engine-portable
+    probes_expr = (
+        "concat(array(bucket), transform("
+        "  slice(array_sort(transform(margins,"
+        "        (m, p) -> struct(abs(m) as am, p as p))),"
+        f"       1, {n_probe - 1}),"
+        "  s -> bucket ^ shiftleft(cast(1 as bigint), s.p)))"
+    )
+    qb = (
+        lsh_bucket_vectors_md5(
+            queries, query_vec, query_id, num_planes, dim, scale, seed
+        )
+        .withColumn("bucket", F.explode(F.expr(probes_expr)))
+        .select("id", "vec", "bucket", l2_norm(F.col("vec")).alias("__n"))
+    )
+
+    candidates = (
+        cb.alias("c")
+        .join(
+            F.broadcast(qb.alias("q")),
+            F.col("c.bucket") == F.col("q.bucket"),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.col("q.vec").alias("qv"),
+            F.col("c.vec").alias("cv"),
+            F.col("q.__n").alias("__qn"),
+            F.col("c.__n").alias("__cn"),
+        )
+    )
+    if n_probe > 1:
+        # probes are distinct buckets and a corpus vector lives in
+        # exactly one, but keep the dedup for structural parity with
+        # knn_lsh (and safety under future probe strategies)
         candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
     cos = cosine_from_norms(
         F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")

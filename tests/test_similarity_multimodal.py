@@ -65,6 +65,62 @@ def test_lsh_buckets_deterministic_and_bounded(spark, embeddings):
     assert len(set(m1.values())) > 4  # vectors actually spread across buckets
 
 
+def test_knn_lsh_md5_full_probe_equals_bruteforce(spark, embeddings):
+    """With num_planes=1 and n_probe=2 the probe set covers BOTH sign
+    buckets, so the md5 twin's candidate set is the whole corpus and
+    its output must equal knn_bruteforce row for row — the end-to-end
+    witness that bucketing/probing only FILTERS and never perturbs
+    scoring or ranking."""
+    from bdq_spark.operators.similarity import knn_lsh_md5
+
+    queries = embeddings.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in knn_bruteforce(embeddings, queries, k=5).collect()
+    }
+    twin = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in knn_lsh_md5(
+            embeddings, queries, k=5, num_planes=1, n_probe=2
+        ).collect()
+    }
+    assert twin == exact
+
+
+def test_lsh_md5_buckets_match_python_recompute(spark, embeddings):
+    """Every vector's md5-twin bucket is pure int64 arithmetic:
+    recompute ALL buckets in plain Python (hashlib md5 planes +
+    round-half-away-from-zero quantization — the identical computation
+    the DuckDB oracle does) and require exact equality with the Spark
+    expression pipeline."""
+    import decimal
+
+    from bdq_spark.operators.similarity import (
+        _md5_planes_int,
+        lsh_bucket_vectors_md5,
+    )
+
+    got = {
+        r.id: (r.bucket, list(r.margins))
+        for r in lsh_bucket_vectors_md5(embeddings, num_planes=3).collect()
+    }
+    planes = _md5_planes_int(3, 64)
+    for r in embeddings.collect():
+        q = [
+            int(
+                decimal.Decimal(float(x) * 10000).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for x in r.embedding
+        ]
+        margins = [sum(a * b for a, b in zip(q, hv)) for hv in planes]
+        bucket = sum(1 << p for p, m in enumerate(margins) if m >= 0)
+        assert got[r.vec_id] == (bucket, margins), r.vec_id
+
+
 def test_knn_lsh_recall_vs_bruteforce(spark, embeddings):
     queries = embeddings.limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"
