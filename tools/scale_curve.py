@@ -53,22 +53,19 @@ DEFAULT_QUERIES = [
 ]
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+# which base table a query's cost scales over; everything else reads
+# ``documents`` (the default corpus-heavy set)
+QUERY_TABLE = {
+    "pagerank_part_supplier": "lineitem",
+    "near_dup_triangles": "documents",
+}
 
-def _scaled_dir(spark, factor: int) -> str:
-    """Stage a ``factor``x documents table (plus passthrough copies of
-    the small lookup tables some funnels read) under /tmp, reused across
-    runs of this tool on the same machine."""
-    import tempfile
 
+def _stage_documents(spark, factor: int, out: str) -> None:
     from pyspark.sql import functions as F
 
     from bdq_spark.sources import load_table
 
-    tag = os.path.basename(BASE_SF_DIR.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"bdq_scale_{tag}_x{factor}")
-    marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
-        return out
     docs = load_table(spark, BASE_SF_DIR, "documents")
     n = docs.agg(F.max("doc_id")).first()[0] + 1
     copies = []
@@ -91,6 +88,52 @@ def _scaled_dir(spark, factor: int) -> str:
     for c in copies[1:]:
         scaled = scaled.unionByName(c)
     scaled.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+
+def _stage_lineitem(spark, factor: int, out: str) -> None:
+    """``factor`` disconnected copies of the part—supplier incidence
+    graph: copy ``i`` offsets ``l_partkey``/``l_suppkey`` by 100k·i, so
+    nodes AND edges grow ×factor while per-copy degree structure is
+    preserved (the graph analogue of constant duplicate density; the
+    100k spacing keeps every copy's part ids < 1e7, disjoint from the
+    supplier id space the pagerank entry shifts to 1e7+)."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.sources import load_table
+
+    li = load_table(spark, BASE_SF_DIR, "lineitem")
+    copies = []
+    for i in range(factor):
+        copies.append(
+            li.withColumn(
+                "l_partkey", F.col("l_partkey") + F.lit(i * 100_000)
+            ).withColumn(
+                "l_suppkey", F.col("l_suppkey") + F.lit(i * 100_000)
+            )
+        )
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+
+
+_STAGERS = {"documents": _stage_documents, "lineitem": _stage_lineitem}
+
+
+def _scaled_dir(spark, factor: int, table: str = "documents") -> str:
+    """Stage a ``factor``x copy of ``table`` under /tmp (marker-cached
+    per table, reused across runs of this tool on the same machine)."""
+    import tempfile
+
+    tag = os.path.basename(BASE_SF_DIR.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"bdq_scale_{tag}_x{factor}")
+    # legacy marker name for documents so pre-existing staged dirs reuse
+    marker = os.path.join(
+        out, "_STAGED" if table == "documents" else f"_STAGED_{table}"
+    )
+    if os.path.exists(marker):
+        return out
+    _STAGERS[table](spark, factor, out)
     with open(marker, "w") as fh:
         fh.write(f"{BASE_SF_DIR}:{factor}")
     return out
@@ -123,14 +166,16 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
-    dirs = {f: _scaled_dir(spark, f) for f in FACTORS}
-    rows = {
-        f: spark.read.parquet(os.path.join(d, "documents.parquet")).count()
-        for f, d in dirs.items()
-    }
-
     results = {}
     for name in only:
+        table = QUERY_TABLE.get(name, "documents")
+        dirs = {f: _scaled_dir(spark, f, table) for f in FACTORS}
+        rows = {
+            f: spark.read.parquet(
+                os.path.join(d, f"{table}.parquet")
+            ).count()
+            for f, d in dirs.items()
+        }
         fn = queries[name]
         secs = {}
         for f in FACTORS:
