@@ -712,7 +712,7 @@ def decode_gif_pixels(payload: bytes) -> Optional[dict]:
 
 def decode_wav_samples(payload: bytes) -> Optional[dict]:
     """REAL sample decode for integer-PCM WAV at 8, 16 or 24 bits —
-    pure Python from the ``data`` chunk.  Returns ``(n_samples,
+    numpy-vectorized from the ``data`` chunk.  Returns ``(n_samples,
     mean_amplitude, rms_amplitude)`` computed over every sample (all
     channels interleaved); 16/24-bit samples are little-endian signed,
     8-bit PCM is unsigned with a 128 bias (per the WAV spec) and is
@@ -741,19 +741,30 @@ def decode_wav_samples(payload: bytes) -> Optional[dict]:
             count = size // width
             if count == 0:
                 return None
+            # numpy-vectorized sample extraction — integer ops only, so
+            # values are identical to the scalar struct/int.from_bytes
+            # path this replaces
             if width == 1:
-                samples = [b - 128 for b in raw]
+                samples = (
+                    np.frombuffer(raw, np.uint8).astype(np.int64) - 128
+                )
             elif width == 2:
-                samples = struct.unpack(f"<{count}h", raw)
+                samples = np.frombuffer(raw, "<i2").astype(np.int64)
             else:  # 24-bit: 3-byte little-endian two's complement
-                samples = [
-                    int.from_bytes(
-                        raw[3 * k : 3 * k + 3], "little", signed=True
-                    )
-                    for k in range(count)
-                ]
-            total = sum(samples)
-            sumsq = sum(s * s for s in samples)
+                b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(
+                    np.int64
+                )
+                samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                samples -= (samples & 0x800000) << 1  # sign extend
+            # exact integer sums: chunked so each int64 partial stays
+            # far from overflow (2^16 samples x 2^46 max square < 2^63),
+            # accumulated into unbounded Python ints
+            total = 0
+            sumsq = 0
+            for s in range(0, count, 1 << 16):
+                chunk = samples[s : s + (1 << 16)]
+                total += int(chunk.sum())
+                sumsq += int((chunk * chunk).sum())
             # integer sums are exact; the divisions and sqrt are then
             # deterministic IEEE ops any engine reproduces
             return {
@@ -1230,36 +1241,129 @@ _VIDEO_PIXEL_SCHEMA = (
 )
 
 
+def _avi_vids_strf(payload: bytes) -> Optional[dict]:
+    """BITMAPINFOHEADER of the first ``vids`` stream in an AVI's header
+    list (``hdrl`` → ``strl`` → ``strh``/``strf``), or ``None``.  This
+    is what raw (uncompressed) frame chunks need for decoding: the
+    chunk bytes themselves carry no dimensions or layout."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    n = len(payload)
+
+    def walk(i, end, want):
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"LIST" and i + 12 <= end:
+                r = walk(i + 12, min(end, i + 8 + size), want)
+                if r is not None:
+                    return r
+            elif cid == want:
+                return payload[i + 8 : i + 8 + size]
+            i += 8 + size + (size & 1)
+        return None
+
+    # find each strl; the one whose strh says 'vids' owns the strf
+    def find_vids_strf(i, end):
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"LIST" and i + 12 <= end:
+                sub_end = min(end, i + 8 + size)
+                if payload[i + 8 : i + 12] == b"strl":
+                    strh = walk(i + 12, sub_end, b"strh")
+                    if strh is not None and strh[:4] == b"vids":
+                        return walk(i + 12, sub_end, b"strf")
+                else:
+                    r = find_vids_strf(i + 12, sub_end)
+                    if r is not None:
+                        return r
+            i += 8 + size + (size & 1)
+        return None
+
+    strf = find_vids_strf(12, n)
+    if strf is None or len(strf) < 20:
+        return None
+    w, h = struct.unpack("<ii", strf[4:12])
+    bit_count = struct.unpack("<H", strf[14:16])[0]
+    compression = struct.unpack("<I", strf[16:20])[0]
+    return {
+        "width": w,
+        "height": h,
+        "bit_count": bit_count,
+        "compression": compression,
+    }
+
+
+def decode_dib_frame(frame: bytes, strf: Optional[dict]) -> Optional[dict]:
+    """REAL pixel decode for an uncompressed (BI_RGB) 24bpp AVI video
+    frame chunk: raw bottom-up BGR rows padded to 4 bytes, dimensions
+    from the stream's BITMAPINFOHEADER (:func:`_avi_vids_strf`) —
+    the ``biCompression == 0`` raw-video case, the second real codec
+    after MJPEG.  Top-down frames (negative ``biHeight``) decode too:
+    row order cannot change row-invariant stats.  Returns the
+    ``image_pixel_stats`` dict or ``None`` (wrong size / out of
+    profile), mean over every B, G and R byte with padding excluded."""
+    if (
+        strf is None
+        or strf["compression"] != 0
+        or strf["bit_count"] != 24
+        or strf["width"] <= 0
+        or strf["height"] == 0
+    ):
+        return None
+    w = strf["width"]
+    h = abs(strf["height"])
+    stride = (w * 3 + 3) & ~3
+    if len(frame) != stride * h:
+        return None  # ragged/truncated raw frame — no guesses
+    arr = np.frombuffer(frame, np.uint8).reshape(h, stride)[:, : w * 3]
+    return {
+        "width": w,
+        "height": h,
+        "mean_brightness": int(
+            arr.astype(np.int64).sum()
+        ) / (w * h * 3),
+    }
+
+
 def video_pixel_stats(
     df: DataFrame, content_column: str = "content", every_n: int = 1
 ) -> DataFrame:
-    """REAL per-frame pixel statistics for MJPEG AVI videos via
-    Arrow-batched ``mapInPandas`` — the composition that closes the
-    "video codec payload" stub for the one codec this engine already
-    decodes: :func:`extract_avi_frames` walks the container (every
-    ``every_n``-th video chunk), and each frame's COMPLETE JPEG goes
-    through :func:`bdq_spark.operators.jpeg.decode_jpeg_pixels`.  One
-    output row per sampled frame, ``image_pixel_stats``'s contract per
-    frame: out-of-profile or corrupt frames report ``decode_ok=false``
-    with zeroed stats.  Non-AVI payloads (or AVIs without a ``movi``
-    list) emit NO rows — count against :func:`decode_video`'s
-    ``n_frames`` to see refusals, same as
-    :func:`sample_container_frames`.  Non-MJPEG codecs (raw ``##db``
-    frames, cinepak, ...) land as per-frame refusals, the honest
+    """REAL per-frame pixel statistics for MJPEG and RAW (BI_RGB 24bpp)
+    AVI videos via Arrow-batched ``mapInPandas``:
+    :func:`extract_avi_frames` walks the container (every ``every_n``-th
+    video chunk); a frame that starts with a JPEG SOI goes through
+    :func:`bdq_spark.operators.jpeg.decode_jpeg_pixels`, anything else
+    tries the uncompressed-DIB profile (:func:`decode_dib_frame`, with
+    dimensions from the stream's BITMAPINFOHEADER via
+    :func:`_avi_vids_strf`).  One output row per sampled frame,
+    ``image_pixel_stats``'s contract per frame: out-of-profile or
+    corrupt frames report ``decode_ok=false`` with zeroed stats.
+    Non-AVI payloads (or AVIs without a ``movi`` list) emit NO rows —
+    count against :func:`decode_video`'s ``n_frames`` to see refusals,
+    same as :func:`sample_container_frames`.  COMPRESSED non-MJPEG
+    codecs (cinepak, h264, ...) land as per-frame refusals, the honest
     boundary.  Scale shape: one pass, no shuffle, bounded per-batch
-    memory; pure-Python decode throughput is the documented
-    oracle-scale constant factor."""
+    memory; decode throughput is the documented oracle-scale constant
+    factor."""
     from bdq_spark.operators.jpeg import decode_jpeg_pixels
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: List[tuple] = []
             for mid, b in zip(pdf["media_id"], pdf[content_column]):
-                got = extract_avi_frames(
-                    bytes(b) if b is not None else b"", every_n=every_n
-                )
+                payload = bytes(b) if b is not None else b""
+                got = extract_avi_frames(payload, every_n=every_n)
+                strf = _avi_vids_strf(payload) if got else None
                 for idx, fr in got or []:
-                    d = decode_jpeg_pixels(fr)
+                    # MJPEG frames are complete JPEGs (SOI first);
+                    # anything else tries the raw BI_RGB profile
+                    d = (
+                        decode_jpeg_pixels(fr)
+                        if fr[:2] == b"\xff\xd8"
+                        else decode_dib_frame(fr, strf)
+                    )
                     if d is None:
                         rows.append((mid, idx, 0, 0, 0.0, False))
                     else:

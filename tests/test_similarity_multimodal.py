@@ -848,6 +848,54 @@ def test_video_pixel_stats_mjpeg(spark):
     ]
 
 
+def test_video_pixel_stats_raw_dib(spark):
+    """Uncompressed (BI_RGB 24bpp) AVI → per-frame raw-DIB pixel stats:
+    dimensions resolve through the stream's BITMAPINFOHEADER, rows are
+    4-byte padded bottom-up BGR, padding is excluded from the mean, a
+    ragged frame refuses, and a compressed (non-zero biCompression)
+    stream refuses every non-JPEG frame."""
+    from bdq_spark.operators.multimodal import (
+        _avi_vids_strf,
+        attach_media_metadata,
+        decode_dib_frame,
+        video_pixel_stats,
+    )
+
+    w, h = 5, 3  # stride 16 > w*3 = 15: one pad byte per row
+    stride = (w * 3 + 3) & ~3
+    rows_px = [
+        bytes((y * 31 + x * 7) % 256 for x in range(w * 3)) + b"\xff"
+        for y in range(h)
+    ]  # 0xff pad byte would skew the mean if it leaked in
+    frame = b"".join(rows_px)
+    expect = sum(sum(r[: w * 3]) for r in rows_px) / (w * h * 3)
+    frames = [frame, frame[:-4]]  # second frame ragged -> refusal
+    avi = _avi_bytes(w, h, frames=frames, strf=(24, 0))
+
+    strf = _avi_vids_strf(avi)
+    assert strf == {"width": w, "height": h, "bit_count": 24,
+                    "compression": 0}
+    assert decode_dib_frame(frame, strf) == {
+        "width": w, "height": h, "mean_brightness": expect
+    }
+
+    compressed = _avi_bytes(w, h, frames=[frame], strf=(24, 0x34363248))
+    rows = [(0, avi), (1, compressed)]
+    df = spark.createDataFrame(rows, "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="video",
+                                  id_column="media_id")
+    got = {
+        (r.media_id, r.frame_idx): r
+        for r in video_pixel_stats(media).collect()
+    }
+    assert len(got) == 3
+    assert got[(0, 0)].decode_ok
+    assert got[(0, 0)].mean_brightness == expect
+    assert (got[(0, 0)].width, got[(0, 0)].height) == (w, h)
+    assert not got[(0, 1)].decode_ok      # ragged raw frame
+    assert not got[(1, 0)].decode_ok      # compressed codec: refusal
+
+
 def test_encode_flat_jpeg_exact_roundtrip():
     """The flat-frame synthesizer must decode to EXACTLY its gray level
     at every size — the property the MJPEG oracle entry relies on."""
@@ -896,7 +944,11 @@ def _mp4_bytes(timescale=1000, duration=5000, w=640, h=480, mvhd_ver=0):
     return ftyp + moov + box(b"mdat", b"\x00" * 32)
 
 
-def _avi_bytes(w=320, h=240, frames=(), us_per_frame=40000, junk_chunk=False):
+def _avi_bytes(w=320, h=240, frames=(), us_per_frame=40000, junk_chunk=False,
+               strf=None):
+    """``strf=(bit_count, compression)`` additionally emits a
+    ``strl``/``strh``(vids)/``strf``(BITMAPINFOHEADER) stream header —
+    what the raw-DIB decode path resolves frame dimensions from."""
     def chunk(cid, body):
         pad = b"\x00" if len(body) & 1 else b""
         return cid + struct.pack("<I", len(body)) + body + pad
@@ -906,7 +958,14 @@ def _avi_bytes(w=320, h=240, frames=(), us_per_frame=40000, junk_chunk=False):
 
     avih = (struct.pack("<IIIII", us_per_frame, 0, 0, 0, len(frames))
             + b"\x00" * 12 + struct.pack("<II", w, h) + b"\x00" * 16)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    hdrl_body = chunk(b"avih", avih)
+    if strf is not None:
+        bit_count, compression = strf
+        strh = b"vids" + b"DIB " + b"\x00" * 48
+        bmih = struct.pack("<Iii HH I", 40, w, h, 1, bit_count,
+                           compression) + b"\x00" * 20
+        hdrl_body += lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bmih))
+    hdrl = lst(b"hdrl", hdrl_body)
     movi_body = b""
     for i, f in enumerate(frames):
         if junk_chunk and i == 1:
