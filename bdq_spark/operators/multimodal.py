@@ -691,12 +691,19 @@ def decode_gif_pixels(payload: bytes) -> Optional[dict]:
                 return None
             idx = idx[: w * h]
             ncolors = len(table) // 3
-            if any(v >= ncolors for v in idx):
+            # color-table mapping + sum vectorized (integer-exact, same
+            # values as the scalar loop); the LZW decode above stays
+            # scalar — codes are inherently serial
+            arr = np.asarray(idx, dtype=np.int64)
+            if int(arr.max()) >= ncolors:
                 return None  # index past the color table — corrupt
-            total = 0
-            for v in idx:
-                o = 3 * v
-                total += table[o] + table[o + 1] + table[o + 2]
+            pal = np.frombuffer(bytes(table), np.uint8).astype(np.int64)
+            pal_sums = (
+                pal[0 : 3 * ncolors : 3]
+                + pal[1 : 3 * ncolors : 3]
+                + pal[2 : 3 * ncolors : 3]
+            )
+            total = int(pal_sums[arr].sum())
             return {
                 "width": w,
                 "height": h,
