@@ -235,16 +235,23 @@ def _gc_generations(
     fs, Path, path: str, retain: int, collect_above_current: bool = False
 ) -> bool:
     """Delete manifests older than the newest ``retain + 1`` generations
-    and every data directory none of the retained manifests reference
-    (older generations of rewritten buckets, plus orphans of crashed
-    attempts).  Runs AFTER a commit, so nothing it deletes is resolvable
-    through a retained manifest; a reader holding paths from a manifest
-    within retention is safe by construction.  Unreferenced dirs ABOVE
-    the current generation are an active writer's in-flight staging OR a
-    crashed attempt's orphans — indistinguishable from the outside, so
-    the writer's own post-commit GC leaves them (``False``) and only the
-    explicitly not-concurrent :func:`recover_snapshot` collects them
-    (``True``).  Returns True if anything was deleted."""
+    and data directories no retained manifest references.  Runs AFTER a
+    commit, so nothing it deletes is resolvable through a retained
+    manifest; a reader holding paths from a manifest within retention is
+    safe by construction.  Two modes:
+
+    - ``collect_above_current=False`` (the per-batch writer): collect
+      ONLY what the just-dropped manifests reference and the kept ones
+      don't — O(dropped diffs) manifest reads, no tree listing, so the
+      per-batch metadata cost stays O(touched) even with thousands of
+      buckets on an object store.
+    - ``collect_above_current=True`` (:func:`recover_snapshot`,
+      explicitly not-concurrent): a full tree walk that additionally
+      collects what no manifest ever referenced — crashed attempts'
+      orphan data dirs (including above the current generation, which
+      an active writer would still be staging) and stage scratch.
+
+    Returns True if anything was deleted."""
     gens = _list_manifest_gens(fs, Path, path)
     if not gens:
         return False
@@ -254,10 +261,40 @@ def _gc_generations(
         m = _read_manifest(fs, Path, path, g)
         live.update(m["buckets"].values())
     deleted = False
+
+    if not collect_above_current:
+        # Per-commit fast path: the only garbage a successful commit can
+        # CREATE is the data directories reachable solely through the
+        # manifests that just fell out of retention — computable from
+        # those manifests' bucket maps, O(their diffs vs live), with NO
+        # tree listing (at object-store scale, per-batch LIST of every
+        # bucket directory would dominate the metadata cost; reading
+        # one small dropped-manifest JSON does not).  Crashed-attempt
+        # orphans and stage scratch are never referenced by ANY
+        # manifest, so only a listing can find them — that is
+        # :func:`recover_snapshot`'s explicitly not-concurrent job, not
+        # the per-batch writer's.
+        doomed: set = set()
+        for g in drop:
+            m = _read_manifest(fs, Path, path, g)
+            doomed.update(set(m["buckets"].values()) - live)
+        for rel in sorted(doomed):
+            if fs.delete(Path(posixpath.join(path, rel)), True):
+                deleted = True
+        for g in drop:
+            fs.delete(
+                Path(posixpath.join(path, f"{_MANIFEST_PREFIX}{g}")), False
+            )
+            deleted = True
+        return deleted
+
+    # Full-tree vacuum (recover_snapshot): collect everything no
+    # retained manifest references — dropped generations, crashed
+    # attempts' orphans (including above the current generation, which
+    # an active writer would still be staging) and stage scratch.
     for g in drop:
         fs.delete(Path(posixpath.join(path, f"{_MANIFEST_PREFIX}{g}")), False)
         deleted = True
-    current = gens[-1]
     for st in fs.listStatus(Path(path)):
         name = st.getPath().getName()
         if not (
@@ -276,23 +313,18 @@ def _gc_generations(
                 if sname.startswith("g") and sname[1:].isdigit()
                 else None
             )
-            if g is None or (g > current and not collect_above_current):
+            if g is None:
                 continue
             fs.delete(sub.getPath(), True)
             deleted = True
         if not fs.listStatus(st.getPath()):  # bucket dir emptied
             fs.delete(st.getPath(), True)
-    # leftover stage scratch from crashed attempts at or below current
+    # leftover stage scratch from crashed attempts
     for st in fs.listStatus(Path(path)):
         name = st.getPath().getName()
         if name.startswith("_stage_g"):
-            try:
-                g = int(name[len("_stage_g"):])
-            except ValueError:
-                continue
-            if g <= current or collect_above_current:
-                fs.delete(st.getPath(), True)
-                deleted = True
+            fs.delete(st.getPath(), True)
+            deleted = True
     return deleted
 
 
