@@ -332,6 +332,7 @@ def read_snapshot(
     spark: SparkSession,
     path: str,
     buckets: Optional[List[int]] = None,
+    generation: Optional[int] = None,
 ) -> DataFrame:
     """Read a partitioned CDC snapshot through its committed manifest —
     the ONLY correct way to read one: resolving the manifest pins the
@@ -340,14 +341,31 @@ def read_snapshot(
 
     ``buckets`` restricts the read to those bucket ids — explicit
     directory selection, strictly stronger pruning than partition
-    discovery (unlisted buckets' files are never even listed).  The
-    result carries pure data columns in the snapshot's schema (taken
+    discovery (unlisted buckets' files are never even listed).
+
+    ``generation`` time-travels to a specific committed generation —
+    generations are immutable and the sink retains
+    ``retain_generations`` manifests past the current one, so any still-
+    retained generation reads back exactly as it committed (the
+    Delta-style ``versionAsOf``, from plain parquet + manifests).
+    Raises ``ValueError`` when that generation has been vacuumed or
+    never existed, listing what IS available.
+
+    The result carries pure data columns in the snapshot's schema (taken
     from the manifest, so no parquet footer inference); an empty or
     fully-deleted snapshot returns an empty DataFrame with the correct
     schema.  Raises ``FileNotFoundError`` when no commit exists.
     """
     fs, Path = _hadoop_fs(spark, path)
-    m = _read_manifest(fs, Path, path)
+    if generation is not None:
+        avail = _list_manifest_gens(fs, Path, path)
+        if generation not in avail:
+            raise ValueError(
+                f"read_snapshot: generation {generation} is not retained "
+                f"under {path} (available: {avail}) — raise "
+                "retain_generations on the sink to keep more history"
+            )
+    m = _read_manifest(fs, Path, path, generation)
     if m is None:
         raise FileNotFoundError(
             f"read_snapshot: no committed manifest under {path}"

@@ -660,6 +660,58 @@ def test_cdc_merge_sink_partitioned_schema_evolution(spark, tmp_path):
     assert len(got2) == 3
 
 
+def test_cdc_snapshot_time_travel(spark, tmp_path):
+    """Generations are immutable and retained manifests resolve them:
+    read_snapshot(generation=g) must return EXACTLY the post-commit
+    state of batch g for every retained generation, and a vacuumed
+    generation must raise with the available list — the Delta-style
+    versionAsOf from plain parquet + manifests."""
+    import pytest
+
+    from bdq_spark.streaming import cdc_merge_sink_partitioned, read_snapshot
+
+    path = str(tmp_path / "snap")
+    merge = cdc_merge_sink_partitioned(
+        spark, path, ["id"], ["ver"], num_buckets=4, retain_generations=1
+    )
+    states = {}
+    batches = [
+        [(1, "a", 1.0, "I", 1), (2, "b", 2.0, "I", 1)],
+        [(2, "b2", 2.5, "U", 2), (3, "c", 3.0, "I", 2)],
+        [(1, None, None, "D", 3), (4, "d", 4.0, "I", 3)],
+    ]
+    expect = {}
+    live = {}
+    for g, rows in enumerate(batches, start=1):
+        merge(_cdc_rows(spark, rows), g - 1)
+        for rid, name, bal, op, _ in rows:
+            if op == "D":
+                live.pop(rid, None)
+            else:
+                live[rid] = (name, bal)
+        expect[g] = dict(live)
+        states[g] = {
+            r.id: (r.name, r.bal)
+            for r in read_snapshot(spark, path).collect()
+        }
+    # current read equals the sequential merge at every step as it ran
+    assert states == expect
+    # retained generations time-travel exactly (retain=1 keeps current
+    # g3 plus one generation of history, g2; g1's manifest was dropped
+    # by the post-commit GC of g3)
+    for g in (2, 3):
+        got = {
+            r.id: (r.name, r.bal)
+            for r in read_snapshot(spark, path, generation=g).collect()
+        }
+        assert got == expect[g], g
+    # g1 fell out of retention: explicit error naming what IS available
+    with pytest.raises(ValueError, match=r"generation 1 is not retained"):
+        read_snapshot(spark, path, generation=1)
+    with pytest.raises(ValueError, match=r"available: \[2, 3\]"):
+        read_snapshot(spark, path, generation=99)
+
+
 def test_cdc_reader_snapshot_isolation(spark, tmp_path, monkeypatch):
     """Round-6 VERDICT gap #1: a reader concurrent with a promotion must
     never see bucket A at generation N+1 and bucket B at generation N.
