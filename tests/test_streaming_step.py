@@ -660,6 +660,109 @@ def test_cdc_merge_sink_partitioned_schema_evolution(spark, tmp_path):
     assert len(got2) == 3
 
 
+def test_cdc_crash_at_every_protocol_mutation(spark, tmp_path, monkeypatch):
+    """Exhaustive crash-point sweep of the commit protocol: inject a
+    failure at EVERY driver-side filesystem mutation (rename / delete /
+    create / mkdirs) a merge batch performs, one run per point.  After
+    each crash the snapshot must read as WHOLLY the old or WHOLLY the
+    new generation (never a mix), a replay of the same batch must
+    converge to the sequential-merge state, and recover_snapshot must
+    change nothing a reader sees.  This is the protocol's safety
+    argument executed point by point instead of at hand-picked spots."""
+    import shutil
+
+    import bdq_spark.streaming.cdc_sink as sink_mod
+    from bdq_spark.streaming import (
+        cdc_merge_sink_partitioned,
+        read_snapshot,
+        recover_snapshot,
+    )
+
+    _MUTATORS = ("rename", "delete", "create", "mkdirs")
+
+    class FaultFS:
+        """Forwards to the real Hadoop FS; decrements ``counter['left']``
+        on each mutating call and raises once it hits zero."""
+
+        def __init__(self, fs, counter):
+            self._fs = fs
+            self._counter = counter
+
+        def __getattr__(self, name):
+            real = getattr(self._fs, name)
+            if name not in _MUTATORS:
+                return real
+
+            def wrapped(*a):
+                if self._counter["left"] == 0:
+                    raise RuntimeError(f"injected crash before {name}")
+                self._counter["left"] -= 1
+                self._counter["ops"] += 1
+                return real(*a)
+
+            return wrapped
+
+    real_hadoop = sink_mod._hadoop_fs
+
+    def make_patched(counter):
+        def patched(spark_, path_):
+            fs, Path = real_hadoop(spark_, path_)
+            return FaultFS(fs, counter), Path
+
+        return patched
+
+    template = str(tmp_path / "template")
+    merge0 = cdc_merge_sink_partitioned(
+        spark, template, ["id"], ["ver"], num_buckets=2
+    )
+    rows1 = [(i, f"n{i}", float(i), "I", 1) for i in range(8)]
+    merge0(_cdc_rows(spark, rows1), 0)
+    gen1 = _snap(spark, template)
+
+    rows2 = [(0, "u0", 100.0, "U", 2), (3, None, None, "D", 2),
+             (9, "i9", 9.0, "I", 2)]
+    live = {i: (f"n{i}", float(i)) for i in range(8)}
+    live[0] = ("u0", 100.0)
+    del live[3]
+    live[9] = ("i9", 9.0)
+    gen2 = sorted((k, n, b) for k, (n, b) in live.items())
+
+    # discovery run: count the batch's driver-side mutations
+    probe = str(tmp_path / "probe")
+    shutil.copytree(template, probe)
+    counter = {"left": 10**9, "ops": 0}
+    monkeypatch.setattr(sink_mod, "_hadoop_fs", make_patched(counter))
+    cdc_merge_sink_partitioned(spark, probe, ["id"], ["ver"], num_buckets=2)(
+        _cdc_rows(spark, rows2), 1
+    )
+    monkeypatch.setattr(sink_mod, "_hadoop_fs", real_hadoop)
+    total_ops = counter["ops"]
+    assert _snap(spark, probe) == gen2  # proxy is transparent
+    assert 3 <= total_ops <= 40, total_ops
+
+    for k in range(total_ops):
+        work = str(tmp_path / f"crash_{k}")
+        shutil.copytree(template, work)
+        merge = cdc_merge_sink_partitioned(
+            spark, work, ["id"], ["ver"], num_buckets=2
+        )
+        counter = {"left": k, "ops": 0}
+        monkeypatch.setattr(sink_mod, "_hadoop_fs", make_patched(counter))
+        with pytest.raises(RuntimeError, match="injected crash"):
+            merge(_cdc_rows(spark, rows2), 1)
+        monkeypatch.setattr(sink_mod, "_hadoop_fs", real_hadoop)
+        state = _snap(spark, work)
+        assert state in (gen1, gen2), f"torn read after crash at op {k}"
+        # replay converges regardless of where the crash landed
+        merge(_cdc_rows(spark, rows2), 1)
+        assert _snap(spark, work) == gen2, f"replay diverged at op {k}"
+        # vacuum collects garbage only — reader state unchanged
+        recover_snapshot(spark, work)
+        assert _snap(spark, work) == gen2, f"vacuum changed data at op {k}"
+        # and the vacuumed snapshot keeps merging cleanly
+        read_snapshot(spark, work).collect()
+
+
 def test_cdc_snapshot_time_travel(spark, tmp_path):
     """Generations are immutable and retained manifests resolve them:
     read_snapshot(generation=g) must return EXACTLY the post-commit
