@@ -491,8 +491,9 @@ def knn_lsh_md5(
         lsh_bucket_vectors_md5(
             queries, query_vec, query_id, num_planes, dim, scale, seed
         )
+        .withColumn("__n", l2_norm(F.col("vec")))  # once, before the fan-out
         .withColumn("bucket", F.explode(F.expr(probes_expr)))
-        .select("id", "vec", "bucket", l2_norm(F.col("vec")).alias("__n"))
+        .select("id", "vec", "bucket", "__n")
     )
 
     candidates = (

@@ -58,6 +58,35 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 QUERY_TABLE = {
     "pagerank_part_supplier": "lineitem",
     "near_dup_triangles": "documents",
+    "knn_embeddings": "embeddings",
+    "knn_lsh_embeddings": "embeddings",
+    "knn_multiprobe_embeddings": "embeddings",
+    "embedding_near_dup_pairs": "embeddings",
+    "embedding_near_dup_pairs_lsh": "embeddings",
+}
+
+
+def _embedding_near_dup_pairs_lsh(spark, sf_dir):
+    """Scale-only twin of the ``embedding_near_dup_pairs`` entry with the
+    operator's 100 TB path FORCED ON (``mode="lsh"``) instead of letting
+    ``mode="auto"`` pick exact at these row counts.  The registered entry
+    keeps exact mode because its DuckDB oracle replays all pairs; at real
+    scale ``auto`` cuts over to this banded path at ``exact_max_rows``,
+    so THIS curve — not the registry entry's by-design-quadratic exact
+    curve — is the one that answers the 100 TB question."""
+    from bdq_spark.operators.dedup import embedding_cosine_pairs
+    from bdq_spark.sources import load_table
+
+    return embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, mode="lsh"
+    )
+
+
+# scale-only callables measured alongside registry entries but kept OUT
+# of the driver registry (they exist to measure a mode the oracle twin
+# can't use, not to claim new query surface)
+EXTRA_QUERIES = {
+    "embedding_near_dup_pairs_lsh": _embedding_near_dup_pairs_lsh,
 }
 
 
@@ -117,7 +146,50 @@ def _stage_lineitem(spark, factor: int, out: str) -> None:
     scaled.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
 
 
-_STAGERS = {"documents": _stage_documents, "lineitem": _stage_lineitem}
+def _stage_embeddings(spark, factor: int, out: str) -> None:
+    """``factor`` copies of the embeddings table with ids offset and
+    each copy's vectors ROLLED by ``i`` components — norms and
+    coordinate distributions are preserved while cross-copy directions
+    decorrelate, so per-query neighbor structure stays constant-density
+    as the corpus grows (the ANN analogue of the Caesar-shift corpus)."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.sources import load_table
+
+    emb = load_table(spark, BASE_SF_DIR, "embeddings")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    copies = []
+    for i in range(factor):
+        r = i % dim
+        rolled = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice(F.col("embedding"), r + 1, dim - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
+        )
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + i * n).alias("vec_id"),
+                rolled.alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+
+_STAGERS = {
+    "documents": _stage_documents,
+    "lineitem": _stage_lineitem,
+    "embeddings": _stage_embeddings,
+}
 
 
 def _scaled_dir(spark, factor: int, table: str = "documents") -> str:
@@ -160,7 +232,7 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **EXTRA_QUERIES}
     unknown = [q for q in only if q not in queries]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
