@@ -2812,6 +2812,264 @@ def multimodal_mjpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_pixel_stats(media)
 
 
+_ADPCM_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+# The oracle REPLAYS the published IMA-ADPCM nibble state machine in a
+# recursive CTE — per (doc, step j) the predictor/step-index recurrence
+# is pure int64 arithmetic, so every intermediate sample is exact in any
+# engine; the aggregation over the 9 samples then matches the decoder's
+# integer sums bit for bit.
+_ADPCM_PCM_ORACLE = f"""
+WITH RECURSIVE d AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+st AS (
+  SELECT did, CAST(0 AS BIGINT) AS j,
+         (did*131) % 4001 - 2000 AS pred,
+         did % 89 AS idx
+  FROM d
+  UNION ALL
+  SELECT did, j + 1,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+         GREATEST(0, LEAST(88, idx + CASE WHEN nib % 8 < 4 THEN -1
+                                          ELSE (nib % 8 - 3) * 2 END))
+  FROM (
+    SELECT did, j, pred, idx, nib,
+           (step // 8)
+           + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+           + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+           + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+    FROM (
+      SELECT did, j, pred, idx,
+             (did*7 + j*3) % 16 AS nib,
+             ({_ADPCM_STEPS_SQL})[CAST(idx + 1 AS INTEGER)] AS step
+      FROM st WHERE j < 8))),
+agg AS (
+  SELECT did, count(*) AS n, SUM(pred) AS total, SUM(pred*pred) AS sumsq
+  FROM st GROUP BY did)
+SELECT did AS media_id,
+       CAST(CASE WHEN did % 5 = 0 THEN 0 ELSE n END AS BIGINT) AS n_samples,
+       CASE WHEN did % 5 = 0 THEN 0.0
+            ELSE round(total / CAST(n AS DOUBLE), 6) END AS mean_amplitude,
+       CASE WHEN did % 5 = 0 THEN 0.0
+            ELSE round(sqrt(sumsq / CAST(n AS DOUBLE)), 6)
+       END AS rms_amplitude,
+       did % 5 <> 0 AS decode_ok
+FROM agg
+"""
+
+
+@_register("multimodal_adpcm_pcm_stats", _ADPCM_PCM_ORACLE)
+def multimodal_adpcm_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-audio decode, oracle-checked end to end: builds
+    VALID mono IMA-ADPCM WAVs (fmt tag 0x11, one 8-byte block: header
+    predictor ``(d*131) % 4001 - 2000``, step index ``d % 89``, then 8
+    data nibbles ``(d*7 + j*3) % 16``) entirely in Spark expressions,
+    decodes them with the pure-Python IMA state machine
+    (:func:`bdq_spark.operators.multimodal.decode_adpcm_samples`), and
+    the DuckDB oracle REPLAYS the whole per-nibble predictor/step-index
+    recurrence in a recursive CTE — the approximate pipeline has no
+    unchecked step, the same standard as the md5-twin ANN entries.
+    Every fifth document gets an MP3 payload — the stub boundary
+    reports ``decode_ok=false``, checked by the oracle too."""
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        audio_pcm_stats,
+    )
+
+    did = F.col("doc_id").cast("bigint")
+
+    def he(col, width):
+        return F.lpad(F.hex(col), width, "0")
+
+    def le16(col):
+        return F.concat(
+            he(col % 256, 2), he(F.floor(col / 256).cast("bigint") % 256, 2)
+        )
+
+    pred0 = (did * 131) % 4001 - 2000
+    idx0 = did % 89
+    nib = lambda j: (did * 7 + j * 3) % 16  # noqa: E731
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(3).cast("bigint")),
+            lambda k: he(nib(2 * k) + nib(2 * k + 1) * 16, 2),
+        ),
+        "",
+    )
+    block = F.concat(
+        le16((pred0 + 65536) % 65536),  # int16 LE two's complement
+        he(idx0, 2), F.lit("00"),
+        data_hex,
+    )
+    wav = F.concat(
+        F.lit("52494646"), F.lit("24000000"),          # RIFF, len 36
+        F.lit("57415645" "666D7420" "10000000"),       # WAVE fmt(16)
+        F.lit("1100" "0100"),                          # tag 0x11, mono
+        F.lit("401F0000" "00100000"),                  # 8000 Hz, 4096 B/s
+        F.lit("0800" "0400"),                          # align 8, 4 bits
+        F.lit("64617461" "08000000"),                  # data(8)
+        block,
+    )
+    mp3 = F.lit("FFFB9000" + "00" * 40)  # MP3 frame: decoder refuses
+    payload = F.unhex(F.when(did % 5 == 0, mp3).otherwise(wav))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", payload.alias("payload")
+    )
+    media = attach_media_metadata(
+        docs, content_column="payload", media_type="audio", id_column="doc_id"
+    )
+    return audio_pcm_stats(media).select(
+        "media_id",
+        "n_samples",
+        F.round("mean_amplitude", 6).alias("mean_amplitude"),
+        F.round("rms_amplitude", 6).alias("rms_amplitude"),
+        "decode_ok",
+    )
+
+
+# palette color c: RGBQUAD bytes (B,G,R) = ((4c)*37, (4c+1)*37,
+# (4c+2)*37) mod 256 — the oracle recomputes the same sums
+_RLE8_PIXEL_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+f AS (SELECT did, CAST(unnest([0, 1]) AS INTEGER) AS i FROM d),
+g AS (SELECT did, i, did % 5 + 2 AS w, did % 3 + 1 AS h,
+             did % 7 = 0 AND i = 1 AS truncated
+      FROM f)
+SELECT did AS media_id, i AS frame_idx,
+       CAST(CASE WHEN truncated THEN 0 ELSE w END AS INTEGER) AS width,
+       CAST(CASE WHEN truncated THEN 0 ELSE h END AS INTEGER) AS height,
+       CASE WHEN truncated THEN 0.0
+            ELSE round(list_sum(list_transform(range(0, h), y ->
+                   CAST(((4*((did + y + i) % 8))*37) % 256
+                      + ((4*((did + y + i) % 8) + 1)*37) % 256
+                      + ((4*((did + y + i) % 8) + 2)*37) % 256 AS DOUBLE)))
+                 / (h * 3), 6)
+       END AS mean_brightness,
+       NOT truncated AS decode_ok
+FROM g
+"""
+
+
+@_register("multimodal_rle8_pixel_stats", _RLE8_PIXEL_ORACLE)
+def multimodal_rle8_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-video decode, oracle-checked end to end — RLE8
+    joins MJPEG and raw-DIB as the third real AVI codec: builds VALID
+    BI_RLE8 AVIs entirely in Spark expressions (full RIFF framing
+    including the ``strl``/``strh``/``strf`` stream header the RLE8
+    path resolves its palette through — 8 RGBQUAD colors with byte
+    pattern ``(4c + k)*37 % 256``; two frames per doc, frame ``i`` row
+    ``y`` is one encoded run of index ``(d + y + i) % 8`` wide ``w``),
+    decodes every frame with
+    :func:`bdq_spark.operators.multimodal.decode_rle8_frame`, and the
+    DuckDB oracle recomputes each frame's exact palette-mapped mean.
+    Every 7th document's SECOND frame drops its end-of-bitmap marker —
+    the strict profile refuses it (undefined pixels are never guessed),
+    and the oracle predicts that refusal."""
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        video_pixel_stats,
+    )
+
+    did = F.col("doc_id").cast("bigint")
+    w = did % 5 + 2
+    h = did % 3 + 1
+    zero = F.lit(0).cast("bigint")
+
+    def he(col, width):
+        return F.lpad(F.hex(col), width, "0")
+
+    def le32(col):
+        return F.concat(
+            he(col % 256, 2),
+            he(F.floor(col / 256).cast("bigint") % 256, 2),
+            he(F.floor(col / 65536).cast("bigint") % 256, 2),
+            he(F.floor(col / 16777216).cast("bigint") % 256, 2),
+        )
+
+    palette_hex = "".join(
+        f"{(i * 37) % 256 if i % 4 != 3 else 0:02X}" for i in range(32)
+    )
+
+    def frame_hex(i):
+        # row y: one encoded run [w, idx] + EOL; EOB unless truncated
+        rows = F.array_join(
+            F.transform(
+                F.sequence(zero, h - 1),
+                lambda y: F.concat(
+                    he(w, 2), he((did + y + i) % 8, 2), F.lit("0000")
+                ),
+            ),
+            "",
+        )
+        return F.concat(
+            rows,
+            F.when((did % 7 == 0) & (i == 1), F.lit("")).otherwise(
+                F.lit("0001")
+            ),
+        )
+
+    def chunk(i):
+        fh = frame_hex(i)
+        flen = (F.length(fh) / 2).cast("bigint")  # 4h(+2): always even
+        return F.concat(F.lit("30306463"), le32(flen), fh)
+
+    frame_chunks = F.concat(chunk(zero), chunk(F.lit(1).cast("bigint")))
+    movi_body_len = (F.length(frame_chunks) / 2).cast("bigint")
+    avih_body = F.concat(
+        le32(F.lit(40000)), F.lit("00000000" * 3), le32(F.lit(2)),
+        F.lit("00" * 12), le32(w), le32(h), F.lit("00" * 16),
+    )
+    # strh(56): 'vids' + fourcc + zeros; strf(72): BITMAPINFOHEADER(40)
+    # with biClrUsed=8 + 8 RGBQUAD palette entries
+    strh = F.lit("76696473" + "4D524C45" + "00" * 48)
+    strf_body = F.concat(
+        le32(F.lit(40)), le32(w), le32(h),
+        F.lit("0100" "0800"),        # 1 plane, 8 bpp
+        le32(F.lit(1)),              # biCompression = BI_RLE8
+        F.lit("00" * 12),
+        le32(F.lit(8)), le32(F.lit(0)),  # biClrUsed=8, important=0
+        F.lit(palette_hex),
+    )
+    strl = F.concat(
+        F.lit("4C495354"), le32(F.lit(4 + 8 + 56 + 8 + 72)),
+        F.lit("7374726C"),
+        F.lit("73747268"), le32(F.lit(56)), strh,
+        F.lit("73747266"), le32(F.lit(72)), strf_body,
+    )
+    hdrl = F.concat(
+        F.lit("4C495354"), le32(F.lit(4 + 8 + 56 + 8 + 148)),
+        F.lit("6864726C"),
+        F.lit("61766968"), le32(F.lit(56)), avih_body,
+        strl,
+    )
+    movi = F.concat(
+        F.lit("4C495354"), le32(movi_body_len + 4), F.lit("6D6F7669"),
+        frame_chunks,
+    )
+    riff_len = 4 + (8 + 4 + 64 + 156) + (8 + 4) + movi_body_len
+    avi = F.concat(
+        F.lit("52494646"), le32(riff_len), F.lit("41564920"), hdrl, movi
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(avi).alias("payload")
+    )
+    media = attach_media_metadata(
+        docs, content_column="payload", media_type="video", id_column="doc_id"
+    )
+    return video_pixel_stats(media).select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+        "decode_ok",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — declarative quality rules (single-pass aggregation)
 # ---------------------------------------------------------------------------
@@ -5951,6 +6209,9 @@ _DRIVER_PRIORITY = [
     # CORRECTNESS_r* rounds covers the whole registry.
     #
     # brand-new or code/oracle changed in r7
+    "multimodal_adpcm_pcm_stats",
+    "multimodal_rle8_pixel_stats",
+    "multimodal_wav_pcm_stats",  # audio_pcm_stats gained the ADPCM probe
     "multimodal_mjpeg_pixel_stats",
     "knn_lsh_embeddings",
     "knn_multiprobe_embeddings",
@@ -5999,10 +6260,7 @@ _DRIVER_PRIORITY = [
     "stateful_running_counter",
     "stateful_sessionize",
     "streaming_interval_join",
-    "latest_events",
-    "latest_events_conflict",
     "compare_orders_diff",
-    "pricing_summary",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

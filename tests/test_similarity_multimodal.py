@@ -874,7 +874,7 @@ def test_video_pixel_stats_raw_dib(spark):
 
     strf = _avi_vids_strf(avi)
     assert strf == {"width": w, "height": h, "bit_count": 24,
-                    "compression": 0}
+                    "compression": 0, "palette": None}
     assert decode_dib_frame(frame, strf) == {
         "width": w, "height": h, "mean_brightness": expect
     }
@@ -945,10 +945,12 @@ def _mp4_bytes(timescale=1000, duration=5000, w=640, h=480, mvhd_ver=0):
 
 
 def _avi_bytes(w=320, h=240, frames=(), us_per_frame=40000, junk_chunk=False,
-               strf=None):
+               strf=None, palette=None):
     """``strf=(bit_count, compression)`` additionally emits a
     ``strl``/``strh``(vids)/``strf``(BITMAPINFOHEADER) stream header —
-    what the raw-DIB decode path resolves frame dimensions from."""
+    what the raw-DIB decode path resolves frame dimensions from.
+    ``palette`` (RGBQUAD bytes) appends a color table to the strf and
+    sets ``biClrUsed`` accordingly — the RLE8 path needs it."""
     def chunk(cid, body):
         pad = b"\x00" if len(body) & 1 else b""
         return cid + struct.pack("<I", len(body)) + body + pad
@@ -962,8 +964,10 @@ def _avi_bytes(w=320, h=240, frames=(), us_per_frame=40000, junk_chunk=False,
     if strf is not None:
         bit_count, compression = strf
         strh = b"vids" + b"DIB " + b"\x00" * 48
-        bmih = struct.pack("<Iii HH I", 40, w, h, 1, bit_count,
-                           compression) + b"\x00" * 20
+        clr_used = len(palette) // 4 if palette else 0
+        bmih = (struct.pack("<Iii HH I", 40, w, h, 1, bit_count,
+                            compression) + b"\x00" * 12
+                + struct.pack("<II", clr_used, 0) + (palette or b""))
         hdrl_body += lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bmih))
     hdrl = lst(b"hdrl", hdrl_body)
     movi_body = b""
@@ -1247,3 +1251,235 @@ def test_audio_pcm_stats_decodes_flac(spark):
     assert got[1].decode_ok and got[1].mean_amplitude == mean
     assert got[0].rms_amplitude == got[1].rms_amplitude
     assert not got[2].decode_ok
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM audio + Microsoft RLE8 video — the first COMPRESSED codecs
+# ---------------------------------------------------------------------------
+
+def _adpcm_wav_bytes(blocks, channels=1, block_align=None):
+    """IMA-ADPCM (tag 0x11) WAV wrapper around pre-built block bytes."""
+    data = b"".join(blocks)
+    ba = block_align if block_align is not None else len(blocks[0])
+    spb = (ba - 4 * channels) * 2 // channels + 1
+    byte_rate = max(1, 8000 * ba // max(1, spb))
+    fmt = struct.pack("<HHIIHH", 0x11, channels, 8000, byte_rate, ba, 4)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _ima_ref_decode_channel(pred, idx, nibbles):
+    """Independent straight-from-the-IMA-spec single-channel decode used
+    to cross-check the library's block decoder (different code shape:
+    flat nibble list, no byte grouping)."""
+    steps = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    )
+    adj = (-1, -1, -1, -1, 2, 4, 6, 8)
+    out = [pred]
+    for nib in nibbles:
+        step = steps[idx]
+        diff = (step >> 3) + ((step >> 2) if nib & 1 else 0) \
+            + ((step >> 1) if nib & 2 else 0) + (step if nib & 4 else 0)
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + adj[nib & 7]))
+        out.append(pred)
+    return out
+
+
+@given(
+    pred=st.integers(-32768, 32767),
+    idx=st.integers(0, 88),
+    data=st.binary(min_size=4, max_size=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_ima_adpcm_block_matches_spec_reference(pred, idx, data):
+    from bdq_spark.operators.multimodal import _ima_adpcm_decode_block
+
+    data = data[: len(data) // 4 * 4]  # whole 4-byte nibble groups
+    raw = struct.pack("<hBB", pred, idx, 0) + data
+    nibbles = []
+    for byte in data:
+        nibbles += [byte & 0xF, byte >> 4]
+    assert _ima_adpcm_decode_block(raw, 1) == \
+        _ima_ref_decode_channel(pred, idx, nibbles)
+
+
+def test_ima_adpcm_stereo_interleaves_channels():
+    from bdq_spark.operators.multimodal import _ima_adpcm_decode_block
+
+    lhdr, rhdr = struct.pack("<hBB", 100, 10, 0), struct.pack("<hBB", -200, 30, 0)
+    ldata, rdata = bytes([0x10, 0x32, 0x54, 0x76]), bytes([0x98, 0xBA, 0xDC, 0xFE])
+    got = _ima_adpcm_decode_block(lhdr + rhdr + ldata + rdata, 2)
+    nib = lambda bs: [n for b in bs for n in (b & 0xF, b >> 4)]
+    assert got[::2] == _ima_ref_decode_channel(100, 10, nib(ldata))
+    assert got[1::2] == _ima_ref_decode_channel(-200, 30, nib(rdata))
+
+
+def test_decode_adpcm_samples_wav_and_refusals():
+    from bdq_spark.operators.multimodal import decode_adpcm_samples
+
+    blk = struct.pack("<hBB", 0, 0, 0) + bytes([0x11, 0x22, 0x33, 0x44])
+    got = decode_adpcm_samples(_adpcm_wav_bytes([blk, blk]))
+    samples = _ima_ref_decode_channel(
+        0, 0, [1, 1, 2, 2, 3, 3, 4, 4]) * 2
+    assert got["n_samples"] == 18
+    assert got["mean_amplitude"] == sum(samples) / 18
+    assert got["rms_amplitude"] == (
+        sum(s * s for s in samples) / 18) ** 0.5
+    # blocks restart state: two identical blocks, identical sums
+    one = decode_adpcm_samples(_adpcm_wav_bytes([blk]))
+    assert one["mean_amplitude"] == got["mean_amplitude"]
+    # refusals: ragged data (not a whole block), bad step index, PCM tag
+    assert decode_adpcm_samples(
+        _adpcm_wav_bytes([blk + b"x"], block_align=len(blk))) is None
+    bad = struct.pack("<hBB", 0, 89, 0) + bytes(4)
+    assert decode_adpcm_samples(_adpcm_wav_bytes([bad])) is None
+    assert decode_adpcm_samples(
+        _wav_bytes(8000, 1, 8, data_bytes=blk)) is None  # tag 1 != 0x11
+
+
+def _rle8_encode(rows, rng):
+    """Independent RLE8 encoder over bottom-up index rows: random mix of
+    encoded runs and (>=3-pixel, word-aligned) absolute blocks, EOL per
+    row, EOB at the end — the profile decode_rle8_frame accepts."""
+    out = bytearray()
+    for row in rows:
+        x = 0
+        while x < len(row):
+            v = row[x]
+            run = 1
+            while x + run < len(row) and row[x + run] == v and run < 255:
+                run += 1
+            m = min(len(row) - x, rng.randint(3, 12))
+            if rng.random() < 0.5 or m < 3:
+                c = rng.randint(1, run)
+                out += bytes([c, v])
+                x += c
+            else:
+                out += bytes([0, m]) + bytes(row[x : x + m])
+                if m & 1:
+                    out += b"\x00"
+                x += m
+        out += b"\x00\x00"
+    out += b"\x00\x01"
+    return bytes(out)
+
+
+@given(
+    w=st.integers(1, 17), h=st.integers(1, 9),
+    ncolors=st.integers(2, 256), seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_rle8_frame_property_roundtrip(w, h, ncolors, seed):
+    import random
+
+    import numpy as np
+
+    from bdq_spark.operators.multimodal import decode_rle8_frame
+
+    rng = random.Random(seed)
+    rows = [[rng.randrange(ncolors) for _ in range(w)] for _ in range(h)]
+    pal = bytes(
+        rng.randrange(256) if i % 4 != 3 else 0 for i in range(4 * ncolors)
+    )
+    strf = {"width": w, "height": h, "bit_count": 8, "compression": 1,
+            "palette": pal}
+    got = decode_rle8_frame(_rle8_encode(rows, rng), strf)
+    palarr = np.frombuffer(pal, np.uint8).reshape(-1, 4).astype(int)
+    expect = sum(
+        int(palarr[v, :3].sum()) for row in rows for v in row
+    ) / (w * h * 3)
+    assert got == {"width": w, "height": h, "mean_brightness": expect}
+
+
+def test_decode_rle8_frame_refusals():
+    from bdq_spark.operators.multimodal import decode_rle8_frame
+
+    strf = {"width": 4, "height": 2, "bit_count": 8, "compression": 1,
+            "palette": bytes(16)}  # 4 colors
+    ok = b"\x04\x00\x00\x00\x04\x00\x00\x01"
+    assert decode_rle8_frame(ok, strf) is not None
+    # EOB directly after a complete last row (no trailing EOL): accepted
+    assert decode_rle8_frame(b"\x04\x00\x00\x00\x04\x01\x00\x01",
+                             strf) is not None
+    assert decode_rle8_frame(b"\x03\x00\x00\x00" + ok[4:], strf) is None  # short row
+    assert decode_rle8_frame(b"\x04\x00\x00\x02\x01\x01" + ok[4:],
+                             strf) is None                   # delta escape
+    assert decode_rle8_frame(b"\x05\x00" + ok[2:], strf) is None  # row overrun
+    assert decode_rle8_frame(ok[:-2], strf) is None          # no EOB
+    assert decode_rle8_frame(b"\x04\x07" + ok[2:], strf) is None  # index >= ncolors
+    assert decode_rle8_frame(ok, {**strf, "compression": 0}) is None
+    assert decode_rle8_frame(ok, {**strf, "palette": None}) is None
+
+
+def test_video_pixel_stats_rle8(spark):
+    """BI_RLE8 AVI end-to-end: palette resolves through the strf color
+    table, RLE frames decode exactly, a delta-escape frame refuses, and
+    raw-DIB/MJPEG dispatch is untouched (compression mismatch)."""
+    import numpy as np
+
+    from bdq_spark.operators.multimodal import (
+        _avi_vids_strf,
+        attach_media_metadata,
+        video_pixel_stats,
+    )
+
+    w, h, ncolors = 6, 3, 5
+    pal = bytes(
+        (i * 37) % 256 if i % 4 != 3 else 0 for i in range(4 * ncolors)
+    )
+    rows = [[(x + y) % ncolors for x in range(w)] for y in range(h)]
+    frame = bytearray()
+    for row in rows:
+        frame += bytes([len(row) - 2]) + bytes([row[0]])  # run of w-2
+        frame += b"\x00\x04" + bytes(row[w - 2:]) + bytes(row[:2])  # abs 4
+        frame += b"\x00\x00"
+    frame += b"\x00\x01"
+    avi = _avi_bytes(w, h, frames=[bytes(frame)], strf=(8, 1), palette=pal)
+    strf = _avi_vids_strf(avi)
+    assert strf["palette"] == pal and strf["compression"] == 1
+
+    # reconstruct what the encoder drew: run covers x[0..w-3] with
+    # row[0], absolute writes row[w-2], row[w-1], row[0], row[1] — which
+    # overruns w by 2, so the decoder must REFUSE this first frame
+    from bdq_spark.operators.multimodal import decode_rle8_frame
+    assert decode_rle8_frame(bytes(frame), strf) is None
+
+    # a well-formed frame: full-row runs
+    good = bytearray()
+    for row in rows:
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x]:
+                run += 1
+            good += bytes([run, row[x]])
+            x += run
+        good += b"\x00\x00"
+    good += b"\x00\x01"
+    palarr = np.frombuffer(pal, np.uint8).reshape(-1, 4).astype(int)
+    expect = sum(
+        int(palarr[v, :3].sum()) for row in rows for v in row
+    ) / (w * h * 3)
+
+    avi2 = _avi_bytes(w, h, frames=[bytes(good), bytes(frame)],
+                      strf=(8, 1), palette=pal)
+    df = spark.createDataFrame([(0, avi2)], "media_id:long, content:binary")
+    media = attach_media_metadata(df, media_type="video",
+                                  id_column="media_id")
+    got = {(r.media_id, r.frame_idx): r
+           for r in video_pixel_stats(media).collect()}
+    assert got[(0, 0)].decode_ok
+    assert got[(0, 0)].mean_brightness == pytest.approx(expect, abs=0)
+    assert (got[(0, 0)].width, got[(0, 0)].height) == (w, h)
+    assert not got[(0, 1)].decode_ok  # the overrun frame refuses
