@@ -1828,6 +1828,80 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB oracle for :func:`kmeans_quantized`: replays the WHOLE
+    Lloyd iteration — deterministic smallest-id seeds, integer squared
+    distances (exact in any order), ``(d2, j)`` tie-break, per-component
+    floor-mean updates with empty clusters keeping their centroid — as
+    ``iters`` unrolled CTE rounds plus the final assignment.  An
+    iterative algorithm with NO unchecked step: the first k-means this
+    registry can value-hash (vs the rows-only sampled k-means in IVF)."""
+    d1 = dim + 1
+
+    def assign(src_v: str, src_c: str, out: str) -> str:
+        return f"""
+a{out} AS (
+  SELECT v.vec_id, v.q, c.j,
+         list_sum(list_transform(range(1, {d1}),
+                  i -> (v.q[i]-c.c[i])*(v.q[i]-c.c[i]))) AS d2
+  FROM {src_v} v CROSS JOIN {src_c} c),
+b{out} AS (
+  SELECT vec_id, q, j AS cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+    FROM a{out}) WHERE rn = 1)"""
+
+    def update(src_b: str, src_c: str, out: str) -> str:
+        return f"""
+u{out} AS (
+  SELECT cluster, i.range AS i, SUM(q[i.range]) AS s, COUNT(*) AS cnt
+  FROM {src_b} CROSS JOIN range(1, {d1}) i
+  GROUP BY cluster, i.range),
+n{out} AS (
+  SELECT cluster AS j,
+         list(CAST(floor(s / CAST(cnt AS DOUBLE)) AS BIGINT)
+              ORDER BY i) AS c
+  FROM u{out} GROUP BY cluster),
+c{out} AS (
+  SELECT p.j, COALESCE(n{out}.c, p.c) AS c
+  FROM {src_c} p LEFT JOIN n{out} ON p.j = n{out}.j)"""
+
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x*10000) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS c
+  FROM v ORDER BY vec_id LIMIT {k})"""
+    ]
+    for t in range(iters):
+        parts.append(assign("v", f"c{t}", str(t)))
+        parts.append(update(f"b{t}", f"c{t}", str(t + 1)))
+    parts.append(assign("v", f"c{iters}", "f"))
+    return (
+        ",".join(parts)
+        + """
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 AS dist2 FROM bf"""
+    )
+
+
+@_register("embedding_kmeans_quantized", _kmeans_oracle())
+def embedding_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed document clustering for corpus curation
+    (:func:`bdq_spark.operators.clustering.kmeans_quantized` — see its
+    module docstring for the SemDeDup-style use case and the 100 TB
+    shape: zero-shuffle literal-centroid assignment, one k-group
+    shuffle per update, bounded k x dim driver state).  Quantization
+    makes every Lloyd step integer-exact, so the oracle replays seeds,
+    both update rounds and the final assignment value-for-value."""
+    from bdq_spark.operators.clustering import kmeans_quantized
+
+    return kmeans_quantized(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, dim=64
+    )
+
+
 def _knn_lsh_md5_oracle(num_planes: int, n_probe: int, dim: int = 64,
                         k: int = 10) -> str:
     """DuckDB oracle for :func:`knn_lsh_md5`: recomputes the md5-derived
@@ -6209,6 +6283,7 @@ _DRIVER_PRIORITY = [
     # CORRECTNESS_r* rounds covers the whole registry.
     #
     # brand-new or code/oracle changed in r7
+    "embedding_kmeans_quantized",
     "multimodal_adpcm_pcm_stats",
     "multimodal_rle8_pixel_stats",
     "multimodal_wav_pcm_stats",  # audio_pcm_stats gained the ADPCM probe
@@ -6260,7 +6335,6 @@ _DRIVER_PRIORITY = [
     "stateful_running_counter",
     "stateful_sessionize",
     "streaming_interval_join",
-    "compare_orders_diff",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

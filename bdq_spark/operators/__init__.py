@@ -36,6 +36,7 @@ from bdq_spark.operators.corpus import (
     with_training_order,
 )
 from bdq_spark.operators.cdc import apply_cdc, latest_changes
+from bdq_spark.operators.clustering import kmeans_quantized
 from bdq_spark.operators.dedup import duplicate_spans, paragraph_dedup
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import (
@@ -103,6 +104,7 @@ __all__ = [
     "contamination_spans",
     "connected_components",
     "apply_dedup_clusters",
+    "kmeans_quantized",
     "pagerank",
     "pagerank_quantized",
     "triangle_counts",
