@@ -1828,6 +1828,64 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def _zorder_oracle(bits: int = 8) -> str:
+    """DuckDB oracle for :func:`zorder_key` over orders(date, price):
+    recomputes the exact integerization (epoch days, money cents), the
+    min/max bounds, the integer bucket floors and the full Morton
+    interleave — bit-for-bit, because every step is int64 arithmetic
+    (the floor-over-double-division exactness argument is in
+    ``operators/layout.py``)."""
+    nb = 1 << bits
+    terms = " + ".join(
+        f"((bd >> {i}) & 1) * {1 << (2 * i)} + "
+        f"((bp >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT o_orderkey,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders),
+b AS (SELECT min(d) AS dlo, max(d) AS dhi, min(p) AS plo, max(p) AS phi
+      FROM t),
+k AS (SELECT o_orderkey,
+        CAST(floor((d - dlo) * {nb} / CAST(dhi - dlo + 1 AS DOUBLE))
+             AS BIGINT) AS bd,
+        CAST(floor((p - plo) * {nb} / CAST(phi - plo + 1 AS DOUBLE))
+             AS BIGINT) AS bp
+      FROM t, b)
+SELECT o_orderkey, CAST({terms} AS BIGINT) AS zkey FROM k
+"""
+
+
+@_register("orders_zorder_layout", _zorder_oracle())
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout management
+    (:func:`bdq_spark.operators.layout.zorder_key` — the Delta
+    ``OPTIMIZE ZORDER BY`` analogue): Morton-interleave order DATE and
+    PRICE so files written in key order carry small min/max bounding
+    boxes in BOTH dimensions and parquet statistics prune range
+    predicates on either (the scan-locality complement of the
+    ``pruned_scan_orders`` pushdown proof; locality itself is asserted
+    in ``tests/test_layout.py``).  Integer min/max bucketing makes
+    every key engine-exact, so the oracle replays the whole keying."""
+    from bdq_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    dims = [
+        (
+            "d",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ),
+        ),
+        ("p", F.round(F.col("o_totalprice") * 100).cast("long")),
+    ]
+    return zorder_key(orders, dims, bits=8).select("o_orderkey", "zkey")
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """DuckDB oracle for :func:`kmeans_quantized`: replays the WHOLE
     Lloyd iteration — deterministic smallest-id seeds, integer squared
@@ -6283,6 +6341,7 @@ _DRIVER_PRIORITY = [
     # CORRECTNESS_r* rounds covers the whole registry.
     #
     # brand-new or code/oracle changed in r7
+    "orders_zorder_layout",
     "embedding_kmeans_quantized",
     "multimodal_adpcm_pcm_stats",
     "multimodal_rle8_pixel_stats",
@@ -6334,7 +6393,6 @@ _DRIVER_PRIORITY = [
     "cdc_apply_customer",
     "stateful_running_counter",
     "stateful_sessionize",
-    "streaming_interval_join",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -37,6 +37,7 @@ from bdq_spark.operators.corpus import (
 )
 from bdq_spark.operators.cdc import apply_cdc, latest_changes
 from bdq_spark.operators.clustering import kmeans_quantized
+from bdq_spark.operators.layout import zorder_key, zorder_layout
 from bdq_spark.operators.dedup import duplicate_spans, paragraph_dedup
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import (
@@ -105,6 +106,8 @@ __all__ = [
     "connected_components",
     "apply_dedup_clusters",
     "kmeans_quantized",
+    "zorder_key",
+    "zorder_layout",
     "pagerank",
     "pagerank_quantized",
     "triangle_counts",
