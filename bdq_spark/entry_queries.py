@@ -1886,14 +1886,11 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(orders, dims, bits=8).select("o_orderkey", "zkey")
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """DuckDB oracle for :func:`kmeans_quantized`: replays the WHOLE
-    Lloyd iteration — deterministic smallest-id seeds, integer squared
-    distances (exact in any order), ``(d2, j)`` tie-break, per-component
-    floor-mean updates with empty clusters keeping their centroid — as
-    ``iters`` unrolled CTE rounds plus the final assignment.  An
-    iterative algorithm with NO unchecked step: the first k-means this
-    registry can value-hash (vs the rows-only sampled k-means in IVF)."""
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Shared CTE body replaying the exact quantized Lloyd iteration
+    (no ``WITH``, no final SELECT): ends with ``c{iters}`` (the final
+    centroids) and ``bf`` (the final corpus assignment) — used by both
+    the k-means and the IVF-twin oracles."""
     d1 = dim + 1
 
     def assign(src_v: str, src_c: str, out: str) -> str:
@@ -1924,7 +1921,7 @@ c{out} AS (
   FROM {src_c} p LEFT JOIN n{out} ON p.j = n{out}.j)"""
 
     parts = [
-        f"""WITH v AS (
+        f"""v AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(round(x*10000) AS BIGINT)) AS q
@@ -1937,10 +1934,88 @@ c0 AS (
         parts.append(assign("v", f"c{t}", str(t)))
         parts.append(update(f"b{t}", f"c{t}", str(t + 1)))
     parts.append(assign("v", f"c{iters}", "f"))
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB oracle for :func:`kmeans_quantized`: replays the WHOLE
+    Lloyd iteration — deterministic smallest-id seeds, integer squared
+    distances (exact in any order), ``(d2, j)`` tie-break, per-component
+    floor-mean updates with empty clusters keeping their centroid — as
+    ``iters`` unrolled CTE rounds plus the final assignment.  An
+    iterative algorithm with NO unchecked step: the first k-means this
+    registry can value-hash (vs the rows-only sampled k-means in IVF)."""
     return (
-        ",".join(parts)
+        "WITH "
+        + _kmeans_ctes(k, iters, dim)
         + """
 SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 AS dist2 FROM bf"""
+    )
+
+
+def _ivf_quantized_oracle(n_clusters: int = 8, n_probe: int = 2,
+                          iters: int = 2, dim: int = 64,
+                          k: int = 10) -> str:
+    """DuckDB oracle for :func:`knn_ivf_quantized`: the kmeans CTEs
+    train the coarse quantizer and assign every corpus vector to its
+    cell; the probe CTEs rank centroids per query by exact ``(d2, j)``
+    and keep the ``n_probe`` nearest; candidates join on cell and rank
+    by ``round(cosine, 6)`` over the ORIGINAL float vectors — training,
+    routing, probing and ranking of the APPROXIMATE pipeline all
+    value-checked (the last ANN family to graduate from rows-only)."""
+    d1 = dim + 1
+    return (
+        "WITH "
+        + _kmeans_ctes(n_clusters, iters, dim)
+        + f""",
+qs AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x*10000) AS BIGINT)) AS qq,
+         embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5),
+pr AS (
+  SELECT query_id, qv, c.j,
+         list_sum(list_transform(range(1, {d1}),
+                  i -> (qq[i]-c.c[i])*(qq[i]-c.c[i]))) AS d2
+  FROM qs CROSS JOIN c{iters} c),
+probes AS (
+  SELECT query_id, qv, j AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, j) AS rn
+    FROM pr) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT p.query_id, p.qv, b.vec_id AS neighbor_id
+  FROM probes p JOIN bf b ON b.cluster = p.cell),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(c.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(c.qv, c.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cosine
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}"""
+    )
+
+
+@_register("knn_ivf_quantized", _ivf_quantized_oracle())
+def knn_ivf_quantized_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with an exact Lloyd coarse quantizer — the value-hash
+    twin of ``knn_ivf_embeddings`` (same pattern as the md5 LSH twins:
+    the production path keeps the float k-means, the twin makes the
+    whole approximate pipeline engine-recomputable)."""
+    from bdq_spark.operators.ivf import knn_ivf_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf_quantized(
+        emb, queries, k=10, n_clusters=8, n_probe=2, iters=2, dim=64
     )
 
 
@@ -6341,6 +6416,7 @@ _DRIVER_PRIORITY = [
     # CORRECTNESS_r* rounds covers the whole registry.
     #
     # brand-new or code/oracle changed in r7
+    "knn_ivf_quantized",
     "orders_zorder_layout",
     "embedding_kmeans_quantized",
     "multimodal_adpcm_pcm_stats",
@@ -6392,7 +6468,6 @@ _DRIVER_PRIORITY = [
     # r5-era rotations adjacent to the r7 changed families
     "cdc_apply_customer",
     "stateful_running_counter",
-    "stateful_sessionize",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -50,7 +50,18 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_quantized"]
+__all__ = ["kmeans_fit_quantized", "kmeans_quantized"]
+
+
+def _quantized(df: DataFrame, vector_column: str, id_column: str,
+               scale: int) -> DataFrame:
+    return df.select(
+        F.col(id_column).alias("id"),
+        F.transform(
+            F.col(vector_column),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("q"),
+    )
 
 
 def _assign_exprs(qcol, centroids: list):
@@ -76,7 +87,7 @@ def _assign_exprs(qcol, centroids: list):
     return cluster, dist2
 
 
-def kmeans_quantized(
+def kmeans_fit_quantized(
     df: DataFrame,
     vector_column: str = "embedding",
     id_column: str = "vec_id",
@@ -84,17 +95,14 @@ def kmeans_quantized(
     iters: int = 2,
     scale: int = 10000,
     dim: Optional[int] = None,
-) -> DataFrame:
-    """Lloyd's k-means over quantized embeddings, every step exact.
-
+) -> list:
+    """Fit the exact quantized Lloyd iteration and return the final
+    ``k x dim`` centroid table (a bounded list of int lists) — the
+    reusable coarse quantizer :func:`kmeans_quantized` assigns against
+    and :func:`bdq_spark.operators.ivf.knn_ivf_quantized` probes.
     Seeds are the ``k`` vectors with the smallest ids (deterministic —
-    no RNG to reproduce across engines); then ``iters`` rounds of
-    assign + floor-mean update; output is the FINAL assignment:
-    ``(id_column, cluster int, dist2 bigint)`` with ``dist2`` the exact
-    squared quantized distance to the final centroid.
-
-    See the module docstring for the exactness and scale arguments.
-    """
+    no RNG to reproduce across engines); each round assigns and then
+    floor-mean-updates; empty clusters keep their centroid."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if dim is None:
@@ -103,13 +111,7 @@ def kmeans_quantized(
             raise ValueError("cannot infer dim from an empty DataFrame")
         dim = first["d"]
 
-    q = df.select(
-        F.col(id_column).alias("id"),
-        F.transform(
-            F.col(vector_column),
-            lambda x: F.round(x.cast("double") * scale).cast("long"),
-        ).alias("q"),
-    )
+    q = _quantized(df, vector_column, id_column, scale)
 
     # deterministic seeds: the k smallest ids (bounded k-row collect)
     seeds = q.orderBy("id").limit(k).collect()
@@ -139,7 +141,30 @@ def kmeans_quantized(
         centroids = [
             new.get(j, centroids[j]) for j in range(k)  # empty: keep old
         ]
+    return centroids
 
+
+def kmeans_quantized(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10000,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Lloyd's k-means over quantized embeddings, every step exact.
+
+    Fits via :func:`kmeans_fit_quantized`; output is the FINAL
+    assignment: ``(id_column, cluster int, dist2 bigint)`` with
+    ``dist2`` the exact squared quantized distance to the final
+    centroid.  See the module docstring for the exactness and scale
+    arguments.
+    """
+    centroids = kmeans_fit_quantized(
+        df, vector_column, id_column, k, iters, scale, dim
+    )
+    q = _quantized(df, vector_column, id_column, scale)
     cluster, dist2 = _assign_exprs(F.col("q"), centroids)
     return q.select(
         F.col("id").alias(id_column),

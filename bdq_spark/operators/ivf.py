@@ -35,6 +35,7 @@ __all__ = [
     "train_ivf_centroids",
     "assign_ivf_cells",
     "knn_ivf",
+    "knn_ivf_quantized",
     "save_ivf_index",
     "load_ivf_index",
 ]
@@ -201,6 +202,125 @@ def knn_ivf(
         )
         .distinct()  # a pair can collide in several probed cells
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def knn_ivf_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    scale: int = 10000,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Engine-portable IVF ANN whose every routing decision is exact
+    int64 arithmetic — the oracle twin of :func:`knn_ivf`, completing
+    the md5/quantized-twin pattern across the whole ANN family
+    (LSH/multi-probe/int8-quantized/IVF): the coarse quantizer is
+    :func:`bdq_spark.operators.clustering.kmeans_fit_quantized` (exact
+    Lloyd — seeds, floor-mean updates, tie-breaks all replayable), cell
+    assignment and the ``n_probe`` nearest-centroid probe order are
+    integer argmins with ``(d2, j)`` tie-breaks, and candidate ranking
+    is the usual ``round(cosine, 6)`` on the ORIGINAL float vectors
+    with a deterministic ``(cosine DESC, neighbor_id ASC)`` tiebreak.
+    A DuckDB oracle can therefore replay the APPROXIMATE pipeline
+    end to end — training, routing, probing, ranking — not just an
+    exact fallback.
+
+    Same 100 TB shape as :func:`knn_ivf`: corpus scanned once, cell
+    assignment a zero-shuffle projection over the centroid literal,
+    query side broadcast into the cell join.
+    Output: ``query_id, neighbor_id, rank, cosine``.
+    """
+    from pyspark.sql import Window
+
+    from bdq_spark.operators.clustering import (
+        _assign_exprs,
+        _quantized,
+        kmeans_fit_quantized,
+    )
+    from bdq_spark.operators.similarity import cosine_similarity
+
+    centroids = kmeans_fit_quantized(
+        corpus, corpus_vec, corpus_id, k=n_clusters, iters=iters,
+        scale=scale, dim=dim,
+    )
+    n_probe = max(1, min(n_probe, n_clusters))
+
+    cq = _quantized(corpus, corpus_vec, corpus_id, scale)
+    cell, _d2 = _assign_exprs(F.col("q"), centroids)
+    cells = (
+        corpus.select(F.col(corpus_id).alias("id"),
+                      F.col(corpus_vec).alias("vec"))
+        .join(cq.select("id", "q"), "id")
+        .select("id", "vec", cell.alias("cluster"))
+    )
+
+    # probe order: the n_probe nearest centroids by exact (d2, j) —
+    # array_sort on (d2, j) structs is deterministic in any engine
+    qq = _quantized(queries, query_vec, query_id, scale)
+    cents = F.array(
+        *[
+            F.array(*[F.lit(int(c)).cast("long") for c in row])
+            for row in centroids
+        ]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ),
+    )
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    dists, lambda d, j: F.struct(d.alias("d"), j.alias("j"))
+                )
+            ),
+            lambda s: s["j"],
+        ),
+        1,
+        n_probe,
+    )
+    probes = (
+        queries.select(F.col(query_id).alias("id"),
+                       F.col(query_vec).alias("vec"))
+        .join(qq.select("id", "q"), "id")
+        .withColumn("cluster", F.explode(probe_cells))
+        .select("id", "vec", "cluster")
+    )
+
+    cos = cosine_similarity(F.col("q.vec"), F.col("c.vec"))
+    scored = (
+        cells.alias("c")
+        .join(
+            F.broadcast(probes.alias("q")),
+            F.col("c.cluster") == F.col("q.cluster"),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    # a corpus vector lives in exactly one cell and probes are distinct
+    # cells, so no dedup is needed — asserted by test_ivf_quantized
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -83,3 +83,54 @@ def test_ivf_index_persistence(spark, embeddings, tmp_path):
             [], "cluster int, centroid array<double>"
         ).write.parquet(empty)
         load_ivf_index(spark, empty)
+
+
+def test_knn_ivf_quantized_full_probe_equals_bruteforce(spark):
+    """n_probe == n_clusters probes every cell, so the quantized IVF
+    twin must reproduce exact brute force row for row (the same
+    invariant the float IVF and the md5 LSH twin pin)."""
+    from bdq_spark.operators.ivf import knn_ivf_quantized
+    from bdq_spark.operators.similarity import knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = sorted(
+        map(tuple, knn_ivf_quantized(
+            emb, queries, k=5, n_clusters=4, n_probe=4, iters=1
+        ).collect())
+    )
+    bf = sorted(map(tuple, knn_bruteforce(emb, queries, k=5).collect()))
+    assert ivf == bf
+
+
+def test_knn_ivf_quantized_candidates_have_no_duplicates(spark):
+    """One cell per corpus vector + distinct probe cells => the scored
+    candidate relation must already be duplicate-free (the operator
+    relies on this instead of a dropDuplicates)."""
+    from bdq_spark.operators.ivf import knn_ivf_quantized
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_ivf_quantized(emb, queries, k=10**9, n_clusters=8,
+                            n_probe=3, iters=2)
+    total = out.count()
+    distinct = out.select("query_id", "neighbor_id").distinct().count()
+    assert total == distinct
+
+
+def test_knn_ivf_quantized_deterministic(spark):
+    from bdq_spark.operators.ivf import knn_ivf_quantized
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).repartition(13)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, knn_ivf_quantized(emb, queries, k=7).collect()))
+    b = sorted(map(tuple, knn_ivf_quantized(emb, queries, k=7).collect()))
+    assert a == b and len(a) == 4 * 7

@@ -63,6 +63,8 @@ QUERY_TABLE = {
     "knn_multiprobe_embeddings": "embeddings",
     "embedding_near_dup_pairs": "embeddings",
     "embedding_near_dup_pairs_lsh": "embeddings",
+    "embedding_kmeans_quantized": "embeddings",
+    "orders_zorder_layout": "orders",
 }
 
 
@@ -185,10 +187,37 @@ def _stage_embeddings(spark, factor: int, out: str) -> None:
     )
 
 
+def _stage_orders(spark, factor: int, out: str) -> None:
+    """``factor`` copies of orders with keys offset and dates shifted by
+    ``i`` days within the observed range — the date/price distributions
+    (what the Z-order keying buckets over) stay constant-shape while
+    rows grow ×factor."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.sources import load_table
+
+    o = load_table(spark, BASE_SF_DIR, "orders")
+    n = o.agg(F.max("o_orderkey")).first()[0] + 1
+    copies = []
+    for i in range(factor):
+        copies.append(
+            o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n))
+            .withColumn(
+                "o_orderdate",
+                F.col("o_orderdate") + F.make_interval(days=F.lit(i % 7)),
+            )
+        )
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+
+
 _STAGERS = {
     "documents": _stage_documents,
     "lineitem": _stage_lineitem,
     "embeddings": _stage_embeddings,
+    "orders": _stage_orders,
 }
 
 
