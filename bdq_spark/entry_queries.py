@@ -2679,6 +2679,92 @@ def pruned_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "zonemap_pruned_scan",
+    """
+    WITH t AS (
+      SELECT o_orderpriority,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM t
+    WHERE d BETWEEN 9862 AND 10226
+      AND cents BETWEEN 20000000 AND 30000000
+    GROUP BY 1
+    """,
+)
+def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-ENFORCING file-skipping proof — the FILE-level sibling of
+    ``pruned_scan_orders`` (directory pruning) and the payoff of
+    ``orders_zorder_layout``: orders staged ONCE as a Z-ordered parquet
+    directory over (epoch-day, price-cents) with a ``_ZONEMAP.json``
+    per-file min/max index (:func:`write_zonemap`), then a range
+    predicate on BOTH dimensions resolves through
+    :func:`zonemap_candidate_files` and scans only the overlapping
+    files.  The entry RAISES unless the zonemap actually pruned
+    (candidates < total files) — a regression to scanning everything
+    would still return correct rows, only the census check catches it.
+    Values hash against DuckDB's filter over the raw table, proving
+    interval-overlap pruning is lossless."""
+    import hashlib
+    import os
+
+    from bdq_spark.operators.layout import zorder_layout
+    from bdq_spark.sources.sinks import (
+        read_zonemap,
+        write_zonemap,
+        zonemap_candidate_files,
+    )
+
+    key = hashlib.md5(f"{sf_dir}:zonemap_orders".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_zonemap_orders_{key}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("o_date_days"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("o_price_cents"),
+        )
+        laid = zorder_layout(
+            orders,
+            [("d", F.col("o_date_days")), ("p", F.col("o_price_cents"))],
+            bits=8,
+            num_partitions=8,
+        )
+        write_zonemap(
+            spark, laid, path, ["o_date_days", "o_price_cents"]
+        )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    preds = {
+        "o_date_days": (9862, 10226),       # calendar year 1997
+        "o_price_cents": (20000000, 30000000),
+    }
+    census = zonemap_candidate_files(spark, path, preds)
+    if not census["files"] or len(census["files"]) >= census["total"]:
+        raise RuntimeError(
+            "zonemap pruning regressed — candidate census "
+            f"{len(census['files'])}/{census['total']} files"
+        )
+    return (
+        read_zonemap(spark, path, preds)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_price_cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
 def _pagerank_oracle(iterations: int = 3, scale: int = 10**12) -> str:
     """Unrolled quantized-PageRank power iteration in portable SQL —
     every operation an exact bigint op (DuckDB ``//`` == Spark ``div``
@@ -6416,6 +6502,7 @@ _DRIVER_PRIORITY = [
     # CORRECTNESS_r* rounds covers the whole registry.
     #
     # brand-new or code/oracle changed in r7
+    "zonemap_pruned_scan",
     "knn_ivf_quantized",
     "orders_zorder_layout",
     "embedding_kmeans_quantized",
@@ -6467,7 +6554,6 @@ _DRIVER_PRIORITY = [
     "wealthy_low_activity_customers",
     # r5-era rotations adjacent to the r7 changed families
     "cdc_apply_customer",
-    "stateful_running_counter",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

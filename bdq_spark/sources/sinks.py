@@ -23,7 +23,14 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_partitioned", "write_bucketed", "compact_parquet"]
+__all__ = [
+    "write_partitioned",
+    "write_bucketed",
+    "compact_parquet",
+    "write_zonemap",
+    "zonemap_candidate_files",
+    "read_zonemap",
+]
 
 
 def write_partitioned(
@@ -128,3 +135,145 @@ def compact_parquet(
         "bytes_before": int(bytes_before),
         "files_after": files_after,
     }
+
+
+def write_zonemap(
+    spark,
+    df: DataFrame,
+    path: str,
+    stats_cols: List[str],
+    num_files: Optional[int] = None,
+) -> dict:
+    """Write ``df`` as parquet plus a FILE-LEVEL min/max index — the
+    data-skipping half of what a lakehouse table format keeps in its
+    transaction log (Delta/Iceberg per-file stats), for plain parquet
+    directories.  Row-group statistics already skip WITHIN a file;
+    the zonemap skips whole files BEFORE the scan is even planned,
+    which at 100 TB is the difference between listing+opening every
+    file of a table and touching only the handful whose range overlaps
+    the predicate.  Pairs with
+    :func:`bdq_spark.operators.layout.zorder_layout`: Z-ordered files
+    have tight bounding boxes in every interleaved dimension, so the
+    zonemap prunes range predicates on ANY of them.
+
+    The stats census is a DISTRIBUTED second scan of the written files
+    (``input_file_name`` group-by — no driver-side footer reads, works
+    on any Hadoop-FS path); only the final per-file min/max table
+    (one row per file — bounded by the file count the layout chose)
+    lands on the driver to serialize as ``_ZONEMAP.json``.
+
+    ``stats_cols`` must be numeric (int/long/double) — the manifest is
+    JSON and the overlap test is numeric comparison.  Returns the
+    manifest dict ``{file: {col: [min, max]}}``.
+    """
+    from pyspark.sql import functions as F
+
+    probe = df.select(*stats_cols)
+    for f in probe.schema.fields:
+        t = f.dataType.simpleString()
+        if t not in ("int", "bigint", "smallint", "tinyint", "float",
+                     "double"):
+            raise ValueError(
+                f"zonemap column {f.name!r} is {t}; only numeric columns "
+                "are supported — integerize (epoch days, cents) upstream"
+            )
+    w = df.write.mode("overwrite")
+    if num_files is not None:
+        df = df.coalesce(num_files)
+        w = df.write.mode("overwrite")
+    w.parquet(path)
+
+    census = (
+        spark.read.parquet(path)
+        .withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(
+            *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+            *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+        )
+        .collect()
+    )
+    manifest = {
+        r["__file"]: {
+            c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in stats_cols
+        }
+        for r in census
+    }
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = jvm.org.apache.hadoop.fs.Path(path, "_ZONEMAP.json")
+    fs = out.getFileSystem(conf)
+    stream = fs.create(out, True)
+    import json
+
+    stream.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    stream.close()
+    return manifest
+
+
+def zonemap_candidate_files(spark, path: str, predicates: dict) -> dict:
+    """Resolve ``predicates`` (``{col: (lo, hi)}`` inclusive ranges;
+    ``None`` bounds are open) against ``_ZONEMAP.json``: returns
+    ``{"files": [...], "total": n}`` — the files whose min/max range
+    overlaps EVERY predicate, i.e. the only files that can contain
+    matches (interval-overlap pruning is lossless by construction;
+    the correctness proof is the oracle on the read path)."""
+    import json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    mpath = jvm.org.apache.hadoop.fs.Path(path, "_ZONEMAP.json")
+    fs = mpath.getFileSystem(conf)
+    if not fs.exists(mpath):
+        raise ValueError(f"no _ZONEMAP.json under {path}")
+    stream = fs.open(mpath)
+    try:
+        # py4j passes byte[] buffers by value (mutations don't come
+        # back), so drain server-side via commons-io (ships w/ Hadoop)
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    manifest = json.loads(data.decode())
+    keep = []
+    for fname, stats in manifest.items():
+        ok = True
+        for col, (lo, hi) in predicates.items():
+            if col not in stats:
+                raise ValueError(f"column {col!r} not in zonemap")
+            fmin, fmax = stats[col]
+            if fmin is None:  # all-NULL file can't match a range
+                ok = False
+                break
+            if (hi is not None and fmin > hi) or (
+                lo is not None and fmax < lo
+            ):
+                ok = False
+                break
+        if ok:
+            keep.append(fname)
+    return {"files": sorted(keep), "total": len(manifest)}
+
+
+def read_zonemap(spark, path: str, predicates: dict) -> DataFrame:
+    """Scan only the files the zonemap cannot rule out, then apply the
+    predicates exactly (pruning is a superset filter — the real
+    predicate still runs, so results are identical to a full scan, just
+    cheaper).  Empty candidate set returns an empty DataFrame with the
+    table's schema."""
+    from pyspark.sql import functions as F
+
+    cand = zonemap_candidate_files(spark, path, predicates)
+    full = spark.read.parquet(path)
+    out = (
+        spark.read.parquet(*cand["files"])
+        if cand["files"]
+        else full.limit(0)
+    )
+    for col, (lo, hi) in predicates.items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(col) <= hi)
+    return out

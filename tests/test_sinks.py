@@ -105,3 +105,111 @@ def test_compact_parquet_shrinks_files_preserves_content(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="no parquet files"):
         compact_parquet(spark, str(tmp_path / "empty"), dst)
+
+
+def test_zonemap_roundtrip_and_pruning(spark, tmp_path):
+    """write_zonemap census matches per-file truth; candidate pruning
+    is lossless (pruned read == full filter) and actually prunes when
+    the layout is range-clustered; empty ranges return empty."""
+    from bdq_spark.sources.sinks import (
+        read_zonemap,
+        write_zonemap,
+        zonemap_candidate_files,
+    )
+
+    path = str(tmp_path / "zm")
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("a"),
+        (F.col("id") * 3 % 997).alias("b"),
+    )
+    laid = df.repartitionByRange(8, "a").sortWithinPartitions("a")
+    manifest = write_zonemap(spark, laid, path, ["a", "b"])
+    assert len(manifest) == 8
+    # census truth: global min/max across files == table min/max
+    los = min(v["a"][0] for v in manifest.values())
+    his = max(v["a"][1] for v in manifest.values())
+    assert (los, his) == (0, 99)
+
+    cand = zonemap_candidate_files(spark, path, {"a": (10, 15)})
+    assert 0 < len(cand["files"]) < cand["total"] == 8
+
+    got = sorted(
+        r.id for r in read_zonemap(spark, path, {"a": (10, 15)}).collect()
+    )
+    exp = sorted(
+        r.id
+        for r in df.filter((F.col("a") >= 10) & (F.col("a") <= 15)).collect()
+    )
+    assert got == exp
+
+    # two-column predicates compose (AND): still lossless
+    preds = {"a": (20, 60), "b": (100, 400)}
+    got2 = read_zonemap(spark, path, preds).count()
+    exp2 = df.filter(
+        (F.col("a") >= 20) & (F.col("a") <= 60)
+        & (F.col("b") >= 100) & (F.col("b") <= 400)
+    ).count()
+    assert got2 == exp2 > 0
+
+    # out-of-range: zero candidates, empty frame with the right schema
+    c2 = zonemap_candidate_files(spark, path, {"a": (1000, 2000)})
+    assert c2["files"] == []
+    empty = read_zonemap(spark, path, {"a": (1000, 2000)})
+    assert empty.count() == 0 and empty.columns == ["id", "a", "b"]
+
+
+def test_zonemap_open_bounds_and_errors(spark, tmp_path):
+    import pytest as _pt
+
+    from bdq_spark.sources.sinks import (
+        read_zonemap,
+        write_zonemap,
+        zonemap_candidate_files,
+    )
+
+    path = str(tmp_path / "zm2")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("a"))
+    write_zonemap(spark, df, path, ["a"], num_files=2)
+    # open-ended bounds
+    assert read_zonemap(spark, path, {"a": (5, None)}).count() == \
+        df.filter(F.col("a") >= 5).count()
+    assert read_zonemap(spark, path, {"a": (None, 2)}).count() == \
+        df.filter(F.col("a") <= 2).count()
+    with _pt.raises(ValueError, match="not in zonemap"):
+        zonemap_candidate_files(spark, path, {"nope": (0, 1)})
+    with _pt.raises(ValueError, match="no _ZONEMAP"):
+        zonemap_candidate_files(spark, str(tmp_path / "missing"), {"a": (0, 1)})
+    with _pt.raises(ValueError, match="only numeric"):
+        write_zonemap(
+            spark,
+            df.select(F.col("id").cast("string").alias("s")),
+            str(tmp_path / "zm3"),
+            ["s"],
+        )
+
+
+def test_zonemap_zorder_composition_prunes_both_dims(spark, tmp_path):
+    """The layout+index composition the entry exercises: Z-ordered
+    files have tight boxes in BOTH dimensions, so a zonemap range on
+    EITHER single dimension prunes files (a single-column sort can
+    only serve its own column)."""
+    import random
+
+    from bdq_spark.operators.layout import zorder_layout
+    from bdq_spark.sources.sinks import write_zonemap, zonemap_candidate_files
+
+    rng = random.Random(23)
+    rows = [(i, rng.randint(0, 1023), rng.randint(0, 1023))
+            for i in range(8192)]
+    df = spark.createDataFrame(rows, "id:long, x:long, y:long")
+    path = str(tmp_path / "zmz")
+    laid = zorder_layout(
+        df, [("x", F.col("x")), ("y", F.col("y"))], bits=5,
+        num_partitions=16,
+    )
+    write_zonemap(spark, laid, path, ["x", "y"])
+    cx = zonemap_candidate_files(spark, path, {"x": (0, 63)})
+    cy = zonemap_candidate_files(spark, path, {"y": (0, 63)})
+    assert len(cx["files"]) < cx["total"]
+    assert len(cy["files"]) < cy["total"]
