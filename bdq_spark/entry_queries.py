@@ -6482,6 +6482,285 @@ def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable sketches (HLL / count-min / KMV) — the 100 TB approximate-
+# analytics primitives, value-hashed end-to-end via the md5-twin recipe
+# (see operators/sketches.py for the engine-exactness argument).
+# ---------------------------------------------------------------------------
+
+_HLL_ORACLE = """
+WITH h AS (
+  SELECT o_orderpriority,
+         ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+regs AS (
+  SELECT o_orderpriority, h >> 52 AS bucket,
+         max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+             ELSE 53 - length(bin(h & 4503599627370495)) END) AS register
+  FROM h GROUP BY 1, 2),
+rm AS (SELECT o_orderpriority, max(register) AS rmax FROM regs GROUP BY 1),
+s AS (
+  SELECT r.o_orderpriority, rm.rmax,
+         sum(1::BIGINT << (rm.rmax - r.register)) AS s_present,
+         count(*) AS present
+  FROM regs r JOIN rm USING (o_orderpriority)
+  GROUP BY 1, 2),
+raw AS (
+  SELECT o_orderpriority, (256 - present) AS zeros, rmax,
+         (0.7213 / (1.0 + 1.079 / 256)) * 65536 * pow(2.0, rmax)
+           / CAST(s_present + (256 - present) * (1::BIGINT << rmax)
+                  AS DOUBLE) AS raw
+  FROM s),
+fin AS (
+  SELECT o_orderpriority, zeros, rmax,
+         round(CASE WHEN zeros > 0 AND raw <= 640.0
+               THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS est
+  FROM raw)
+SELECT f.o_orderpriority, f.est, f.zeros, f.rmax, e.exact_cnt
+FROM fin f
+JOIN (SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cnt
+      FROM orders GROUP BY 1) e USING (o_orderpriority)
+"""
+
+
+@_register("orders_hll_custkey", _HLL_ORACLE)
+def orders_hll_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority approximate distinct customers via a 256-register
+    HyperLogLog — the oracle replays hash routing, registers, the
+    2^Rmax-scaled exact-int64 harmonic sum and BOTH estimator branches
+    (raw / linear counting), so the whole sketch is value-checked.  The
+    exact ``count(DISTINCT)`` rides along for an at-a-glance error view
+    (and pins the sketch's input set).  Scale: each executor emits at
+    most 256 register rows per group regardless of input size (map-side
+    partial max); the exact twin is what this sketch REPLACES at 100 TB.
+    """
+    from bdq_spark.operators.sketches import hll_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = hll_distinct(orders, "o_custkey", ("o_orderpriority",), b=8)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_cnt")
+    )
+    return sk.join(exact, "o_orderpriority")
+
+
+_CMS_ORACLE = """
+WITH toks AS (
+  SELECT u.token FROM (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS w
+    FROM documents) t, UNNEST(t.w) AS u(token)),
+rows4 AS (SELECT unnest(range(4)) AS r),
+cells AS (
+  SELECT rows4.r,
+         ('0x' || substr(md5(rows4.r::VARCHAR || ':' || token), 1, 15))::BIGINT
+           % 1024 AS cell,
+         count(*) AS cnt
+  FROM toks, rows4 GROUP BY 1, 2),
+top AS (
+  SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1
+  ORDER BY exact_cnt DESC, token LIMIT 15),
+probe AS (
+  SELECT t.token, t.exact_cnt, rows4.r,
+         ('0x' || substr(md5(rows4.r::VARCHAR || ':' || t.token), 1, 15))::BIGINT
+           % 1024 AS cell
+  FROM top t, rows4)
+SELECT p.token, p.exact_cnt, min(c.cnt) AS cms_est
+FROM probe p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+GROUP BY 1, 2
+"""
+
+
+@_register("token_countmin_topk", _CMS_ORACLE)
+def token_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts through a 4x1024 count-min sketch: the
+    exact top-15 tokens (count desc, token asc — deterministic at the
+    boundary) are looked up in the sketch, and the oracle replays
+    tokenization, all four hash rows, the cell sums and the min-over-
+    rows estimate.  ``cms_est >= exact_cnt`` always (sketch guarantee,
+    pinned in pytest).  Scale: the grid is one partial-aggregable
+    shuffle of <= 4096 rows total; the top-15 probe list is broadcast.
+    """
+    from bdq_spark.operators.sketches import countmin_cells, countmin_lookup
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token")
+    ).where(F.col("token") != "")
+    cells = countmin_cells(toks, "token", depth=4, width=1024)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(15)
+    )
+    return countmin_lookup(cells, top, "token", depth=4, width=1024)
+
+
+_KMV_ORACLE = """
+WITH sa AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+  ORDER BY h LIMIT 64),
+sb AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+  ORDER BY h LIMIT 64),
+ea AS (SELECT round(63.0 * 1152921504606846976 / CAST(max(h) AS DOUBLE), 4)
+         AS est_click FROM sa),
+eb AS (SELECT round(63.0 * 1152921504606846976 / CAST(max(h) AS DOUBLE), 4)
+         AS est_purchase FROM sb),
+un AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+       ORDER BY h LIMIT 64),
+eu AS (SELECT round(63.0 * 1152921504606846976 / CAST(max(h) AS DOUBLE), 4)
+         AS est_union FROM un),
+th AS (SELECT least((SELECT max(h) FROM sa), (SELECT max(h) FROM sb))
+         AS theta),
+ic AS (SELECT th.theta, count(*) AS n
+       FROM sa JOIN sb USING (h), th WHERE sa.h < th.theta
+       GROUP BY th.theta),
+ei AS (SELECT round(CAST(n AS DOUBLE) * 1152921504606846976
+                    / CAST(theta AS DOUBLE), 4) AS est_intersect FROM ic)
+SELECT * FROM ea, eb, eu, ei
+"""
+
+
+@_register("events_kmv_setops", _KMV_ORACLE)
+def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user set algebra through KMV/theta sketches: per-type
+    estimates, union (merge + re-truncate) and theta intersection
+    (common retained hashes below the combined theta), all from two
+    64-hash sketches.  The oracle replays sketch construction (ORDER BY
+    hash LIMIT k), both single-set estimators, the union re-truncation
+    and the intersection count — the full approximate pipeline is
+    value-checked.  Empty-intersection inputs would yield zero rows (by
+    design — no theta evidence, no estimate); the sf testdata's shared
+    user pool keeps this populated.  Scale: sketches are k-row frames;
+    every join/crossJoin is broadcast; construction is per-partition
+    top-k (TakeOrderedAndProject), never a global sort.
+    """
+    from bdq_spark.operators.sketches import (
+        kmv_estimate_col,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # each sketch feeds three consumers (own estimate, union, theta
+    # intersect) — materialize the 64-row sketch ONCE so the 100 TB
+    # scan isn't replayed per consumer (lazy lineage would rescan)
+    sa = kmv_sketch(
+        ev.where(F.col("event_type") == "click"), "user_id", k=64
+    ).localCheckpoint(eager=False)
+    sb = kmv_sketch(
+        ev.where(F.col("event_type") == "purchase"), "user_id", k=64
+    ).localCheckpoint(eager=False)
+    est_a = sa.agg(kmv_estimate_col(64).alias("est_click"))
+    est_b = sb.agg(kmv_estimate_col(64).alias("est_purchase"))
+    return est_a.crossJoin(est_b).crossJoin(kmv_set_ops(sa, sb, k=64))
+
+
+_MATVIEW_ORACLE = """
+WITH fin AS (
+  SELECT CASE WHEN o_orderkey % 10 < 7 AND o_orderkey % 13 = 0
+                   AND o_orderkey % 17 <> 0
+              THEN CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE 'O' END
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 < 7 AND o_orderkey % 13 = 0
+                   AND o_orderkey % 17 <> 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10.00 AS DOUBLE)
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE NOT (o_orderkey % 10 < 7 AND o_orderkey % 17 = 0))
+SELECT o_orderstatus,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS cnt,
+       round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+         AS avg_price
+FROM fin GROUP BY 1
+"""
+
+
+@_register("orders_incremental_matview", _MATVIEW_ORACLE)
+def orders_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-rule incremental view maintenance, end-to-end: build the
+    per-status revenue view over an initial orders snapshot (keys with
+    ``%10 < 7``), then apply TWO synthesized change batches — inserts
+    (``%10 in (7,8)``, then ``%10 = 9``), group-moving updates
+    (``%13 = 0``: status flips O<->F/P->O and price +10.00 in exact
+    decimal) and deletes (``%17 = 0``) — through
+    :func:`bdq_spark.operators.matview.maintain_agg_view`.  The oracle
+    computes the view DIRECTLY from the net final state, so a match
+    proves the incremental path is exactly the from-scratch aggregate
+    (the IVM correctness criterion).  Scale: each batch touches only
+    the change feed + a full-outer merge on the (broadcastable) delta
+    frame — the base table is never re-aggregated; per-batch cost is
+    O(changes), the property measured flat for the CDC sink family.
+    """
+    from bdq_spark.operators.matview import agg_view, maintain_agg_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys, meas = ["o_orderstatus"], ["o_totalprice"]
+    base = orders.where("o_orderkey % 10 < 7")
+    view = agg_view(base, keys, meas)
+
+    def feed(df, op, status_col, price_col):
+        return df.select(
+            F.lit(op).alias("op"),
+            (
+                F.col("o_orderstatus")
+                if op != "I"
+                else F.lit(None).cast("string")
+            ).alias("before_o_orderstatus"),
+            (
+                F.col("o_totalprice")
+                if op != "I"
+                else F.lit(None).cast("double")
+            ).alias("before_o_totalprice"),
+            status_col.alias("after_o_orderstatus"),
+            price_col.alias("after_o_totalprice"),
+        )
+
+    none_s, none_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+    b1 = feed(
+        orders.where("o_orderkey % 10 IN (7, 8)"),
+        "I",
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    ins9 = feed(
+        orders.where("o_orderkey % 10 = 9"),
+        "I",
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    upd = feed(
+        base.where("o_orderkey % 13 = 0 AND o_orderkey % 17 != 0"),
+        "U",
+        F.when(F.col("o_orderstatus") == "O", F.lit("F")).otherwise("O"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + F.lit("10.00").cast("decimal(18,2)")).cast(
+            "double"
+        ),
+    )
+    dele = base.where("o_orderkey % 17 = 0").select(
+        F.lit("D").alias("op"),
+        F.col("o_orderstatus").alias("before_o_orderstatus"),
+        F.col("o_totalprice").alias("before_o_totalprice"),
+        none_s.alias("after_o_orderstatus"),
+        none_d.alias("after_o_totalprice"),
+    )
+    v1 = maintain_agg_view(view, b1, keys, meas)
+    v2 = maintain_agg_view(v1, ins9.unionAll(upd).unionAll(dele), keys, meas)
+    return v2.select(
+        "o_orderstatus",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+        "cnt",
+        F.round(
+            F.col("sum_o_totalprice").cast("double") / F.col("cnt"), 4
+        ).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness harness checks a bounded
 # prefix of ``queries()`` (50 entries in rounds 1-2), so queries that have
 # never received a driver CORRECTNESS row are moved to the front.  Every
@@ -6502,6 +6781,10 @@ _DRIVER_PRIORITY = [
     # CORRECTNESS_r* rounds covers the whole registry.
     #
     # brand-new or code/oracle changed in r7
+    "orders_hll_custkey",
+    "token_countmin_topk",
+    "events_kmv_setops",
+    "orders_incremental_matview",
     "zonemap_pruned_scan",
     "knn_ivf_quantized",
     "orders_zorder_layout",
@@ -6549,11 +6832,6 @@ _DRIVER_PRIORITY = [
     "sink_partitioned_roundtrip",
     "skew_report_lineitem_suppkey",
     "streaming_windowed_counts",
-    "supplier_part_join_agg",
-    "top_supplier_by_period_revenue",
-    "wealthy_low_activity_customers",
-    # r5-era rotations adjacent to the r7 changed families
-    "cdc_apply_customer",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -38,6 +38,22 @@ from bdq_spark.operators.corpus import (
 from bdq_spark.operators.cdc import apply_cdc, latest_changes
 from bdq_spark.operators.clustering import kmeans_quantized
 from bdq_spark.operators.layout import zorder_key, zorder_layout
+from bdq_spark.operators.matview import (
+    agg_view,
+    apply_deltas,
+    maintain_agg_view,
+    view_deltas,
+)
+from bdq_spark.operators.sketches import (
+    countmin_cells,
+    countmin_lookup,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+    kmv_estimate_col,
+    kmv_set_ops,
+    kmv_sketch,
+)
 from bdq_spark.operators.dedup import duplicate_spans, paragraph_dedup
 from bdq_spark.operators.packing import pack_documents
 from bdq_spark.operators.profile import (
@@ -106,6 +122,18 @@ __all__ = [
     "connected_components",
     "apply_dedup_clusters",
     "kmeans_quantized",
+    "agg_view",
+    "apply_deltas",
+    "maintain_agg_view",
+    "view_deltas",
+    "countmin_cells",
+    "countmin_lookup",
+    "hll_distinct",
+    "hll_estimate",
+    "hll_registers",
+    "kmv_estimate_col",
+    "kmv_set_ops",
+    "kmv_sketch",
     "zorder_key",
     "zorder_layout",
     "pagerank",

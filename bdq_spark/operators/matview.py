@@ -1,0 +1,157 @@
+"""Incremental materialized-view maintenance (delta-rule IVM).
+
+Extension surface (no reference counterpart — grusin-db/bdq core is
+dataframe utilities only; its pipelines rebuild aggregates from scratch
+per run): at 100 TB a dashboard aggregate cannot be recomputed from the
+base table on every change batch.  The classical answer (Gupta &
+Mumick, "Maintenance of Materialized Views: Problems, Techniques, and
+Applications", 1995) is DELTA RULES: SUM/COUNT aggregates are
+self-maintainable from the change feed alone — no base-table access —
+so per-batch cost is O(changes + touched groups), not O(table).  This
+is what Materialize/Flink SQL/ksqlDB do continuously and what
+Delta/Iceberg users hand-roll with MERGE.
+
+Change-feed shape (Debezium-style before/after images, flattened):
+
+- an ``op`` column: ``I`` (insert: ``after_*`` set), ``D`` (delete:
+  ``before_*`` set), ``U`` (update: both images set);
+- per group key ``k``: ``before_k`` / ``after_k`` columns — updates
+  MAY move a row between groups (the before image decrements the old
+  group, the after image increments the new one);
+- per measure ``m``: ``before_m`` / ``after_m`` columns.
+
+Semantics: each change contributes signed rows — ``D``/``U`` a −1 row
+from the before image, ``I``/``U`` a +1 row from the after image.  The
+deltas aggregate per group (``sum(sign*m)``, ``sum(sign)``) and merge
+into the view by full-outer join; groups whose maintained row count
+reaches zero disappear.  Applying a feed's batches in order yields
+exactly the view of the final base state (tested against direct
+aggregation, including group-moving updates).  Application is
+EXACTLY-ONCE, not idempotent: replaying a batch double-counts — pair
+with the CDC sink's manifest protocol for delivery guarantees.
+
+Exactness: measure sums run in ``decimal`` (caller-specified scale) so
+partial-aggregation order cannot perturb the result — the maintained
+view is bit-identical to a from-scratch :func:`agg_view` of the final
+state, which is what the registered entry's DuckDB oracle checks.
+
+Scale shape: delta aggregation shuffles only the change batch (small);
+the merge is one key-partitioned full-outer join between the view and
+the <= touched-groups delta frame — when the delta side is small
+Catalyst broadcasts it, leaving the view unshuffled.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["agg_view", "view_deltas", "apply_deltas", "maintain_agg_view"]
+
+_UPSERT = ("i", "insert")
+_UPDATE = ("u", "update")
+_DELETE = ("d", "delete")
+
+
+def _sum_col(m: str) -> str:
+    return f"sum_{m}"
+
+
+def agg_view(
+    df: DataFrame,
+    keys: List[str],
+    measures: List[str],
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """From-scratch build: ``keys + (sum_<m>...: decimal, cnt: long)``.
+    The shape :func:`apply_deltas` maintains incrementally."""
+    aggs = [
+        F.sum(F.col(m).cast(decimal_type)).alias(_sum_col(m)) for m in measures
+    ] + [F.count(F.lit(1)).alias("cnt")]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def view_deltas(
+    changes: DataFrame,
+    keys: List[str],
+    measures: List[str],
+    op_column: str = "op",
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Collapse one change batch into per-group deltas:
+    ``keys + (sum_<m>...: decimal deltas, cnt: signed row-count delta)``.
+
+    Only the change batch is scanned/shuffled — never the base table.
+    """
+    op = F.lower(F.col(op_column))
+    neg = changes.where(op.isin(*(_UPDATE + _DELETE))).select(
+        *[F.col(f"before_{k}").alias(k) for k in keys],
+        *[
+            (-F.col(f"before_{m}").cast(decimal_type)).alias(_sum_col(m))
+            for m in measures
+        ],
+        F.lit(-1).cast("long").alias("cnt"),
+    )
+    pos = changes.where(op.isin(*(_UPDATE + _UPSERT))).select(
+        *[F.col(f"after_{k}").alias(k) for k in keys],
+        *[
+            F.col(f"after_{m}").cast(decimal_type).alias(_sum_col(m))
+            for m in measures
+        ],
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    sums = [F.sum(_sum_col(m)).alias(_sum_col(m)) for m in measures]
+    return neg.unionAll(pos).groupBy(*keys).agg(*sums, F.sum("cnt").alias("cnt"))
+
+
+def apply_deltas(
+    view: DataFrame,
+    deltas: DataFrame,
+    keys: List[str],
+    measures: List[str],
+) -> DataFrame:
+    """Merge per-group deltas into the view (full-outer on keys):
+    new groups appear, zero-count groups disappear, everything else
+    adds.  Requires a CONSISTENT feed (before images match the state
+    the view reflects) — with one, a group reaching ``cnt = 0`` has all
+    measure sums at exactly 0 too, so dropping the row is lossless."""
+    sum_cols = [_sum_col(m) for m in measures]
+    d = deltas.select(
+        *keys,
+        *[F.col(c).alias(f"__d_{c}") for c in sum_cols],
+        F.col("cnt").alias("__d_cnt"),
+    )
+    merged = view.join(d, keys, "full_outer").select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+        (
+            F.coalesce(F.col("cnt"), F.lit(0))
+            + F.coalesce(F.col("__d_cnt"), F.lit(0))
+        ).alias("cnt"),
+    )
+    return merged.where(F.col("cnt") > 0)
+
+
+def maintain_agg_view(
+    view: DataFrame,
+    changes: DataFrame,
+    keys: List[str],
+    measures: List[str],
+    op_column: str = "op",
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """One-call batch maintenance: ``apply_deltas(view, view_deltas(...))``."""
+    return apply_deltas(
+        view,
+        view_deltas(changes, keys, measures, op_column, decimal_type),
+        keys,
+        measures,
+    )

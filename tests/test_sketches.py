@@ -1,0 +1,186 @@
+"""Mergeable sketches: HLL / count-min / KMV (operators/sketches.py).
+
+Strategy mirrors the md5-twin suites (LSH, k-means): every hash-derived
+quantity is recomputed with plain-Python hashlib and compared exactly,
+plus the statistical guarantees each sketch publishes are asserted on
+known-cardinality inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bdq_spark.operators.sketches import (
+    countmin_cells,
+    countmin_lookup,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+    kmv_estimate_col,
+    kmv_set_ops,
+    kmv_sketch,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def _py_hll(values, b=8):
+    """Independent straight-from-the-paper HLL over distinct values."""
+    m, v = 1 << b, 60 - b
+    regs: dict[int, int] = {}
+    for val in set(values):
+        h = _h60(val)
+        bucket, w = h >> v, h & ((1 << v) - 1)
+        rank = v + 1 if w == 0 else v + 1 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    rmax = max(regs.values())
+    s = sum(2 ** (rmax - r) for r in regs.values()) + (m - len(regs)) * 2**rmax
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m * (2.0**rmax) / float(s)
+    zeros = m - len(regs)
+    est = m * math.log(m / zeros) if zeros > 0 and raw <= 2.5 * m else raw
+    return round(est, 4), zeros, rmax
+
+
+def test_hll_matches_python_reference(spark):
+    df = spark.createDataFrame([Row(x=f"user-{i % 977}") for i in range(5000)])
+    got = hll_distinct(df, "x", b=8).collect()[0]
+    est, zeros, rmax = _py_hll([f"user-{i % 977}" for i in range(5000)])
+    assert (got.est, got.zeros, got.rmax) == (est, zeros, rmax)
+
+
+@pytest.mark.parametrize("n_distinct", [40, 400, 4000, 20000])
+def test_hll_relative_error_bound(spark, n_distinct):
+    # 1.04/sqrt(256) = 6.5% std error; allow 4 sigma
+    df = spark.createDataFrame([Row(x=f"k{i}") for i in range(n_distinct)])
+    est = hll_distinct(df, "x", b=8).collect()[0].est
+    assert abs(est - n_distinct) / n_distinct < 4 * 1.04 / 16.0
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The 100 TB property: sketching a union == max-merging sketches."""
+    a = spark.createDataFrame([Row(x=f"a{i}") for i in range(300)])
+    b = spark.createDataFrame(
+        [Row(x=f"a{i}") for i in range(150, 300)]
+        + [Row(x=f"b{i}") for i in range(200)]
+    )
+    merged = (
+        hll_registers(a, "x")
+        .unionAll(hll_registers(b, "x"))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    direct = hll_registers(a.unionAll(b), "x")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # and the merged registers finalize to the same estimate
+    got = hll_estimate(merged).collect()[0]
+    want = hll_estimate(direct).collect()[0]
+    assert got == want
+
+
+def test_hll_grouped_and_nulls(spark):
+    rows = [Row(g="x", v=str(i)) for i in range(100)] + [
+        Row(g="y", v=str(i)) for i in range(50)
+    ] + [Row(g="y", v=None)]
+    df = spark.createDataFrame(rows)
+    out = {r.g: r for r in hll_distinct(df, "v", ("g",), b=8).collect()}
+    ex, zx, rx = _py_hll([str(i) for i in range(100)])
+    ey, zy, ry = _py_hll([str(i) for i in range(50)])
+    assert (out["x"].est, out["x"].zeros, out["x"].rmax) == (ex, zx, rx)
+    assert (out["y"].est, out["y"].zeros, out["y"].rmax) == (ey, zy, ry)
+
+
+def test_hll_rejects_bad_precision(spark):
+    df = spark.createDataFrame([Row(x="a")])
+    with pytest.raises(ValueError):
+        hll_registers(df, "x", b=3)
+    with pytest.raises(ValueError):
+        hll_registers(df, "x", b=17)
+
+
+def test_countmin_overestimates_and_python_cells(spark):
+    rows = [Row(t=f"tok{i % 37}") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    cells = countmin_cells(df, "t", depth=4, width=64)
+    # python recompute of every cell
+    py: dict[tuple[int, int], int] = {}
+    for r in rows:
+        for d in range(4):
+            cell = _h60(f"{d}:{r.t}") % 64
+            py[(d, cell)] = py.get((d, cell), 0) + 1
+    got = {(r.r, r.cell): r.cnt for r in cells.collect()}
+    assert got == py
+    exact = df.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = countmin_lookup(cells, exact, "t", depth=4, width=64).collect()
+    truth = {r.t: r.exact_cnt for r in exact.collect()}
+    assert len(est) == 37
+    for r in est:
+        assert r.cms_est >= truth[r.t]  # sketch guarantee
+        # width 64 against 2000 increments: generous deterministic bound
+        assert r.cms_est - truth[r.t] <= 2000
+
+
+def test_countmin_exact_when_wide(spark):
+    """With width >> distinct items, collisions are absent and the
+    sketch is exact — a sharp end-to-end check of cell routing."""
+    rows = [Row(t=f"tok{i % 11}") for i in range(550)]
+    df = spark.createDataFrame(rows)
+    cells = countmin_cells(df, "t", depth=4, width=4096)
+    exact = df.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = countmin_lookup(cells, exact, "t", depth=4, width=4096).collect()
+    for r in est:
+        assert r.cms_est == 50
+
+
+def test_kmv_matches_python_and_bound(spark):
+    vals = [f"u{i}" for i in range(1000)]
+    df = spark.createDataFrame([Row(x=v) for v in vals for _ in (0, 1)])
+    sk = kmv_sketch(df, "x", k=64)
+    hs = sorted(_h60(v) for v in vals)[:64]
+    assert [r.h for r in sk.orderBy("h").collect()] == hs
+    est = df.agg(F.lit(1)).crossJoin(
+        sk.agg(kmv_estimate_col(64).alias("est"))
+    ).collect()[0].est
+    py_est = round(63.0 * float(1 << 60) / float(hs[-1]), 4)
+    assert est == py_est
+    assert abs(est - 1000) / 1000 < 4 / math.sqrt(62)  # ~4 sigma
+
+
+def test_kmv_set_ops_sane(spark):
+    a_vals = [f"u{i}" for i in range(600)]  # 0..599
+    b_vals = [f"u{i}" for i in range(300, 900)]  # 300..899, overlap 300
+    a = spark.createDataFrame([Row(x=v) for v in a_vals])
+    b = spark.createDataFrame([Row(x=v) for v in b_vals])
+    sa, sb = kmv_sketch(a, "x", k=64), kmv_sketch(b, "x", k=64)
+    row = kmv_set_ops(sa, sb, k=64).collect()[0]
+    assert abs(row.est_union - 900) / 900 < 0.5
+    assert 0 < row.est_intersect < 900
+    # union estimate equals a direct sketch of the union (merge law)
+    direct = (
+        kmv_sketch(a.unionAll(b), "x", k=64)
+        .agg(kmv_estimate_col(64).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert row.est_union == direct
+
+
+def test_kmv_plan_uses_take_ordered(spark):
+    """The k-smallest tail must plan as TakeOrderedAndProject (per-
+    partition heap), never a global Sort + Limit."""
+    df = spark.createDataFrame([Row(x=f"u{i}") for i in range(100)])
+    explained = kmv_sketch(df, "x", k=16)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        explained.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
