@@ -6659,6 +6659,68 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est_a.crossJoin(est_b).crossJoin(kmv_set_ops(sa, sb, k=64))
 
 
+@_register(
+    "bloom_pruned_scan",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+    """,
+)
+def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-ENFORCING Bloom file-skipping proof — the EQUALITY sibling
+    of ``zonemap_pruned_scan``: orders staged ONCE as a date-clustered
+    parquet directory (the natural time layout, under which an id probe
+    overlaps every file's min/max range — zonemaps can't help) with a
+    per-file Bloom sidecar on ``o_orderkey``
+    (:func:`write_bloom_index`).  A point lookup for the max orderkey
+    resolves through :func:`bloom_candidate_files` and scans only the
+    files whose filter admits the value; the entry RAISES unless the
+    index pruned (candidates < total) AND the probe's true file
+    survived (no false negative).  The probe key is one bounded 1-row
+    ``collect`` (same class as the IVF sample).  Values hash against
+    DuckDB's scalar-subquery filter over the raw table, proving the
+    pruning is lossless."""
+    import hashlib
+    import os
+
+    from bdq_spark.sources.sinks import (
+        bloom_candidate_files,
+        read_bloom,
+        write_bloom_index,
+    )
+
+    key = hashlib.md5(f"{sf_dir}:bloom_orders".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_bloom_orders_{key}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        orders.repartitionByRange(16, "o_orderdate").write.mode(
+            "overwrite"
+        ).parquet(path)
+        write_bloom_index(spark, path, ["o_orderkey"], bits=16384, hashes=5)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    probe = (
+        spark.read.parquet(path).agg(F.max("o_orderkey").alias("k")).collect()
+    )[0].k
+    census = bloom_candidate_files(spark, path, {"o_orderkey": probe})
+    if not census["files"] or len(census["files"]) >= census["total"]:
+        raise RuntimeError(
+            "bloom pruning regressed — candidate census "
+            f"{len(census['files'])}/{census['total']} files"
+        )
+    return read_bloom(spark, path, {"o_orderkey": probe}).select(
+        "o_orderkey", "o_custkey", "cents"
+    )
+
+
 _MATVIEW_ORACLE = """
 WITH fin AS (
   SELECT CASE WHEN o_orderkey % 10 < 7 AND o_orderkey % 13 = 0
@@ -6785,6 +6847,7 @@ _DRIVER_PRIORITY = [
     "token_countmin_topk",
     "events_kmv_setops",
     "orders_incremental_matview",
+    "bloom_pruned_scan",
     "zonemap_pruned_scan",
     "knn_ivf_quantized",
     "orders_zorder_layout",
@@ -6831,7 +6894,6 @@ _DRIVER_PRIORITY = [
     "simhash_md5_fingerprints",
     "sink_partitioned_roundtrip",
     "skew_report_lineitem_suppkey",
-    "streaming_windowed_counts",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

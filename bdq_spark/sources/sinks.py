@@ -30,6 +30,9 @@ __all__ = [
     "write_zonemap",
     "zonemap_candidate_files",
     "read_zonemap",
+    "write_bloom_index",
+    "bloom_candidate_files",
+    "read_bloom",
 ]
 
 
@@ -276,4 +279,159 @@ def read_zonemap(spark, path: str, predicates: dict) -> DataFrame:
             out = out.filter(F.col(col) >= lo)
         if hi is not None:
             out = out.filter(F.col(col) <= hi)
+    return out
+
+
+def _fs_write_json(spark, path: str, name: str, payload: dict) -> None:
+    """Write a JSON sidecar next to the data files via the Hadoop FS
+    API (works on any Hadoop-FS scheme, not just local paths)."""
+    import json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = jvm.org.apache.hadoop.fs.Path(path, name)
+    fs = out.getFileSystem(conf)
+    stream = fs.create(out, True)
+    stream.write(bytearray(json.dumps(payload, indent=1).encode()))
+    stream.close()
+
+
+def _fs_read_json(spark, path: str, name: str) -> dict:
+    import json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    mpath = jvm.org.apache.hadoop.fs.Path(path, name)
+    fs = mpath.getFileSystem(conf)
+    if not fs.exists(mpath):
+        raise ValueError(f"no {name} under {path}")
+    stream = fs.open(mpath)
+    try:
+        # py4j passes byte[] buffers by value (mutations don't come
+        # back), so drain server-side via commons-io (ships w/ Hadoop)
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def write_bloom_index(
+    spark,
+    path: str,
+    bloom_cols: List[str],
+    bits: int = 8192,
+    hashes: int = 5,
+) -> dict:
+    """Build a FILE-LEVEL Bloom-filter sidecar (``_BLOOM.json``) over an
+    EXISTING parquet directory — the EQUALITY-predicate complement of
+    :func:`write_zonemap`: min/max ranges prune range predicates on
+    clustered columns, but an equality probe on a column the layout was
+    NOT sorted by (the classic "point lookup by id on a time-partitioned
+    table") overlaps every file's range.  A per-file Bloom filter
+    answers "can this file contain value v?" with no false negatives,
+    so pruning stays lossless; false positives only cost extra reads
+    (rate ~ (1 - e^(-hashes * n / bits))^hashes).  This is what
+    Delta/Iceberg/Hudi keep as optional per-file bloom metadata, for
+    plain parquet directories.
+
+    Position function (the md5-twin recipe, python-replayable in
+    :func:`bloom_candidate_files`): position_j(v) = first 60 md5 bits
+    of ``"j:" + str(v)`` mod ``bits``, j in [0, hashes).
+
+    The census is DISTRIBUTED (``input_file_name`` + explode of the
+    ``hashes`` positions, distinct, per-file collect_set — each file
+    contributes at most ``bits`` positions regardless of row count);
+    only the bounded per-file position sets land on the driver.  The
+    sidecar stores positions as sorted int lists (a production format
+    would pack a bitmap; JSON keeps the sidecar greppable and the
+    oracle replayable).  Returns the manifest dict.
+    """
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.dedup import _md5_base_hash
+
+    base = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    columns: dict = {}
+    for c in bloom_cols:
+        rows = (
+            base.select("__file", F.col(c).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
+            .select(
+                "__file",
+                F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("j"),
+                "v",
+            )
+            .select(
+                "__file",
+                F.pmod(
+                    _md5_base_hash(
+                        F.concat_ws(":", F.col("j").cast("string"), F.col("v"))
+                    ),
+                    F.lit(bits),
+                ).alias("p"),
+            )
+            .distinct()
+            .groupBy("__file")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        columns[c] = {r["__file"]: sorted(r["ps"]) for r in rows}
+    manifest = {"bits": bits, "hashes": hashes, "columns": columns}
+    _fs_write_json(spark, path, "_BLOOM.json", manifest)
+    return manifest
+
+
+def _bloom_positions(value, j_count: int, bits: int) -> list:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15], 16) % bits
+        for j in range(j_count)
+    ]
+
+
+def bloom_candidate_files(spark, path: str, equals: dict) -> dict:
+    """Resolve equality predicates (``{col: value}``, ANDed) against
+    ``_BLOOM.json``: a file survives iff, for every predicate, ALL
+    ``hashes`` positions of the value are set in that file's filter.
+    No false negatives (every position of every present value was set
+    by the census), so pruning is lossless; the read path re-applies
+    the exact predicate anyway.  Returns ``{"files": [...], "total":
+    n}``."""
+    manifest = _fs_read_json(spark, path, "_BLOOM.json")
+    bits, hashes = manifest["bits"], manifest["hashes"]
+    cols = manifest["columns"]
+    for col in equals:
+        if col not in cols:
+            raise ValueError(f"column {col!r} not in bloom index")
+    all_files = sorted(next(iter(cols.values())).keys()) if cols else []
+    keep = []
+    for fname in all_files:
+        ok = True
+        for col, value in equals.items():
+            fileset = set(cols[col].get(fname, ()))
+            if not all(
+                p in fileset for p in _bloom_positions(value, hashes, bits)
+            ):
+                ok = False
+                break
+        if ok:
+            keep.append(fname)
+    return {"files": keep, "total": len(all_files)}
+
+
+def read_bloom(spark, path: str, equals: dict) -> DataFrame:
+    """Scan only the files the Bloom index cannot rule out, then apply
+    the equality predicates exactly (pruning is a superset filter, so
+    results are identical to a full scan).  Empty candidate set returns
+    an empty DataFrame with the table's schema."""
+    from pyspark.sql import functions as F
+
+    cand = bloom_candidate_files(spark, path, equals)
+    full = spark.read.parquet(path)
+    out = (
+        spark.read.parquet(*cand["files"]) if cand["files"] else full.limit(0)
+    )
+    for col, value in equals.items():
+        out = out.filter(F.col(col) == value)
     return out

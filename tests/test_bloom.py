@@ -1,0 +1,98 @@
+"""File-level Bloom-filter skipping (sources/sinks.py _BLOOM.json).
+
+The guarantee under test: NO FALSE NEGATIVES — for every value present
+in the data, the file holding it always survives pruning — plus real
+pruning on a layout where zonemap ranges cannot help, and python/Spark
+agreement on the position function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bdq_spark.sources.sinks import (
+    _bloom_positions,
+    bloom_candidate_files,
+    read_bloom,
+    write_bloom_index,
+)
+
+
+def _stage(spark, tmp, n=400, files=8, bits=2048, hashes=5):
+    path = os.path.join(tmp, "t")
+    df = spark.createDataFrame(
+        [Row(id=i, grp=i % 7, payload=f"row-{i}") for i in range(n)]
+    )
+    # cluster by grp so id is scattered across files — the zonemap-hostile case
+    df.repartitionByRange(files, "grp").write.mode("overwrite").parquet(path)
+    manifest = write_bloom_index(spark, path, ["id"], bits=bits, hashes=hashes)
+    return path, manifest
+
+
+def test_no_false_negatives_every_value(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path, _ = _stage(spark, tmp)
+        full = spark.read.parquet(path).withColumn(
+            "__file", F.input_file_name()
+        )
+        truth = {r.id: r["__file"] for r in full.select("id", "__file").collect()}
+        for probe in list(truth)[::17] + [0, 399]:
+            cand = bloom_candidate_files(spark, path, {"id": probe})
+            assert truth[probe] in cand["files"], probe
+
+
+def test_pruning_happens_and_read_is_exact(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path, _ = _stage(spark, tmp)
+        pruned_any = False
+        for probe in (3, 111, 222, 333):
+            cand = bloom_candidate_files(spark, path, {"id": probe})
+            pruned_any |= len(cand["files"]) < cand["total"]
+            got = read_bloom(spark, path, {"id": probe}).collect()
+            assert [(r.id, r.payload) for r in got] == [(probe, f"row-{probe}")]
+        assert pruned_any  # 2048 bits / ~50 ids per file prunes hard
+        # absent value: zero rows, regardless of candidate count
+        assert read_bloom(spark, path, {"id": 10**9}).count() == 0
+
+
+def test_positions_match_spark_side(spark):
+    """The sidecar's sets must equal a plain-Python recompute over the
+    actual file contents — pins the md5 position function end-to-end."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path, manifest = _stage(spark, tmp, n=100, files=4)
+        bits, hashes = manifest["bits"], manifest["hashes"]
+        full = spark.read.parquet(path).withColumn(
+            "__file", F.input_file_name()
+        )
+        by_file: dict[str, set] = {}
+        for r in full.select("id", "__file").collect():
+            by_file.setdefault(r["__file"], set()).update(
+                _bloom_positions(r.id, hashes, bits)
+            )
+        got = {f: set(ps) for f, ps in manifest["columns"]["id"].items()}
+        assert got == by_file
+
+
+def test_multi_column_and_errors(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        df = spark.createDataFrame(
+            [Row(a=i, b=f"s{i % 5}") for i in range(50)]
+        )
+        df.coalesce(4).write.mode("overwrite").parquet(path)
+        write_bloom_index(spark, path, ["a", "b"], bits=512, hashes=4)
+        cand = bloom_candidate_files(spark, path, {"a": 7, "b": "s2"})
+        assert cand["total"] == 4 and cand["files"]
+        got = read_bloom(spark, path, {"a": 7, "b": "s2"}).collect()
+        assert [(r.a, r.b) for r in got] == [(7, "s2")]
+        import pytest
+
+        with pytest.raises(ValueError):
+            bloom_candidate_files(spark, path, {"missing": 1})
+        with pytest.raises(ValueError):
+            bloom_candidate_files(spark, os.path.join(tmp, "nope"), {"a": 1})
