@@ -6660,6 +6660,135 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_sampled_quantiles",
+    """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      ORDER BY md5('q' || chr(31) || o_orderkey::VARCHAR), o_orderkey
+      LIMIT 256),
+    a AS (SELECT list_sort(list(cents)) AS v, count(*) AS n FROM s)
+    SELECT n AS sample_n,
+           v[CAST(floor(0.25 * (n - 1)) AS INT) + 1] AS p25,
+           v[CAST(floor(0.5  * (n - 1)) AS INT) + 1] AS p50,
+           v[CAST(floor(0.75 * (n - 1)) AS INT) + 1] AS p75,
+           v[CAST(floor(0.95 * (n - 1)) AS INT) + 1] AS p95
+    FROM a
+    """,
+)
+def orders_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile estimation from the deterministic bottom-256
+    hash sample (:func:`sampled_quantiles`): price quantiles in exact
+    cents, computed from a per-partition top-k (TakeOrderedAndProject)
+    instead of a global sort — the sampling member of the sketch
+    family.  The oracle replays sample membership (the identical md5
+    order), the sort and the nearest-rank integer indexing, so the
+    whole estimator is value-checked; the ~1/sqrt(k) rank-error bound
+    vs the TRUE quantiles is pinned in pytest."""
+    from bdq_spark.operators.sketches import sampled_quantiles
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return sampled_quantiles(
+        orders, "cents", ["o_orderkey"], k=256, salt="q"
+    )
+
+
+_STREAMING_HLL_ORACLE = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+regs AS (
+  SELECT h >> 52 AS bucket,
+         max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+             ELSE 53 - length(bin(h & 4503599627370495)) END) AS register
+  FROM h GROUP BY 1),
+rm AS (SELECT max(register) AS rmax FROM regs),
+s AS (
+  SELECT rm.rmax,
+         sum(1::BIGINT << (rm.rmax - regs.register)) AS s_present,
+         count(*) AS present
+  FROM regs, rm GROUP BY rm.rmax),
+raw AS (
+  SELECT (256 - present) AS zeros, rmax,
+         (0.7213 / (1.0 + 1.079 / 256)) * 65536 * pow(2.0, rmax)
+           / CAST(s_present + (256 - present) * (1::BIGINT << rmax)
+                  AS DOUBLE) AS raw
+  FROM s)
+SELECT round(CASE WHEN zeros > 0 AND raw <= 640.0
+             THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS est,
+       zeros, rmax,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_cnt
+FROM raw
+"""
+
+
+@_register("streaming_hll_distinct", _STREAMING_HLL_ORACLE)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count maintenance through HLL register-max
+    merge — the composition that makes the sketch a STREAMING operator:
+    events stream through ``foreachBatch``; each micro-batch contributes
+    its (<= 256-row) register table; the accumulator keeps the per-
+    bucket max.  Because register merge is associative/idempotent-
+    under-max, the final registers are EXACTLY the one-shot batch
+    sketch no matter how the file source splits micro-batches — so the
+    DuckDB oracle (full HLL replay over all events) value-checks the
+    whole streaming run, with no rows-only concession.  Micro-batch
+    replay is keyed out by batch_id (same idempotence a transactional
+    sink provides).  Scale: per batch ships <= m register rows to the
+    accumulator (in production the accumulator is itself a keyed state
+    table; the merge law is what this entry pins)."""
+    from bdq_spark.operators.sketches import hll_estimate, hll_registers
+
+    src = _stage_table_dir(spark, sf_dir, "events")
+    ckpt = tempfile.mkdtemp(prefix="entry_shll_ckpt_")
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    regs: dict = {}
+    seen_batches: set = set()
+    n_batches = [0]
+
+    def fold(df, batch_id):
+        if batch_id in seen_batches:
+            return
+        partial = hll_registers(df, "user_id", b=8).collect()  # <= 256 rows
+        seen_batches.add(batch_id)
+        n_batches[0] += 1
+        for r in partial:
+            if regs.get(r.bucket, 0) < r.register:
+                regs[r.bucket] = r.register
+
+    q = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_hll_distinct: stream did not finish in 300 s"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not n_batches[0]:
+        raise RuntimeError("stream terminated without processing any batch")
+    reg_df = spark.createDataFrame(
+        [(b, r) for b, r in regs.items()], "bucket:long, register:int"
+    )
+    est = hll_estimate(reg_df, b=8)
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("exact_cnt")
+    )
+    return est.crossJoin(exact)
+
+
+@_register(
     "bloom_pruned_scan",
     """
     SELECT o_orderkey, o_custkey,
@@ -6691,7 +6820,10 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bloom_index,
     )
 
-    key = hashlib.md5(f"{sf_dir}:bloom_orders".encode()).hexdigest()[:12]
+    # v3: packed-bitmap sidecar + probe key pinned at staging (bump on
+    # any staging/index change so cached stale dirs regenerate instead
+    # of silently testing the old index)
+    key = hashlib.md5(f"{sf_dir}:bloom_orders:v3".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_bloom_orders_{key}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
@@ -6704,12 +6836,28 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.repartitionByRange(16, "o_orderdate").write.mode(
             "overwrite"
         ).parquet(path)
-        write_bloom_index(spark, path, ["o_orderkey"], bits=16384, hashes=5)
+        # size the filter to the data: ~16 bits per expected per-file
+        # key (FP well under 1%), next power of two, floor 16384 — a
+        # fixed bits value that prunes at sf0.01 saturates at 10x the
+        # rows and the self-check below would (correctly) refuse
+        n_rows = spark.read.parquet(path).count()
+        bits = 16384
+        while bits < 16 * (n_rows // 16 + 1):
+            bits *= 2
+        write_bloom_index(spark, path, ["o_orderkey"], bits=bits, hashes=5)
+        # pin the probe key at staging so the steady-state query path is
+        # pure index-resolve + pruned scan (a per-run max() would put a
+        # full table scan in front of the point lookup being measured)
+        probe_val = (
+            spark.read.parquet(path)
+            .agg(F.max("o_orderkey").alias("k"))
+            .collect()[0]
+            .k
+        )
         with open(marker, "w") as fh:
-            fh.write(sf_dir)
-    probe = (
-        spark.read.parquet(path).agg(F.max("o_orderkey").alias("k")).collect()
-    )[0].k
+            fh.write(f"{sf_dir}\n{probe_val}")
+    with open(marker) as fh:
+        probe = int(fh.read().splitlines()[1])
     census = bloom_candidate_files(spark, path, {"o_orderkey": probe})
     if not census["files"] or len(census["files"]) >= census["total"]:
         raise RuntimeError(
@@ -6848,6 +6996,8 @@ _DRIVER_PRIORITY = [
     "events_kmv_setops",
     "orders_incremental_matview",
     "bloom_pruned_scan",
+    "streaming_hll_distinct",
+    "orders_sampled_quantiles",
     "zonemap_pruned_scan",
     "knn_ivf_quantized",
     "orders_zorder_layout",
@@ -6892,8 +7042,6 @@ _DRIVER_PRIORITY = [
     "salted_join_revenue",
     "schema_diff_orders",
     "simhash_md5_fingerprints",
-    "sink_partitioned_roundtrip",
-    "skew_report_lineitem_suppkey",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

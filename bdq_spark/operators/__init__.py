@@ -53,6 +53,7 @@ from bdq_spark.operators.sketches import (
     kmv_estimate_col,
     kmv_set_ops,
     kmv_sketch,
+    sampled_quantiles,
 )
 from bdq_spark.operators.dedup import duplicate_spans, paragraph_dedup
 from bdq_spark.operators.packing import pack_documents
@@ -134,6 +135,7 @@ __all__ = [
     "kmv_estimate_col",
     "kmv_set_ops",
     "kmv_sketch",
+    "sampled_quantiles",
     "zorder_key",
     "zorder_layout",
     "pagerank",

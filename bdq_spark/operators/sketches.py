@@ -314,3 +314,44 @@ def kmv_set_ops(
         )
     )
     return union_est.crossJoin(F.broadcast(inter_est))
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_columns: list,
+    k: int = 256,
+    probs: tuple = (0.25, 0.5, 0.75, 0.95),
+    salt: str = "",
+) -> DataFrame:
+    """Distributed quantile ESTIMATION from the deterministic bottom-k
+    hash sample — the sampling member of the sketch family: because
+    :func:`bdq_spark.operators.splits.fixed_size_sample`'s hash order
+    is a fixed pseudo-random permutation of the keys, its k rows are a
+    uniform sample, and nearest-rank quantiles within the sorted sample
+    estimate the population quantiles with standard sampling error
+    (~1/sqrt(k) in rank space) — while touching only a per-partition
+    top-k (TakeOrderedAndProject), never a global sort of the table.
+
+    Engine-exact: the sample membership is a deterministic hash order,
+    the in-sample quantile is pure integer indexing
+    (``sorted[floor(p * (n-1))]``, 0-based), and the sample is bounded
+    (one ``collect_list`` of <= k values inside a 1-row aggregate) — so
+    a SQL oracle replays the WHOLE estimator.  Output: one row,
+    ``sample_n`` + one ``p<nn>`` column per requested quantile.
+    """
+    from bdq_spark.operators.splits import fixed_size_sample
+
+    if not 0 < k:
+        raise ValueError("k must be positive")
+    samp = fixed_size_sample(df, k, key_columns, salt=salt)
+    agg = samp.agg(
+        F.sort_array(F.collect_list(value_col)).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cols = []
+    for p in probs:
+        name = f"p{str(p)[2:].ljust(2, '0')[:2]}"
+        idx = F.floor(F.lit(float(p)) * (F.col("n") - 1)).cast("int")
+        cols.append(F.col("v")[idx].alias(name))
+    return agg.select(F.col("n").alias("sample_n"), *cols)

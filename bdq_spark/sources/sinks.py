@@ -342,9 +342,11 @@ def write_bloom_index(
     ``hashes`` positions, distinct, per-file collect_set — each file
     contributes at most ``bits`` positions regardless of row count);
     only the bounded per-file position sets land on the driver.  The
-    sidecar stores positions as sorted int lists (a production format
-    would pack a bitmap; JSON keeps the sidecar greppable and the
-    oracle replayable).  Returns the manifest dict.
+    sidecar stores each file's filter as a base64 LSB-first BITMAP
+    (``bits/8`` bytes before encoding) so candidate resolution reads
+    O(files * bits/8) regardless of key population — an int-list
+    encoding made the sidecar itself grow with the data and candidate
+    resolution measured linear.  Returns the manifest dict.
     """
     from pyspark.sql import functions as F
 
@@ -375,10 +377,28 @@ def write_bloom_index(
             .agg(F.collect_set("p").alias("ps"))
             .collect()
         )
-        columns[c] = {r["__file"]: sorted(r["ps"]) for r in rows}
+        columns[c] = {r["__file"]: _pack_bits(r["ps"], bits) for r in rows}
     manifest = {"bits": bits, "hashes": hashes, "columns": columns}
     _fs_write_json(spark, path, "_BLOOM.json", manifest)
     return manifest
+
+
+def _pack_bits(positions, bits: int) -> str:
+    """Pack set positions into a base64 LSB-first bitmap — ~20x smaller
+    than a JSON int list and O(bits/8) to test, so the sidecar READ
+    path stays flat as the key population grows (an int-list sidecar
+    made candidate resolution itself linear in table size — measured as
+    a 1.0 scale exponent before this packing)."""
+    import base64
+
+    buf = bytearray((bits + 7) // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode()
+
+
+def _bit_set(packed: bytes, p: int) -> bool:
+    return bool(packed[p >> 3] & (1 << (p & 7)))
 
 
 def _bloom_positions(value, j_count: int, bits: int) -> list:
@@ -404,14 +424,17 @@ def bloom_candidate_files(spark, path: str, equals: dict) -> dict:
     for col in equals:
         if col not in cols:
             raise ValueError(f"column {col!r} not in bloom index")
+    import base64
+
     all_files = sorted(next(iter(cols.values())).keys()) if cols else []
     keep = []
     for fname in all_files:
         ok = True
         for col, value in equals.items():
-            fileset = set(cols[col].get(fname, ()))
-            if not all(
-                p in fileset for p in _bloom_positions(value, hashes, bits)
+            packed = base64.b64decode(cols[col].get(fname, ""))
+            if not packed or not all(
+                _bit_set(packed, p)
+                for p in _bloom_positions(value, hashes, bits)
             ):
                 ok = False
                 break

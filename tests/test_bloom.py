@@ -74,7 +74,13 @@ def test_positions_match_spark_side(spark):
             by_file.setdefault(r["__file"], set()).update(
                 _bloom_positions(r.id, hashes, bits)
             )
-        got = {f: set(ps) for f, ps in manifest["columns"]["id"].items()}
+        import base64
+
+        def unpack(b64s):
+            raw = base64.b64decode(b64s)
+            return {p for p in range(bits) if raw[p >> 3] & (1 << (p & 7))}
+
+        got = {f: unpack(ps) for f, ps in manifest["columns"]["id"].items()}
         assert got == by_file
 
 

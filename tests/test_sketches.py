@@ -184,3 +184,26 @@ def test_kmv_plan_uses_take_ordered(spark):
     with redirect_stdout(buf):
         explained.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_sampled_quantiles_bounds_and_determinism(spark):
+    """Rank-space error: with k=256 the sample quantile's true rank is
+    within ~4/sqrt(k) = 25 percentile points at 4 sigma — assert a
+    10-point band on a smooth synthetic distribution, and exact
+    determinism across repartitionings."""
+    from bdq_spark.operators.sketches import sampled_quantiles
+
+    rows = [Row(id=i, x=(i * i) % 10007) for i in range(5000)]
+    df = spark.createDataFrame(rows)
+    got = sampled_quantiles(df, "x", ["id"], k=256, salt="sq").collect()[0]
+    assert got.sample_n == 256
+    xs = sorted(r.x for r in rows)
+    for p, v in (("p25", got.p25), ("p50", got.p50), ("p75", got.p75)):
+        frac = float(p[1:]) / 100
+        true_rank = sum(1 for x in xs if x <= v) / len(xs)
+        assert abs(true_rank - frac) < 0.10, (p, v, true_rank)
+    again = (
+        sampled_quantiles(df.repartition(13), "x", ["id"], k=256, salt="sq")
+        .collect()[0]
+    )
+    assert again == got

@@ -65,6 +65,12 @@ QUERY_TABLE = {
     "embedding_near_dup_pairs_lsh": "embeddings",
     "embedding_kmeans_quantized": "embeddings",
     "orders_zorder_layout": "orders",
+    "orders_hll_custkey": "orders",
+    "orders_incremental_matview": "orders",
+    "bloom_pruned_scan": "orders",
+    "token_countmin_topk": "documents",
+    "events_kmv_setops": "events",
+    "streaming_hll_distinct": "events",
 }
 
 
@@ -213,11 +219,38 @@ def _stage_orders(spark, factor: int, out: str) -> None:
     scaled.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
 
 
+def _stage_events(spark, factor: int, out: str) -> None:
+    """``factor`` copies of events with event ids AND user ids offset
+    per copy — the distinct-user population grows ×factor (the honest
+    scaling for distinct-count sketches: a bigger corpus has more
+    users, not the same users repeated), while per-user event structure
+    is preserved.  ``load_table`` normalizes the ns-timestamp quirk
+    before the copy is written."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.sources import load_table
+
+    ev = load_table(spark, BASE_SF_DIR, "events")
+    ne = ev.agg(F.max("event_id")).first()[0] + 1
+    nu = ev.agg(F.max("user_id")).first()[0] + 1
+    copies = []
+    for i in range(factor):
+        copies.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * ne))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * nu))
+        )
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+
 _STAGERS = {
     "documents": _stage_documents,
     "lineitem": _stage_lineitem,
     "embeddings": _stage_embeddings,
     "orders": _stage_orders,
+    "events": _stage_events,
 }
 
 
