@@ -6659,6 +6659,65 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est_a.crossJoin(est_b).crossJoin(kmv_set_ops(sa, sb, k=64))
 
 
+_SCD2_ORACLE = """
+WITH feed AS (
+  SELECT c_custkey, c_name || '_WRONG' AS c_name,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal, 'U' AS op, 1 AS ver
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey, c_name || '_v2',
+         CAST(c_acctbal AS DECIMAL(12,2)) + 100, 'U', 2
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey, c_name || '_x',
+         CAST(c_acctbal AS DECIMAL(12,2)), 'U', 1
+  FROM customer WHERE c_custkey % 10 = 2
+  UNION ALL
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)), 'D', 2
+  FROM customer WHERE c_custkey % 10 = 2
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || (c_custkey + 1000000)::VARCHAR,
+         CAST(c_acctbal AS DECIMAL(12,2)), 'I', 1
+  FROM customer WHERE c_custkey % 10 = 3),
+w AS (
+  SELECT *,
+         lead(ver) OVER (
+           PARTITION BY c_custkey
+           ORDER BY ver, CASE WHEN op = 'D' THEN 1 ELSE 0 END
+         ) AS valid_to
+  FROM feed)
+SELECT c_custkey, c_name, CAST(acctbal AS DOUBLE) AS acctbal,
+       ver AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+FROM w WHERE op <> 'D'
+"""
+
+
+@_register("customer_scd2_history", _SCD2_ORACLE)
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the shared synthesized CDC
+    feed (:func:`scd2_from_changes` over ``_cdc_customer_changes``):
+    superseded updates become CLOSED validity intervals, deletes close
+    their predecessor and emit nothing (the deleted key has no current
+    row), fresh inserts are open intervals.  The oracle reconstructs
+    the feed and replays the lead-window interval assembly in SQL —
+    every interval bound and currency flag is value-checked.  Scale:
+    one window over the change feed only; no base-table access."""
+    from bdq_spark.operators.cdc import scd2_from_changes
+
+    c = _cdc_customer_base(spark, sf_dir)
+    hist = scd2_from_changes(
+        _cdc_customer_changes(c), ["c_custkey"], "ver"
+    )
+    return hist.select(
+        "c_custkey",
+        "c_name",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
 @_register(
     "orders_sampled_quantiles",
     """
@@ -6998,6 +7057,7 @@ _DRIVER_PRIORITY = [
     "bloom_pruned_scan",
     "streaming_hll_distinct",
     "orders_sampled_quantiles",
+    "customer_scd2_history",
     "zonemap_pruned_scan",
     "knn_ivf_quantized",
     "orders_zorder_layout",
@@ -7041,7 +7101,6 @@ _DRIVER_PRIORITY = [
     "rules_quarantine_lineitem",
     "salted_join_revenue",
     "schema_diff_orders",
-    "simhash_md5_fingerprints",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -35,7 +35,7 @@ from bdq_spark.operators.corpus import (
     training_order_key,
     with_training_order,
 )
-from bdq_spark.operators.cdc import apply_cdc, latest_changes
+from bdq_spark.operators.cdc import apply_cdc, latest_changes, scd2_from_changes
 from bdq_spark.operators.clustering import kmeans_quantized
 from bdq_spark.operators.layout import zorder_key, zorder_layout
 from bdq_spark.operators.matview import (
@@ -112,6 +112,7 @@ __all__ = [
     "train_bpe",
     "bpe_segment_corpus",
     "apply_cdc",
+    "scd2_from_changes",
     "latest_changes",
     "pack_documents",
     "chunk_documents",

@@ -30,7 +30,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_changes", "apply_cdc"]
+__all__ = ["latest_changes", "apply_cdc", "scd2_from_changes"]
 
 #: recognized operation codes (case-insensitive): insert/update/upsert
 #: land the row, delete removes it
@@ -117,3 +117,53 @@ def apply_cdc(
     touched = latest.select(*keys)
     untouched = base.join(touched, keys, "left_anti").select(*out_cols)
     return untouched.unionByName(upserts)
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: List[str],
+    version_column: str,
+    op_column: str = "op",
+) -> DataFrame:
+    """Build a Slowly-Changing-Dimension TYPE 2 history from a change
+    feed — the warehouse pattern layered over the same feeds
+    :func:`apply_cdc` merges: instead of keeping only the latest row
+    per key, every change version becomes a VALIDITY INTERVAL
+    ``[valid_from, valid_to)`` so joins can be done "as of" any point
+    in the key's history.
+
+    Semantics (standard SCD2 from a versioned feed):
+
+    - each upsert (I/U) row opens an interval at its version;
+    - an interval closes at the NEXT change of the same key (upsert or
+      delete) — ``valid_to`` is that change's version, NULL while open;
+    - delete rows close their predecessor's interval but emit no row
+      themselves, so a deleted key has no current row; a later
+      re-insert opens a fresh interval;
+    - ``is_current`` marks the open interval.
+
+    Determinism: (keys, version) pairs are expected unique per the
+    feed contract; exact ties order delete-last so a same-version
+    upsert+delete converges to "closed immediately" (the same safe
+    direction as :func:`latest_changes`).
+
+    Scale shape: ONE window over the change feed (lead of the version
+    within key) — the feed, not any base table, is the only input, and
+    the window key is the natural feed partitioning.  Output is append-
+    friendly: re-running on a feed prefix yields a prefix of the
+    history (the open intervals simply close later).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    is_delete = F.lower(F.col(op_column)).isin(*_DELETE_OPS)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_column), is_delete.cast("int")
+    )
+    hist = changes.withColumn(
+        "valid_to", F.lead(F.col(version_column)).over(w)
+    ).filter(~is_delete)
+    return (
+        hist.withColumn("valid_from", F.col(version_column))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(op_column)
+    )

@@ -104,3 +104,77 @@ def test_apply_cdc_strict_rejects_unknown_ops(spark):
     strict_rows = sorted(map(tuple, apply_cdc(base, ok, ["id"], ["ver"], strict=True).collect()))
     loose_rows = sorted(map(tuple, apply_cdc(base, ok, ["id"], ["ver"]).collect()))
     assert strict_rows == loose_rows
+
+
+# ---------------------------------------------------------------------------
+# scd2_from_changes — SCD Type-2 interval assembly from a change feed
+# ---------------------------------------------------------------------------
+
+_FEED_SCHEMA = "id long, name string, op string, ver long"
+
+
+def _scd2(spark, rows):
+    from bdq_spark.operators.cdc import scd2_from_changes
+
+    return scd2_from_changes(
+        spark.createDataFrame(rows, _FEED_SCHEMA), ["id"], "ver"
+    )
+
+
+def test_scd2_intervals_close_and_current(spark):
+    got = {
+        (r.id, r.valid_from): (r.name, r.valid_to, r.is_current)
+        for r in _scd2(
+            spark,
+            [
+                (1, "a1", "I", 1),
+                (1, "a2", "U", 3),
+                (1, "a3", "U", 7),
+                (2, "b1", "I", 1),
+            ],
+        ).collect()
+    }
+    assert got[(1, 1)] == ("a1", 3, False)
+    assert got[(1, 3)] == ("a2", 7, False)
+    assert got[(1, 7)] == ("a3", None, True)
+    assert got[(2, 1)] == ("b1", None, True)
+
+
+def test_scd2_delete_closes_then_reinsert_reopens(spark):
+    rows = _scd2(
+        spark,
+        [
+            (1, "a1", "I", 1),
+            (1, "a1", "D", 4),
+            (1, "a2", "I", 9),
+        ],
+    ).collect()
+    got = {(r.valid_from): (r.name, r.valid_to, r.is_current) for r in rows}
+    assert len(rows) == 2  # the delete emits nothing
+    assert got[1] == ("a1", 4, False)  # closed BY the delete
+    assert got[9] == ("a2", None, True)  # reopened
+
+
+def test_scd2_deleted_key_has_no_current_row(spark):
+    rows = _scd2(spark, [(1, "a1", "I", 1), (1, "a1", "D", 2)]).collect()
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        (1, 2, False)
+    ]
+
+
+def test_scd2_same_version_delete_ties_close_immediately(spark):
+    # upsert + delete at the same version: delete orders last, so the
+    # upsert's interval exists but is closed at its own version
+    rows = _scd2(spark, [(1, "a1", "U", 5), (1, "a1", "D", 5)]).collect()
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        (5, 5, False)
+    ]
+
+
+def test_scd2_requires_keys(spark):
+    from bdq_spark.operators.cdc import scd2_from_changes
+
+    with pytest.raises(ValueError):
+        scd2_from_changes(
+            spark.createDataFrame([(1, "a", "I", 1)], _FEED_SCHEMA), [], "ver"
+        )
