@@ -6659,6 +6659,89 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est_a.crossJoin(est_b).crossJoin(kmv_set_ops(sa, sb, k=64))
 
 
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+v AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_ms END) AS v_ms
+  FROM e GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts_ms) AS c_ms
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND v.v_ms IS NOT NULL
+    AND e.ts_ms >= v.v_ms
+  GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts_ms) AS p_ms
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_ms >= c.c_ms
+  GROUP BY 1)
+SELECT (SELECT count(*) FROM v WHERE v_ms IS NOT NULL) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM c)::DOUBLE
+             / (SELECT count(*) FROM v WHERE v_ms IS NOT NULL), 6)
+         AS view_to_click,
+       round((SELECT count(*) FROM p)::DOUBLE
+             / (SELECT count(*) FROM c), 6) AS click_to_purchase
+"""
+
+
+@_register("events_funnel_conversion", _FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (the event-analytics staple): per user,
+    first view, first click AT OR AFTER that view, first purchase at or
+    after that click; stage counts and conversion rates.  Ordering
+    matters — a click before any view does not count — which is what
+    separates a funnel from three independent counts.  All timestamps
+    compare as epoch-millis bigints (the ns-vs-us convention).  Scale:
+    three per-user aggregations (each one partial-aggregable shuffle on
+    user_id) + two same-key joins that reuse the user_id partitioning;
+    the final stage counts are scalar aggregates.  The oracle replays
+    the exact staged-min construction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ms"))).alias(
+            "v_ms"
+        )
+    ).where(F.col("v_ms").isNotNull())
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_ms") >= F.col("v_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("c_ms"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_ms") >= F.col("c_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("p_ms"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_click").cast("double") / F.col("n_view"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase").cast("double") / F.col("n_click"), 6
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
 _SCD2_ORACLE = """
 WITH feed AS (
   SELECT c_custkey, c_name || '_WRONG' AS c_name,
@@ -7058,6 +7141,7 @@ _DRIVER_PRIORITY = [
     "streaming_hll_distinct",
     "orders_sampled_quantiles",
     "customer_scd2_history",
+    "events_funnel_conversion",
     "zonemap_pruned_scan",
     "knn_ivf_quantized",
     "orders_zorder_layout",
@@ -7100,7 +7184,6 @@ _DRIVER_PRIORITY = [
     "quality_rules_lineitem",
     "rules_quarantine_lineitem",
     "salted_join_revenue",
-    "schema_diff_orders",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
