@@ -6775,6 +6775,80 @@ FROM w WHERE op <> 'D'
 """
 
 
+_PIT_ORACLE = """
+WITH feed AS (
+  SELECT c_custkey, c_name || '_WRONG' AS c_name, 'U' AS op, 1 AS ver
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey, c_name || '_v2', 'U', 2
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey, c_name || '_x', 'U', 1
+  FROM customer WHERE c_custkey % 10 = 2
+  UNION ALL
+  SELECT c_custkey, c_name, 'D', 2
+  FROM customer WHERE c_custkey % 10 = 2),
+w AS (
+  SELECT *,
+         lead(ver) OVER (
+           PARTITION BY c_custkey
+           ORDER BY ver, CASE WHEN op = 'D' THEN 1 ELSE 0 END
+         ) AS valid_to
+  FROM feed),
+hist AS (SELECT c_custkey, c_name, ver AS valid_from, valid_to
+         FROM w WHERE op <> 'D'),
+facts AS (
+  SELECT c_custkey, t.v
+  FROM customer, UNNEST([1, 2, 3]) AS t(v)
+  WHERE c_custkey % 10 IN (1, 2))
+SELECT f.c_custkey, f.v, h.c_name AS dim_name
+FROM facts f
+LEFT JOIN hist h
+  ON h.c_custkey = f.c_custkey
+ AND f.v >= h.valid_from
+ AND (h.valid_to IS NULL OR f.v < h.valid_to)
+"""
+
+
+@_register("orders_pit_scd2_join", _PIT_ORACLE)
+def orders_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension history — the
+    consumption side of :func:`scd2_from_changes` and the reason SCD2
+    exists: facts at versions 1/2/3 resolve the attribute that was
+    valid AT their version (``valid_from <= v < valid_to``, open
+    intervals unbounded), superseded values resolve for OLD facts only,
+    and facts after a delete resolve to NULL (the key had no current
+    row).  LEFT join keeps the misses visible.  Scale: an equi-join on
+    the key with a residual interval predicate — a plain hash join,
+    not a range-only join, so it partitions like any dimension join.
+    The oracle replays feed, interval assembly and the containment
+    join."""
+    from bdq_spark.operators.cdc import scd2_from_changes
+
+    c = _cdc_customer_base(spark, sf_dir)
+    hist = scd2_from_changes(
+        _cdc_customer_changes(c), ["c_custkey"], "ver"
+    ).select(
+        F.col("c_custkey").alias("h_key"),
+        F.col("c_name").alias("dim_name"),
+        "valid_from",
+        "valid_to",
+    )
+    m = F.col("c_custkey") % 10
+    facts = c.filter(m.isin(1, 2)).select(
+        "c_custkey",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("v"),
+    )
+    joined = facts.join(
+        hist,
+        (F.col("c_custkey") == F.col("h_key"))
+        & (F.col("v") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("v") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select("c_custkey", "v", "dim_name")
+
+
 @_register("customer_scd2_history", _SCD2_ORACLE)
 def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension history from the shared synthesized CDC
@@ -7141,6 +7215,7 @@ _DRIVER_PRIORITY = [
     "streaming_hll_distinct",
     "orders_sampled_quantiles",
     "customer_scd2_history",
+    "orders_pit_scd2_join",
     "events_funnel_conversion",
     "zonemap_pruned_scan",
     "knn_ivf_quantized",
@@ -7183,7 +7258,6 @@ _DRIVER_PRIORITY = [
     "profile_lineitem_correlations",
     "quality_rules_lineitem",
     "rules_quarantine_lineitem",
-    "salted_join_revenue",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -71,6 +71,9 @@ QUERY_TABLE = {
     "token_countmin_topk": "documents",
     "events_kmv_setops": "events",
     "streaming_hll_distinct": "events",
+    "customer_scd2_history": "customer",
+    "events_funnel_conversion": "events",
+    "orders_sampled_quantiles": "orders",
 }
 
 
@@ -245,12 +248,39 @@ def _stage_events(spark, factor: int, out: str) -> None:
     scaled.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
 
 
+def _stage_customer(spark, factor: int, out: str) -> None:
+    """``factor`` copies of customer with keys offset — the SCD2 feed
+    synthesizes per-key histories from the key modulus, so key-offset
+    copies grow the number of tracked keys (and the feed) ×factor with
+    per-key history depth constant."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.sources import load_table
+
+    c = load_table(spark, BASE_SF_DIR, "customer")
+    n = c.agg(F.max("c_custkey")).first()[0] + 1
+    # offset by a multiple of 10 so c_custkey % 10 group structure
+    # (what the feed synthesis keys on) is preserved per copy
+    step = ((n // 10) + 1) * 10
+    copies = [
+        c.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * step))
+        for i in range(factor)
+    ]
+    scaled = copies[0]
+    for cp in copies[1:]:
+        scaled = scaled.unionByName(cp)
+    scaled.write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
+
+
 _STAGERS = {
     "documents": _stage_documents,
     "lineitem": _stage_lineitem,
     "embeddings": _stage_embeddings,
     "orders": _stage_orders,
     "events": _stage_events,
+    "customer": _stage_customer,
 }
 
 
