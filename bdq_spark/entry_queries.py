@@ -7106,28 +7106,13 @@ FROM fin GROUP BY 1
 """
 
 
-@_register("orders_incremental_matview", _MATVIEW_ORACLE)
-def orders_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta-rule incremental view maintenance, end-to-end: build the
-    per-status revenue view over an initial orders snapshot (keys with
-    ``%10 < 7``), then apply TWO synthesized change batches — inserts
-    (``%10 in (7,8)``, then ``%10 = 9``), group-moving updates
-    (``%13 = 0``: status flips O<->F/P->O and price +10.00 in exact
-    decimal) and deletes (``%17 = 0``) — through
-    :func:`bdq_spark.operators.matview.maintain_agg_view`.  The oracle
-    computes the view DIRECTLY from the net final state, so a match
-    proves the incremental path is exactly the from-scratch aggregate
-    (the IVM correctness criterion).  Scale: each batch touches only
-    the change feed + a full-outer merge on the (broadcastable) delta
-    frame — the base table is never re-aggregated; per-batch cost is
-    O(changes), the property measured flat for the CDC sink family.
-    """
-    from bdq_spark.operators.matview import agg_view, maintain_agg_view
-
-    orders = load_table(spark, sf_dir, "orders")
-    keys, meas = ["o_orderstatus"], ["o_totalprice"]
-    base = orders.where("o_orderkey % 10 < 7")
-    view = agg_view(base, keys, meas)
+def _matview_feed(orders: DataFrame, base: DataFrame):
+    """The synthesized before/after-image change feed shared by the
+    batch (`orders_incremental_matview`) and streaming
+    (`streaming_matview_merge`) IVM entries: batch 1 = inserts
+    (``%10 in (7,8)``); batch 2 = inserts (``%10 = 9``) + group-moving
+    updates (``%13 = 0``, status flips O<->F/P->O, price +10.00 exact
+    decimal) + deletes (``%17 = 0``)."""
 
     def feed(df, op, status_col, price_col):
         return df.select(
@@ -7174,9 +7159,11 @@ def orders_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         none_s.alias("after_o_orderstatus"),
         none_d.alias("after_o_totalprice"),
     )
-    v1 = maintain_agg_view(view, b1, keys, meas)
-    v2 = maintain_agg_view(v1, ins9.unionAll(upd).unionAll(dele), keys, meas)
-    return v2.select(
+    return b1, ins9.unionAll(upd).unionAll(dele)
+
+
+def _matview_final_select(view: DataFrame) -> DataFrame:
+    return view.select(
         "o_orderstatus",
         F.col("sum_o_totalprice").cast("double").alias("sum_price"),
         "cnt",
@@ -7184,6 +7171,128 @@ def orders_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_o_totalprice").cast("double") / F.col("cnt"), 4
         ).alias("avg_price"),
     )
+
+
+@_register("orders_incremental_matview", _MATVIEW_ORACLE)
+def orders_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-rule incremental view maintenance, end-to-end: build the
+    per-status revenue view over an initial orders snapshot (keys with
+    ``%10 < 7``), then apply TWO synthesized change batches — inserts
+    (``%10 in (7,8)``, then ``%10 = 9``), group-moving updates
+    (``%13 = 0``: status flips O<->F/P->O and price +10.00 in exact
+    decimal) and deletes (``%17 = 0``) — through
+    :func:`bdq_spark.operators.matview.maintain_agg_view`.  The oracle
+    computes the view DIRECTLY from the net final state, so a match
+    proves the incremental path is exactly the from-scratch aggregate
+    (the IVM correctness criterion).  Scale: each batch touches only
+    the change feed + a full-outer merge on the (broadcastable) delta
+    frame — the base table is never re-aggregated; per-batch cost is
+    O(changes), the property measured flat for the CDC sink family.
+    """
+    from bdq_spark.operators.matview import agg_view, maintain_agg_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys, meas = ["o_orderstatus"], ["o_totalprice"]
+    base = orders.where("o_orderkey % 10 < 7")
+    view = agg_view(base, keys, meas)
+    b1, b2 = _matview_feed(orders, base)
+    v1 = maintain_agg_view(view, b1, keys, meas)
+    v2 = maintain_agg_view(v1, b2, keys, meas)
+    return _matview_final_select(v2)
+
+
+#: staged matview feed version — bump on any _matview_feed / schema
+#: change so cached temp dirs regenerate (the CDC staging lesson)
+_MATVIEW_FEED_VERSION = 1
+
+
+@_register("streaming_matview_merge", _MATVIEW_ORACLE)
+def streaming_matview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance — the same synthesized
+    before/after-image feed as ``orders_incremental_matview``, staged
+    as parquet micro-batch groups and driven through a TRUE readStream
+    -> ``foreachBatch`` fold: each micro-batch contributes its
+    per-group deltas (``view_deltas`` — at most |groups| rows per
+    batch), the accumulator sums them in exact Decimal, and the final
+    view applies the accumulated delta once.  Because delta application
+    is ADDITIVE (sums/counts commute), the result is independent of how
+    the file source splits micro-batches — so the same direct-
+    aggregation oracle value-checks the streaming run; micro-batch
+    replay is keyed out by batch_id.  The streaming twin of the IVM
+    correctness criterion: stream/batch unification for aggregate
+    maintenance, like ``streaming_cdc_merge`` is for MERGE."""
+    import hashlib
+    import os
+    from decimal import Decimal
+
+    from bdq_spark.operators.matview import agg_view, apply_deltas, view_deltas
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys, meas = ["o_orderstatus"], ["o_totalprice"]
+    base = orders.where("o_orderkey % 10 < 7")
+
+    key = hashlib.md5(
+        f"{sf_dir}:matview_feed:v{_MATVIEW_FEED_VERSION}".encode()
+    ).hexdigest()[:12]
+    feed_dir = os.path.join(
+        tempfile.gettempdir(), f"bdq_stage_matview_feed_{key}"
+    )
+    marker = os.path.join(feed_dir, "_STAGED")
+    expected_marker = f"{sf_dir}:v{_MATVIEW_FEED_VERSION}"
+    staged = os.path.exists(marker) and open(marker).read() == expected_marker
+    if not staged:
+        b1, b2 = _matview_feed(orders, base)
+        for i, b in enumerate((b1, b2)):
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(feed_dir, f"g{i}")
+            )
+        with open(marker, "w") as fh:
+            fh.write(expected_marker)
+
+    ckpt = tempfile.mkdtemp(prefix="entry_smv_ckpt_")
+    acc: dict = {}
+    seen: set = set()
+    n_batches = [0]
+
+    def fold(df, batch_id):
+        if batch_id in seen:
+            return
+        seen.add(batch_id)
+        n_batches[0] += 1
+        for r in view_deltas(df, keys, meas).collect():  # <= |groups| rows
+            a = acc.setdefault(r.o_orderstatus, [Decimal(0), 0])
+            a[0] += r.sum_o_totalprice
+            a[1] += r.cnt
+
+    q = (
+        spark.readStream.schema(
+            "op string, before_o_orderstatus string, "
+            "before_o_totalprice double, after_o_orderstatus string, "
+            "after_o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed_dir}/g*")
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_matview_merge: stream did not finish in 300 s"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not n_batches[0]:
+        raise RuntimeError("stream terminated without processing any batch")
+    deltas = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in acc.items()],
+        "o_orderstatus string, sum_o_totalprice decimal(28,2), cnt long",
+    )
+    final = apply_deltas(agg_view(base, keys, meas), deltas, keys, meas)
+    return _matview_final_select(final)
 
 
 # ---------------------------------------------------------------------------
@@ -7211,6 +7320,7 @@ _DRIVER_PRIORITY = [
     "token_countmin_topk",
     "events_kmv_setops",
     "orders_incremental_matview",
+    "streaming_matview_merge",
     "bloom_pruned_scan",
     "streaming_hll_distinct",
     "orders_sampled_quantiles",
@@ -7257,7 +7367,6 @@ _DRIVER_PRIORITY = [
     "pk_minimal_combinations",
     "profile_lineitem_correlations",
     "quality_rules_lineitem",
-    "rules_quarantine_lineitem",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
