@@ -6912,6 +6912,92 @@ def orders_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOOLEAN_SEARCH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT t.doc_id, u.token FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS w
+    FROM documents) t, UNNEST(t.w) AS u(token))
+SELECT doc_id FROM toks
+WHERE token IN ('hash', 'join', 'merge')
+GROUP BY doc_id HAVING count(DISTINCT token) = 3
+"""
+
+
+@_register("docs_boolean_search", _BOOLEAN_SEARCH_ORACLE)
+def docs_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval over the inverted index: documents whose
+    token set contains ALL of ('hash', 'join', 'merge') — resolved as a
+    matched-token count over the query tokens' POSTINGS, never a corpus
+    rescan (the contamination-probe / targeted-subsetting shape).  The
+    oracle filters the tokenized corpus directly, proving the index
+    path is exactly the direct filter.  Scale: index build is two
+    partial-agg shuffles done once; each query touches only its tokens'
+    postings."""
+    from bdq_spark.operators.textsearch import (
+        boolean_search,
+        build_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, _stats = build_inverted_index(docs)
+    return boolean_search(postings, ["hash", "join", "merge"], mode="and")
+
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT t.doc_id, u.token FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS w
+    FROM documents) t, UNNEST(t.w) AS u(token)),
+postings AS (
+  SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+ds AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM ds),
+idf AS (
+  SELECT token, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT token, count(*) AS df FROM postings
+        WHERE token IN ('hash', 'join', 'merge') GROUP BY 1), stats),
+parts AS (
+  SELECT p.doc_id,
+         CAST(round(i.idf * p.tf
+                    / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)), 9)
+              AS DECIMAL(20,9)) AS part
+  FROM postings p
+  JOIN idf i USING (token)
+  JOIN ds d USING (doc_id), stats s
+  WHERE p.token IN ('hash', 'join', 'merge'))
+SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 6) AS score
+FROM parts GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@_register("docs_bm25_search", _BM25_ORACLE)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the inverted index for the
+    query ('hash', 'join', 'merge'), top-10 (score desc, doc_id asc).
+    Every BM25 input (tf, dl, df, N) is an exact integer, idf and the
+    saturation term are single double expressions on those integers,
+    and per-token parts sum in decimal — so the DuckDB oracle replays
+    tokenization, postings, document statistics and the full scoring
+    formula and the round-6 scores hash exactly.  The retrieval
+    baseline behind RAG and dedup-probe pipelines, as a first-class
+    indexed operator."""
+    from bdq_spark.operators.textsearch import (
+        bm25_search,
+        build_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, stats = build_inverted_index(docs)
+    return bm25_search(
+        postings, stats, ["hash", "join", "merge"], k1=1.2, b=0.75, top_k=10
+    )
+
+
 _STREAMING_HLL_ORACLE = """
 WITH h AS (
   SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
@@ -7324,6 +7410,8 @@ _DRIVER_PRIORITY = [
     "bloom_pruned_scan",
     "streaming_hll_distinct",
     "orders_sampled_quantiles",
+    "docs_boolean_search",
+    "docs_bm25_search",
     "customer_scd2_history",
     "orders_pit_scd2_join",
     "events_funnel_conversion",
@@ -7365,8 +7453,6 @@ _DRIVER_PRIORITY = [
     "orders_rollup_by_year",
     "pipeline_odd_even",
     "pk_minimal_combinations",
-    "profile_lineitem_correlations",
-    "quality_rules_lineitem",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

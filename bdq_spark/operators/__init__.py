@@ -44,6 +44,12 @@ from bdq_spark.operators.matview import (
     maintain_agg_view,
     view_deltas,
 )
+from bdq_spark.operators.textsearch import (
+    bm25_search,
+    boolean_search,
+    build_inverted_index,
+    tokenize_docs,
+)
 from bdq_spark.operators.sketches import (
     countmin_cells,
     countmin_lookup,
@@ -137,6 +143,10 @@ __all__ = [
     "kmv_set_ops",
     "kmv_sketch",
     "sampled_quantiles",
+    "bm25_search",
+    "boolean_search",
+    "build_inverted_index",
+    "tokenize_docs",
     "zorder_key",
     "zorder_layout",
     "pagerank",
