@@ -6596,6 +6596,62 @@ def token_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_lookup(cells, top, "token", depth=4, width=1024)
 
 
+_JOINSIZE_ORACLE = """
+WITH a AS (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+b AS (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0),
+rows4 AS (SELECT unnest(range(4)) AS r),
+ca AS (
+  SELECT rows4.r,
+         ('0x' || substr(md5(rows4.r::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT
+           % 1024 AS cell,
+         count(*) AS cnt_a
+  FROM a, rows4 GROUP BY 1, 2),
+cb AS (
+  SELECT rows4.r,
+         ('0x' || substr(md5(rows4.r::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT
+           % 1024 AS cell,
+         count(*) AS cnt_b
+  FROM b, rows4 GROUP BY 1, 2),
+ip AS (
+  SELECT ca.r, sum(cnt_a * cnt_b) AS ip
+  FROM ca JOIN cb ON ca.r = cb.r AND ca.cell = cb.cell
+  GROUP BY ca.r)
+SELECT (SELECT min(ip) FROM ip) AS est,
+       (SELECT count(*) FROM a JOIN b USING (k)) AS exact_size
+"""
+
+
+@_register("join_size_estimate_cms", _JOINSIZE_ORACLE)
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation from two count-min sketches —
+    the optimizer-style sizing trick: sketch each side's join key
+    (filtered orders vs positive-balance customers), estimate
+    ``|A join B|`` as the min-over-rows inner product of the grids,
+    WITHOUT running the join.  All-integer arithmetic, so the oracle
+    replays both grids and the inner product exactly; the true join
+    size rides along (``est >= exact_size`` always — collisions only
+    add; pinned in pytest).  Scale: the estimate costs one
+    (depth x width)-row sketch join however large the tables are."""
+    from bdq_spark.operators.sketches import countmin_cells, countmin_join_size
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = orders.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("k")
+    )
+    b = customer.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    est = countmin_join_size(
+        countmin_cells(a, "k", depth=4, width=1024),
+        countmin_cells(b, "k", depth=4, width=1024),
+    )
+    exact = a.join(b, "k").agg(F.count(F.lit(1)).alias("exact_size"))
+    return est.crossJoin(exact)
+
+
 _KMV_ORACLE = """
 WITH sa AS (
   SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
@@ -6996,6 +7052,42 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         postings, stats, ["hash", "join", "merge"], k1=1.2, b=0.75, top_k=10
     )
+
+
+_PHRASE_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, w[i] AS token, i - 1 AS pos
+  FROM docs, UNNEST(range(1, len(w) + 1)) AS t(i)),
+a AS (SELECT doc_id, pos AS start FROM pos WHERE token = 'hash'),
+b AS (SELECT doc_id, pos - 1 AS start FROM pos WHERE token = 'join')
+SELECT a.doc_id, count(*) AS n_occ
+FROM a JOIN b USING (doc_id, start)
+GROUP BY a.doc_id
+"""
+
+
+@_register("docs_phrase_search", _PHRASE_ORACLE)
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("hash join", adjacent tokens) over the
+    positional index: token i of the phrase joins on (doc, start+i), so
+    occurrences are counted without rescanning text — the IR-classic
+    positional-postings query that boolean search can't answer (both
+    words present != adjacent).  The oracle replays positions (0-based
+    over the filtered token list) and the adjacency join.  Scale: cost
+    rides the phrase tokens' postings; put the rarest token first at
+    scale (caller-controlled, classic optimization)."""
+    from bdq_spark.operators.textsearch import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(build_positional_index(docs), ["hash", "join"])
 
 
 _STREAMING_HLL_ORACLE = """
@@ -7405,6 +7497,7 @@ _DRIVER_PRIORITY = [
     "orders_hll_custkey",
     "token_countmin_topk",
     "events_kmv_setops",
+    "join_size_estimate_cms",
     "orders_incremental_matview",
     "streaming_matview_merge",
     "bloom_pruned_scan",
@@ -7412,6 +7505,7 @@ _DRIVER_PRIORITY = [
     "orders_sampled_quantiles",
     "docs_boolean_search",
     "docs_bm25_search",
+    "docs_phrase_search",
     "customer_scd2_history",
     "orders_pit_scd2_join",
     "events_funnel_conversion",
@@ -7451,8 +7545,6 @@ _DRIVER_PRIORITY = [
     "orc_roundtrip_supplier",
     "orders_pivot_priority_status",
     "orders_rollup_by_year",
-    "pipeline_odd_even",
-    "pk_minimal_combinations",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

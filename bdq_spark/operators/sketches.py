@@ -355,3 +355,24 @@ def sampled_quantiles(
         idx = F.floor(F.lit(float(p)) * (F.col("n") - 1)).cast("int")
         cols.append(F.col("v")[idx].alias(name))
     return agg.select(F.col("n").alias("sample_n"), *cols)
+
+
+def countmin_join_size(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches (Cormode
+    & Muthukrishnan's inner-product estimator — the sketch trick query
+    optimizers use to size an equi-join WITHOUT running it): with both
+    grids built over the join key at the same (depth, width), row r's
+    estimate is ``sum_cell cntA * cntB`` and the final estimate is the
+    MIN over rows — always an OVERestimate of ``|A join B| = sum_k
+    fA(k) * fB(k)`` (collisions only add).  All arithmetic is exact
+    int64 (products of counts), so the estimate is engine-exact and a
+    SQL oracle replays it.  Cost: one (depth x width)-row join — the
+    sketches, never the tables.  Returns one row ``(est,)``."""
+    a = cells_a.select("r", "cell", F.col("cnt").alias("cnt_a"))
+    b = cells_b.select("r", "cell", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["r", "cell"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est"))

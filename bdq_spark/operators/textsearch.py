@@ -46,6 +46,8 @@ __all__ = [
     "build_inverted_index",
     "boolean_search",
     "bm25_search",
+    "build_positional_index",
+    "phrase_search",
 ]
 
 _TOKEN_RE = "[^a-z0-9]+"
@@ -172,3 +174,41 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
+
+
+def build_positional_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional postings ``(token, doc_id, pos)`` — ``pos`` is the
+    0-based index in the FILTERED token sequence, so adjacency in the
+    index means adjacency in the text under this repo's tokenization.
+    One shuffle-free projection (posexplode); persist partitioned by
+    token at scale."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_RE), lambda x: x != ""
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(arr).alias("pos", "token")
+    )
+
+
+def phrase_search(pos_index: DataFrame, phrase: List[str]) -> DataFrame:
+    """Exact phrase occurrences via positional-posting joins: token i
+    of the phrase must appear at ``start_pos + i`` in the same
+    document.  Returns ``(doc_id, n_occ)`` for documents containing the
+    phrase at least once.  Cost rides the PHRASE TOKENS' postings (the
+    first token's postings anchor; each further token is one join on
+    (doc, pos) — the rarest-token-first optimization is the caller's
+    choice of phrase order at scale, classic IR)."""
+    toks = [t.lower() for t in phrase]
+    if not toks:
+        raise ValueError("phrase must be non-empty")
+    anchor = pos_index.where(F.col("token") == toks[0]).select(
+        "doc_id", F.col("pos").alias("start")
+    )
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = pos_index.where(F.col("token") == t).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        anchor = anchor.join(nxt, ["doc_id", "start"])
+    return anchor.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))

@@ -207,3 +207,22 @@ def test_sampled_quantiles_bounds_and_determinism(spark):
         .collect()[0]
     )
     assert again == got
+
+
+def test_countmin_join_size_overestimates(spark):
+    from bdq_spark.operators.sketches import countmin_cells, countmin_join_size
+
+    a = spark.createDataFrame([Row(k=i % 13) for i in range(500)])
+    b = spark.createDataFrame([Row(k=i % 7) for i in range(200)])
+    est = countmin_join_size(
+        countmin_cells(a, "k", depth=4, width=512),
+        countmin_cells(b, "k", depth=4, width=512),
+    ).collect()[0].est
+    exact = a.join(b, "k").count()
+    assert est >= exact
+    # wide grid vs tiny key domain: no collisions, estimate is exact
+    est_wide = countmin_join_size(
+        countmin_cells(a, "k", depth=4, width=8192),
+        countmin_cells(b, "k", depth=4, width=8192),
+    ).collect()[0].est
+    assert est_wide == exact

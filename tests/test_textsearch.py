@@ -116,3 +116,32 @@ def test_bm25_top_k_and_tie_order(spark, index):
     assert scores == sorted(scores, reverse=True)
     # absent query token: no crash, empty result
     assert bm25_search(postings, stats, ["zzzmissing"], top_k=5).count() == 0
+
+
+def test_phrase_search_counts(spark):
+    from bdq_spark.operators.textsearch import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hash join beats hash join here"),
+            Row(doc_id=2, text="join hash is reversed"),
+            Row(doc_id=3, text="hash, join! punctuation still adjacent"),
+            Row(doc_id=4, text="hash x join not adjacent"),
+        ]
+    )
+    idx = build_positional_index(docs)
+    got = {r.doc_id: r.n_occ for r in phrase_search(idx, ["hash", "join"]).collect()}
+    assert got == {1: 2, 3: 1}
+    # three-token phrase
+    got3 = {
+        r.doc_id: r.n_occ
+        for r in phrase_search(idx, ["hash", "join", "beats"]).collect()
+    }
+    assert got3 == {1: 1}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        phrase_search(idx, [])

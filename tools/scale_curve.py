@@ -74,6 +74,7 @@ QUERY_TABLE = {
     "customer_scd2_history": "customer",
     "events_funnel_conversion": "events",
     "orders_sampled_quantiles": "orders",
+    "join_size_estimate_cms": "orders",
 }
 
 
