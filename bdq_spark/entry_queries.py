@@ -2823,6 +2823,71 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_quantized(edges, iterations=3).select("id", "rank_q")
 
 
+def _kcore_oracle(k: int = 2, rounds: int = 20) -> str:
+    """Unrolled k-core peel in portable SQL: each round recomputes
+    degrees, names the sub-k node set and filters both edge endpoints.
+    Rounds past convergence are no-ops, so a FIXED unroll depth equals
+    the Spark fixed point whenever the entry returns at all (the
+    operator raises if it needs more than ``rounds``).  Every round CTE
+    is MATERIALIZED: each references its predecessor three times, and
+    DuckDB's default CTE inlining would expand the 20-round chain
+    exponentially (observed as a too-many-open-files blow-up)."""
+    ctes = [
+        "ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents"
+        " WHERE doc_id >= 1)",
+        "fwd AS (SELECT id AS src, id % 10 + 1 AS dst FROM ids"
+        " WHERE id <= 10"
+        " UNION ALL SELECT id, id // 2 FROM ids WHERE id >= 11)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)"
+        " WHERE src <> dst)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT src FROM e{r} GROUP BY src"
+            f" HAVING count(*) < {k})"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT src, dst FROM e{r}"
+            f" WHERE src NOT IN (SELECT src FROM b{r})"
+            f" AND dst NOT IN (SELECT src FROM b{r}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS id, count(*) AS degree FROM e{rounds}"
+        " GROUP BY src"
+    )
+
+
+@_register("docs_kcore_graph", _kcore_oracle())
+def docs_kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (:func:`kcore`, iterative peeling) over a
+    synthesized cycle-plus-tree graph on the document ids: a 10-cycle
+    (every node degree 2 — the 2-core) with a binary tree hanging off
+    it (``i — i div 2`` for every id >= 11).  The tree peels leaf
+    level by leaf level — a REAL multi-round cascade (~log2(N) rounds,
+    deeper at bigger SF) — and the entry raises unless the peel
+    converged, which is what makes the oracle's fixed 20-round unroll
+    sound.  Completes the graph quartet (components, PageRank,
+    triangles, cores).  Scale: per round one degree agg + two
+    anti-joins on the shrinking sub-k set, lineage checkpointed flat.
+    """
+    from bdq_spark.operators.components import kcore
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("bigint").alias("id"))
+        .where("id >= 1")
+    )
+    cyc = ids.where("id <= 10").select(
+        F.col("id").alias("src"), (F.col("id") % 10 + 1).alias("dst")
+    )
+    tree = ids.where("id >= 11").select(
+        F.col("id").alias("src"), F.expr("id div 2").alias("dst")
+    )
+    return kcore(cyc.unionByName(tree), k=2, max_rounds=20)
+
+
 _VIDEO_FRAMES_ORACLE = """
 WITH p AS (SELECT doc_id,
         CAST(doc_id % 6 + 1 AS BIGINT) AS nf,
@@ -7498,6 +7563,7 @@ _DRIVER_PRIORITY = [
     "token_countmin_topk",
     "events_kmv_setops",
     "join_size_estimate_cms",
+    "docs_kcore_graph",
     "orders_incremental_matview",
     "streaming_matview_merge",
     "bloom_pruned_scan",
@@ -7544,7 +7610,6 @@ _DRIVER_PRIORITY = [
     "lineitem_cube",
     "orc_roundtrip_supplier",
     "orders_pivot_priority_status",
-    "orders_rollup_by_year",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "apply_dedup_clusters", "pagerank", "pagerank_quantized", "triangle_counts"]
+__all__ = ["connected_components", "apply_dedup_clusters", "pagerank", "pagerank_quantized", "triangle_counts", "kcore"]
 
 
 def connected_components(
@@ -374,4 +374,71 @@ def triangle_counts(
             .cast("bigint")
             .alias("n_triangles"),
         )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    Matula-Beck peel, rounds-synchronous): repeatedly delete every node
+    of degree < k until none remains; the survivors with their final
+    degrees are the k-core.  Completes the graph family next to
+    connected components, PageRank and triangle counting — cores are
+    the standard dense-subgraph screen (community seeds, spam/bot
+    rings, near-dup cluster cores).
+
+    Input is an UNDIRECTED edge list (one row per edge, either
+    orientation); it is symmetrized and de-duplicated here.  Returns
+    ``(id, degree)`` for k-core members — deterministic (set
+    semantics; no tie-breaking needed because the peel removes ALL
+    sub-k nodes each round, which is order-independent).
+
+    Raises ``RuntimeError`` if the peel has not converged within
+    ``max_rounds`` — that makes a FIXED-round SQL replay a sound
+    oracle: if the entry returns at all, running the oracle for
+    ``max_rounds`` rounds computes the same fixed point (extra rounds
+    past convergence are no-ops).
+
+    Scale shape: each round is one degree aggregation plus two
+    anti-joins against the (shrinking) sub-k node set, with an eager
+    ``localCheckpoint`` per round so lineage stays flat; rounds are
+    bounded by the graph's degeneracy ordering depth (log-ish for
+    tree-like regions), not by node count.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fwd = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    cur = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        bad = deg.where(F.col("degree") < k).select("src").localCheckpoint(
+            eager=True
+        )
+        if bad.isEmpty():
+            return deg.select(F.col("src").alias("id"), "degree")
+        cur = (
+            cur.join(bad, "src", "left_anti")
+            .join(bad.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    # one final check: the last filter round may have converged exactly
+    deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    if deg.where(F.col("degree") < k).isEmpty():
+        return deg.select(F.col("src").alias("id"), "degree")
+    raise RuntimeError(
+        f"kcore: peel did not converge within {max_rounds} rounds"
     )

@@ -253,3 +253,65 @@ def test_triangle_counts_huge_ids(spark):
     df = spark.createDataFrame(k4, "src long, dst long")
     got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {big + 1: 3, big + 2: 3, 3: 3, big + 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# kcore — iterative peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_cycle_plus_tree_cascade(spark):
+    """A 6-cycle with a 3-level path hanging off node 1: the path peels
+    one level per round (a real cascade), the cycle is the 2-core."""
+    from bdq_spark.operators.components import kcore
+
+    edges = [(i, i % 6 + 1) for i in range(1, 7)]  # cycle 1..6
+    edges += [(1, 10), (10, 11), (11, 12)]  # path needing 3 peel rounds
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.id, r.degree) for r in kcore(df, k=2).collect()}
+    assert got == {(i, 2) for i in range(1, 7)}
+
+
+def test_kcore_python_reference(spark):
+    """Random sparse graph vs a plain-Python peel."""
+    import random
+
+    from bdq_spark.operators.components import kcore
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(90)}
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    k = 3
+    cur = {n: set(v) for n, v in adj.items()}
+    while True:
+        bad = [n for n, v in cur.items() if len(v) < k]
+        if not bad:
+            break
+        for n in bad:
+            for m in cur[n]:
+                if m in cur:
+                    cur[m].discard(n)
+            del cur[n]
+    want = {(n, len(v)) for n, v in cur.items()}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.id, r.degree) for r in kcore(df, k=3).collect()}
+    assert got == want
+
+
+def test_kcore_raises_on_nonconvergence_and_bad_k(spark):
+    import pytest as _p
+
+    from bdq_spark.operators.components import kcore
+
+    # a 50-node path peels from both ends: 25 rounds > max_rounds=3
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    with _p.raises(RuntimeError, match="did not converge"):
+        kcore(path, k=2, max_rounds=3).collect()
+    with _p.raises(ValueError):
+        kcore(path, k=0)
