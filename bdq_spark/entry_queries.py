@@ -6608,6 +6608,77 @@ def orders_hll_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "o_orderpriority")
 
 
+_HLL_ROLLUP_ORACLE = """
+WITH h AS (
+  SELECT o_orderpriority,
+         ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+regs AS (
+  SELECT o_orderpriority, h >> 52 AS bucket,
+         max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+             ELSE 53 - length(bin(h & 4503599627370495)) END) AS register
+  FROM h GROUP BY 1, 2),
+rm AS (SELECT o_orderpriority, max(register) AS rmax FROM regs GROUP BY 1),
+s AS (
+  SELECT r.o_orderpriority, rm.rmax,
+         sum(1::BIGINT << (rm.rmax - r.register)) AS s_present,
+         count(*) AS present
+  FROM regs r JOIN rm USING (o_orderpriority)
+  GROUP BY 1, 2),
+raw AS (
+  SELECT o_orderpriority, (256 - present) AS zeros, rmax,
+         (0.7213 / (1.0 + 1.079 / 256)) * 65536 * pow(2.0, rmax)
+           / CAST(s_present + (256 - present) * (1::BIGINT << rmax)
+                  AS DOUBLE) AS raw
+  FROM s)
+SELECT o_orderpriority,
+       round(CASE WHEN zeros > 0 AND raw <= 640.0
+             THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS est,
+       zeros, rmax
+FROM raw
+"""
+
+
+@_register("orders_hll_rollup", _HLL_ROLLUP_ORACLE)
+def orders_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH ROLLUP TABLE pattern (what Druid/Pinot rollup
+    segments and DataSketches warehouse columns do): per-(priority,
+    DAY) HLL register tables are computed ONCE and persisted as
+    parquet; the period-wide question "distinct customers per priority
+    over all time" is then answered from the rollup alone — a
+    register max-merge over <= days x 256 rows per priority — WITHOUT
+    touching the fact table again.  Because register merge is
+    associative, the merged answer is EXACTLY the sketch computed
+    directly over all orders, which is what the oracle replays (the
+    merge law as a storage story, not just an algebraic test).  The
+    rollup staging is marker-cached; steady-state cost is the rollup
+    scan only."""
+    import hashlib
+    import os
+
+    from bdq_spark.operators.sketches import hll_estimate
+
+    key = hashlib.md5(f"{sf_dir}:hll_rollup:v1".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_hll_rollup_{key}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        from bdq_spark.operators.sketches import hll_registers
+
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "day", F.col("o_orderdate").cast("date")
+        )
+        hll_registers(
+            orders, "o_custkey", ("o_orderpriority", "day"), b=8
+        ).write.mode("overwrite").partitionBy("day").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    rollup = spark.read.parquet(path)
+    merged = rollup.groupBy("o_orderpriority", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    return hll_estimate(merged, b=8, group_cols=("o_orderpriority",))
+
+
 _CMS_ORACLE = """
 WITH toks AS (
   SELECT u.token FROM (
@@ -7560,6 +7631,7 @@ _DRIVER_PRIORITY = [
     #
     # brand-new or code/oracle changed in r7
     "orders_hll_custkey",
+    "orders_hll_rollup",
     "token_countmin_topk",
     "events_kmv_setops",
     "join_size_estimate_cms",
@@ -7609,7 +7681,6 @@ _DRIVER_PRIORITY = [
     "large_order_customers",
     "lineitem_cube",
     "orc_roundtrip_supplier",
-    "orders_pivot_priority_status",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

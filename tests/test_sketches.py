@@ -226,3 +226,25 @@ def test_countmin_join_size_overestimates(spark):
         countmin_cells(b, "k", depth=4, width=8192),
     ).collect()[0].est
     assert est_wide == exact
+
+
+def test_hll_rollup_merge_equals_direct_grouped(spark):
+    """The rollup-table pattern: per-(group, slice) registers merged by
+    max across slices equal the direct per-group sketch — grouped merge
+    law (the global law is test_hll_registers_merge_by_max)."""
+    rows = [
+        Row(g="a", day=d, v=f"u{i}")
+        for d in range(3)
+        for i in range(d * 50, d * 50 + 120)  # overlapping user ranges
+    ] + [Row(g="b", day=d, v=f"w{i}") for d in range(2) for i in range(80)]
+    df = spark.createDataFrame(rows)
+    rollup = hll_registers(df, "v", ("g", "day"), b=8)
+    merged = rollup.groupBy("g", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    direct = hll_registers(df, "v", ("g",), b=8)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    got = hll_estimate(merged, group_cols=("g",)).collect()
+    want = hll_estimate(direct, group_cols=("g",)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
