@@ -6608,6 +6608,222 @@ def orders_hll_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "o_orderpriority")
 
 
+@_register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE year(l_shipdate) = 1997
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (Forecasting Revenue Change): the canonical
+    predicate-pushdown benchmark — three pushable filters, one exact-
+    decimal aggregate, zero joins.  At 100 TB this query is entirely
+    scan-bound; the filters reach the parquet scan (the generic
+    pushdown proof lives in ``pruned_scan_orders``)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.year("l_shipdate") == 1997)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * F.col("l_discount").cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "promo_revenue_share",
+    """
+    WITH j AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2))) AS rev,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 9)
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN rev ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct,
+           CAST(sum(rev) AS DOUBLE) AS total_revenue
+    FROM j
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (Promotion Effect): revenue share of promo parts in a
+    month — a fact-to-dimension broadcast join with a conditional
+    exact-decimal aggregate and ONE double division at the end.  The
+    time filter prunes the fact side before the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (
+        1 - F.col("l_discount").cast("decimal(3,2)")
+    )
+    j = (
+        l.where((F.year("l_shipdate") == 1997) & (F.month("l_shipdate") == 9))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(rev.alias("rev"), "p_type")
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )
+
+
+@_register(
+    "brand_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#9' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (Discounted Revenue), adapted to this schema's columns
+    (size bands instead of containers): OR-of-conjuncts across fact AND
+    dimension columns — the disjunctive-predicate shape optimizers
+    historically mishandle (it must not block the join pushdown of the
+    per-branch dimension filters).  Exact-decimal aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & s.between(1, 5))
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & q.between(10, 20)
+            & s.between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & q.between(20, 30)
+            & s.between(1, 15)
+        )
+    )
+    rev = _dec("l_extendedprice") * (
+        1 - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return j.where(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "nation_market_share",
+    """
+    WITH all_sales AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region   ON nc.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                          THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           CAST(sum(volume) AS DOUBLE) AS total_volume
+    FROM all_sales GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (National Market Share): the hardest join-ordering
+    shape in the suite — a 7-table snowflake with nation joined TWICE
+    in different roles (customer side filters a region; supplier side
+    labels the share numerator).  All dimensions broadcast; the fact
+    table is touched once; decimal-exact volumes with one double
+    division per year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_region"),
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    volume = _dec("l_extendedprice") * (
+        1 - F.col("l_discount").cast("decimal(3,2)")
+    )
+    sales = (
+        l.join(F.broadcast(p.where(F.col("p_type") == "PROMO")),
+               l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("nc_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_1", F.col("volume")
+                ).otherwise(F.lit(0).cast("decimal(12,2)"))
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+
+
 _HLL_ROLLUP_ORACLE = """
 WITH h AS (
   SELECT o_orderpriority,
@@ -7632,6 +7848,10 @@ _DRIVER_PRIORITY = [
     # brand-new or code/oracle changed in r7
     "orders_hll_custkey",
     "orders_hll_rollup",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "brand_quantity_revenue",
+    "nation_market_share",
     "token_countmin_topk",
     "events_kmv_setops",
     "join_size_estimate_cms",
@@ -7677,10 +7897,6 @@ _DRIVER_PRIORITY = [
     "events_sliding_windows",
     "events_user_sessions",
     "jsonl_ingest_documents",
-    "knn_embeddings",
-    "large_order_customers",
-    "lineitem_cube",
-    "orc_roundtrip_supplier",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
