@@ -6874,7 +6874,7 @@ def orders_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bdq_spark.operators.sketches import hll_estimate
 
-    key = hashlib.md5(f"{sf_dir}:hll_rollup:v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:hll_rollup:v2".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_hll_rollup_{key}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
@@ -6883,9 +6883,15 @@ def orders_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_table(spark, sf_dir, "orders").withColumn(
             "day", F.col("o_orderdate").cast("date")
         )
+        # day stays a COLUMN, not a partition directory: at sf0.1 the
+        # rollup spans ~2,500 days and partitionBy(day) wrote that many
+        # tiny directories — listing dominated the read (11 s measured).
+        # The rollup is small by construction (days x groups x <= 256
+        # rows); parquet row-group stats on the sorted day column give
+        # the same slice pruning without the directory explosion.
         hll_registers(
             orders, "o_custkey", ("o_orderpriority", "day"), b=8
-        ).write.mode("overwrite").partitionBy("day").parquet(path)
+        ).sort("day").coalesce(4).write.mode("overwrite").parquet(path)
         with open(marker, "w") as fh:
             fh.write(sf_dir)
     rollup = spark.read.parquet(path)
