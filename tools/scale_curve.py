@@ -75,6 +75,7 @@ QUERY_TABLE = {
     "events_funnel_conversion": "events",
     "orders_sampled_quantiles": "orders",
     "join_size_estimate_cms": "orders",
+    "orders_hll_rollup": "orders",
 }
 
 
