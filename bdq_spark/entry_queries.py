@@ -7621,6 +7621,106 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "indexed_scan_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    p AS (SELECT o_orderkey AS k, d AS pd FROM t
+          WHERE o_orderkey = (SELECT max(o_orderkey) FROM t))
+    SELECT t.o_orderkey, t.o_custkey, t.cents
+    FROM t, p
+    WHERE t.o_orderkey = p.k AND t.d BETWEEN p.pd - 30 AND p.pd + 30
+    """,
+)
+def indexed_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH sidecar indexes on one directory, resolved through the
+    one-call :func:`read_indexed` API: orders staged ONCE Z-ordered
+    over (epoch-day, price-cents) with a ``_ZONEMAP.json`` (range
+    pruning) AND a ``_BLOOM.json`` on ``o_orderkey`` (equality
+    pruning), then a combined query — a +-30-day range around the
+    probe row's date plus the point key — prunes by the INTERSECTION
+    of the two candidate sets.  SELF-ENFORCING three ways: each index
+    must individually prune (candidates < total) and the intersection
+    must not exceed either side.  Probe key and its day are pinned at
+    staging (no per-run full scan).  Values hash against the raw-table
+    filter, proving both prunings compose losslessly."""
+    import hashlib
+    import os
+
+    from bdq_spark.operators.layout import zorder_layout
+    from bdq_spark.sources.sinks import (
+        bloom_candidate_files,
+        indexed_candidate_files,
+        read_indexed,
+        write_bloom_index,
+        write_zonemap,
+        zonemap_candidate_files,
+    )
+
+    key = hashlib.md5(f"{sf_dir}:indexed_orders:v1".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_indexed_orders_{key}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("o_date_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        laid = zorder_layout(
+            orders,
+            [("d", F.col("o_date_days")), ("p", F.col("cents"))],
+            bits=8,
+            num_partitions=16,
+        )
+        write_zonemap(spark, laid, path, ["o_date_days", "cents"])
+        n_rows = spark.read.parquet(path).count()
+        bits = 16384
+        while bits < 16 * (n_rows // 16 + 1):
+            bits *= 2
+        write_bloom_index(spark, path, ["o_orderkey"], bits=bits, hashes=5)
+        probe_row = (
+            spark.read.parquet(path)
+            .orderBy(F.desc("o_orderkey"))
+            .select("o_orderkey", "o_date_days")
+            .limit(1)
+            .collect()[0]
+        )
+        with open(marker, "w") as fh:
+            fh.write(f"{sf_dir}\n{probe_row.o_orderkey}\n{probe_row.o_date_days}")
+    with open(marker) as fh:
+        _, probe_s, day_s = fh.read().splitlines()
+    probe, day = int(probe_s), int(day_s)
+    ranges = {"o_date_days": (day - 30, day + 30)}
+    equals = {"o_orderkey": probe}
+    cz = zonemap_candidate_files(spark, path, ranges)
+    cb = bloom_candidate_files(spark, path, equals)
+    ci = indexed_candidate_files(spark, path, ranges, equals)
+    if not (
+        ci["files"]
+        and len(cz["files"]) < cz["total"]
+        and len(cb["files"]) < cb["total"]
+        and len(ci["files"]) <= min(len(cz["files"]), len(cb["files"]))
+    ):
+        raise RuntimeError(
+            "combined index pruning regressed — zonemap "
+            f"{len(cz['files'])}/{cz['total']}, bloom "
+            f"{len(cb['files'])}/{cb['total']}, intersection "
+            f"{len(ci['files'])}"
+        )
+    return read_indexed(spark, path, ranges, equals).select(
+        "o_orderkey", "o_custkey", "cents"
+    )
+
+
 _MATVIEW_ORACLE = """
 WITH fin AS (
   SELECT CASE WHEN o_orderkey % 10 < 7 AND o_orderkey % 13 = 0
@@ -7865,6 +7965,7 @@ _DRIVER_PRIORITY = [
     "orders_incremental_matview",
     "streaming_matview_merge",
     "bloom_pruned_scan",
+    "indexed_scan_orders",
     "streaming_hll_distinct",
     "orders_sampled_quantiles",
     "docs_boolean_search",
@@ -7902,7 +8003,6 @@ _DRIVER_PRIORITY = [
     "events_dedup_watermark",
     "events_sliding_windows",
     "events_user_sessions",
-    "jsonl_ingest_documents",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

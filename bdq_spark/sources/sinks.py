@@ -33,6 +33,8 @@ __all__ = [
     "write_bloom_index",
     "bloom_candidate_files",
     "read_bloom",
+    "indexed_candidate_files",
+    "read_indexed",
 ]
 
 
@@ -456,5 +458,55 @@ def read_bloom(spark, path: str, equals: dict) -> DataFrame:
         spark.read.parquet(*cand["files"]) if cand["files"] else full.limit(0)
     )
     for col, value in equals.items():
+        out = out.filter(F.col(col) == value)
+    return out
+
+
+def indexed_candidate_files(
+    spark, path: str, ranges: Optional[dict] = None,
+    equals: Optional[dict] = None,
+) -> dict:
+    """Resolve range predicates against ``_ZONEMAP.json`` AND equality
+    predicates against ``_BLOOM.json`` and INTERSECT the candidate
+    sets — a file survives only if no index can rule it out.  Both
+    prunings are individually lossless, so the intersection is too.
+    Either index may be absent if its predicate kind is unused.
+    Returns ``{"files": [...], "total": n}``."""
+    if not ranges and not equals:
+        raise ValueError("need at least one of ranges / equals")
+    files = None
+    total = 0
+    if ranges:
+        z = zonemap_candidate_files(spark, path, ranges)
+        files, total = set(z["files"]), z["total"]
+    if equals:
+        b = bloom_candidate_files(spark, path, equals)
+        files = set(b["files"]) if files is None else files & set(b["files"])
+        total = max(total, b["total"])
+    return {"files": sorted(files), "total": total}
+
+
+def read_indexed(
+    spark, path: str, ranges: Optional[dict] = None,
+    equals: Optional[dict] = None,
+) -> DataFrame:
+    """Scan only the files that BOTH sidecar indexes admit, then apply
+    every predicate exactly (superset pruning — results identical to a
+    full scan).  The one-call read path over a directory laid out with
+    :func:`write_zonemap` (+ optionally Z-order) and
+    :func:`write_bloom_index`."""
+    from pyspark.sql import functions as F
+
+    cand = indexed_candidate_files(spark, path, ranges, equals)
+    full = spark.read.parquet(path)
+    out = (
+        spark.read.parquet(*cand["files"]) if cand["files"] else full.limit(0)
+    )
+    for col, (lo, hi) in (ranges or {}).items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(col) <= hi)
+    for col, value in (equals or {}).items():
         out = out.filter(F.col(col) == value)
     return out

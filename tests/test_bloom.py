@@ -102,3 +102,50 @@ def test_multi_column_and_errors(spark):
             bloom_candidate_files(spark, path, {"missing": 1})
         with pytest.raises(ValueError):
             bloom_candidate_files(spark, os.path.join(tmp, "nope"), {"a": 1})
+
+
+def test_read_indexed_combines_both_sidecars(spark):
+    from bdq_spark.operators.layout import zorder_layout
+    from bdq_spark.sources.sinks import (
+        indexed_candidate_files,
+        read_indexed,
+        write_bloom_index,
+        write_zonemap,
+    )
+    from pyspark.sql import functions as SF
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        df = spark.createDataFrame(
+            [Row(id=i, a=i % 97, b=(i * 7) % 101) for i in range(800)]
+        )
+        laid = zorder_layout(
+            df, [("a", SF.col("a")), ("b", SF.col("b"))], bits=7,
+            num_partitions=8,
+        )
+        write_zonemap(spark, laid, path, ["a", "b"])
+        write_bloom_index(spark, path, ["id"], bits=4096, hashes=5)
+        ranges = {"a": (10, 30)}
+        equals = {"id": 250}  # a=250%97=56 outside [10,30] -> empty result
+        cand = indexed_candidate_files(spark, path, ranges, equals)
+        assert cand["total"] == 8
+        got = read_indexed(spark, path, ranges, equals).collect()
+        assert got == []  # predicates applied exactly even when files survive
+        # a satisfiable combined query returns exactly the full-scan answer
+        equals2 = {"id": 25}  # a=25, inside range
+        got2 = read_indexed(spark, path, {"a": (10, 30)}, equals2).collect()
+        assert [(r.id, r.a, r.b) for r in got2] == [(25, 25, (25 * 7) % 101)]
+        # intersection never exceeds either one-index candidate set
+        from bdq_spark.sources.sinks import (
+            bloom_candidate_files,
+            zonemap_candidate_files,
+        )
+
+        cz = zonemap_candidate_files(spark, path, {"a": (10, 30)})
+        cb = bloom_candidate_files(spark, path, equals2)
+        ci = indexed_candidate_files(spark, path, {"a": (10, 30)}, equals2)
+        assert set(ci["files"]) <= set(cz["files"]) & set(cb["files"])
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            indexed_candidate_files(spark, path)
