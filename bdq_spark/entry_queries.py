@@ -7837,6 +7837,62 @@ def orders_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _matview_final_select(v2)
 
 
+@_register("orders_snapshot_diff_matview", _MATVIEW_ORACLE)
+def orders_snapshot_diff_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-dump CLOSED LOOP: when a source only ships snapshots,
+    :func:`snapshot_changes` derives the Debezium-style feed (one
+    full-outer join on the row key, O(changed) output) and the SAME
+    maintenance machinery consumes it — this entry diffs the initial
+    orders snapshot against the net final state, feeds the derived
+    changes through :func:`maintain_agg_view`, and must land on exactly
+    the direct aggregation of the final state (the same oracle as the
+    synthesized-feed entry, reached via diff -> feed -> IVM instead).
+    Scale: the diff is one key-partitioned join; everything downstream
+    is O(changed)."""
+    from bdq_spark.operators.matview import (
+        agg_view,
+        maintain_agg_view,
+        snapshot_changes,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys, meas = ["o_orderstatus"], ["o_totalprice"]
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").where(
+        "o_orderkey % 10 < 7"
+    )
+    changed = F.expr(
+        "o_orderkey % 10 < 7 AND o_orderkey % 13 = 0 AND o_orderkey % 17 != 0"
+    )
+    new = (
+        orders.where("NOT (o_orderkey % 10 < 7 AND o_orderkey % 17 = 0)")
+        .select(
+            "o_orderkey",
+            F.when(
+                changed,
+                F.when(F.col("o_orderstatus") == "O", F.lit("F")).otherwise(
+                    "O"
+                ),
+            )
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                changed,
+                (
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    + F.lit("10.00").cast("decimal(18,2)")
+                ).cast("double"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    feed = snapshot_changes(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    maintained = maintain_agg_view(agg_view(old, keys, meas), feed, keys, meas)
+    return _matview_final_select(maintained)
+
+
 #: staged matview feed version — bump on any _matview_feed / schema
 #: change so cached temp dirs regenerate (the CDC staging lesson)
 _MATVIEW_FEED_VERSION = 1
@@ -7963,6 +8019,7 @@ _DRIVER_PRIORITY = [
     "join_size_estimate_cms",
     "docs_kcore_graph",
     "orders_incremental_matview",
+    "orders_snapshot_diff_matview",
     "streaming_matview_merge",
     "bloom_pruned_scan",
     "indexed_scan_orders",
@@ -8002,7 +8059,6 @@ _DRIVER_PRIORITY = [
     "events_daily_by_type",
     "events_dedup_watermark",
     "events_sliding_windows",
-    "events_user_sessions",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

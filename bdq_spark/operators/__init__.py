@@ -42,6 +42,7 @@ from bdq_spark.operators.matview import (
     agg_view,
     apply_deltas,
     maintain_agg_view,
+    snapshot_changes,
     view_deltas,
 )
 from bdq_spark.operators.textsearch import (
@@ -134,6 +135,7 @@ __all__ = [
     "apply_deltas",
     "maintain_agg_view",
     "view_deltas",
+    "snapshot_changes",
     "countmin_cells",
     "countmin_lookup",
     "hll_distinct",

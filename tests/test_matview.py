@@ -176,3 +176,40 @@ def test_multi_measure_view(spark):
         ["x", "y"],
     ).collect()[0]
     assert (got.sum_x, got.sum_y, got.cnt) == (Decimal("7.00"), Decimal("30.00"), 2)
+
+
+def test_snapshot_changes_roundtrip_and_classification(spark):
+    """Diff two snapshots, feed the derived changes through the
+    maintainer, land on the new snapshot's view exactly — plus op
+    classification including NULL transitions and group moves."""
+    from bdq_spark.operators.matview import snapshot_changes
+
+    old_rows = [
+        Row(id=1, g="a", x=10.0),
+        Row(id=2, g="a", x=5.0),
+        Row(id=3, g="b", x=2.0),
+        Row(id=4, g="b", x=None),
+    ]
+    new_rows = [
+        Row(id=1, g="b", x=10.0),   # group move
+        Row(id=2, g="a", x=5.0),    # unchanged -> no feed row
+        Row(id=4, g="b", x=7.0),    # NULL -> value = update
+        Row(id=5, g="c", x=1.0),    # insert
+    ]                               # id=3 deleted
+    schema = "id long, g string, x double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    feed = snapshot_changes(old, new, ["id"]).collect()
+    ops = {r.before_id or r.after_id: r.op for r in feed}
+    assert ops == {1: "U", 3: "D", 4: "U", 5: "I"}
+    assert len(feed) == 4  # unchanged id=2 emits nothing
+    # round-trip law — but x has a NULL, which agg_view's sum skips;
+    # restrict the maintained view to the measure-bearing rows
+    view_old = agg_view(old.where("x IS NOT NULL"), KEYS, MEAS)
+    feed_df = snapshot_changes(
+        old.where("x IS NOT NULL"), new, ["id"]
+    )
+    got = maintain_agg_view(view_old, feed_df, KEYS, MEAS)
+    want = agg_view(new, KEYS, MEAS)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
