@@ -7073,6 +7073,69 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est_a.crossJoin(est_b).crossJoin(kmv_set_ops(sa, sb, k=64))
 
 
+_RETENTION_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events WHERE user_id IS NOT NULL),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1),
+ret AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+       round(r.n_active * 1.0 / s.cohort_size, 6) AS retention
+FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+
+@_register("events_retention_cohorts", _RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (the product-analytics staple next to
+    the funnel): users cohorted by FIRST-activity week, then counted
+    active at each week offset; per-cell retention rate against the
+    cohort size.  Week 0 of every cohort retains 100% by construction
+    (a cheap sanity invariant).  Scale: one distinct-activity
+    projection, two user-key aggregations and a same-key join — all
+    partial-aggregable; the matrix itself is tiny (weeks^2 cells).
+    The oracle replays cohorting, offsets and rates."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    week = F.floor(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        / 7
+    ).cast("long")
+    act = ev.select("user_id", week.alias("week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") * F.lit(1.0) / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
 _FUNNEL_ORACLE = """
 WITH e AS (
   SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
@@ -8030,6 +8093,7 @@ _DRIVER_PRIORITY = [
     "docs_phrase_search",
     "customer_scd2_history",
     "orders_pit_scd2_join",
+    "events_retention_cohorts",
     "events_funnel_conversion",
     "zonemap_pruned_scan",
     "knn_ivf_quantized",
@@ -8058,7 +8122,6 @@ _DRIVER_PRIORITY = [
     "embedding_dedup_clusters",
     "events_daily_by_type",
     "events_dedup_watermark",
-    "events_sliding_windows",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
