@@ -1,7 +1,8 @@
-"""Connected components over a pair/edge relation — the step that turns
-near-duplicate PAIRS (from n-gram Jaccard, MinHash-LSH, SimHash or
-embedding cosine) into duplicate CLUSTERS with a canonical keeper, so a
-dedup decision can actually be executed.
+"""Graph analytics over a pair/edge relation: connected components
+(near-duplicate PAIRS -> duplicate CLUSTERS with a canonical keeper),
+PageRank (float + exact-bigint quantized twin), degree-orientation
+triangle counting, and k-core decomposition (rounds-synchronous peel).
+The headline use is dedup execution:
 
 Algorithm: iterative min-label propagation.  Every node starts labeled
 with its own id; each round, every node adopts the minimum label among

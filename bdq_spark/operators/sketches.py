@@ -264,10 +264,11 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
 
 def kmv_estimate_col(k: int) -> Column:
     """Aggregation column for a FULL k-row sketch: ``(k-1) * 2^60 /
-    h_(k)``; use inside ``sketch.agg(...)``.  ``(k-1) * 2^60`` is exact
-    in double for ``k <= 2^53 / 2^60``... i.e. whenever ``k - 1`` has
-    <= 53 significant bits (always, for practical k); the int64 -> double
-    conversion of ``h_(k)`` is IEEE round-to-nearest in both engines."""
+    h_(k)``; use inside ``sketch.agg(...)``.  ``(k-1) * 2^60`` is an
+    exact double whenever ``k - 1`` fits in 53 mantissa bits (always,
+    for practical k — the 2^60 factor only shifts the exponent); the
+    int64 -> double conversion of ``h_(k)`` is IEEE round-to-nearest in
+    both engines, so the single division is engine-identical."""
     return F.round(
         F.lit(float(k - 1) * float(1 << _HASH_BITS)) / F.max("h").cast("double"),
         4,
