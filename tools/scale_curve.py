@@ -76,6 +76,12 @@ QUERY_TABLE = {
     "orders_sampled_quantiles": "orders",
     "join_size_estimate_cms": "orders",
     "orders_hll_rollup": "orders",
+    "asof_click_purchase": "events",
+    "events_user_sessions": "events",
+    "events_dedup_watermark": "events",
+    "range_join_price_tiers": "orders",
+    "doc_contamination": "documents",
+    "doc_gopher_quality": "documents",
 }
 
 
