@@ -248,3 +248,53 @@ def test_hll_rollup_merge_equals_direct_grouped(spark):
     got = hll_estimate(merged, group_cols=("g",)).collect()
     want = hll_estimate(direct, group_cols=("g",)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties — input diversity beyond the fixed recomputes
+# (derandomized profile from conftest; tight example counts because
+# every example runs Spark jobs)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VALS = st.lists(
+    st.text(alphabet="abcdefg0123456789", min_size=0, max_size=8),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=_VALS)
+def test_hll_property_matches_python(spark, vals):
+    df = spark.createDataFrame([Row(x=v) for v in vals], "x string")
+    got = hll_distinct(df, "x", b=8).collect()[0]
+    est, zeros, rmax = _py_hll(vals)
+    assert (got.est, got.zeros, got.rmax) == (est, zeros, rmax)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=_VALS, k=st.integers(min_value=1, max_value=16))
+def test_kmv_property_matches_python(spark, vals, k):
+    df = spark.createDataFrame([Row(x=v) for v in vals], "x string")
+    got = [r.h for r in kmv_sketch(df, "x", k=k).orderBy("h").collect()]
+    want = sorted({_h60(v) for v in vals})[:k]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(vals=_VALS)
+def test_countmin_property_cells_exact(spark, vals):
+    df = spark.createDataFrame([Row(t=v) for v in vals], "t string")
+    got = {
+        (r.r, r.cell): r.cnt
+        for r in countmin_cells(df, "t", depth=2, width=32).collect()
+    }
+    py: dict = {}
+    for v in vals:
+        for d in range(2):
+            c = _h60(f"{d}:{v}") % 32
+            py[(d, c)] = py.get((d, c), 0) + 1
+    assert got == py
