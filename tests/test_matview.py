@@ -213,3 +213,28 @@ def test_snapshot_changes_roundtrip_and_classification(spark):
     want = agg_view(new, KEYS, MEAS)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_snapshot_changes_compare_cols_subset_and_validation(spark):
+    """Columns outside compare_cols are invisible to classification:
+    a row differing only in an ignored column emits nothing."""
+    from bdq_spark.operators.matview import snapshot_changes
+
+    schema = "id long, g string, x double, note string"
+    old = spark.createDataFrame(
+        [Row(id=1, g="a", x=1.0, note="v1"), Row(id=2, g="a", x=2.0, note="v1")],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [Row(id=1, g="a", x=1.0, note="v2"),   # only ignored col changed
+         Row(id=2, g="b", x=2.0, note="v1")],  # compared col changed
+        schema,
+    )
+    feed = snapshot_changes(old, new, ["id"], compare_cols=["g", "x"]).collect()
+    assert len(feed) == 1
+    r = feed[0]
+    assert (r.op, r.before_id, r.before_g, r.after_g) == ("U", 2, "a", "b")
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        snapshot_changes(old, new, [])
