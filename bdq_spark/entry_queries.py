@@ -1416,6 +1416,54 @@ ORACLE_SQL["near_dup_triangles"] = f"""
 """
 
 
+@_register("near_dup_kcore")
+def near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core over the REAL near-duplicate pair graph — the companion
+    signal to ``near_dup_triangles``: 2-core members sit inside
+    mutually-similar blobs (every member keeps >= 2 similar neighbors
+    after peeling), while chain links that transitively glue borderline
+    pairs peel away — exactly the rows a conservative dedup keeps vs
+    discards.  Runs :func:`kcore` over the exact Jaccard pairs; the
+    oracle composes the full shingle pipeline with a MATERIALIZED
+    12-round peel unroll (sound because the operator raises if
+    unconverged)."""
+    from bdq_spark.operators.components import kcore
+    from bdq_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+    return kcore(pairs, k=2, src="id_a", dst="id_b", max_rounds=12)
+
+
+def _neardup_kcore_oracle(k: int = 2, rounds: int = 12) -> str:
+    ctes = [
+        f"jpairs AS ({ORACLE_SQL['near_dup_jaccard']})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT id_a AS src, id_b AS dst FROM jpairs"
+        "  UNION ALL SELECT id_b, id_a FROM jpairs)"
+        " WHERE src <> dst)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT src FROM e{r} GROUP BY src"
+            f" HAVING count(*) < {k})"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT src, dst FROM e{r}"
+            f" WHERE src NOT IN (SELECT src FROM b{r})"
+            f" AND dst NOT IN (SELECT src FROM b{r}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS id, count(*) AS degree FROM e{rounds}"
+        " GROUP BY src"
+    )
+
+
+ORACLE_SQL["near_dup_kcore"] = _neardup_kcore_oracle()
+
+
 ORACLE_SQL["near_dup_edit_verified"] = f"""
     WITH jpairs AS ({ORACLE_SQL["near_dup_jaccard"]})
     SELECT j.id_a, j.id_b, j.jaccard,
