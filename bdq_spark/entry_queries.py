@@ -1997,7 +1997,8 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         "WITH "
         + _kmeans_ctes(k, iters, dim)
         + """
-SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 AS dist2 FROM bf"""
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       CAST(d2 AS BIGINT) AS dist2 FROM bf"""
     )
 
 
@@ -7021,10 +7022,10 @@ cb AS (
          count(*) AS cnt_b
   FROM b, rows4 GROUP BY 1, 2),
 ip AS (
-  SELECT ca.r, sum(cnt_a * cnt_b) AS ip
+  SELECT ca.r, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS ip
   FROM ca JOIN cb ON ca.r = cb.r AND ca.cell = cb.cell
   GROUP BY ca.r)
-SELECT (SELECT min(ip) FROM ip) AS est,
+SELECT (SELECT CAST(min(ip) AS BIGINT) FROM ip) AS est,
        (SELECT count(*) FROM a JOIN b USING (k)) AS exact_size
 """
 

@@ -201,13 +201,19 @@ def snapshot_changes(
     )
     cond = None
     for k in keys:
-        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        # NULL-safe key equality: a row whose key contains NULL must
+        # MATCH its counterpart (plain == made it a spurious D+I pair)
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
-    changed = None
+    # keys-only table: no compared columns means in-both rows can never
+    # differ — changed is a constant False, not a None that would make
+    # F.when() raise
+    changed = F.lit(False)
     for c in cols:
-        d = ~F.col(f"before_{c}").eqNullSafe(F.col(f"after_{c}"))
-        changed = d if changed is None else (changed | d)
+        changed = changed | ~F.col(f"before_{c}").eqNullSafe(
+            F.col(f"after_{c}")
+        )
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("I"))
         .when(F.col("__in_new").isNull(), F.lit("D"))

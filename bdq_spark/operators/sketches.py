@@ -351,10 +351,23 @@ def sampled_quantiles(
         F.count(F.lit(1)).alias("n"),
     )
     cols = []
+    names = []
     for p in probs:
-        name = f"p{str(p)[2:].ljust(2, '0')[:2]}"
+        # name from the FULL fractional digits (0.5 -> p50, 0.975 ->
+        # p975) — the old [:2] truncation mislabeled 3-decimal probs
+        # (0.975 -> p97) and collided (0.25 vs 0.255 -> both p25)
+        s = str(p)
+        if not (s.startswith("0.") and s[2:].isdigit()):
+            raise ValueError(
+                f"prob {p!r} must be in (0, 1) and expressible as "
+                "0.<digits> (no scientific notation)"
+            )
+        name = "p" + s[2:].ljust(2, "0")
+        names.append(name)
         idx = F.floor(F.lit(float(p)) * (F.col("n") - 1)).cast("int")
         cols.append(F.col("v")[idx].alias(name))
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile column names: {names}")
     return agg.select(F.col("n").alias("sample_n"), *cols)
 
 

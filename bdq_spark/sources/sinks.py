@@ -380,7 +380,20 @@ def write_bloom_index(
             .collect()
         )
         columns[c] = {r["__file"]: _pack_bits(r["ps"], bits) for r in rows}
-    manifest = {"bits": bits, "hashes": hashes, "columns": columns}
+    # The COMPLETE file census goes in the manifest: a column's per-file
+    # map omits files with zero non-null values for that column, so the
+    # candidate universe must not be derived from any single column's
+    # keys — a file all-NULL in one indexed column can still match an
+    # equality probe on another (lossless-pruning contract).
+    all_files = sorted(
+        r["__file"] for r in base.select("__file").distinct().collect()
+    )
+    manifest = {
+        "bits": bits,
+        "hashes": hashes,
+        "files": all_files,
+        "columns": columns,
+    }
     _fs_write_json(spark, path, "_BLOOM.json", manifest)
     return manifest
 
@@ -428,11 +441,22 @@ def bloom_candidate_files(spark, path: str, equals: dict) -> dict:
             raise ValueError(f"column {col!r} not in bloom index")
     import base64
 
-    all_files = sorted(next(iter(cols.values())).keys()) if cols else []
+    all_files = manifest.get("files")
+    if all_files is None:
+        # pre-r8 manifest (no file census): reconstruct the universe as
+        # the UNION of every column's keys — never a single column's,
+        # since a column's map omits its all-NULL files
+        union = set()
+        for m in cols.values():
+            union.update(m)
+        all_files = sorted(union)
     keep = []
     for fname in all_files:
         ok = True
         for col, value in equals.items():
+            # a file absent from the PROBED column's map has zero
+            # non-null values there, so it cannot satisfy col = value —
+            # pruning it is lossless for THIS predicate only
             packed = base64.b64decode(cols[col].get(fname, ""))
             if not packed or not all(
                 _bit_set(packed, p)

@@ -149,3 +149,50 @@ def test_read_indexed_combines_both_sidecars(spark):
 
         with _p.raises(ValueError):
             indexed_candidate_files(spark, path)
+
+
+def test_all_null_first_column_file_not_dropped(spark):
+    """ADVICE r7 regression: the candidate universe must be the full
+    file census, not bloom_cols[0]'s per-file map.  A file whose FIRST
+    indexed column is all-NULL used to vanish from the universe and be
+    pruned even when the probe was on a DIFFERENT column — a false
+    negative that broke the lossless contract."""
+    import json
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        # file 0: a populated;  file 1: a all-NULL but b='needle'
+        df0 = spark.createDataFrame([Row(a=1, b="x0"), Row(a=2, b="x1")])
+        df1 = spark.createDataFrame(
+            [Row(a=None, b="needle"), Row(a=None, b="x2")],
+            schema="a int, b string",
+        )
+        df0.union(df1).repartitionByRange(2, "a").write.mode(
+            "overwrite"
+        ).parquet(path)
+        manifest = write_bloom_index(spark, path, ["a", "b"], bits=512,
+                                     hashes=4)
+        # precondition: some file really is absent from column a's map
+        assert len(manifest["columns"]["a"]) < len(manifest["files"])
+        cand = bloom_candidate_files(spark, path, {"b": "needle"})
+        assert cand["total"] == len(manifest["files"])
+        got = read_bloom(spark, path, {"b": "needle"}).collect()
+        assert [(r.a, r.b) for r in got] == [(None, "needle")]
+        # probing the all-NULL column still prunes that file (correct:
+        # NULL never satisfies equality)
+        ca = bloom_candidate_files(spark, path, {"a": 1})
+        null_files = set(manifest["files"]) - set(manifest["columns"]["a"])
+        assert null_files and not (null_files & set(ca["files"]))
+
+        # pre-r8 manifest (no "files" census): union-of-keys fallback
+        # still spans every column's files
+        mpath = os.path.join(path, "_BLOOM.json")
+        old = json.load(open(mpath))
+        del old["files"]
+        with open(mpath, "w") as fh:
+            json.dump(old, fh)
+        crc = os.path.join(path, "._BLOOM.json.crc")
+        if os.path.exists(crc):  # hadoop local-FS checksum of the old bytes
+            os.remove(crc)
+        cand2 = bloom_candidate_files(spark, path, {"b": "needle"})
+        assert set(cand2["files"]) == set(cand["files"])

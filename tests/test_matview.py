@@ -238,3 +238,42 @@ def test_snapshot_changes_compare_cols_subset_and_validation(spark):
 
     with _p.raises(ValueError):
         snapshot_changes(old, new, [])
+
+
+def test_snapshot_changes_null_key_and_keys_only(spark):
+    """ADVICE r7: NULL key values must match their counterpart
+    (null-safe key equality), and a keys-only table must not crash on
+    the empty compare-cols list."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.matview import snapshot_changes
+
+    # NULL-keyed row, unchanged value -> emits NOTHING (was: D+I pair)
+    old = spark.createDataFrame(
+        [Row(id=None, x=1), Row(id=1, x=10)], schema="id int, x int"
+    )
+    new = spark.createDataFrame(
+        [Row(id=None, x=1), Row(id=1, x=11)], schema="id int, x int"
+    )
+    feed = snapshot_changes(old, new, ["id"]).collect()
+    assert [(r.op, r.before_id, r.before_x, r.after_x) for r in feed] == [
+        ("U", 1, 10, 11)
+    ]
+    # NULL-keyed row whose value changes -> a single U, images intact
+    new2 = spark.createDataFrame(
+        [Row(id=None, x=2), Row(id=1, x=10)], schema="id int, x int"
+    )
+    feed2 = snapshot_changes(old, new2, ["id"]).collect()
+    assert [(r.op, r.before_id, r.before_x, r.after_x) for r in feed2] == [
+        ("U", None, 1, 2)
+    ]
+
+    # keys-only table: I/D classify, in-both rows emit nothing
+    ko_old = spark.createDataFrame([Row(k=1), Row(k=2)])
+    ko_new = spark.createDataFrame([Row(k=2), Row(k=3)])
+    ko = snapshot_changes(ko_old, ko_new, ["k"])
+    assert sorted((r.op, r.before_k, r.after_k) for r in ko.collect()) == [
+        ("D", 1, None),
+        ("I", None, 3),
+    ]

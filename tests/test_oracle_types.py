@@ -1,0 +1,64 @@
+"""Type-lint sweep over every registered DuckDB oracle.
+
+Round-7 postmortem: two oracles shipped driver-red because DuckDB's
+``sum()`` / ``list_sum()`` over BIGINT promote to HUGEINT.  The local
+gate compared via ``fetchall()``, which converts HUGEINT to Python int
+— indistinguishable from the Spark bigint — while the driver's typed
+hash saw decimal128(38,0) and failed.  ``tools/check_oracle.py`` now
+fetches through Arrow (so the class fails locally too); this sweep
+catches it even earlier, at pytest time, by BINDING every oracle (no
+execution, no Spark) and failing on any HUGEINT/UHUGEINT output
+column.  Spark has no 128-bit integer type, so a HUGEINT oracle column
+can never hash-match a Spark result: it is always a bug.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from bdq_spark import entry_queries as eq
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TYPES_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+BANNED = {"HUGEINT", "UHUGEINT"}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield c
+    c.close()
+
+
+def _banned_columns(rel):
+    cols = []
+    for name, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(b in t for b in BANNED):
+            cols.append((name, str(typ)))
+    return cols
+
+
+@pytest.mark.parametrize("name", sorted(eq.ORACLE_SQL))
+def test_oracle_output_has_no_hugeint(con, name):
+    rel = con.sql(eq.ORACLE_SQL[name])  # bind only — resolves types
+    assert _banned_columns(rel) == [], (
+        f"oracle {name!r} produces HUGEINT-typed output; "
+        f"add CAST(... AS BIGINT) — Spark cannot hash-match int128"
+    )
+
+
+def test_lint_actually_fires_on_hugeint(con):
+    """The sweep must catch the exact r7 bug shape: a bare sum() over
+    BIGINT.  If DuckDB ever changes its promotion rules this canary
+    flags that the sweep has gone vacuous."""
+    rel = con.sql("SELECT sum(o_orderkey) AS s FROM orders")
+    assert _banned_columns(rel) == [("s", "HUGEINT")]

@@ -298,3 +298,24 @@ def test_countmin_property_cells_exact(spark, vals):
             c = _h60(f"{d}:{v}") % 32
             py[(d, c)] = py.get((d, c), 0) + 1
     assert got == py
+
+
+def test_sampled_quantiles_names_three_decimal_probs(spark):
+    """ADVICE r7: 0.975 must label as p975 (not p97), and near-duplicate
+    probs must not silently collide into one column name."""
+    import pytest
+
+    from bdq_spark.operators.sketches import sampled_quantiles
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("x")
+    )
+    out = sampled_quantiles(df, "x", ["k"], k=64,
+                            probs=(0.25, 0.255, 0.5, 0.975))
+    assert out.columns == ["sample_n", "p25", "p255", "p50", "p975"]
+    row = out.collect()[0]
+    assert row["p25"] <= row["p50"] <= row["p975"]
+    with pytest.raises(ValueError, match="scientific|0, 1"):
+        sampled_quantiles(df, "x", ["k"], k=8, probs=(1e-05,))
+    with pytest.raises(ValueError, match="0, 1"):
+        sampled_quantiles(df, "x", ["k"], k=8, probs=(1.5,))

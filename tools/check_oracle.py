@@ -6,6 +6,17 @@ Runs every ``queries()`` entry at a given SF dir on Spark AND the matching
 order-insensitive value multiset.  Usage::
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Driver-faithful typing (round 8): DuckDB results are fetched through
+Arrow (``.arrow().to_pylist()``), NOT ``fetchall()``.  ``fetchall``
+silently converts HUGEINT to Python int, which made two r7 oracles
+(``sum()`` / ``list_sum()`` over BIGINT promotes to HUGEINT in DuckDB)
+pass locally while the driver's typed hash failed.  Through Arrow a
+HUGEINT arrives as ``decimal128(38, 0)`` / ``Decimal`` and the multiset
+compare fails exactly like the driver does; an explicit lint also
+flags the column by name so the fix (``CAST(... AS BIGINT)``) is
+obvious.  ``tests/test_oracle_types.py`` sweeps all oracles for the
+same signature at pytest time.
 """
 
 from __future__ import annotations
@@ -17,6 +28,7 @@ from collections import Counter
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import pyarrow as pa
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -76,15 +88,28 @@ def main() -> int:
             continue
 
         try:
-            rel = con.sql(oracles[name])
-            duck_cols = [d[0] for d in rel.description]
-            duck_rows = rel.fetchall()
+            tbl = con.sql(oracles[name]).arrow()
+            duck_cols = list(tbl.column_names)
+            duck_rows = [
+                tuple(d[c] for c in duck_cols) for d in tbl.to_pylist()
+            ]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
         problems = []
+        hugeint_cols = [
+            f.name
+            for f in tbl.schema
+            if pa.types.is_decimal(f.type)
+            and (f.type.precision, f.type.scale) == (38, 0)
+        ]
+        if hugeint_cols:
+            problems.append(
+                f"HUGEINT-typed oracle column(s) {hugeint_cols} "
+                f"(decimal128(38,0) via Arrow) — add CAST(... AS BIGINT)"
+            )
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"columns {sorted(spark_cols)} != {sorted(duck_cols)}")
         if len(spark_rows) != len(duck_rows):
