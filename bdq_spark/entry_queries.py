@@ -1819,6 +1819,12 @@ def knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries, k=10)
 
 
+# scale contract of the one deliberately-quadratic registry entry:
+# above this corpus size the exact all-pairs shape refuses to run
+# (matches embedding_cosine_pairs' auto exact->LSH cutover)
+_NEAR_DUP_PAIRS_EXACT_MAX_ROWS = 200_000
+
+
 @_register(
     "embedding_near_dup_pairs",
     """
@@ -1833,11 +1839,32 @@ def knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-BOUNDED BY CONTRACT (the registry's one deliberate
+    quadratic): this entry pins ``mode="exact"`` so its DuckDB oracle
+    can replay EVERY pair, and SELF-ENFORCES that contract by raising
+    once the corpus exceeds the operator's own exact/LSH cutover
+    (``exact_max_rows``) — mirroring ``pruned_scan_orders``'
+    plan-assertion pattern: the registered artifact states its own
+    scale limit instead of silently going quadratic.  The production
+    path at scale is :func:`embedding_cosine_pairs` with
+    ``mode="lsh"`` (or the default ``mode="auto"``, which cuts over by
+    itself) — measured scale exponent 0.44 on identical data vs 1.43
+    for forced-exact (BENCH_SCALE ``embedding_near_dup_pairs_lsh``
+    twin)."""
     from bdq_spark.operators.dedup import embedding_cosine_pairs
 
-    return embedding_cosine_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_max_rows = _NEAR_DUP_PAIRS_EXACT_MAX_ROWS
+    n = emb.count()
+    if n > exact_max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs is the sf-bounded EXACT twin "
+            f"({n} rows > exact_max_rows={exact_max_rows}); run "
+            "embedding_cosine_pairs(mode='lsh') — the measured-"
+            "sublinear production path — instead of forcing the "
+            "all-pairs oracle shape at this scale"
+        )
+    return embedding_cosine_pairs(emb, threshold=0.3, mode="exact")
 
 
 @_register(
@@ -2533,6 +2560,110 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_amplitude", 6).alias("mean_amplitude"),
         F.round("rms_amplitude", 6).alias("rms_amplitude"),
         "decode_ok",
+    )
+
+
+# MPEG1 Layer III bitrate table minus the index-0 "free" slot, so list
+# index bi (1..14) in both engines picks the same kbit/s value
+_MP3_BR_TABLE = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320]
+
+_MP3_STREAM_ORACLE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+f AS (SELECT did, CAST(unnest(range(0, did % 4 + 2)) AS BIGINT) AS i,
+             did % 4 + 2 AS nf
+      FROM d),
+z AS (SELECT did, i, nf,
+        {_MP3_BR_TABLE}[CAST((did*3 + i*5) % 14 + 1 AS INT)] AS brk,
+        (did + i) % 2 AS pad
+      FROM f),
+s AS (SELECT did, i, nf, brk,
+        CAST(144000 * brk // 44100 + pad AS BIGINT) AS fsize,
+        (did % 9 = 0 AND i = nf - 1) AS is_trunc
+      FROM z)
+SELECT did AS media_id,
+  CAST(count(*) FILTER (WHERE NOT is_trunc) AS INTEGER) AS frames,
+  CAST(44100 AS INTEGER) AS sample_rate,
+  CAST(1152 * count(*) FILTER (WHERE NOT is_trunc) AS BIGINT)
+    AS total_samples,
+  CAST(1152 * count(*) FILTER (WHERE NOT is_trunc) * 1000 // 44100
+       AS BIGINT) AS duration_ms,
+  CAST(sum(brk) FILTER (WHERE NOT is_trunc) AS BIGINT) AS bitrate_sum_kbps,
+  CAST(sum(fsize) FILTER (WHERE NOT is_trunc) AS BIGINT) AS bytes_consumed,
+  CAST(coalesce(sum(fsize // 2) FILTER (WHERE is_trunc), 0) AS BIGINT)
+    AS trailing_bytes,
+  bool_or(is_trunc) AS truncated
+FROM s GROUP BY did
+"""
+
+
+@_register("multimodal_mp3_stream_stats", _MP3_STREAM_ORACLE)
+def multimodal_mp3_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header STREAM arithmetic, oracle-checked end to end
+    (VERDICT r7 item 6 — the ``mvhd`` honest-boundary pattern for
+    audio): builds VALID VBR MPEG1-Layer-III streams entirely in Spark
+    expressions (``doc_id % 4 + 2`` frames at 44.1 kHz mono; frame
+    ``i`` of doc ``d`` carries bitrate index ``(d*3 + i*5) % 14 + 1``
+    and padding bit ``(d + i) % 2``, so every frame's byte length
+    ``floor(144000 * kbps / 44100) + pad`` differs), walks the WHOLE
+    header chain with
+    :func:`bdq_spark.operators.multimodal.walk_mp3_frames` via
+    ``audio_stream_stats``, and the DuckDB oracle replays the exact
+    integer sizing arithmetic per frame.  Every 9th document's LAST
+    frame is cut to half its declared size — the walker must refuse
+    the partial frame (``truncated``, counted in ``trailing_bytes``)
+    without losing the complete ones.  After this entry the multimodal
+    stub boundary is sample-accurate MP3 PCM (MDCT) +
+    motion-compensated video codecs ONLY."""
+    from bdq_spark.operators.multimodal import (
+        attach_media_metadata,
+        audio_stream_stats,
+    )
+
+    did = F.col("doc_id").cast("bigint")
+    nf = did % 4 + 2  # 2..5 frames
+
+    def he(col, width):
+        return F.lpad(F.hex(col), width, "0")
+
+    br_table = F.array(*[F.lit(v) for v in _MP3_BR_TABLE])
+
+    def frame_hex(i):
+        bi = (did * 3 + i * 5) % 14 + 1
+        pad = (did + i) % 2
+        brk = F.element_at(br_table, bi.cast("int")).cast("bigint")
+        fsize = F.floor(F.lit(144000) * brk / 44100).cast("bigint") + pad
+        # FF FB = sync + MPEG1 Layer III no-CRC; C0 = mono
+        header = F.concat(F.lit("FFFB"), he(bi * 16 + pad * 2, 2),
+                          F.lit("C0"))
+        whole = F.concat(header, F.repeat(F.lit("00"),
+                                          (fsize - 4).cast("int")))
+        half = F.floor(fsize / 2).cast("int") * 2  # hex chars of size//2
+        return F.when(
+            (did % 9 == 0) & (i == nf - 1), F.substring(whole, 1, half)
+        ).otherwise(whole)
+
+    stream = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("bigint"), nf - 1), frame_hex),
+        "",
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(stream).alias("payload")
+    )
+    media = attach_media_metadata(
+        docs, content_column="payload", media_type="audio",
+        id_column="doc_id",
+    )
+    return audio_stream_stats(media).select(
+        "media_id",
+        "frames",
+        "sample_rate",
+        "total_samples",
+        "duration_ms",
+        "bitrate_sum_kbps",
+        "bytes_consumed",
+        "trailing_bytes",
+        "truncated",
     )
 
 
@@ -8107,70 +8238,70 @@ def streaming_matview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-7 WINDOW (see NOTES_r7 and tests/test_registry.py): first
-    # every entry that is brand-new or whose CODE or ORACLE changed in
-    # r7 (MJPEG pixel stats; the md5-twin value-hash graduation of the
-    # LSH ANN entries; the manifest-committed CDC sink; the
-    # numpy-vectorized PNG/JPEG decode paths + GIF interlace acceptance
-    # + JPEG/MP4 hardening behind the multimodal entries; the repaired
-    # zero-exchange self-check in the bucketed-join proof), then ALL 35
-    # entries whose latest driver row is r4 (the oldest coverage), then
-    # r5-era rotations adjacent to this round's changed families
-    # (CDC/streaming/core-diff).  Invariant: first-50 union all
-    # CORRECTNESS_r* rounds covers the whole registry.
+    # ROUND-8 WINDOW (see NOTES_r8 and tests/test_registry.py): first
+    # every entry that is new or whose CODE or ORACLE changed in r8
+    # (the two repaired HUGEINT oracles; never-driver-checked
+    # near_dup_kcore; the new MP3 frame-chain entry; the self-guarded
+    # exact ANN twin; the quantile-naming, snapshot-diff null-safety
+    # and bloom file-census fixes), then ALL 23 entries whose latest
+    # driver row is r4 (the oldest coverage), then the 18
+    # alphabetically-first r5-stale entries.  Invariant (pytest):
+    # first-50 union all CORRECTNESS_r* rounds covers the whole
+    # registry, and no entry's latest driver row is older than r5.
     #
-    # brand-new or code/oracle changed in r7
-    "orders_hll_custkey",
-    "orders_hll_rollup",
-    "forecast_revenue_change",
-    "promo_revenue_share",
-    "brand_quantity_revenue",
-    "nation_market_share",
-    "token_countmin_topk",
-    "events_kmv_setops",
+    # new or code/oracle changed in r8
     "join_size_estimate_cms",
-    "docs_kcore_graph",
-    "orders_incremental_matview",
+    "embedding_kmeans_quantized",
+    "near_dup_kcore",
+    "multimodal_mp3_stream_stats",
+    "embedding_near_dup_pairs",
+    "orders_sampled_quantiles",
     "orders_snapshot_diff_matview",
-    "streaming_matview_merge",
     "bloom_pruned_scan",
     "indexed_scan_orders",
-    "streaming_hll_distinct",
-    "orders_sampled_quantiles",
-    "docs_boolean_search",
-    "docs_bm25_search",
-    "docs_phrase_search",
-    "customer_scd2_history",
-    "orders_pit_scd2_join",
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    "zonemap_pruned_scan",
-    "knn_ivf_quantized",
-    "orders_zorder_layout",
-    "embedding_kmeans_quantized",
-    "multimodal_adpcm_pcm_stats",
-    "multimodal_rle8_pixel_stats",
-    "multimodal_wav_pcm_stats",  # audio_pcm_stats gained the ADPCM probe
-    "multimodal_mjpeg_pixel_stats",
-    "knn_lsh_embeddings",
-    "knn_multiprobe_embeddings",
-    "streaming_cdc_merge",
-    "multimodal_decode",
-    "multimodal_png_pixel_stats",
-    "multimodal_video_frames",
-    "multimodal_bmp_pixel_stats",
-    "bucketed_join_orders_customer",
     # oldest driver coverage (latest row is r4)
-    "column_combinations",
-    "csv_ingest_events",
-    "dag_states",
-    "doc_lm_score",
-    "doc_mixture_upsample",
-    "doc_stratified_sample",
-    "doc_temperature_mixture",
-    "embedding_dedup_clusters",
-    "events_daily_by_type",
-    "events_dedup_watermark",
+    "simhash_md5_fingerprints",
+    "knn_embeddings",
+    "quality_rules_lineitem",
+    "rules_quarantine_lineitem",
+    "events_sliding_windows",
+    "events_user_sessions",
+    "streaming_windowed_counts",
+    "pk_minimal_combinations",
+    "schema_diff_orders",
+    "pipeline_odd_even",
+    "jsonl_ingest_documents",
+    "sink_partitioned_roundtrip",
+    "orc_roundtrip_supplier",
+    "lineitem_cube",
+    "orders_rollup_by_year",
+    "orders_pivot_priority_status",
+    "supplier_part_join_agg",
+    "large_order_customers",
+    "wealthy_low_activity_customers",
+    "top_supplier_by_period_revenue",
+    "salted_join_revenue",
+    "skew_report_lineitem_suppkey",
+    "profile_lineitem_correlations",
+    # r5-stale refresh (alphabetical prefix of the 43 r5-latest entries)
+    "cdc_apply_customer",
+    "cheapest_supplier_per_part",
+    "compact_roundtrip_orders",
+    "compare_orders_diff",
+    "corpus_prepare_neardup",
+    "customer_retention_setops",
+    "doc_compression_ratio",
+    "doc_lm_score_bigram",
+    "doc_lm_score_trigram",
+    "doc_sequence_packing",
+    "doc_top_terms",
+    "docs_fixed_sample_by_lang",
+    "documents_deduped",
+    "duplicate_spans_documents",
+    "fk_broken_lineitem_part",
+    "fk_broken_sampled",
+    "histogram_orders_totalprice",
+    "incremental_minhash_md5",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

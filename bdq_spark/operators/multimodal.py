@@ -25,11 +25,16 @@ and an honest ``decode_ok=false`` refusal everywhere else:
   ``movi`` chunks), raw BI_RGB 24bpp DIB frames, and compressed
   Microsoft RLE8 palettized frames (:func:`decode_rle8_frame`).
 
+- audio STREAM arithmetic: the full MP3 frame-header chain
+  (:func:`walk_mp3_frames` — per-frame sizing from the published
+  bitrate/samplerate tables gives exact frame counts, VBR-correct
+  duration and bitrate sums without any MDCT).
+
 What remains stubbed is exactly the DSP-bound work no pure-Python
-implementation can honestly claim at reasonable scope: MP3 sample
-synthesis (MDCT filterbank) and transform/motion-compensated video
-codecs (cinepak, h264, ...); the feature-extraction fake is likewise
-labeled.  Swap a stub for a real codec and nothing else changes —
+implementation can honestly claim at reasonable scope —
+SAMPLE-ACCURATE MP3 PCM (the MDCT filterbank) and
+transform/motion-compensated video codecs (cinepak, h264, ...) ONLY;
+the feature-extraction fake is likewise labeled.  Swap a stub for a real codec and nothing else changes —
 schemas, partitioning, batch shapes are production-real and tested.
 
 Scale notes:
@@ -982,6 +987,143 @@ def image_pixel_stats(df: DataFrame, content_column: str = "content") -> DataFra
             )
 
     return df.mapInPandas(stats, schema=_PIXEL_SCHEMA)
+
+
+def walk_mp3_frames(payload: bytes) -> Optional[dict]:
+    """Walk the WHOLE MPEG audio frame chain — exact stream stats
+    without any MDCT (the honest-boundary pattern of the MP4 ``mvhd``
+    parser): each frame header declares its own byte length
+    (``samples/8 * bitrate / sample_rate + padding``; Layer I counts in
+    4-byte slots), so chaining headers yields the exact frame count,
+    sample count, VBR-correct duration and per-frame bitrate sum with
+    pure integer arithmetic — vs :func:`parse_audio_header`'s
+    single-header CBR estimate.  What stays stubbed is ONLY
+    sample-accurate MP3 PCM (the MDCT filterbank).
+
+    Contract: skips a leading ID3v2 tag; walks while headers parse
+    with CONSTANT (version, layer, sample_rate) — a parameter change,
+    reserved/free-format header, or non-sync byte ends the chain; a
+    final frame whose declared size overruns the payload is NOT
+    counted and sets ``truncated``.  Returns ``None`` when no complete
+    frame exists (never a guess).  All outputs are engine-exact
+    integers, so a SQL oracle can replay the whole walk.
+    """
+    n = len(payload)
+    i = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        ss = payload[6:10]
+        if any(b & 0x80 for b in ss):
+            return None  # malformed syncsafe size
+        i = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    start = i
+    frames = 0
+    total_samples = 0
+    bitrate_sum = 0
+    stream = None  # (version, layer, sample_rate), fixed by frame 1
+    truncated = False
+    while i + 4 <= n:
+        if not (payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0):
+            break
+        h1, h2 = payload[i + 1], payload[i + 2]
+        version = (h1 >> 3) & 0x3
+        layer = (h1 >> 1) & 0x3
+        bitrate_idx = (h2 >> 4) & 0xF
+        rate_idx = (h2 >> 2) & 0x3
+        pad = (h2 >> 1) & 0x1
+        if version == 1 or layer == 0 or bitrate_idx in (0, 15) \
+                or rate_idx == 3:
+            break  # reserved / free-format: can't size honestly
+        sr = _MP3_SAMPLE_RATES[version][rate_idx]
+        if stream is None:
+            stream = (version, layer, sr)
+        elif stream != (version, layer, sr):
+            break  # mixed stream parameters: stop, don't guess
+        br = _MP3_BITRATES[(version, layer)][bitrate_idx] * 1000
+        if layer == 3:  # Layer I: 384 samples, 4-byte slots
+            samples = 384
+            size = (12 * br // sr + pad) * 4
+        else:  # Layer II always 1152; Layer III 1152 (MPEG1) / 576
+            samples = 1152 if (layer == 2 or version == 3) else 576
+            size = samples // 8 * br // sr + pad
+        if i + size > n:
+            truncated = True  # header parsed, body overruns: refuse it
+            break
+        frames += 1
+        total_samples += samples
+        bitrate_sum += br // 1000
+        i += size
+    if frames == 0:
+        return None
+    return {
+        "format": "mp3",
+        "frames": frames,
+        "sample_rate": stream[2],
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // stream[2],
+        "bitrate_sum_kbps": bitrate_sum,
+        "bytes_consumed": i - start,
+        "trailing_bytes": n - i,
+        "truncated": truncated,
+    }
+
+
+_STREAM_SCHEMA = (
+    "media_id long, format string, frames int, sample_rate int, "
+    "total_samples bigint, duration_ms bigint, bitrate_sum_kbps bigint, "
+    "bytes_consumed bigint, trailing_bytes bigint, truncated boolean, "
+    "decode_ok boolean"
+)
+
+
+def audio_stream_stats(
+    df: DataFrame, content_column: str = "content"
+) -> DataFrame:
+    """Frame-chain stream statistics via Arrow-batched ``mapInPandas``
+    — the header-arithmetic sibling of :func:`audio_pcm_stats` for
+    formats whose SAMPLES we refuse to synthesize: walks every MP3
+    frame header (:func:`walk_mp3_frames`) for exact frame count /
+    sample count / VBR duration / bitrate sum; non-MP3 or headerless
+    payloads report ``decode_ok=false`` with zeroed stats.  Same batch
+    contract as :func:`decode_audio` (streamed Arrow batches, bytes
+    never all resident)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                walk_mp3_frames(bytes(b) if b is not None else b"")
+                for b in pdf[content_column]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [d["format"] if d else None for d in out],
+                    "frames": [d["frames"] if d else 0 for d in out],
+                    "sample_rate": [
+                        d["sample_rate"] if d else 0 for d in out
+                    ],
+                    "total_samples": [
+                        d["total_samples"] if d else 0 for d in out
+                    ],
+                    "duration_ms": [
+                        d["duration_ms"] if d else 0 for d in out
+                    ],
+                    "bitrate_sum_kbps": [
+                        d["bitrate_sum_kbps"] if d else 0 for d in out
+                    ],
+                    "bytes_consumed": [
+                        d["bytes_consumed"] if d else 0 for d in out
+                    ],
+                    "trailing_bytes": [
+                        d["trailing_bytes"] if d else 0 for d in out
+                    ],
+                    "truncated": [
+                        bool(d["truncated"]) if d else False for d in out
+                    ],
+                    "decode_ok": [d is not None for d in out],
+                }
+            )
+
+    return df.mapInPandas(stats, schema=_STREAM_SCHEMA)
 
 
 _PCM_SCHEMA = (

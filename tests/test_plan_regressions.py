@@ -1,0 +1,106 @@
+"""Plan-shape regression gate (VERDICT r7 item 7) + registry-coverage
+invariant (item 3).
+
+``plans_golden.json`` used to be advisory: drift only surfaced if
+someone re-ran ``tools/explain_audit.py`` by hand.  These tests make
+the REGRESSION direction (an entry gaining exchanges / sort-merge
+joins / rdd-scan truncation leaves / a cartesian product over its
+committed golden) fail every pytest run over a cheap subset, and pin
+the bookkeeping hole that let ``near_dup_kcore`` ship with neither a
+plan golden nor a driver correctness row for three rounds.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "explain_audit", os.path.join(REPO, "tools", "explain_audit.py")
+)
+explain_audit = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(explain_audit)
+
+# cheap pure-read entries: small plans, no execution at construction
+# time (explain only), no sidecar writes — keeps the gate a few seconds
+ASSERT_SUBSET = [
+    "latest_events",
+    "events_daily_by_type",
+    "orders_rollup_by_year",
+    "large_order_customers",
+    "schema_diff_orders",
+    "salted_join_revenue",
+]
+
+
+def _golden():
+    with open(os.path.join(REPO, "plans_golden.json")) as f:
+        return json.load(f)
+
+
+def test_regression_classifier_direction():
+    g = {"exchanges": 2, "sort_merge_joins": 0, "rdd_scans": 1,
+         "cartesian": False, "broadcast_hash_joins": 2, "pushed_scans": 3}
+    better = dict(g, exchanges=1, pushed_scans=4)
+    assert explain_audit.regressions_vs_golden(g, better) == []
+    worse = dict(g, exchanges=3, cartesian=True)
+    regs = explain_audit.regressions_vs_golden(g, worse)
+    assert regs == ["exchanges 2->3", "cartesian False->True"]
+    # losing a broadcast usually shows up as smj/exchange growth
+    assert explain_audit.regressions_vs_golden(
+        g, dict(g, sort_merge_joins=1)
+    ) == ["sort_merge_joins 0->1"]
+
+
+def test_cheap_subset_matches_golden_in_assert_mode(spark):
+    import __spark_entry__ as entrymod
+
+    golden = _golden()
+    assert set(ASSERT_SUBSET) <= set(golden)
+    _, _, regressed = explain_audit.run_audit(
+        spark, entrymod.queries(), only=ASSERT_SUBSET, golden=golden,
+        quiet=True,
+    )
+    assert regressed == []
+
+
+def test_every_entry_has_plan_golden_and_driver_coverage():
+    """Every registered query must have (a) a plans_golden fingerprint
+    and (b) either a recorded driver CORRECTNESS row or a slot in the
+    current driver window — the two checklists ``near_dup_kcore``
+    slipped through in r7."""
+    from bdq_spark import entry_queries as eq
+
+    golden = _golden()
+    missing_golden = [n for n in eq.QUERIES if n not in golden]
+    assert missing_golden == []
+
+    checked = set()
+    latest = {}
+    newest_round = 0
+    for r in range(1, 31):
+        p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(p):
+            names = json.load(open(p))
+            checked.update(names)
+            newest_round = r
+            for n in names:
+                latest[n] = r
+    window = set(eq._DRIVER_PRIORITY)
+    uncovered = [
+        n for n in eq.QUERIES if n not in checked and n not in window
+    ]
+    assert uncovered == []
+
+    # rotation discipline: an entry outside the current window may not
+    # have gone more than 3 rounds without a driver row — staleness
+    # must be burned down every round, not allowed to accumulate
+    stale = [
+        n
+        for n in eq.QUERIES
+        if n not in window and latest.get(n, 0) < newest_round - 2
+    ]
+    assert stale == [], f"rotate these into _DRIVER_PRIORITY: {stale}"

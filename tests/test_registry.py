@@ -61,3 +61,27 @@ def test_oracle_sql_mentions_only_registered_views():
             # CTE names are fine; flag only clearly-unknown base tables
             # that look like file paths or catalogs
             assert "/" not in t and "." not in t, (name, tbl)
+
+
+def test_near_dup_pairs_entry_self_guards(spark):
+    """VERDICT r7 item 5: the registered exact all-pairs entry must
+    refuse to run past its declared scale bound instead of silently
+    going quadratic.  Shrinking the bound below sf0.001's corpus must
+    raise; the normal bound must still return the oracle-checked
+    pairs."""
+    import pytest
+
+    bound = eq._NEAR_DUP_PAIRS_EXACT_MAX_ROWS
+    try:
+        eq._NEAR_DUP_PAIRS_EXACT_MAX_ROWS = 10
+        with pytest.raises(ValueError, match="sf-bounded EXACT twin"):
+            eq.QUERIES["embedding_near_dup_pairs"](
+                spark, "/root/testdata/sf0.001"
+            )
+    finally:
+        eq._NEAR_DUP_PAIRS_EXACT_MAX_ROWS = bound
+    out = eq.QUERIES["embedding_near_dup_pairs"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() >= 0

@@ -1483,3 +1483,122 @@ def test_video_pixel_stats_rle8(spark):
     assert got[(0, 0)].mean_brightness == pytest.approx(expect, abs=0)
     assert (got[(0, 0)].width, got[(0, 0)].height) == (w, h)
     assert not got[(0, 1)].decode_ok  # the overrun frame refuses
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-chain walker (walk_mp3_frames / audio_stream_stats)
+# ---------------------------------------------------------------------------
+
+
+def _mp3_frame(bitrate_kbps, sample_rate=44100, pad=0, version=3, layer=1,
+               fill=0x00):
+    """Build one MPEG audio frame: real header + zero body of the exact
+    declared size.  version/layer use header bit values (3=MPEG1,
+    1=LayerIII)."""
+    from bdq_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        _MP3_SAMPLE_RATES,
+    )
+
+    bi = _MP3_BITRATES[(version, layer)].index(bitrate_kbps)
+    ri = _MP3_SAMPLE_RATES[version].index(sample_rate)
+    b1 = 0xE0 | (version << 3) | (layer << 1) | 1
+    b2 = (bi << 4) | (ri << 2) | (pad << 1)
+    br = bitrate_kbps * 1000
+    if layer == 3:  # Layer I
+        samples = 384
+        size = (12 * br // sample_rate + pad) * 4
+    else:
+        samples = 1152 if (layer == 2 or version == 3) else 576
+        size = samples // 8 * br // sample_rate + pad
+    return bytes([0xFF, b1, b2, 0xC0]) + bytes([fill]) * (size - 4), samples
+
+
+def test_walk_mp3_frames_vbr_chain_and_id3():
+    from bdq_spark.operators.multimodal import walk_mp3_frames
+
+    f1, s1 = _mp3_frame(128)
+    f2, s2 = _mp3_frame(320, pad=1)
+    f3, s3 = _mp3_frame(32)
+    stream = f1 + f2 + f3
+    got = walk_mp3_frames(stream)
+    assert got["frames"] == 3
+    assert got["total_samples"] == s1 + s2 + s3 == 3 * 1152
+    assert got["duration_ms"] == 3 * 1152 * 1000 // 44100
+    assert got["bitrate_sum_kbps"] == 128 + 320 + 32
+    assert got["bytes_consumed"] == len(stream)
+    assert got["trailing_bytes"] == 0 and not got["truncated"]
+    # behind an ID3v2 tag (syncsafe size), chain stats identical
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    got2 = walk_mp3_frames(id3 + stream)
+    assert {k: got2[k] for k in got} == got
+    # ID3v1 trailer counts as trailing bytes, not a frame
+    got3 = walk_mp3_frames(stream + b"TAG" + b"\x00" * 125)
+    assert got3["frames"] == 3 and got3["trailing_bytes"] == 128
+    assert not got3["truncated"]
+
+
+def test_walk_mp3_frames_layers_versions_and_refusals():
+    from bdq_spark.operators.multimodal import walk_mp3_frames
+
+    # Layer I sizing (4-byte slots) and 384-sample frames
+    fI, sI = _mp3_frame(64, layer=3)
+    gI = walk_mp3_frames(fI + fI)
+    assert gI["frames"] == 2 and gI["total_samples"] == 2 * 384
+    assert gI["bytes_consumed"] == 2 * len(fI)
+    # MPEG2 Layer III: 576-sample frames, 72-coefficient sizing
+    f2, s2 = _mp3_frame(64, sample_rate=22050, version=2)
+    assert s2 == 576
+    g2 = walk_mp3_frames(f2)
+    assert g2["total_samples"] == 576
+    assert g2["duration_ms"] == 576 * 1000 // 22050
+    # truncated final frame: header parses, body overruns -> refused
+    f128, _ = _mp3_frame(128)
+    g3 = walk_mp3_frames(f128 + f128[: len(f128) // 2])
+    assert g3["frames"] == 1 and g3["truncated"]
+    assert g3["trailing_bytes"] == len(f128) // 2
+    # parameter change mid-stream ends the chain honestly
+    g4 = walk_mp3_frames(f128 + f2)
+    assert g4["frames"] == 1 and g4["trailing_bytes"] == len(f2)
+    # no complete frame / not MP3 -> None, never a guess
+    assert walk_mp3_frames(b"") is None
+    assert walk_mp3_frames(b"RIFFxxxxWAVE") is None
+    assert walk_mp3_frames(f128[:3]) is None
+
+
+def test_walk_matches_cbr_estimate_on_cbr_streams():
+    """On a constant-bitrate padless stream the exact walk and
+    parse_audio_header's CBR estimate must agree on duration."""
+    from bdq_spark.operators.multimodal import (
+        parse_audio_header,
+        walk_mp3_frames,
+    )
+
+    f, _ = _mp3_frame(160, sample_rate=32000)
+    stream = f * 5
+    walk = walk_mp3_frames(stream)
+    est = parse_audio_header(stream)
+    assert walk["frames"] == 5
+    # CBR estimate: payload_bits / bitrate; exact: samples / rate.
+    # identical within one frame's duration at matching parameters
+    assert abs(walk["duration_ms"] - est["duration_ms"]) <= \
+        1152 * 1000 // 32000 + 1
+
+
+def test_audio_stream_stats_dataframe(spark):
+    from bdq_spark.operators.multimodal import audio_stream_stats
+
+    f1, _ = _mp3_frame(96)
+    f2, _ = _mp3_frame(256, pad=1)
+    rows = [
+        (0, bytearray(f1 + f2)),
+        (1, bytearray(b"not audio at all")),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in audio_stream_stats(df).collect()}
+    assert got[0].decode_ok and got[0].frames == 2
+    assert got[0].bitrate_sum_kbps == 96 + 256
+    assert got[0].total_samples == 2 * 1152
+    assert not got[1].decode_ok and got[1].frames == 0
+    assert not got[2].decode_ok

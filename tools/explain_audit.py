@@ -13,6 +13,17 @@ Usage::
 
     python tools/explain_audit.py [query ...]   # audit (and diff vs snapshot)
     python tools/explain_audit.py --snapshot    # write plans_golden.json
+    python tools/explain_audit.py --assert [query ...]  # exit 1 on regression
+
+``--assert`` turns plan drift from a review-time WARN into a hard
+failure for the REGRESSION direction only: an entry whose plan gains
+exchanges, sort-merge joins, rdd-scan truncation leaves, or a
+cartesian product over its committed golden exits non-zero
+(improvements — fewer shuffles, more pushdown — stay warnings so a
+better plan never blocks).  ``tests/test_plan_regressions.py`` runs a
+cheap subset in this mode on every pytest run, so a lost broadcast or
+an accidental extra shuffle fails CI instead of waiting for someone to
+re-run the audit by hand.
 
 The committed snapshot (``plans_golden.json``) records each query's plan
 fingerprint (exchange/join/pushdown counts); the audit prints a DRIFT
@@ -98,24 +109,36 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
-def main() -> int:
-    from bdq_spark.session import get_spark
-    import __spark_entry__ as entrymod
+# fingerprint fields where a HIGHER value than golden is a regression
+# (more shuffles / more unbroadcast joins / more checkpoint truncation);
+# cartesian is boolean: golden False -> True regresses
+_REGRESSION_KEYS = ("exchanges", "sort_merge_joins", "rdd_scans")
 
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = entrymod.queries()
-    args = sys.argv[1:]
-    write_snapshot = "--snapshot" in args
-    only = set(a for a in args if not a.startswith("--"))
 
-    golden = {}
-    if not write_snapshot and os.path.exists(SNAPSHOT_PATH):
-        with open(SNAPSHOT_PATH) as f:
-            golden = json.load(f)
+def regressions_vs_golden(golden_fp: dict, fp: dict) -> list:
+    """The REGRESSION subset of drift: counts that grew, or a cartesian
+    that appeared.  Improvements (counts that shrank, pushdown gained)
+    are drift worth a snapshot refresh but never a failure."""
+    regs = [
+        f"{k} {golden_fp[k]}->{fp[k]}"
+        for k in _REGRESSION_KEYS
+        if fp.get(k, 0) > golden_fp.get(k, 0)
+    ]
+    if fp.get("cartesian") and not golden_fp.get("cartesian"):
+        regs.append("cartesian False->True")
+    return regs
 
+
+def run_audit(spark, queries, only=(), golden=None, quiet=False):
+    """Audit ``queries`` (all, or the ``only`` subset) and return
+    ``(fingerprints, problems, regressions)``.  ``problems`` is every
+    WARN note; ``regressions`` only the golden-vs-now degradations from
+    :func:`regressions_vs_golden` (None golden -> no drift checks)."""
+    only = set(only)
+    golden = golden or {}
     fingerprints = {}
     problems = []
+    regressed = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -123,6 +146,7 @@ def main() -> int:
             plan = plan_of(fn(spark, SF_DIR))
         except Exception as e:
             problems.append((name, f"explain failed: {e}"))
+            regressed.append((name, f"explain failed: {e}"))
             continue
 
         notes = []
@@ -150,7 +174,7 @@ def main() -> int:
         fingerprints[name] = fp
 
         drift = ""
-        if golden and not only:
+        if golden:
             if name not in golden:
                 drift = "DRIFT: new query (re-run --snapshot)"
             elif golden[name] != fp:
@@ -160,20 +184,55 @@ def main() -> int:
                     if golden[name].get(k) != fp[k]
                 ]
                 drift = "DRIFT: " + ", ".join(diffs)
+            regs = regressions_vs_golden(golden.get(name, {}), fp) \
+                if name in golden else []
+            if regs:
+                regressed.append((name, ", ".join(regs)))
         if drift:
             notes.append(drift)
 
         status = "WARN" if notes else "ok"
-        print(
-            f"{status:4s} {name:34s} exchanges={n_exchange:2d} "
-            f"bhj={n_bcast} smj={n_smj} pushed_scans={n_pushed} "
-            f"rdd={n_rdd}"
-            + (f"  <- {'; '.join(notes)}" if notes else "")
-        )
+        if not quiet:
+            print(
+                f"{status:4s} {name:34s} exchanges={n_exchange:2d} "
+                f"bhj={n_bcast} smj={n_smj} pushed_scans={n_pushed} "
+                f"rdd={n_rdd}"
+                + (f"  <- {'; '.join(notes)}" if notes else "")
+            )
         if notes:
             problems.append((name, "; ".join(notes)))
+    return fingerprints, problems, regressed
+
+
+def main() -> int:
+    from bdq_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    args = sys.argv[1:]
+    write_snapshot = "--snapshot" in args
+    assert_mode = "--assert" in args
+    only = set(a for a in args if not a.startswith("--"))
+
+    golden = {}
+    if not write_snapshot and os.path.exists(SNAPSHOT_PATH):
+        with open(SNAPSHOT_PATH) as f:
+            golden = json.load(f)
+
+    fingerprints, problems, regressed = run_audit(
+        spark, queries, only=only, golden=golden if not write_snapshot else None
+    )
 
     if write_snapshot:
+        if only:  # partial snapshot: merge into the committed golden
+            merged = {}
+            if os.path.exists(SNAPSHOT_PATH):
+                with open(SNAPSHOT_PATH) as f:
+                    merged = json.load(f)
+            merged.update(fingerprints)
+            fingerprints = merged
         with open(SNAPSHOT_PATH, "w") as f:
             json.dump(fingerprints, f, indent=1, sort_keys=True)
             f.write("\n")
@@ -181,6 +240,11 @@ def main() -> int:
         return 0
 
     print()
+    if regressed and assert_mode:
+        print(f"{len(regressed)} plan REGRESSION(S):")
+        for name, why in regressed:
+            print(f"  {name}: {why}")
+        return 1
     if problems:
         print(f"{len(problems)} plan warning(s)")
     else:

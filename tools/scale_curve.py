@@ -82,6 +82,7 @@ QUERY_TABLE = {
     "range_join_price_tiers": "orders",
     "doc_contamination": "documents",
     "doc_gopher_quality": "documents",
+    "multimodal_mp3_stream_stats": "documents",
 }
 
 
