@@ -6663,14 +6663,95 @@ _fill_stopword_oracle("corpus_prepare_neardup")
 # Distributed BPE tokenizer training (operators/tokenizer.py)
 # ---------------------------------------------------------------------------
 
-@_register("bpe_train_merges")  # rows-only: iterative argmax is not
-# SQL-expressible; the algorithm is pinned by a pytest golden test
-# against an independent pure-Python BPE reference (test_tokenizer.py)
+
+def _bpe_ctes(n_merges: int, min_pair: int = 2) -> str:
+    """Shared CTE body replaying SEQUENTIAL Sennrich BPE training in
+    DuckDB — ``n_merges`` unrolled rounds (the ``_kmeans_ctes``
+    pattern for an iterative-argmax algorithm): each round counts
+    adjacent symbol pairs over the word-frequency table, takes the
+    ``(count DESC, left, right)`` argmax, and applies the merge to
+    every word with a ``list_reduce`` left-fold whose accumulator
+    rebuilds the symbol list (greedy left-to-right non-overlapping —
+    the fold can never cascade within a round because ``merged ==
+    left`` would require an empty right symbol).  ``AS MATERIALIZED``
+    on every CTE: 30 rounds of inlined folds otherwise explode
+    DuckDB's planner (the CTE-inlining trap measured in r5).  Early
+    stop falls out naturally — a round with no pair >= ``min_pair``
+    yields an empty argmax and every later round LEFT-JOINs a NULL
+    rule, leaving the vocabulary untouched.  Spark's batched trainer
+    (``train_bpe`` applies provably-safe merge PREFIXES per fold) is
+    bit-equivalent to this sequential replay — the equivalence is
+    pinned against the pure-Python reference in
+    ``tests/test_tokenizer.py``.  Ends with ``m{{t}}`` (one argmax row
+    per round) and ``w{{n_merges}}`` (the final segmentation)."""
+    parts = [f"""wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(range(1, len(word)+1),
+                        i -> word[CAST(i AS INT)]) AS s
+  FROM wf)"""]
+    for t in range(n_merges):
+        parts.append(f"""p{t} AS MATERIALIZED (
+  SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, s[CAST(i AS INT)] AS lft, s[CAST(i AS INT)+1] AS rgt
+    FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM w{t}))
+  GROUP BY lft, rgt
+  HAVING sum(freq) >= {min_pair}),
+m{t} AS MATERIALIZED (
+  SELECT CAST({t} AS INTEGER) AS mrank, lft, rgt, lft || rgt AS merged,
+         cnt
+  FROM p{t} ORDER BY cnt DESC, lft, rgt LIMIT 1),
+w{t + 1} AS MATERIALIZED (
+  SELECT w.word, w.freq,
+         CASE WHEN m.lft IS NULL THEN w.s ELSE
+           list_reduce(list_transform(w.s, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = m.lft AND x[1] = m.rgt
+                              THEN acc[:len(acc)-1] || [m.merged]
+                              ELSE acc || x END)
+         END AS s
+  FROM w{t} w LEFT JOIN m{t} m ON true)""")
+    return ",\n".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(n_merges))
+    return (
+        "WITH " + _bpe_ctes(n_merges)
+        + f'\nSELECT mrank AS rank, lft AS "left", rgt AS "right", merged,'
+        f" cnt AS pair_count FROM ({union}) ORDER BY 1"
+    )
+
+
+def _bpe_counts_oracle(n_merges: int) -> str:
+    return (
+        "WITH " + _bpe_ctes(n_merges) + f""",
+dw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS word
+       FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(w{n_merges}.s)) AS BIGINT) AS n_tokens
+FROM dw JOIN w{n_merges} USING (word) GROUP BY doc_id"""
+    )
+
+
+@_register("bpe_train_merges", _bpe_merges_oracle(30))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a 30-merge BPE table from the document corpus.  The
     iterations run over the collapsed word-frequency table (the corpus
     text is scanned once); the only driver materialization is one argmax
-    row per merge.  Deterministic: frequency ties break lexicographically."""
+    row per merge.  Deterministic: frequency ties break lexicographically
+    — which is what lets :func:`_bpe_ctes` replay the ENTIRE training
+    loop in DuckDB (30 unrolled argmax+fold rounds), graduating this
+    entry from rows-only to value-hash in r8: every learned rule's
+    (rank, pair, merged symbol, pair count) is checked, not just the
+    row count."""
     from bdq_spark.operators.tokenizer import train_bpe
 
     merges, _vocab = train_bpe(
@@ -6682,12 +6763,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("bpe_token_counts")  # rows-only: counts depend on the
-# trained merge table (see bpe_train_merges); per-doc segmentation
-# totals verified against the Python reference in test_tokenizer.py
+@_register("bpe_token_counts", _bpe_counts_oracle(20))
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize the corpus with a freshly trained 20-merge BPE model:
-    the final vocabulary segmentation doubles as the encoding dictionary
+    """Tokenize the corpus with a freshly trained 20-merge BPE model
+    (value-hash since r8: the oracle's unrolled :func:`_bpe_ctes`
+    rounds train the same model in DuckDB and join each document's
+    words to the final segmentation table, so every per-document token
+    count is checked against an independent replay of training AND
+    encoding): the final vocabulary segmentation doubles as the
+    encoding dictionary
     (broadcast join on the word key — no per-document merge replay)."""
     from bdq_spark.operators.tokenizer import bpe_segment_corpus, train_bpe
 
@@ -6698,9 +6782,11 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("doc_bpe_packing")  # rows-only: BPE training is iterative
-# (argmax per merge) and FFD packing is sequential per shard — neither
-# is SQL-expressible; the composition's invariants (budget respected,
+@_register("doc_bpe_packing")  # rows-only: FFD packing is sequential
+# per shard (per-bin driver-free state, not SQL-expressible).  The
+# train+encode stages ARE value-hashed since r8 via the sibling
+# entries' unrolled _bpe_ctes oracles; what remains unchecked here is
+# only the packing assignment, whose invariants (budget respected,
 # every document covered exactly once, counts = segmentation counts)
 # are pinned by test_bpe_encode_feeds_packing, and the encode step's
 # id sequences round-trip against the independent Python reference in
@@ -8300,8 +8386,10 @@ _DRIVER_PRIORITY = [
     "duplicate_spans_documents",
     "fk_broken_lineitem_part",
     "fk_broken_sampled",
-    "histogram_orders_totalprice",
-    "incremental_minhash_md5",
+    # new-in-r8 oracles (BPE rows-only -> value-hash graduation) take
+    # the last two slots from the alphabetical r5 refresh
+    "bpe_train_merges",
+    "bpe_token_counts",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
