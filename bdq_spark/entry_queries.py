@@ -5748,13 +5748,128 @@ def doc_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_spans(train, test, n=3)
 
 
-@_register("doc_sequence_packing")  # rows-only: FFD order is not SQL-expressible
+def _ffd_ctes(n_shards: int, budget: int, doc_src: str,
+              span: int = 1 << 40) -> str:
+    """CTE chain replaying :func:`pack_documents` EXACTLY in DuckDB —
+    the second "inherently sequential" algorithm to graduate from
+    rows-only to value-hash (after :func:`_bpe_ctes`): first-fit-
+    decreasing is a left-to-right scan with per-bin state, which a
+    RECURSIVE CTE replays one document per step carrying the open-bin
+    space vector as a ``BIGINT[]`` column (``list_position`` finds the
+    first fitting bin; list slicing rewrites its remaining space).
+    Recursion depth = max docs per shard — bounded by the same
+    sharding argument that makes the Spark side scale.  The
+    ``tfd``/``remap`` tail replays the bin-level refinement
+    (:func:`_merge_tail_bins`): ≤ one half-empty bin per shard,
+    FFD-merged whole in ``(fill DESC, pack_id)`` order.  Requires the
+    query to open with ``WITH RECURSIVE``.  ``doc_src`` must yield
+    ``(doc_id BIGINT, t BIGINT)``; ends with ``asg(doc_id, t, shard,
+    pack_id, oversize)``."""
+    return f"""
+sh AS MATERIALIZED (
+  SELECT doc_id, t,
+         CAST((('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 1000000) % {n_shards} AS INT) AS shard
+  FROM ({doc_src})),
+rk AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY t DESC, doc_id)
+    AS rn
+  FROM sh),
+nsh AS (SELECT shard, max(rn) AS n FROM rk GROUP BY shard),
+ffd AS (
+  SELECT shard, 0 AS step, CAST([] AS BIGINT[]) AS spaces,
+         CAST([] AS BIGINT[]) AS bins
+  FROM nsh
+  UNION ALL
+  SELECT f.shard, f.step + 1,
+    CASE WHEN d.t > {budget} THEN f.spaces || [CAST(-1 AS BIGINT)]
+         WHEN fit.i IS NULL OR fit.i = 0
+           THEN f.spaces || [CAST({budget} - d.t AS BIGINT)]
+         ELSE f.spaces[:fit.i-1] || [f.spaces[fit.i] - d.t]
+              || f.spaces[fit.i+1:]
+    END,
+    f.bins || [CASE WHEN d.t > {budget} OR fit.i IS NULL OR fit.i = 0
+                    THEN len(f.spaces) ELSE CAST(fit.i - 1 AS BIGINT) END]
+  FROM ffd f
+  JOIN rk d ON d.shard = f.shard AND d.rn = f.step + 1
+  LEFT JOIN LATERAL (
+    SELECT list_position(list_transform(f.spaces, s -> s >= d.t), true) AS i
+  ) fit ON true),
+fin AS MATERIALIZED (
+  SELECT f.shard, f.bins FROM ffd f JOIN nsh ON nsh.shard = f.shard
+  WHERE f.step = nsh.n),
+asg0 AS MATERIALIZED (
+  SELECT r.doc_id, r.t, r.shard,
+         CAST(r.shard AS BIGINT) * {span} + fin.bins[CAST(r.rn AS INT)]
+           AS pack_id,
+         r.t > {budget} AS oversize
+  FROM rk r JOIN fin ON fin.shard = r.shard),
+tails AS MATERIALIZED (
+  SELECT pack_id, CAST(sum(t) AS BIGINT) AS fill
+  FROM asg0 WHERE NOT oversize GROUP BY pack_id
+  HAVING sum(t) * 2 <= {budget}),
+trk AS MATERIALIZED (
+  SELECT *, row_number() OVER (ORDER BY fill DESC, pack_id) AS rn
+  FROM tails),
+tn AS (SELECT CAST(coalesce(max(rn), 0) AS BIGINT) AS n FROM trk),
+tfd AS (
+  SELECT 0 AS step, CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS tid,
+         CAST([] AS BIGINT[]) AS src, CAST([] AS BIGINT[]) AS dst
+  UNION ALL
+  SELECT f.step + 1,
+    CASE WHEN fit.i IS NULL OR fit.i = 0
+           THEN f.rem || [CAST({budget} AS BIGINT) - b.fill]
+         ELSE f.rem[:fit.i-1] || [f.rem[fit.i] - b.fill] || f.rem[fit.i+1:]
+    END,
+    CASE WHEN fit.i IS NULL OR fit.i = 0 THEN f.tid || [b.pack_id]
+         ELSE f.tid END,
+    CASE WHEN fit.i IS NULL OR fit.i = 0 THEN f.src
+         ELSE f.src || [b.pack_id] END,
+    CASE WHEN fit.i IS NULL OR fit.i = 0 THEN f.dst
+         ELSE f.dst || [f.tid[fit.i]] END
+  FROM tfd f
+  JOIN trk b ON b.rn = f.step + 1
+  LEFT JOIN LATERAL (
+    SELECT list_position(list_transform(f.rem, s -> s >= b.fill), true) AS i
+  ) fit ON true),
+remap AS MATERIALIZED (
+  SELECT src, dst FROM tfd WHERE step = (SELECT n FROM tn)),
+asg AS MATERIALIZED (
+  SELECT a.doc_id, a.t, a.shard,
+         coalesce(r.dst[list_position(r.src, a.pack_id)], a.pack_id)
+           AS pack_id,
+         a.oversize
+  FROM asg0 a LEFT JOIN remap r ON true)"""
+
+
+_SEQ_PACKING_ORACLE = (
+    "WITH RECURSIVE "
+    + _ffd_ctes(
+        16,
+        512,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '')) AS BIGINT) AS t FROM documents",
+    )
+    + """
+SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST(max(CASE WHEN oversize THEN 1 ELSE 0 END) AS INTEGER)
+         AS has_oversize
+FROM asg GROUP BY pack_id"""
+)
+
+
+@_register("doc_sequence_packing", _SEQ_PACKING_ORACLE)
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (sharded first-fit-decreasing) of
-    the documents table; output is the per-pack summary.  Deterministic
-    but not SQL-expressible, so the gate records a rows-only check; the
-    packing invariants (coverage, budget, oversize isolation) are pytest
-    asserts in tests/test_packing.py."""
+    the documents table; output is the per-pack summary.  Value-hash
+    since r8: :func:`_ffd_ctes` replays the WHOLE pipeline — md5
+    sharding, per-shard FFD as a recursive CTE carrying the open-bin
+    space vector, and the cross-shard tail-bin refinement — so every
+    pack's membership, fill and oversize flag is checked, not just the
+    row count.  The packing invariants (coverage, budget, oversize
+    isolation) remain pytest asserts in tests/test_packing.py."""
     from bdq_spark.functions.text import token_count
     from bdq_spark.operators import pack_documents
 
@@ -6782,14 +6897,36 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("doc_bpe_packing")  # rows-only: FFD packing is sequential
-# per shard (per-bin driver-free state, not SQL-expressible).  The
-# train+encode stages ARE value-hashed since r8 via the sibling
-# entries' unrolled _bpe_ctes oracles; what remains unchecked here is
-# only the packing assignment, whose invariants (budget respected,
-# every document covered exactly once, counts = segmentation counts)
-# are pinned by test_bpe_encode_feeds_packing, and the encode step's
-# id sequences round-trip against the independent Python reference in
+def _bpe_packing_oracle(n_merges: int = 20, n_shards: int = 64,
+                        budget: int = 512) -> str:
+    """Compose the two sequential-algorithm replays: unrolled BPE
+    training (:func:`_bpe_ctes`) feeds per-document token counts into
+    the recursive-CTE FFD (:func:`_ffd_ctes`) — the whole
+    train -> encode -> pack capstone value-checked per document."""
+    src = f"""SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+       CAST(sum(len(w{n_merges}.s)) AS BIGINT) AS t
+FROM (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS word
+      FROM documents) dw
+JOIN w{n_merges} USING (word) GROUP BY dw.doc_id"""
+    return (
+        "WITH RECURSIVE "
+        + _bpe_ctes(n_merges)
+        + ","
+        + _ffd_ctes(n_shards, budget, src)
+        + "\nSELECT doc_id, t AS n_tokens, shard, pack_id, oversize FROM asg"
+    )
+
+
+@_register("doc_bpe_packing", _bpe_packing_oracle())
+# Value-hash since r8: BPE training AND the FFD packing assignment are
+# both replayed (unrolled argmax rounds + recursive-CTE first-fit), so
+# the per-document (n_tokens, shard, pack_id, oversize) row is fully
+# checked.  The invariants (budget respected, every document covered
+# exactly once, counts = segmentation counts) remain pinned by
+# test_bpe_encode_feeds_packing, and the encode step's id sequences
+# round-trip against the independent Python reference in
 # test_bpe_encode_corpus_roundtrip_matches_reference
 def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end "tokenize then pack" shape every LLM training
@@ -8385,11 +8522,12 @@ _DRIVER_PRIORITY = [
     "documents_deduped",
     "duplicate_spans_documents",
     "fk_broken_lineitem_part",
-    "fk_broken_sampled",
-    # new-in-r8 oracles (BPE rows-only -> value-hash graduation) take
-    # the last two slots from the alphabetical r5 refresh
+    # new-in-r8 oracles (rows-only -> value-hash graduations: BPE
+    # training replay + recursive-CTE FFD packing replay;
+    # doc_sequence_packing is already in the alphabetical block above)
     "bpe_train_merges",
     "bpe_token_counts",
+    "doc_bpe_packing",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
