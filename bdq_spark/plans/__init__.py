@@ -6,6 +6,13 @@ from bdq_spark.plans.pipeline import (
     Step,
     register_spark_pipeline_step_implementation,
 )
+from bdq_spark.plans.plan_lint import (
+    PlanFinding,
+    PlanScaleError,
+    assert_scalable,
+    lint_plan,
+    plan_fingerprint,
+)
 from bdq_spark.plans.statestore import CatalogPersistedStateStore
 from bdq_spark.plans.ui_logger import SparkUILogger
 
@@ -17,4 +24,9 @@ __all__ = [
     "register_spark_pipeline_step_implementation",
     "CatalogPersistedStateStore",
     "SparkUILogger",
+    "PlanFinding",
+    "PlanScaleError",
+    "lint_plan",
+    "assert_scalable",
+    "plan_fingerprint",
 ]

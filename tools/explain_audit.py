@@ -41,12 +41,10 @@ gotten cheaper, and either count drifting flags the plan for review.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import re
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, "/root/repo")
 
@@ -102,11 +100,9 @@ CARTESIAN_OK = {
 }
 
 
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from bdq_spark.plans.plan_lint import plan_fingerprint, plan_text
+
+plan_of = plan_text  # back-compat alias; the library owns the capture
 
 
 # fingerprint fields where a HIGHER value than golden is a regression
@@ -158,19 +154,12 @@ def run_audit(spark, queries, only=(), golden=None, quiet=False):
             notes.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in CARTESIAN_OK:
             notes.append("BroadcastNestedLoopJoin")
-        n_exchange = len(re.findall(r"Exchange", plan))
-        n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
-        n_smj = len(re.findall(r"SortMergeJoin", plan))
-        n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
-        n_rdd = len(re.findall(r"Scan ExistingRDD", plan))
-        fp = {
-            "exchanges": n_exchange,
-            "broadcast_hash_joins": n_bcast,
-            "sort_merge_joins": n_smj,
-            "pushed_scans": n_pushed,
-            "cartesian": "CartesianProduct" in plan,
-            "rdd_scans": n_rdd,
-        }
+        fp = plan_fingerprint(plan)
+        n_exchange = fp["exchanges"]
+        n_bcast = fp["broadcast_hash_joins"]
+        n_smj = fp["sort_merge_joins"]
+        n_pushed = fp["pushed_scans"]
+        n_rdd = fp["rdd_scans"]
         fingerprints[name] = fp
 
         drift = ""
