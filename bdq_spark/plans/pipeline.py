@@ -307,6 +307,10 @@ class Step:
                         if self.retry_delay_seconds:
                             time.sleep(self.retry_delay_seconds)
                 else:
+                    # deterministic check: raising here (the try's else)
+                    # propagates instead of burning retries on a plan
+                    # that would fail identically every attempt
+                    self._lint_result(result)
                     succeeded = True
                     return result
             assert last_exc is not None
@@ -321,6 +325,38 @@ class Step:
             )
             self.metrics["runtime.attempts"] = self.attempts
             self.metrics["runtime.succeeded"] = succeeded
+
+    def _lint_result(self, result) -> None:
+        """Scale-lint every batch DataFrame the step returned (see
+        ``SparkPipeline.plan_lint``).  Streaming DataFrames are skipped —
+        their physical plan only exists per micro-batch.  Counts land in
+        ``plan_lint.errors/warnings/infos`` metrics either way; in
+        "enforce" mode ERROR findings fail the step."""
+        mode = getattr(self.pipeline, "plan_lint", "off")
+        if mode == "off":
+            return
+        from bdq_spark.plans.plan_lint import PlanScaleError, lint_plan
+
+        allow = getattr(self.pipeline, "plan_lint_allow", ())
+        counts = {"ERROR": 0, "WARN": 0, "INFO": 0}
+        fired = []
+        errors = []
+        for item in result or []:
+            if not isinstance(item, DataFrame) or item.isStreaming:
+                continue
+            for f in lint_plan(item, allow=allow):
+                counts[f.severity] += 1
+                fired.append(f"{f.severity}:{f.rule}")
+                log = self.log.info if f.severity == "INFO" else self.log.warning
+                log("plan lint: %s", f)
+                if f.severity == "ERROR":
+                    errors.append(f)
+        self.metrics["plan_lint.errors"] = counts["ERROR"]
+        self.metrics["plan_lint.warnings"] = counts["WARN"]
+        self.metrics["plan_lint.infos"] = counts["INFO"]
+        self.metrics["plan_lint.rules"] = sorted(set(fired))
+        if mode == "enforce" and errors:
+            raise PlanScaleError(errors)
 
     def _run_with_timeout(self, tagged: Callable):
         """Run the step body on a watchdog-supervised thread.
@@ -381,7 +417,23 @@ class SparkPipeline:
         spark: Optional[SparkSession] = None,
         state_store_catalog: Optional[str] = None,
         state_store_database: Optional[str] = None,
+        plan_lint: str = "off",
+        plan_lint_allow: Optional[List[str]] = None,
     ):
+        if plan_lint not in ("off", "warn", "enforce"):
+            raise ValueError(
+                "plan_lint must be 'off', 'warn' or 'enforce', "
+                f"got {plan_lint!r}"
+            )
+        #: scale-lint every step's returned DataFrames (beyond-reference
+        #: robustness, like retries/timeouts): "warn" logs findings and
+        #: records per-step plan_lint.* metrics; "enforce" additionally
+        #: FAILS the step on ERROR-severity shapes (cartesian product,
+        #: row-at-a-time Python UDF, single-partition funnel) so a plan
+        #: that cannot survive cluster scale never ships.  Lint failures
+        #: are deterministic, so they are raised OUTSIDE the retry loop.
+        self.plan_lint = plan_lint
+        self.plan_lint_allow = tuple(plan_lint_allow or ())
         self.name = name
         self.log = logging.getLogger(name)
         self.log.setLevel(logging.INFO)

@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import io
 import re
+import threading
 from contextlib import redirect_stdout
 from dataclasses import dataclass
 from typing import Iterable, List, Union
@@ -113,15 +114,33 @@ class PlanScaleError(AssertionError):
         )
 
 
+_EXPLAIN_LOCK = threading.Lock()
+
+
 def plan_text(df_or_text: Union[DataFrame, str]) -> str:
     """The ``explain("formatted")`` text of a DataFrame (or passthrough
-    for an already-captured plan string)."""
+    for an already-captured plan string).
+
+    Uses the JVM's ``queryExecution().explainString`` directly — NOT
+    ``df.explain()`` + ``redirect_stdout``, which swaps the
+    process-wide stdout and interleaves plans when concurrent pipeline
+    steps lint in parallel (DAG steps run on worker threads).  The
+    redirect fallback keeps a lock for the same reason."""
     if isinstance(df_or_text, str):
         return df_or_text
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df_or_text.explain("formatted")
-    return buf.getvalue()
+    df = df_or_text
+    try:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(mode)
+    except Exception:
+        with _EXPLAIN_LOCK:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
 
 
 def plan_fingerprint(df_or_text: Union[DataFrame, str]) -> dict:

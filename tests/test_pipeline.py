@@ -375,3 +375,116 @@ def test_repr_html(spark):
     pipe_html = ppn._repr_html_()
     assert "reprs" in pipe_html and "make" in pipe_html and "SUCCESS" in pipe_html
     assert "SparkPipeline('reprs'" in repr(ppn)
+
+
+def test_plan_lint_warn_records_metrics(spark):
+    ppn = SparkPipeline("lintwarn", spark=spark, plan_lint="warn")
+
+    @ppn.step_spark(outputs="clean")
+    def clean(step):
+        return spark.range(10).groupBy("id").count()
+
+    @ppn.step_spark(outputs="crossed")
+    def crossed(step):
+        # BroadcastNestedLoopJoin (WARN) under default broadcast conf
+        return spark.range(10).crossJoin(
+            spark.range(2).withColumnRenamed("id", "j")
+        )
+
+    ppn()
+    assert list(ppn.error_steps) == []
+    assert ppn.steps["clean"].metrics["plan_lint.errors"] == 0
+    assert ppn.steps["clean"].metrics["plan_lint.warnings"] == 0
+    assert ppn.steps["crossed"].metrics["plan_lint.errors"] == 0
+    assert ppn.steps["crossed"].metrics["plan_lint.warnings"] >= 1
+
+
+def test_plan_lint_enforce_fails_step_without_retry_burn(spark):
+    from pyspark.sql.window import Window
+
+    from bdq_spark.plans.plan_lint import PlanScaleError
+
+    ppn = SparkPipeline("lintfail", spark=spark, plan_lint="enforce")
+
+    @ppn.step_spark(outputs="funnel", retries=2)
+    def funnel(step):
+        # unpartitioned window -> single-partition funnel (ERROR)
+        return spark.range(100).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+
+    with pytest.raises(ValueError, match="have failed"):
+        ppn()
+    step = ppn.steps["funnel"]
+    assert isinstance(step.exception, PlanScaleError)
+    assert "single-partition-exchange" in str(step.exception)
+    # deterministic failure: the lint raises OUTSIDE the retry loop
+    assert step.attempts == 1
+    assert step.metrics["plan_lint.errors"] >= 1
+
+
+def test_plan_lint_enforce_allow_waives_named_rule(spark):
+    ppn = SparkPipeline(
+        "lintallow",
+        spark=spark,
+        plan_lint="enforce",
+        plan_lint_allow=["nested-loop-join"],
+    )
+
+    @ppn.step_spark(outputs="scalar_attach")
+    def scalar_attach(step):
+        # the registry's common shape: 1-row scalar aggregate attached
+        # to every row — BNLJ by design, waived by name
+        total = spark.range(10).agg(F.sum("id").alias("total"))
+        return spark.range(10).crossJoin(F.broadcast(total))
+
+    ppn()
+    assert list(ppn.error_steps) == []
+    assert ppn.steps["scalar_attach"].metrics["plan_lint.errors"] == 0
+
+
+def test_plan_lint_off_by_default_and_validated(spark):
+    ppn = SparkPipeline("lintoff", spark=spark)
+
+    @ppn.step_spark(outputs="x")
+    def x(step):
+        return spark.range(3)
+
+    ppn()
+    assert "plan_lint.errors" not in ppn.steps["x"].metrics
+    with pytest.raises(ValueError, match="plan_lint must be"):
+        SparkPipeline("bad", spark=spark, plan_lint="loud")
+
+
+def test_plan_lint_concurrent_steps_do_not_cross_contaminate(spark):
+    """Regression: plan_text used redirect_stdout (process-global), so
+    parallel DAG steps linting simultaneously captured each other's
+    plans — a clean step could inherit a sibling's BNLJ warning.  The
+    JVM explainString path is thread-local; 4 clean + 4 warn steps
+    linted concurrently must each see exactly their own plan."""
+    ppn = SparkPipeline("lintrace", spark=spark, plan_lint="warn")
+
+    def make_clean(i):
+        def body(step):
+            return spark.range(10 + i).groupBy("id").count()
+        body.__name__ = f"clean{i}"
+        ppn.step_spark(outputs=f"clean{i}")(body)
+
+    def make_warn(i):
+        def body(step):
+            return spark.range(10 + i).crossJoin(
+                spark.range(2).withColumnRenamed("id", "j")
+            )
+        body.__name__ = f"warned{i}"
+        ppn.step_spark(outputs=f"warned{i}")(body)
+
+    for i in range(4):
+        make_clean(i)
+        make_warn(i)
+    ppn(max_concurrent_steps=8)
+    assert list(ppn.error_steps) == []
+    for i in range(4):
+        clean_m = ppn.steps[f"clean{i}"].metrics
+        warn_m = ppn.steps[f"warned{i}"].metrics
+        assert clean_m["plan_lint.warnings"] == 0, clean_m
+        assert warn_m["plan_lint.warnings"] >= 1, warn_m
