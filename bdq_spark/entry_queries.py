@@ -2812,9 +2812,7 @@ def pruned_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's filter over the unpartitioned source, proving the layout
     is content-preserving."""
     import hashlib
-    import io
     import os
-    from contextlib import redirect_stdout
 
     key = hashlib.md5(f"{sf_dir}:ppart_orders".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_ppart_orders_{key}")
@@ -2843,10 +2841,9 @@ def pruned_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        out.explain("formatted")
-    plan = buf.getvalue()
+    from bdq_spark.plans.plan_lint import plan_text
+
+    plan = plan_text(out)
     import re
 
     part = re.search(r"PartitionFilters: \[[^\]]*o_orderstatus[^\]]*\]", plan)
@@ -4355,15 +4352,11 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue"),
         )
     )
-    # self-enforcing zero-exchange proof via the PUBLIC explain surface
-    # (same capture as tools/explain_audit.py) — no py4j internals
-    import io
-    from contextlib import redirect_stdout
+    # self-enforcing zero-exchange proof via the shared thread-safe
+    # capture (same source as tools/explain_audit.py and the plan lint)
+    from bdq_spark.plans.plan_lint import plan_text
 
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        joined.explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_text(joined)
     if _plan_has_exchange(plan):
         raise RuntimeError(
             "bucketed join regressed to a shuffled plan:\n" + plan[:2000]
