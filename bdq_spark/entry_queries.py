@@ -16,6 +16,7 @@ analytical query) end-to-end against the driver testdata.  Conventions:
 
 from __future__ import annotations
 
+import re
 import shutil
 import tempfile
 from typing import Callable, Dict
@@ -5742,7 +5743,7 @@ def doc_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ffd_ctes(n_shards: int, budget: int, doc_src: str,
-              span: int = 1 << 40) -> str:
+              span: int = 1 << 40, prefix: str = "") -> str:
     """CTE chain replaying :func:`pack_documents` EXACTLY in DuckDB —
     the second "inherently sequential" algorithm to graduate from
     rows-only to value-hash (after :func:`_bpe_ctes`): first-fit-
@@ -5757,8 +5758,11 @@ def _ffd_ctes(n_shards: int, budget: int, doc_src: str,
     FFD-merged whole in ``(fill DESC, pack_id)`` order.  Requires the
     query to open with ``WITH RECURSIVE``.  ``doc_src`` must yield
     ``(doc_id BIGINT, t BIGINT)``; ends with ``asg(doc_id, t, shard,
-    pack_id, oversize)``."""
-    return f"""
+    pack_id, oversize)``.  ``prefix`` renames every internal CTE (the
+    final one becomes ``{prefix}asg``) so the chain can compose with
+    oracles whose CTE namespaces collide (the capstone replay's
+    shingle ``sh`` vs this chain's shard ``sh``)."""
+    body = f"""
 sh AS MATERIALIZED (
   SELECT doc_id, t,
          CAST((('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
@@ -5833,6 +5837,11 @@ asg AS MATERIALIZED (
            AS pack_id,
          a.oversize
   FROM asg0 a LEFT JOIN remap r ON true)"""
+    if prefix:
+        for n in ("sh", "rk", "nsh", "ffd", "fin", "asg0", "tails",
+                  "trk", "tn", "tfd", "remap", "asg"):
+            body = re.sub(rf"\b{n}\b", prefix + n, body)
+    return body
 
 
 _SEQ_PACKING_ORACLE = (
@@ -6543,9 +6552,11 @@ def documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _SHINGLE3_CTES (doc_contamination), the fingerprint GROUP BY
 # (dedup_fingerprint_documents) and the chunk window arithmetic
 # (doc_chunking at max_tokens=64/overlap=8) — one SQL copy per formula.
-_CORPUS_PREPARE_ORACLE = (
-    "WITH "
-    + _QUALITY_CTES
+# the funnel CTE chain (quality gate -> exact dedup -> decontamination
+# split -> chunk index), shared by the corpus_prepare oracle and the
+# full-capstone replay (_capstone_oracle)
+_PREPARE_CTES = (
+    _QUALITY_CTES
     + ",\nq AS (\n  SELECT doc_id, text FROM scored\n  WHERE "
     + _QUALITY_EXPR
     + r""" >= 0.5),
@@ -6582,13 +6593,17 @@ idx AS (
   SELECT doc_id, w, n,
          unnest(range(0, greatest(CAST(ceil((n - 8) / 56.0) AS BIGINT), 1)))
            AS ci
-  FROM sized)
-SELECT doc_id,
+  FROM sized)"""
+)
+
+_PREPARE_CHUNK_SELECT = r"""SELECT doc_id,
        CAST(ci AS INTEGER)                                  AS chunk_idx,
        array_to_string(w[ci * 56 + 1 : ci * 56 + 64], ' ')  AS chunk_text,
        CAST(least(64, n - ci * 56) AS INTEGER)              AS n_chunk_tokens
-FROM idx
-"""
+FROM idx"""
+
+_CORPUS_PREPARE_ORACLE = (
+    "WITH " + _PREPARE_CTES + "\n" + _PREPARE_CHUNK_SELECT + "\n"
 )
 
 
@@ -6633,14 +6648,60 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 _fill_stopword_oracle("corpus_prepare")
 
 
-@_register("corpus_training_pipeline")  # rows-only: the composition
-# includes the iterative BPE trainer (per-merge argmax) and sequential
-# per-shard FFD packing, neither SQL-expressible.  Every stage is
-# individually gated: the prepare funnel by corpus_prepare's composed
-# recursive-CTE oracle, BPE by the independent-Python golden tests,
-# encode by the round-trip test, packing by its invariant tests; the
-# composition's own invariants (budget respected, every chunk packed
-# exactly once, counts = segmentation counts) are pinned in
+def _capstone_oracle(n_merges: int = 20, n_shards: int = 64,
+                     budget: int = 2048) -> str:
+    """Replay the ENTIRE pretraining capstone in DuckDB: the prepare
+    funnel (:data:`_PREPARE_CTES` — quality gate, exact dedup,
+    decontamination split, 64/8 chunking), BPE training ON the cleaned
+    chunks (:func:`_bpe_ctes` with the chunk table as corpus),
+    per-chunk token counts via the final segmentation table, and the
+    sharded first-fit-decreasing assignment (:func:`_ffd_ctes`) —
+    every stage of the r8-graduated composition value-checked, not
+    just each stage alone.  The chunk identity is the md5-low-60-bit
+    integer of ``doc_id:chunk_idx`` (engine-portable, replayed here),
+    and zero-word chunks keep ``n_tokens = 0`` through LEFT joins
+    (packing's one-row-per-input contract)."""
+    tok_src = f"""SELECT c.cid AS doc_id,
+       CAST(coalesce(sum(len(w.s)), 0) AS BIGINT) AS t
+FROM cid c
+LEFT JOIN (SELECT cid, unnest(list_filter(
+             string_split_regex(lower(chunk_text), '[^a-z0-9]+'),
+             x -> x <> '')) AS word
+           FROM cid) cw ON c.cid = cw.cid
+LEFT JOIN w{n_merges} w ON cw.word = w.word
+GROUP BY c.cid"""
+    return (
+        "WITH RECURSIVE "
+        + _PREPARE_CTES
+        + ",\nch AS MATERIALIZED (\n"
+        + _PREPARE_CHUNK_SELECT
+        + """),
+cid AS MATERIALIZED (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':' || chunk_idx::VARCHAR),
+                         1, 15))::BIGINT AS cid,
+         doc_id, chunk_idx, chunk_text
+  FROM ch),
+"""
+        + _bpe_ctes(n_merges,
+                    src="(SELECT chunk_text AS text FROM cid)")
+        + ","
+        + _ffd_ctes(n_shards, budget, tok_src, prefix="fd_")
+        + """
+SELECT c.doc_id, c.chunk_idx, a.t AS n_tokens, a.shard, a.pack_id,
+       a.oversize
+FROM fd_asg a JOIN cid c ON a.doc_id = c.cid"""
+    )
+
+
+@_register("corpus_training_pipeline")
+# (the oracle is attached after _bpe_ctes is defined — search for
+# `ORACLE_SQL["corpus_training_pipeline"]` below)
+# Value-hash since r8 (was the last composed rows-only entry): the
+# oracle replays prepare funnel + BPE training on the cleaned chunks +
+# encoding counts + sharded FFD in one recursive-CTE query, so the
+# COMPOSITION (stage ordering included — the tokenizer trains on
+# exactly the corpus the funnel produced) is checked end to end.  The
+# composition invariants stay pinned in
 # tests/test_corpus.py::test_corpus_training_pipeline_invariants
 def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPSTONE composition — the COMPLETE pretraining-data pipeline a
@@ -6657,9 +6718,11 @@ def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        2048-token attention windows using TRUE tokenizer budgets.
 
     Output: one row per surviving chunk ``(doc_id, chunk_idx, n_tokens,
-    shard, pack_id, oversize)``.  Chunk identity flows through an
-    xxhash64 composite id (collision odds ~n^2/2^64 — negligible; at
-    100 TB the same id works because it never leaves the plan)."""
+    shard, pack_id, oversize)``.  Chunk identity flows through the md5
+    low-60-bit integer of ``doc_id:chunk_idx`` (collision odds
+    ~n^2/2^60 — negligible; engine-portable, which is what lets
+    :func:`_capstone_oracle` replay the shard/pack assignment and
+    value-hash the whole composition since r8)."""
     from bdq_spark.operators.corpus import prepare_corpus
     from bdq_spark.operators.packing import pack_documents
     from bdq_spark.operators.tokenizer import bpe_encode_corpus, train_bpe
@@ -6674,7 +6737,19 @@ def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap=8,
         pipeline_name="corpus_train_pipe",
     ).select(
-        F.xxhash64("doc_id", "chunk_idx").alias("chunk_id"),
+        # engine-portable composite chunk id: md5 low 60 bits of
+        # "doc_id:chunk_idx" (collision odds ~n^2/2^60 — negligible);
+        # md5 instead of xxhash64 so the DuckDB capstone replay can
+        # recompute the identical shard/pack assignment
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", "doc_id", "chunk_idx")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("chunk_id"),
         "doc_id",
         "chunk_idx",
         F.col("chunk_text").alias("text"),
@@ -6772,7 +6847,8 @@ _fill_stopword_oracle("corpus_prepare_neardup")
 # ---------------------------------------------------------------------------
 
 
-def _bpe_ctes(n_merges: int, min_pair: int = 2) -> str:
+def _bpe_ctes(n_merges: int, min_pair: int = 2,
+              src: str = "documents") -> str:
     """Shared CTE body replaying SEQUENTIAL Sennrich BPE training in
     DuckDB — ``n_merges`` unrolled rounds (the ``_kmeans_ctes``
     pattern for an iterative-argmax algorithm): each round counts
@@ -6797,7 +6873,7 @@ def _bpe_ctes(n_merges: int, min_pair: int = 2) -> str:
   FROM (SELECT unnest(list_filter(
           string_split_regex(lower(text), '[^a-z0-9]+'),
           x -> x <> '')) AS word
-        FROM documents)
+        FROM {src})
   GROUP BY word),
 w0 AS MATERIALIZED (
   SELECT word, freq,
@@ -6940,6 +7016,12 @@ def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(enc, "n_tokens", budget=512, id_column="id").select(
         F.col("id").alias("doc_id"), "n_tokens", "shard", "pack_id", "oversize"
     )
+
+
+# the capstone's oracle needs _bpe_ctes (defined just above), so it is
+# attached here rather than at the entry's own registration site
+ORACLE_SQL["corpus_training_pipeline"] = _capstone_oracle()
+_fill_stopword_oracle("corpus_training_pipeline")
 
 
 # ---------------------------------------------------------------------------
@@ -8456,16 +8538,21 @@ def streaming_matview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # ROUND-8 WINDOW (see NOTES_r8 and tests/test_registry.py): first
     # every entry that is new or whose CODE or ORACLE changed in r8
-    # (the two repaired HUGEINT oracles; never-driver-checked
+    # (the capstone graduated to value-hash via the composed
+    # prepare+BPE+FFD replay, with an engine-portable md5 chunk id;
+    # the two repaired HUGEINT oracles; never-driver-checked
     # near_dup_kcore; the new MP3 frame-chain entry; the self-guarded
     # exact ANN twin; the quantile-naming, snapshot-diff null-safety
     # and bloom file-census fixes), then ALL 23 entries whose latest
-    # driver row is r4 (the oldest coverage), then the 18
-    # alphabetically-first r5-stale entries.  Invariant (pytest):
+    # driver row is r4 (the oldest coverage), then 17 of the 18
+    # alphabetically-first r5-stale entries (doc_compression_ratio
+    # rotated out for the capstone — its rows-only refresh is the
+    # least informative slot; it is first in line for r9).  Invariant (pytest):
     # first-50 union all CORRECTNESS_r* rounds covers the whole
     # registry, and no entry's latest driver row is older than r5.
     #
     # new or code/oracle changed in r8
+    "corpus_training_pipeline",
     "join_size_estimate_cms",
     "embedding_kmeans_quantized",
     "near_dup_kcore",
@@ -8506,7 +8593,6 @@ _DRIVER_PRIORITY = [
     "compare_orders_diff",
     "corpus_prepare_neardup",
     "customer_retention_setops",
-    "doc_compression_ratio",
     "doc_lm_score_bigram",
     "doc_lm_score_trigram",
     "doc_sequence_packing",
