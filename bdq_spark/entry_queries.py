@@ -1821,9 +1821,12 @@ def knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # scale contract of the one deliberately-quadratic registry entry:
-# above this corpus size the exact all-pairs shape refuses to run
-# (matches embedding_cosine_pairs' auto exact->LSH cutover)
-_NEAR_DUP_PAIRS_EXACT_MAX_ROWS = 200_000
+# above this corpus size the exact all-pairs shape refuses to run.
+# Imported from the operator (its auto exact->LSH cutover) so the
+# guard tracks the contract it mirrors instead of duplicating it.
+from bdq_spark.operators.dedup import (  # noqa: E402
+    EMBEDDING_PAIRS_EXACT_MAX_ROWS as _NEAR_DUP_PAIRS_EXACT_MAX_ROWS,
+)
 
 
 @_register(
@@ -5767,7 +5770,7 @@ sh AS MATERIALIZED (
   SELECT doc_id, t,
          CAST((('0x' || substr(md5(chr(31) || doc_id::VARCHAR), 1, 8))::BIGINT
                % 1000000) % {n_shards} AS INT) AS shard
-  FROM ({doc_src})),
+  FROM (__FFD_DOC_SRC__)),
 rk AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY shard ORDER BY t DESC, doc_id)
     AS rn
@@ -5837,11 +5840,16 @@ asg AS MATERIALIZED (
            AS pack_id,
          a.oversize
   FROM asg0 a LEFT JOIN remap r ON true)"""
+    # prefix the internal CTE names BEFORE splicing in the caller's
+    # doc_src — renaming afterwards would also rewrite any alias or
+    # identifier inside doc_src that happens to collide with one of
+    # the 12 internal names (e.g. an alias "sh"), producing silently
+    # wrong SQL
     if prefix:
         for n in ("sh", "rk", "nsh", "ffd", "fin", "asg0", "tails",
                   "trk", "tn", "tfd", "remap", "asg"):
             body = re.sub(rf"\b{n}\b", prefix + n, body)
-    return body
+    return body.replace("__FFD_DOC_SRC__", doc_src)
 
 
 _SEQ_PACKING_ORACLE = (

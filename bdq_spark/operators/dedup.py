@@ -1128,6 +1128,14 @@ def _blocked_cosine_candidates(
     )
 
 
+# auto-mode cutover: corpora up to this many rows use the exact
+# all-pairs path, larger ones the LSH path.  Single source of truth —
+# callers that self-guard against accidentally running exact mode past
+# the cutover (entry_queries.embedding_near_dup_pairs) import THIS
+# constant so the guard can't drift from the operator contract.
+EMBEDDING_PAIRS_EXACT_MAX_ROWS = 200_000
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vector_column: str = "embedding",
@@ -1137,7 +1145,7 @@ def embedding_cosine_pairs(
     num_planes: int = 8,
     n_probe: int = 3,
     block_rows: int = 16384,
-    exact_max_rows: int = 200_000,
+    exact_max_rows: int = EMBEDDING_PAIRS_EXACT_MAX_ROWS,
     dim: Optional[int] = None,
 ) -> DataFrame:
     """Pairs of rows whose embedding cosine similarity >= ``threshold``.

@@ -352,16 +352,26 @@ def sampled_quantiles(
     )
     cols = []
     names = []
+    from decimal import Decimal
+
     for p in probs:
         # name from the FULL fractional digits (0.5 -> p50, 0.975 ->
         # p975) — the old [:2] truncation mislabeled 3-decimal probs
-        # (0.975 -> p97) and collided (0.25 vs 0.255 -> both p25)
-        s = str(p)
-        if not (s.startswith("0.") and s[2:].isdigit()):
+        # (0.975 -> p97) and collided (0.25 vs 0.255 -> both p25).
+        # Normalize through Decimal at 9 fractional places so float
+        # arithmetic noise (0.1 + 0.2 -> '0.30000000000000004' ->
+        # p30000000000000004) and scientific-notation reprs (1e-05)
+        # both derive the intended name instead of garbage/rejection.
+        if not 0 < p < 1:
+            raise ValueError(f"prob {p!r} must be in (0, 1)")
+        d = Decimal(str(p)).quantize(Decimal("1e-9")).normalize()
+        if d <= 0 or d >= 1:
             raise ValueError(
-                f"prob {p!r} must be in (0, 1) and expressible as "
-                "0.<digits> (no scientific notation)"
+                f"prob {p!r} rounds to {d} at 9 decimal places; "
+                "quantile probs must stay inside (0, 1) at that "
+                "precision to derive a column name"
             )
+        s = format(d, "f")  # plain notation, trailing zeros stripped
         name = "p" + s[2:].ljust(2, "0")
         names.append(name)
         idx = F.floor(F.lit(float(p)) * (F.col("n") - 1)).cast("int")

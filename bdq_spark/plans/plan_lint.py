@@ -203,8 +203,15 @@ def _single_partition_hazards(plan: str) -> int:
     for i, (m, _ln) in enumerate(nodes):
         if not m or m.group(1) != "Exchange" or m.group(2) not in sp_ids:
             continue
-        # pre-order text: the exchange's (only) child is the next line
-        child = nodes[i + 1][0] if i + 1 < len(nodes) else None
+        # pre-order text: the exchange's (only) child is the NEXT tree
+        # node — scan past lines that aren't plan nodes (AQE runs
+        # interleave section markers like "+- == Final Plan ==" into
+        # the tree; treating one as the child flagged healthy plans)
+        child = None
+        for nm, _ in nodes[i + 1:]:
+            if nm is not None:
+                child = nm
+                break
         if child is None or not _REDUCING_CHILD.match(child.group(1)):
             hazards += 1
     return hazards

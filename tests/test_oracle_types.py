@@ -62,3 +62,23 @@ def test_lint_actually_fires_on_hugeint(con):
     flags that the sweep has gone vacuous."""
     rel = con.sql("SELECT sum(o_orderkey) AS s FROM orders")
     assert _banned_columns(rel) == [("s", "HUGEINT")]
+
+
+def test_arrow_rows_preserves_duplicate_column_names(con):
+    """ADVICE r8: the local gate's row rebuild must be positional — a
+    dict-keyed rebuild collapses duplicate output column names to one
+    value, silently weakening the multiset compare for that shape."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    tbl = con.sql("SELECT 1 AS a, 2 AS a, 3 AS b").arrow()
+    assert mod.arrow_rows(tbl) == [(1, 2, 3)]
+    empty = con.sql("SELECT 1 AS a WHERE false").arrow()
+    assert mod.arrow_rows(empty) == []

@@ -209,3 +209,43 @@ def test_registry_entries_pass_scale_lint(spark):
         findings = lint_plan(queries[name](spark, SF_DIR))
         errors = [f for f in findings if f.severity == "ERROR"]
         assert errors == [], f"{name}: {[str(f) for f in errors]}"
+
+
+def test_aqe_section_marker_is_not_the_exchange_child(spark):
+    """ADVICE r8: in executed-AQE formatted plans, section markers
+    ("+- == Initial Plan ==") interleave the tree.  The single-
+    partition rule must scan FORWARD to the next real node when the
+    line after an Exchange is not a node, instead of treating an
+    unparsed neighbor as a missing (hence hazardous) child."""
+    # synthetic: marker sits between the SinglePartition exchange and
+    # its reducing child — benign, must not be flagged
+    benign = (
+        "== Physical Plan ==\n"
+        "AdaptiveSparkPlan (5)\n"
+        "+- == Final Plan ==\n"
+        "   HashAggregate (4)\n"
+        "   +- Exchange (3)\n"
+        "      +- == Current Plan ==\n"
+        "         HashAggregate (2)\n"
+        "            +- Scan parquet  (1)\n"
+        "\n"
+        "(3) Exchange\n"
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+    )
+    assert "single-partition-exchange" not in rules_of(lint_plan(benign))
+    # twin: the next real node past the marker is NOT reducing — the
+    # funnel is genuine and must still be flagged
+    hazard = benign.replace("         HashAggregate (2)\n",
+                            "         Sort (2)\n")
+    assert "single-partition-exchange" in rules_of(lint_plan(hazard))
+    # real executed-AQE plan: a global aggregate stays clean after the
+    # adaptive plan has run (markers + QueryStage nodes in the tree)
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy()
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    df.collect()
+    executed = plan_text(df)
+    assert "== Final Plan ==" in executed  # precondition: AQE ran
+    assert "single-partition-exchange" not in rules_of(lint_plan(executed))

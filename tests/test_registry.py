@@ -71,6 +71,22 @@ def test_near_dup_pairs_entry_self_guards(spark):
     pairs."""
     import pytest
 
+    from bdq_spark.operators import dedup
+    import inspect
+
+    # ADVICE r8: the guard bound IS the operator's auto-cutover
+    # constant (one definition, imported) — not a duplicated literal
+    # that could silently drift from the contract it mirrors
+    assert (
+        eq._NEAR_DUP_PAIRS_EXACT_MAX_ROWS
+        is dedup.EMBEDDING_PAIRS_EXACT_MAX_ROWS
+    )
+    assert (
+        inspect.signature(dedup.embedding_cosine_pairs)
+        .parameters["exact_max_rows"].default
+        == dedup.EMBEDDING_PAIRS_EXACT_MAX_ROWS
+    )
+
     bound = eq._NEAR_DUP_PAIRS_EXACT_MAX_ROWS
     try:
         eq._NEAR_DUP_PAIRS_EXACT_MAX_ROWS = 10
@@ -85,3 +101,34 @@ def test_near_dup_pairs_entry_self_guards(spark):
     )
     assert out.columns == ["id_a", "id_b", "cosine"]
     assert out.count() >= 0
+
+
+def test_ffd_ctes_prefix_does_not_rewrite_doc_src():
+    """ADVICE r8: CTE-name prefixing must happen BEFORE the caller's
+    doc_src is spliced in — a doc_src whose aliases collide with the
+    12 internal CTE names (e.g. "sh") used to be silently rewritten
+    into wrong SQL.  Both variants must run and agree in DuckDB."""
+    import duckdb
+
+    plain_src = "SELECT doc_id, t FROM base"
+    # same source, but routed through aliases named after internal CTEs
+    colliding_src = (
+        "SELECT sh.doc_id, asg.t FROM base sh "
+        "JOIN base asg ON asg.doc_id = sh.doc_id"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base AS SELECT CAST(i AS BIGINT) AS doc_id, "
+        "CAST(1 + (i * 37) % 200 AS BIGINT) AS t FROM range(50) r(i)"
+    )
+    results = []
+    for prefix, src in (("", plain_src), ("q_", colliding_src)):
+        sql = (
+            "WITH RECURSIVE "
+            + eq._ffd_ctes(4, 256, src, prefix=prefix)
+            + f" SELECT doc_id, t, pack_id, oversize FROM {prefix}asg"
+            " ORDER BY doc_id"
+        )
+        assert "sh.doc_id" in sql or prefix == ""  # src left intact
+        results.append(con.sql(sql).fetchall())
+    assert results[0] == results[1]

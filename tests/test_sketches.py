@@ -302,7 +302,11 @@ def test_countmin_property_cells_exact(spark, vals):
 
 def test_sampled_quantiles_names_three_decimal_probs(spark):
     """ADVICE r7: 0.975 must label as p975 (not p97), and near-duplicate
-    probs must not silently collide into one column name."""
+    probs must not silently collide into one column name.  ADVICE r8:
+    names derive from a 9-place Decimal normalization, so a prob
+    computed as 0.1 + 0.2 labels p30 (not p30000000000000004) and
+    scientific-notation reprs (1e-05) get their plain-notation name
+    instead of being rejected."""
     import pytest
 
     from bdq_spark.operators.sketches import sampled_quantiles
@@ -315,7 +319,15 @@ def test_sampled_quantiles_names_three_decimal_probs(spark):
     assert out.columns == ["sample_n", "p25", "p255", "p50", "p975"]
     row = out.collect()[0]
     assert row["p25"] <= row["p50"] <= row["p975"]
-    with pytest.raises(ValueError, match="scientific|0, 1"):
-        sampled_quantiles(df, "x", ["k"], k=8, probs=(1e-05,))
+    noisy = sampled_quantiles(df, "x", ["k"], k=64,
+                              probs=(0.1 + 0.2, 1e-05))
+    assert noisy.columns == ["sample_n", "p30", "p00001"]
     with pytest.raises(ValueError, match="0, 1"):
         sampled_quantiles(df, "x", ["k"], k=8, probs=(1.5,))
+    with pytest.raises(ValueError, match="9 decimal"):
+        # rounds to 0 at 9 places — no representable name
+        sampled_quantiles(df, "x", ["k"], k=8, probs=(1e-12,))
+    with pytest.raises(ValueError, match="duplicate"):
+        # distinct floats that collapse at 9 places must not silently
+        # share a column name
+        sampled_quantiles(df, "x", ["k"], k=8, probs=(0.3, 0.1 + 0.2))

@@ -52,6 +52,16 @@ def row_key(row, col_order):
     return tuple(norm_cell(row[i]) for i in col_order)
 
 
+def arrow_rows(tbl) -> list:
+    """Rows of an Arrow table as positional tuples.  Positional, not
+    via ``to_pylist()`` dicts: dict-keyed rebuild silently collapses
+    duplicate output column names to one value, weakening the multiset
+    compare for that shape (ADVICE r8)."""
+    if tbl.num_columns == 0:
+        return [() for _ in range(tbl.num_rows)]
+    return list(zip(*[col.to_pylist() for col in tbl.columns]))
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from bdq_spark.session import get_spark
@@ -90,9 +100,7 @@ def main() -> int:
         try:
             tbl = con.sql(oracles[name]).arrow()
             duck_cols = list(tbl.column_names)
-            duck_rows = [
-                tuple(d[c] for c in duck_cols) for d in tbl.to_pylist()
-            ]
+            duck_rows = arrow_rows(tbl)
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
