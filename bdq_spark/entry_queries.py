@@ -2881,8 +2881,8 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELF-ENFORCING file-skipping proof — the FILE-level sibling of
     ``pruned_scan_orders`` (directory pruning) and the payoff of
     ``orders_zorder_layout``: orders staged ONCE as a Z-ordered parquet
-    directory over (epoch-day, price-cents) with a ``_ZONEMAP.json``
-    per-file min/max index (:func:`write_zonemap`), then a range
+    directory over (epoch-day, price-cents) with a per-file min/max
+    sidecar index (:func:`write_zonemap`), then a range
     predicate on BOTH dimensions resolves through
     :func:`zonemap_candidate_files` and scans only the overlapping
     files.  The entry RAISES unless the zonemap actually pruned
@@ -2900,7 +2900,7 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         zonemap_candidate_files,
     )
 
-    key = hashlib.md5(f"{sf_dir}:zonemap_orders".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:zonemap_orders:v2".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_zonemap_orders_{key}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
@@ -8121,10 +8121,10 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bloom_index,
     )
 
-    # v3: packed-bitmap sidecar + probe key pinned at staging (bump on
-    # any staging/index change so cached stale dirs regenerate instead
-    # of silently testing the old index)
-    key = hashlib.md5(f"{sf_dir}:bloom_orders:v3".encode()).hexdigest()[:12]
+    # v4: executor-written parquet word-array sidecar (r9; v3 was the
+    # packed-bitmap JSON).  Bump on any staging/index change so cached
+    # stale dirs regenerate instead of silently testing the old index.
+    key = hashlib.md5(f"{sf_dir}:bloom_orders:v4".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_bloom_orders_{key}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
@@ -8189,8 +8189,8 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def indexed_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH sidecar indexes on one directory, resolved through the
     one-call :func:`read_indexed` API: orders staged ONCE Z-ordered
-    over (epoch-day, price-cents) with a ``_ZONEMAP.json`` (range
-    pruning) AND a ``_BLOOM.json`` on ``o_orderkey`` (equality
+    over (epoch-day, price-cents) with a zonemap sidecar (range
+    pruning) AND a Bloom sidecar on ``o_orderkey`` (equality
     pruning), then a combined query — a +-30-day range around the
     probe row's date plus the point key — prunes by the INTERSECTION
     of the two candidate sets.  SELF-ENFORCING three ways: each index
@@ -8211,7 +8211,7 @@ def indexed_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         zonemap_candidate_files,
     )
 
-    key = hashlib.md5(f"{sf_dir}:indexed_orders:v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:indexed_orders:v2".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_indexed_orders_{key}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
@@ -8544,77 +8544,72 @@ def streaming_matview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-8 WINDOW (see NOTES_r8 and tests/test_registry.py): first
-    # every entry that is new or whose CODE or ORACLE changed in r8
-    # (the capstone graduated to value-hash via the composed
-    # prepare+BPE+FFD replay, with an engine-portable md5 chunk id;
-    # the two repaired HUGEINT oracles; never-driver-checked
-    # near_dup_kcore; the new MP3 frame-chain entry; the self-guarded
-    # exact ANN twin; the quantile-naming, snapshot-diff null-safety
-    # and bloom file-census fixes), then ALL 23 entries whose latest
-    # driver row is r4 (the oldest coverage), then 17 of the 18
-    # alphabetically-first r5-stale entries (doc_compression_ratio
-    # rotated out for the capstone — its rows-only refresh is the
-    # least informative slot; it is first in line for r9).  Invariant (pytest):
-    # first-50 union all CORRECTNESS_r* rounds covers the whole
-    # registry, and no entry's latest driver row is older than r5.
+    # ROUND-9 WINDOW (see NOTES_r9 and tests/test_registry.py): first
+    # the three entries whose staged sidecar format changed this round
+    # (executor-written parquet zonemap/bloom manifests + Spark-side
+    # candidate resolution — outputs proven hash-identical locally,
+    # re-verified by the driver here), then ALL 29 entries whose
+    # latest driver row is r5 (the oldest coverage — the rotation
+    # invariant would go red at r10 handoff for any of these left
+    # out), then the 18 alphabetically-first of the 39 r6-stale
+    # entries (the remaining 21 are first in line for r10).
+    # Invariant (pytest): first-50 union all CORRECTNESS_r* rounds
+    # covers the whole registry, and no entry's latest driver row is
+    # older than newest-3.
     #
-    # new or code/oracle changed in r8
-    "corpus_training_pipeline",
-    "join_size_estimate_cms",
-    "embedding_kmeans_quantized",
-    "near_dup_kcore",
-    "multimodal_mp3_stream_stats",
-    "embedding_near_dup_pairs",
-    "orders_sampled_quantiles",
-    "orders_snapshot_diff_matview",
+    # staged-sidecar format changed in r9
+    "zonemap_pruned_scan",
     "bloom_pruned_scan",
     "indexed_scan_orders",
-    # oldest driver coverage (latest row is r4)
-    "simhash_md5_fingerprints",
-    "knn_embeddings",
-    "quality_rules_lineitem",
-    "rules_quarantine_lineitem",
-    "events_sliding_windows",
-    "events_user_sessions",
-    "streaming_windowed_counts",
-    "pk_minimal_combinations",
-    "schema_diff_orders",
-    "pipeline_odd_even",
-    "jsonl_ingest_documents",
-    "sink_partitioned_roundtrip",
-    "orc_roundtrip_supplier",
-    "lineitem_cube",
-    "orders_rollup_by_year",
-    "orders_pivot_priority_status",
-    "supplier_part_join_agg",
-    "large_order_customers",
-    "wealthy_low_activity_customers",
-    "top_supplier_by_period_revenue",
-    "salted_join_revenue",
-    "skew_report_lineitem_suppkey",
-    "profile_lineitem_correlations",
-    # r5-stale refresh (alphabetical prefix of the 43 r5-latest entries)
-    "cdc_apply_customer",
-    "cheapest_supplier_per_part",
-    "compact_roundtrip_orders",
-    "compare_orders_diff",
-    "corpus_prepare_neardup",
-    "customer_retention_setops",
-    "doc_lm_score_bigram",
-    "doc_lm_score_trigram",
-    "doc_sequence_packing",
-    "doc_top_terms",
-    "docs_fixed_sample_by_lang",
-    "documents_deduped",
-    "duplicate_spans_documents",
-    "fk_broken_lineitem_part",
-    # new-in-r8 oracles (rows-only -> value-hash graduations: BPE
-    # training replay + recursive-CTE FFD packing replay;
-    # doc_sequence_packing is already in the alphabetical block above)
-    "bpe_train_merges",
-    "bpe_token_counts",
-    "doc_bpe_packing",
+    # oldest driver coverage (latest row is r5)
+    "doc_compression_ratio",
+    "fk_broken_sampled",
+    "histogram_orders_totalprice",
+    "incremental_minhash_md5",
+    "incremental_minhash_near_dup",
+    "knn_ivf_embeddings",
+    "knn_quantized_embeddings",
+    "language_confusion",
+    "latest_events",
+    "latest_events_conflict",
+    "minhash_lsh_near_dup",
+    "minhash_md5_near_dup",
+    "near_dup_clusters",
+    "near_dup_edit_verified",
+    "near_dup_jaccard",
+    "pk_validate_lineitem_composite",
+    "pk_validate_lineitem_orderkey",
+    "pricing_summary",
+    "profile_drift_orders",
+    "quantiles_lineitem_by_flag",
+    "simhash_fingerprints",
+    "simhash_md5_pairs",
+    "simhash_pairs",
+    "stateful_running_counter",
+    "stateful_sessionize",
+    "streaming_interval_join",
+    "surrogate_key_hash_customer",
+    "surrogate_key_string_customer",
+    "vocab_stats_documents",
+    # r6-stale refresh (alphabetical prefix of the 39 r6-latest entries)
+    "asof_click_purchase",
+    "corpus_prepare",
+    "customer_pseudonymize",
+    "customers_per_region",
+    "dedup_events_by_user_type",
+    "dedup_fingerprint_documents",
+    "doc_bpe_tokens",
+    "doc_chunking",
+    "doc_contamination",
+    "doc_contamination_spans",
+    "doc_contamination_weighted",
+    "doc_gopher_quality",
+    "doc_language",
+    "doc_pii_redaction",
+    "doc_quality",
+    "doc_repetition",
+    "doc_stats",
+    "doc_training_order",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -29,9 +29,11 @@ __all__ = [
     "compact_parquet",
     "write_zonemap",
     "zonemap_candidate_files",
+    "zonemap_manifest",
     "read_zonemap",
     "write_bloom_index",
     "bloom_candidate_files",
+    "bloom_manifest",
     "read_bloom",
     "indexed_candidate_files",
     "read_indexed",
@@ -163,13 +165,20 @@ def write_zonemap(
 
     The stats census is a DISTRIBUTED second scan of the written files
     (``input_file_name`` group-by — no driver-side footer reads, works
-    on any Hadoop-FS path); only the final per-file min/max table
-    (one row per file — bounded by the file count the layout chose)
-    lands on the driver to serialize as ``_ZONEMAP.json``.
+    on any Hadoop-FS path), and since round 9 the sidecar itself is
+    written EXECUTOR-SIDE as parquet shards under ``<path>/_ZONEMAP``
+    (underscore-prefixed, so data reads of ``path`` never see it) —
+    no per-file stats ever land on the driver, so the build scales to
+    100 TB file counts.  Candidate resolution
+    (:func:`zonemap_candidate_files`) filters the sidecar IN SPARK and
+    collects only the surviving file names.  Pre-r9 ``_ZONEMAP.json``
+    manifests still resolve through a legacy driver-side path.
 
-    ``stats_cols`` must be numeric (int/long/double) — the manifest is
-    JSON and the overlap test is numeric comparison.  Returns the
-    manifest dict ``{file: {col: [min, max]}}``.
+    ``stats_cols`` must be numeric (int/long/double) — the overlap
+    test is numeric comparison.  Returns a bounded summary dict
+    ``{"files", "stats_cols", "sidecar"}``; use
+    :func:`zonemap_manifest` (O(files) driver memory, introspection
+    only) when the full per-file table is genuinely needed.
     """
     from pyspark.sql import functions as F
 
@@ -188,6 +197,7 @@ def write_zonemap(
         w = df.write.mode("overwrite")
     w.parquet(path)
 
+    sidecar = path.rstrip("/") + "/_ZONEMAP"
     census = (
         spark.read.parquet(path)
         .withColumn("__file", F.input_file_name())
@@ -196,51 +206,82 @@ def write_zonemap(
             *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
             *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
         )
-        .collect()
     )
-    manifest = {
-        r["__file"]: {
-            c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in stats_cols
-        }
-        for r in census
+    census.write.mode("overwrite").parquet(sidecar)
+    n_files = spark.read.parquet(sidecar).count()  # 1-row driver read
+    return {
+        "files": n_files,
+        "stats_cols": list(stats_cols),
+        "sidecar": sidecar,
     }
+
+
+def _fs_exists(spark, path: str, name: str) -> bool:
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    out = jvm.org.apache.hadoop.fs.Path(path, "_ZONEMAP.json")
-    fs = out.getFileSystem(conf)
-    stream = fs.create(out, True)
-    import json
+    p = jvm.org.apache.hadoop.fs.Path(path, name)
+    return p.getFileSystem(conf).exists(p)
 
-    stream.write(bytearray(json.dumps(manifest, indent=1).encode()))
-    stream.close()
-    return manifest
+
+def zonemap_manifest(spark, path: str) -> dict:
+    """The zonemap as a legacy-shaped dict ``{file: {col: [min, max]}}``.
+
+    INTROSPECTION/TEST tool only — collects one row per data file onto
+    the driver, which is exactly what the pruning path avoids.  Reads
+    the parquet sidecar when present, else a pre-r9 ``_ZONEMAP.json``.
+    """
+    if _fs_exists(spark, path, "_ZONEMAP"):
+        rows = spark.read.parquet(path.rstrip("/") + "/_ZONEMAP").collect()
+        cols = sorted(
+            c[3:] for c in (rows[0].asDict() if rows else {})
+            if c.startswith("lo_")
+        )
+        return {
+            r["__file"]: {c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols}
+            for r in rows
+        }
+    return _fs_read_json(spark, path, "_ZONEMAP.json")
 
 
 def zonemap_candidate_files(spark, path: str, predicates: dict) -> dict:
     """Resolve ``predicates`` (``{col: (lo, hi)}`` inclusive ranges;
-    ``None`` bounds are open) against ``_ZONEMAP.json``: returns
+    ``None`` bounds are open) against the zonemap sidecar: returns
     ``{"files": [...], "total": n}`` — the files whose min/max range
     overlaps EVERY predicate, i.e. the only files that can contain
     matches (interval-overlap pruning is lossless by construction;
-    the correctness proof is the oracle on the read path)."""
-    import json
+    the correctness proof is the oracle on the read path).
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    mpath = jvm.org.apache.hadoop.fs.Path(path, "_ZONEMAP.json")
-    fs = mpath.getFileSystem(conf)
-    if not fs.exists(mpath):
-        raise ValueError(f"no _ZONEMAP.json under {path}")
-    stream = fs.open(mpath)
-    try:
-        # py4j passes byte[] buffers by value (mutations don't come
-        # back), so drain server-side via commons-io (ships w/ Hadoop)
-        data = bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    manifest = json.loads(data.decode())
+    The overlap test runs IN SPARK over the parquet sidecar — one tiny
+    job whose single collected row carries the total file count plus
+    only the SURVIVING file names, so the driver payload is bounded by
+    the candidates (the point of pruning), never the table's file
+    census.  Falls back to the driver-side walk of a pre-r9
+    ``_ZONEMAP.json``."""
+    from pyspark.sql import functions as F
+
+    if _fs_exists(spark, path, "_ZONEMAP"):
+        sm = spark.read.parquet(path.rstrip("/") + "/_ZONEMAP")
+        have = set(sm.columns)
+        cond = F.lit(True)
+        for col, (lo, hi) in predicates.items():
+            if f"lo_{col}" not in have:
+                raise ValueError(f"column {col!r} not in zonemap")
+            # an all-NULL file (lo IS NULL) can't match a range
+            c = F.col(f"lo_{col}").isNotNull()
+            if hi is not None:
+                c = c & (F.col(f"lo_{col}") <= F.lit(hi))
+            if lo is not None:
+                c = c & (F.col(f"hi_{col}") >= F.lit(lo))
+            cond = cond & c
+        row = sm.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sort_array(
+                F.collect_list(F.when(cond, F.col("__file")))
+            ).alias("files"),
+        ).collect()[0]
+        return {"files": list(row["files"]), "total": row["total"]}
+
+    manifest = _fs_read_json(spark, path, "_ZONEMAP.json")
     keep = []
     for fname, stats in manifest.items():
         ok = True
@@ -324,7 +365,7 @@ def write_bloom_index(
     bits: int = 8192,
     hashes: int = 5,
 ) -> dict:
-    """Build a FILE-LEVEL Bloom-filter sidecar (``_BLOOM.json``) over an
+    """Build a FILE-LEVEL Bloom-filter sidecar (``<path>/_BLOOM``) over an
     EXISTING parquet directory — the EQUALITY-predicate complement of
     :func:`write_zonemap`: min/max ranges prune range predicates on
     clustered columns, but an equality probe on a column the layout was
@@ -341,61 +382,102 @@ def write_bloom_index(
     of ``"j:" + str(v)`` mod ``bits``, j in [0, hashes).
 
     The census is DISTRIBUTED (``input_file_name`` + explode of the
-    ``hashes`` positions, distinct, per-file collect_set — each file
-    contributes at most ``bits`` positions regardless of row count);
-    only the bounded per-file position sets land on the driver.  The
-    sidecar stores each file's filter as a base64 LSB-first BITMAP
-    (``bits/8`` bytes before encoding) so candidate resolution reads
-    O(files * bits/8) regardless of key population — an int-list
-    encoding made the sidecar itself grow with the data and candidate
-    resolution measured linear.  Returns the manifest dict.
+    ``hashes`` positions, distinct, per-file bit-fold — each file
+    contributes at most ``bits`` positions regardless of row count),
+    and since round 9 the sidecar itself is written EXECUTOR-SIDE as
+    parquet shards under ``<path>/_BLOOM`` (one row per (file, column)
+    holding the filter as a dense LSB-first ``array<bigint>`` of
+    ``bits/64`` words, folded JVM-side with ``bit_or``) — nothing
+    data- or file-count-proportional ever lands on the driver, so the
+    build scales to 100 TB file counts.  The fixed-width word encoding
+    keeps candidate resolution O(files * bits/64) regardless of key
+    population — an int-list encoding made the sidecar itself grow
+    with the data and candidate resolution measured linear.  A tiny
+    ``_BLOOM_META.json`` (bits/hashes/columns — O(1)) rides alongside.
+
+    The manifest also carries the COMPLETE file census (one
+    column-NULL row per file): a column's per-file filters omit files
+    with zero non-null values for that column, so the candidate
+    universe must not be derived from any single column's keys — a
+    file all-NULL in one indexed column can still match an equality
+    probe on another (lossless-pruning contract).
+
+    Returns a bounded summary dict ``{"bits", "hashes", "bloom_cols",
+    "files", "sidecar"}``; use :func:`bloom_manifest` (O(files) driver
+    memory, introspection only) for the full legacy-shaped manifest.
     """
     from pyspark.sql import functions as F
 
     from bdq_spark.operators.dedup import _md5_base_hash
 
+    if not bloom_cols:
+        raise ValueError("bloom_cols must be non-empty")
     base = spark.read.parquet(path).withColumn("__file", F.input_file_name())
-    columns: dict = {}
-    for c in bloom_cols:
-        rows = (
-            base.select("__file", F.col(c).cast("string").alias("v"))
-            .where(F.col("v").isNotNull())
-            .select(
-                "__file",
-                F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("j"),
-                "v",
-            )
-            .select(
-                "__file",
-                F.pmod(
-                    _md5_base_hash(
-                        F.concat_ws(":", F.col("j").cast("string"), F.col("v"))
-                    ),
-                    F.lit(bits),
-                ).alias("p"),
-            )
-            .distinct()
-            .groupBy("__file")
-            .agg(F.collect_set("p").alias("ps"))
-            .collect()
-        )
-        columns[c] = {r["__file"]: _pack_bits(r["ps"], bits) for r in rows}
-    # The COMPLETE file census goes in the manifest: a column's per-file
-    # map omits files with zero non-null values for that column, so the
-    # candidate universe must not be derived from any single column's
-    # keys — a file all-NULL in one indexed column can still match an
-    # equality probe on another (lossless-pruning contract).
-    all_files = sorted(
-        r["__file"] for r in base.select("__file").distinct().collect()
+    nwords = (bits + 63) // 64
+    stack = "stack({}, {}) AS (__col, __v)".format(
+        len(bloom_cols),
+        ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in bloom_cols),
     )
-    manifest = {
-        "bits": bits,
-        "hashes": hashes,
-        "files": all_files,
-        "columns": columns,
-    }
-    _fs_write_json(spark, path, "_BLOOM.json", manifest)
-    return manifest
+    positions = (
+        base.selectExpr("__file", stack)
+        .where(F.col("__v").isNotNull())
+        .select(
+            "__file",
+            "__col",
+            F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("__j"),
+            "__v",
+        )
+        .select(
+            "__file",
+            "__col",
+            F.pmod(
+                _md5_base_hash(
+                    F.concat_ws(
+                        ":", F.col("__j").cast("string"), F.col("__v")
+                    )
+                ),
+                F.lit(bits),
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    filters = (
+        positions.selectExpr(
+            "__file",
+            "__col",
+            "CAST(__p DIV 64 AS INT) AS __w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT)) AS __bv",
+        )
+        .groupBy("__file", "__col", "__w")
+        .agg(F.expr("bit_or(__bv)").alias("__word"))
+        .groupBy("__file", "__col")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__w", "__word"))
+            ).alias("__m")
+        )
+        .select(
+            "__file",
+            "__col",
+            F.expr(
+                f"transform(sequence(0, {nwords - 1}), "
+                "i -> coalesce(__m[i], CAST(0 AS BIGINT)))"
+            ).alias("__words"),
+        )
+    )
+    census = base.select("__file").distinct().select(
+        "__file",
+        F.lit(None).cast("string").alias("__col"),
+        F.lit(None).cast("array<bigint>").alias("__words"),
+    )
+    sidecar = path.rstrip("/") + "/_BLOOM"
+    filters.unionByName(census).write.mode("overwrite").parquet(sidecar)
+    meta = {"bits": bits, "hashes": hashes, "bloom_cols": list(bloom_cols)}
+    _fs_write_json(spark, path, "_BLOOM_META.json", meta)
+    n_files = (  # 1-row driver read
+        spark.read.parquet(sidecar).where("__col IS NULL").count()
+    )
+    return {**meta, "files": n_files, "sidecar": sidecar}
 
 
 def _pack_bits(positions, bits: int) -> str:
@@ -425,14 +507,103 @@ def _bloom_positions(value, j_count: int, bits: int) -> list:
     ]
 
 
+def bloom_manifest(spark, path: str) -> dict:
+    """The Bloom index as a legacy-shaped dict ``{"bits", "hashes",
+    "files": [...], "columns": {col: {file: base64-bitmap}}}``.
+
+    INTROSPECTION/TEST tool only — collects one row per (file, column)
+    onto the driver, which is exactly what the pruning path avoids.
+    Reads the parquet sidecar when present (converting the word arrays
+    back to LSB-first base64 bitmaps), else a pre-r9 ``_BLOOM.json``.
+    """
+    import base64
+    import struct
+
+    if _fs_exists(spark, path, "_BLOOM"):
+        meta = _fs_read_json(spark, path, "_BLOOM_META.json")
+        bits = meta["bits"]
+        nbytes = (bits + 7) // 8
+        rows = spark.read.parquet(path.rstrip("/") + "/_BLOOM").collect()
+        columns: dict = {c: {} for c in meta["bloom_cols"]}
+        files = []
+        for r in rows:
+            if r["__col"] is None:
+                files.append(r["__file"])
+                continue
+            raw = b"".join(struct.pack("<q", w) for w in r["__words"])
+            columns[r["__col"]][r["__file"]] = base64.b64encode(
+                raw[:nbytes]
+            ).decode()
+        return {
+            "bits": bits,
+            "hashes": meta["hashes"],
+            "files": sorted(files),
+            "columns": columns,
+        }
+    return _fs_read_json(spark, path, "_BLOOM.json")
+
+
 def bloom_candidate_files(spark, path: str, equals: dict) -> dict:
     """Resolve equality predicates (``{col: value}``, ANDed) against
-    ``_BLOOM.json``: a file survives iff, for every predicate, ALL
+    the Bloom sidecar: a file survives iff, for every predicate, ALL
     ``hashes`` positions of the value are set in that file's filter.
     No false negatives (every position of every present value was set
     by the census), so pruning is lossless; the read path re-applies
     the exact predicate anyway.  Returns ``{"files": [...], "total":
-    n}``."""
+    n}``.
+
+    The membership test runs IN SPARK over the parquet sidecar: the
+    probe's positions (a handful of ints, computed driver-side) become
+    literal ``getbit`` conditions on the word array, and one tiny job
+    collects a single row carrying the total file count plus only the
+    SURVIVING file names — driver payload bounded by the candidates,
+    never the file census.  Falls back to the driver-side walk of a
+    pre-r9 ``_BLOOM.json``."""
+    from pyspark.sql import functions as F
+
+    if _fs_exists(spark, path, "_BLOOM"):
+        meta = _fs_read_json(spark, path, "_BLOOM_META.json")
+        bits, hashes = meta["bits"], meta["hashes"]
+        known = set(meta["bloom_cols"])
+        for col in equals:
+            if col not in known:
+                raise ValueError(f"column {col!r} not in bloom index")
+        sm = spark.read.parquet(path.rstrip("/") + "/_BLOOM")
+        # one indicator per probed column: this row is that column's
+        # filter AND every probe position's bit is set.  A file absent
+        # from the probed column's filters (all-NULL there) has no such
+        # row, so it cannot satisfy col = value — pruning it is
+        # lossless for THIS predicate only; census rows (col NULL)
+        # contribute 0 and keep every file in the universe.
+        indicators = []
+        for col, value in equals.items():
+            cond = F.col("__col") == col
+            for p in sorted(set(_bloom_positions(value, hashes, bits))):
+                cond = cond & F.expr(
+                    f"getbit(element_at(__words, {p // 64 + 1}), "
+                    f"{p % 64}) = 1"
+                )
+            indicators.append(F.when(cond, 1).otherwise(0))
+        npass = indicators[0]
+        for ind in indicators[1:]:
+            npass = npass + ind
+        row = (
+            sm.groupBy("__file")
+            .agg(F.sum(npass).alias("__np"))
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("__np") == len(equals), F.col("__file")
+                        )
+                    )
+                ).alias("files"),
+            )
+            .collect()[0]
+        )
+        return {"files": list(row["files"]), "total": row["total"]}
+
     manifest = _fs_read_json(spark, path, "_BLOOM.json")
     bits, hashes = manifest["bits"], manifest["hashes"]
     cols = manifest["columns"]

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from bdq_spark.sources.sinks import (
     _bloom_positions,
     bloom_candidate_files,
+    bloom_manifest,
     read_bloom,
     write_bloom_index,
 )
@@ -30,8 +31,8 @@ def _stage(spark, tmp, n=400, files=8, bits=2048, hashes=5):
     )
     # cluster by grp so id is scattered across files — the zonemap-hostile case
     df.repartitionByRange(files, "grp").write.mode("overwrite").parquet(path)
-    manifest = write_bloom_index(spark, path, ["id"], bits=bits, hashes=hashes)
-    return path, manifest
+    summary = write_bloom_index(spark, path, ["id"], bits=bits, hashes=hashes)
+    return path, summary
 
 
 def test_no_false_negatives_every_value(spark):
@@ -64,8 +65,10 @@ def test_positions_match_spark_side(spark):
     """The sidecar's sets must equal a plain-Python recompute over the
     actual file contents — pins the md5 position function end-to-end."""
     with tempfile.TemporaryDirectory() as tmp:
-        path, manifest = _stage(spark, tmp, n=100, files=4)
-        bits, hashes = manifest["bits"], manifest["hashes"]
+        path, summary = _stage(spark, tmp, n=100, files=4)
+        bits, hashes = summary["bits"], summary["hashes"]
+        manifest = bloom_manifest(spark, path)
+        assert summary["files"] == len(manifest["files"]) == 4
         full = spark.read.parquet(path).withColumn(
             "__file", F.input_file_name()
         )
@@ -170,8 +173,8 @@ def test_all_null_first_column_file_not_dropped(spark):
         df0.union(df1).repartitionByRange(2, "a").write.mode(
             "overwrite"
         ).parquet(path)
-        manifest = write_bloom_index(spark, path, ["a", "b"], bits=512,
-                                     hashes=4)
+        write_bloom_index(spark, path, ["a", "b"], bits=512, hashes=4)
+        manifest = bloom_manifest(spark, path)
         # precondition: some file really is absent from column a's map
         assert len(manifest["columns"]["a"]) < len(manifest["files"])
         cand = bloom_candidate_files(spark, path, {"b": "needle"})
@@ -184,9 +187,22 @@ def test_all_null_first_column_file_not_dropped(spark):
         null_files = set(manifest["files"]) - set(manifest["columns"]["a"])
         assert null_files and not (null_files & set(ca["files"]))
 
+        # legacy _BLOOM.json manifests (pre-r9 format) must resolve to
+        # the SAME candidates through the driver-side fallback path
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "_BLOOM"))
+        os.remove(os.path.join(path, "_BLOOM_META.json"))
+        mpath = os.path.join(path, "_BLOOM.json")
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh)
+        cand_legacy = bloom_candidate_files(spark, path, {"b": "needle"})
+        assert cand_legacy == cand
+        ca_legacy = bloom_candidate_files(spark, path, {"a": 1})
+        assert ca_legacy == ca
+
         # pre-r8 manifest (no "files" census): union-of-keys fallback
         # still spans every column's files
-        mpath = os.path.join(path, "_BLOOM.json")
         old = json.load(open(mpath))
         del old["files"]
         with open(mpath, "w") as fh:

@@ -115,6 +115,7 @@ def test_zonemap_roundtrip_and_pruning(spark, tmp_path):
         read_zonemap,
         write_zonemap,
         zonemap_candidate_files,
+        zonemap_manifest,
     )
 
     path = str(tmp_path / "zm")
@@ -124,12 +125,29 @@ def test_zonemap_roundtrip_and_pruning(spark, tmp_path):
         (F.col("id") * 3 % 997).alias("b"),
     )
     laid = df.repartitionByRange(8, "a").sortWithinPartitions("a")
-    manifest = write_zonemap(spark, laid, path, ["a", "b"])
+    summary = write_zonemap(spark, laid, path, ["a", "b"])
+    assert summary["files"] == 8
+    manifest = zonemap_manifest(spark, path)
     assert len(manifest) == 8
     # census truth: global min/max across files == table min/max
     los = min(v["a"][0] for v in manifest.values())
     his = max(v["a"][1] for v in manifest.values())
     assert (los, his) == (0, 99)
+    # per-file census exactness: sidecar rows == recomputed truth
+    truth = (
+        spark.read.parquet(path)
+        .withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(F.min("a"), F.max("a"), F.min("b"), F.max("b"))
+        .collect()
+    )
+    for r in truth:
+        assert manifest[r["__f"]] == {
+            "a": [r["min(a)"], r["max(a)"]],
+            "b": [r["min(b)"], r["max(b)"]],
+        }
+    # the sidecar is invisible to data reads of the directory
+    assert spark.read.parquet(path).columns == ["id", "a", "b"]
 
     cand = zonemap_candidate_files(spark, path, {"a": (10, 15)})
     assert 0 < len(cand["files"]) < cand["total"] == 8
@@ -213,3 +231,38 @@ def test_zonemap_zorder_composition_prunes_both_dims(spark, tmp_path):
     cy = zonemap_candidate_files(spark, path, {"y": (0, 63)})
     assert len(cx["files"]) < cx["total"]
     assert len(cy["files"]) < cy["total"]
+
+
+def test_zonemap_legacy_json_fallback(spark, tmp_path):
+    """Pre-r9 _ZONEMAP.json manifests must resolve to the SAME
+    candidates through the driver-side fallback path as the parquet
+    sidecar does through the Spark path."""
+    import json
+    import os
+    import shutil
+
+    from bdq_spark.sources.sinks import (
+        write_zonemap,
+        zonemap_candidate_files,
+        zonemap_manifest,
+    )
+
+    path = str(tmp_path / "zml")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 50).alias("a")
+    )
+    write_zonemap(
+        spark, df.repartitionByRange(4, "a"), path, ["a"]
+    )
+    preds = {"a": (10, 19)}
+    cand = zonemap_candidate_files(spark, path, preds)
+    assert 0 < len(cand["files"]) < cand["total"] == 4
+
+    manifest = zonemap_manifest(spark, path)
+    shutil.rmtree(os.path.join(path, "_ZONEMAP"))
+    with open(os.path.join(path, "_ZONEMAP.json"), "w") as fh:
+        json.dump(manifest, fh)
+    legacy = zonemap_candidate_files(spark, path, preds)
+    assert legacy == cand
+    # manifest introspection also reads the legacy format
+    assert zonemap_manifest(spark, path) == manifest
