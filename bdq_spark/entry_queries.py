@@ -8121,10 +8121,11 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bloom_index,
     )
 
-    # v4: executor-written parquet word-array sidecar (r9; v3 was the
-    # packed-bitmap JSON).  Bump on any staging/index change so cached
-    # stale dirs regenerate instead of silently testing the old index.
-    key = hashlib.md5(f"{sf_dir}:bloom_orders:v4".encode()).hexdigest()[:12]
+    # v5: exploded (file, col, word) parquet sidecar (r9; v4 was a
+    # dense word-array draft, v3 the packed-bitmap JSON).  Bump on any
+    # staging/index change so cached stale dirs regenerate instead of
+    # silently testing the old index.
+    key = hashlib.md5(f"{sf_dir}:bloom_orders:v5".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_bloom_orders_{key}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
@@ -8211,7 +8212,7 @@ def indexed_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         zonemap_candidate_files,
     )
 
-    key = hashlib.md5(f"{sf_dir}:indexed_orders:v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:indexed_orders:v3".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_indexed_orders_{key}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):

@@ -385,17 +385,20 @@ def write_bloom_index(
     ``hashes`` positions, distinct, per-file bit-fold — each file
     contributes at most ``bits`` positions regardless of row count),
     and since round 9 the sidecar itself is written EXECUTOR-SIDE as
-    parquet shards under ``<path>/_BLOOM`` (one row per (file, column)
-    holding the filter as a dense LSB-first ``array<bigint>`` of
-    ``bits/64`` words, folded JVM-side with ``bit_or``) — nothing
-    data- or file-count-proportional ever lands on the driver, so the
-    build scales to 100 TB file counts.  The fixed-width word encoding
-    keeps candidate resolution O(files * bits/64) regardless of key
-    population — an int-list encoding made the sidecar itself grow
-    with the data and candidate resolution measured linear.  A tiny
-    ``_BLOOM_META.json`` (bits/hashes/columns — O(1)) rides alongside.
+    parquet shards under ``<path>/_BLOOM`` — nothing data- or
+    file-count-proportional ever lands on the driver, so the build
+    scales to 100 TB file counts.  The filter is stored EXPLODED: one
+    row per NONZERO 64-bit word ``(__file, __col, __w, __word)``,
+    folded JVM-side with ``bit_or``.  A probe needs only its
+    ``hashes`` positions' words, so candidate resolution filters
+    ``__w IN (...)`` — pushed down to the parquet scan — and reads
+    O(hashes) words per file however large ``bits`` auto-sizes (a
+    dense per-file word array made the resolution scan grow with
+    ``bits``; an int-list encoding before that made the sidecar grow
+    with the data).  A tiny ``_BLOOM_META.json`` (bits/hashes/columns
+    — O(1)) rides alongside.
 
-    The manifest also carries the COMPLETE file census (one
+    The sidecar also carries the COMPLETE file census (one
     column-NULL row per file): a column's per-file filters omit files
     with zero non-null values for that column, so the candidate
     universe must not be derived from any single column's keys — a
@@ -413,7 +416,6 @@ def write_bloom_index(
     if not bloom_cols:
         raise ValueError("bloom_cols must be non-empty")
     base = spark.read.parquet(path).withColumn("__file", F.input_file_name())
-    nwords = (bits + 63) // 64
     stack = "stack({}, {}) AS (__col, __v)".format(
         len(bloom_cols),
         ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in bloom_cols),
@@ -450,25 +452,12 @@ def write_bloom_index(
         )
         .groupBy("__file", "__col", "__w")
         .agg(F.expr("bit_or(__bv)").alias("__word"))
-        .groupBy("__file", "__col")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__w", "__word"))
-            ).alias("__m")
-        )
-        .select(
-            "__file",
-            "__col",
-            F.expr(
-                f"transform(sequence(0, {nwords - 1}), "
-                "i -> coalesce(__m[i], CAST(0 AS BIGINT)))"
-            ).alias("__words"),
-        )
     )
     census = base.select("__file").distinct().select(
         "__file",
         F.lit(None).cast("string").alias("__col"),
-        F.lit(None).cast("array<bigint>").alias("__words"),
+        F.lit(None).cast("int").alias("__w"),
+        F.lit(None).cast("bigint").alias("__word"),
     )
     sidecar = path.rstrip("/") + "/_BLOOM"
     filters.unionByName(census).write.mode("overwrite").parquet(sidecar)
@@ -524,16 +513,25 @@ def bloom_manifest(spark, path: str) -> dict:
         bits = meta["bits"]
         nbytes = (bits + 7) // 8
         rows = spark.read.parquet(path.rstrip("/") + "/_BLOOM").collect()
-        columns: dict = {c: {} for c in meta["bloom_cols"]}
+        words: dict = {}
         files = []
         for r in rows:
             if r["__col"] is None:
                 files.append(r["__file"])
                 continue
-            raw = b"".join(struct.pack("<q", w) for w in r["__words"])
-            columns[r["__col"]][r["__file"]] = base64.b64encode(
-                raw[:nbytes]
-            ).decode()
+            words.setdefault(r["__col"], {}).setdefault(r["__file"], {})[
+                r["__w"]
+            ] = r["__word"]
+        columns: dict = {c: {} for c in meta["bloom_cols"]}
+        for col, per_file in words.items():
+            for fname, sparse in per_file.items():
+                buf = bytearray(nbytes)
+                for w, word in sparse.items():
+                    chunk = struct.pack("<q", word)
+                    buf[w * 8: w * 8 + len(chunk)] = chunk
+                columns[col][fname] = base64.b64encode(
+                    bytes(buf[:nbytes])
+                ).decode()
         return {
             "bits": bits,
             "hashes": meta["hashes"],
@@ -554,13 +552,17 @@ def bloom_candidate_files(spark, path: str, equals: dict) -> dict:
 
     The membership test runs IN SPARK over the parquet sidecar: the
     probe's positions (a handful of ints, computed driver-side) become
-    literal ``getbit`` conditions on the word array, and one tiny job
+    per-word bitmask conditions behind a ``__w IN (...)`` filter that
+    PUSHES DOWN to the sidecar scan — so resolution reads O(hashes)
+    words per file however large ``bits`` is — and one tiny job
     collects a single row carrying the total file count plus only the
-    SURVIVING file names — driver payload bounded by the candidates,
-    never the file census.  Falls back to the driver-side walk of a
+    SURVIVING file names (driver payload bounded by the candidates,
+    never the file census).  Falls back to the driver-side walk of a
     pre-r9 ``_BLOOM.json``."""
     from pyspark.sql import functions as F
 
+    if not equals:
+        raise ValueError("equals must name at least one (column, value)")
     if _fs_exists(spark, path, "_BLOOM"):
         meta = _fs_read_json(spark, path, "_BLOOM_META.json")
         bits, hashes = meta["bits"], meta["hashes"]
@@ -569,33 +571,53 @@ def bloom_candidate_files(spark, path: str, equals: dict) -> dict:
             if col not in known:
                 raise ValueError(f"column {col!r} not in bloom index")
         sm = spark.read.parquet(path.rstrip("/") + "/_BLOOM")
-        # one indicator per probed column: this row is that column's
-        # filter AND every probe position's bit is set.  A file absent
-        # from the probed column's filters (all-NULL there) has no such
-        # row, so it cannot satisfy col = value — pruning it is
-        # lossless for THIS predicate only; census rows (col NULL)
-        # contribute 0 and keep every file in the universe.
+        # per probed column: the distinct words its positions land in,
+        # each with the required bitmask.  A file survives iff EVERY
+        # required (col, word) row exists with all required bits set —
+        # a missing row means those bits are 0, so the file fails that
+        # predicate.  A file absent from the probed column's filters
+        # entirely (all-NULL there) can never satisfy col = value —
+        # pruning it is lossless for THIS predicate only; census rows
+        # (col NULL) contribute 0 hits and keep every file in the
+        # universe.
         indicators = []
+        scan_cond = F.col("__col").isNull()
+        required = 0
         for col, value in equals.items():
-            cond = F.col("__col") == col
-            for p in sorted(set(_bloom_positions(value, hashes, bits))):
-                cond = cond & F.expr(
-                    f"getbit(element_at(__words, {p // 64 + 1}), "
-                    f"{p % 64}) = 1"
+            masks: dict = {}
+            for p in set(_bloom_positions(value, hashes, bits)):
+                masks[p // 64] = masks.get(p // 64, 0) | (1 << (p % 64))
+            required += len(masks)
+            scan_cond = scan_cond | (
+                (F.col("__col") == col)
+                & F.col("__w").isin(sorted(masks))
+            )
+            for w, mask in sorted(masks.items()):
+                signed = mask - (1 << 64) if mask >= (1 << 63) else mask
+                indicators.append(
+                    F.when(
+                        (F.col("__col") == col)
+                        & (F.col("__w") == w)
+                        & (
+                            F.col("__word").bitwiseAND(F.lit(signed))
+                            == F.lit(signed)
+                        ),
+                        1,
+                    ).otherwise(0)
                 )
-            indicators.append(F.when(cond, 1).otherwise(0))
         npass = indicators[0]
         for ind in indicators[1:]:
             npass = npass + ind
         row = (
-            sm.groupBy("__file")
+            sm.where(scan_cond)
+            .groupBy("__file")
             .agg(F.sum(npass).alias("__np"))
             .agg(
                 F.count(F.lit(1)).alias("total"),
                 F.sort_array(
                     F.collect_list(
                         F.when(
-                            F.col("__np") == len(equals), F.col("__file")
+                            F.col("__np") == required, F.col("__file")
                         )
                     )
                 ).alias("files"),

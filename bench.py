@@ -4,11 +4,17 @@
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default all cores),
 ``SPARK_GRAFT_BENCH_REPS`` (default 3 — per-query time is the MIN over
-reps, which strips one-off JIT/plan-compilation and VM-noise spikes; this
-box swings 3x on heavy queries, so n=1 measures the hypervisor, not the
-plan), ``SPARK_GRAFT_BENCH_BUDGET`` (seconds, default 1200 — rep 1 always
-completes; later reps are skipped once the budget is spent, so a slow VM
-degrades to n=1 instead of overrunning the driver).
+the TIMED reps, which strips VM-noise spikes; this box swings 3x on
+heavy queries, so n=1 measures the hypervisor, not the plan),
+``SPARK_GRAFT_BENCH_WARMUP`` (default 1 — DISCARDED warmup sweeps run
+before the timed reps, so first-pass JIT/codegen-compile/page-cache
+effects never pollute any timed rep; round 8's capstone spread
+35.6/8.8/8.8 s was exactly this artifact.  Warmup times are recorded
+in BENCH_DETAIL.json under "warmup" for the archaeology but excluded
+from every reported stat), ``SPARK_GRAFT_BENCH_BUDGET`` (seconds,
+default 1200 — the warmup sweep and timed rep 1 always complete; later
+reps are skipped once the budget is spent, so a slow VM degrades to
+n=1 instead of overrunning the driver).
 
 Each query is materialized with the ``noop`` sink — full computation, no
 driver-side row transfer — so the number measures the engine, not py4j.
@@ -76,6 +82,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    warmups = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
@@ -106,15 +113,20 @@ def main() -> None:
 
     t0 = time.perf_counter()
     all_reps: dict[str, list[float]] = {name: [] for name in queries}
+    warmup_reps: dict[str, list[float]] = {name: [] for name in queries}
     reps_done = 0
-    for rep in range(reps):
+    warmups_done = 0
+    # negative rep indices are DISCARDED warmup sweeps: identical work,
+    # times recorded separately and excluded from every reported stat
+    for rep in range(-warmups, reps):
         if rep > 0 and time.perf_counter() - t0 > budget:
             break
+        target = warmup_reps if rep < 0 else all_reps
         for name, fn in queries.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            all_reps[name].append(round(time.perf_counter() - start, 4))
+            target[name].append(round(time.perf_counter() - start, 4))
             # operators may cache intermediates (minhash signatures,
             # shingle sets); drop them so later queries aren't timed under
             # the accumulated memory/GC pressure of earlier ones, and take
@@ -129,7 +141,10 @@ def main() -> None:
             for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
                 jrdd.unpersist()
             spark.sparkContext._jvm.System.gc()
-        reps_done = rep + 1
+        if rep < 0:
+            warmups_done += 1
+        else:
+            reps_done = rep + 1
 
     best = {name: min(ts) for name, ts in all_reps.items() if ts}
     detail = {
@@ -137,13 +152,21 @@ def main() -> None:
         "cpus": int(cpus),
         "reps_requested": reps,
         "reps_done": reps_done,
+        "warmups_requested": warmups,
+        "warmups_done": warmups_done,
         "budget_sec": budget,
         "wall_sec": round(time.perf_counter() - t0, 2),
         "min": best,
         "mean": {
             name: round(sum(ts) / len(ts), 4) for name, ts in all_reps.items() if ts
         },
+        "median": {
+            name: round(sorted(ts)[len(ts) // 2], 4)
+            for name, ts in all_reps.items()
+            if ts
+        },
         "reps": all_reps,
+        "warmup": warmup_reps,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

@@ -16,6 +16,8 @@ import importlib.util
 import json
 import os
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _spec = importlib.util.spec_from_file_location(
@@ -111,3 +113,34 @@ def test_every_entry_has_plan_golden_and_driver_coverage():
         if n not in window and latest.get(n, 0) < newest_round - 3
     ]
     assert stale == [], f"rotate these into _DRIVER_PRIORITY: {stale}"
+
+
+@pytest.mark.slow
+def test_full_registry_lints_error_free(spark):
+    """VERDICT r8 item 3: EVERY registry entry's physical plan must be
+    free of ERROR-severity scale hazards (cartesian product,
+    row-at-a-time Python UDF, unreduced single-partition funnel) — as
+    a pytest, so a new entry can't regress silently between rounds.
+    Runs at sf0.001 (explain-only beyond what entry construction
+    itself stages); WARN/INFO findings are the audit's business, not a
+    failure here."""
+    import __spark_entry__ as entrymod
+
+    from bdq_spark.plans.plan_lint import lint_plan
+
+    sf_dir = "/root/testdata/sf0.001"
+    errors = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # construction failure is its own bug
+            errors[name] = [f"entry construction failed: {e}"]
+            continue
+        bad = [
+            f"{f.rule}: {f.message}"
+            for f in lint_plan(df)
+            if f.severity == "ERROR"
+        ]
+        if bad:
+            errors[name] = bad
+    assert errors == {}, f"scale-hazard ERRORs in {sorted(errors)}: {errors}"
