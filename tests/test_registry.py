@@ -132,3 +132,20 @@ def test_ffd_ctes_prefix_does_not_rewrite_doc_src():
         assert "sh.doc_id" in sql or prefix == ""  # src left intact
         results.append(con.sql(sql).fetchall())
     assert results[0] == results[1]
+
+
+def test_api_index_is_current():
+    """docs/API.md is generated (tools/gen_api_index.py); a registry or
+    measurement change without regeneration would ship a stale index."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_index", os.path.join(REPO, "tools", "gen_api_index.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    target = os.path.join(REPO, "docs", "API.md")
+    assert os.path.exists(target), "run python tools/gen_api_index.py"
+    assert open(target).read() == mod.build(), (
+        "docs/API.md is stale — run python tools/gen_api_index.py"
+    )
