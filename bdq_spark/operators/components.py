@@ -33,11 +33,24 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "apply_dedup_clusters", "pagerank", "pagerank_quantized", "triangle_counts", "kcore"]
 
 
+# node-table size under which iterative graph ops broadcast the label/
+# rank relation into their per-round joins (2 longs/row -> ~32 MB at
+# the bound) instead of shuffling both sides: near-dup graphs are
+# proportional to the DUPLICATE population, so they sit far below this
+# in practice, while a genuinely huge graph keeps the shuffle path.
+GRAPH_BROADCAST_MAX_NODES = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_nodes: int, bound: int) -> DataFrame:
+    return F.broadcast(df) if n_nodes <= bound else df
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    broadcast_max_nodes: int = GRAPH_BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """Label every node appearing in ``pairs`` with its component's
     minimum member id.
@@ -47,6 +60,15 @@ def connected_components(
     survivor per duplicate cluster.  Raises if ``max_iterations`` rounds
     don't reach the fixpoint (pathologically long chains — raise the
     bound or pre-split the graph).
+
+    When the node table is small (``<= broadcast_max_nodes``, counted
+    once after the input checkpoint), the per-round label join and the
+    merge join run as BROADCAST hash joins — one keyed shuffle per
+    round (the min-aggregate) instead of three.  Near-dup graphs are
+    sized by the duplicate population, not the corpus, so this is the
+    common case; a larger graph falls back to the shuffle topology
+    automatically (values are exact integers either way, so the result
+    is identical).
     """
     # checkpoint the INPUT first: the union below reads the pair relation
     # twice (both edge directions), and the upstream pair producers
@@ -68,15 +90,25 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    n_nodes = labels.count()
 
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges.a == labels.id)
+            edges.join(
+                _maybe_broadcast(labels, n_nodes, broadcast_max_nodes),
+                edges.a == labels.id,
+            )
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("comp").alias("__n_comp"))
         )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            labels.join(
+                _maybe_broadcast(
+                    neighbor_min, n_nodes, broadcast_max_nodes
+                ),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 F.least(
@@ -129,6 +161,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    broadcast_max_nodes: int = GRAPH_BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """Fixed-iteration PageRank power iteration over an edge relation —
     the standard importance measure for entity graphs a data pipeline
@@ -153,7 +186,11 @@ def pagerank(
     destination) plus — only when dangling nodes exist at all — a 1-row
     mass aggregate.  A LAZY ``localCheckpoint`` per iteration keeps the
     plan flat (same iterative-lineage cure as
-    :func:`connected_components`).
+    :func:`connected_components`).  When the node table is small
+    (``<= broadcast_max_nodes``), the rank and contribution joins run
+    as BROADCAST hash joins — the checkpointed sides report no
+    partitioning stats, so without the explicit hint every round paid
+    three shuffles; a huge graph keeps the shuffle path automatically.
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -185,12 +222,19 @@ def pagerank(
             else 0.0
         )
         contrib = (
-            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            e_deg.join(
+                _maybe_broadcast(ranks, n_nodes, broadcast_max_nodes),
+                e_deg["src"] == ranks["id"],
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
         ranks = (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            nodes.join(
+                _maybe_broadcast(contrib, n_nodes, broadcast_max_nodes),
+                nodes["id"] == contrib["dst"],
+                "left",
+            )
             .select(
                 "id",
                 (
@@ -213,6 +257,7 @@ def pagerank_quantized(
     dst: str = "dst",
     iterations: int = 3,
     scale: int = 10**12,
+    broadcast_max_nodes: int = GRAPH_BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """Engine-portable PageRank twin: the same power iteration as
     :func:`pagerank` carried out entirely in EXACT bigint arithmetic —
@@ -235,7 +280,8 @@ def pagerank_quantized(
                               + dangling // N)) // 100
 
     Scale mechanics: identical to :func:`pagerank` — one shuffle per
-    iteration, broadcast 1-row dangling scalar, lazy localCheckpoint.
+    iteration under the node-count broadcast bound (three above it),
+    broadcast 1-row dangling scalar, lazy localCheckpoint.
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -269,7 +315,10 @@ def pagerank_quantized(
             else 0
         )
         contrib = (
-            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            e_deg.join(
+                _maybe_broadcast(ranks, n_nodes, broadcast_max_nodes),
+                e_deg["src"] == ranks["id"],
+            )
             .groupBy("dst")
             .agg(
                 # `div` is Spark's EXACT integer division — floor() of
@@ -278,7 +327,11 @@ def pagerank_quantized(
             )
         )
         ranks = (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            nodes.join(
+                _maybe_broadcast(contrib, n_nodes, broadcast_max_nodes),
+                nodes["id"] == contrib["dst"],
+                "left",
+            )
             .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
             .select(
                 "id",
