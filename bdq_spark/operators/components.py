@@ -437,6 +437,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    broadcast_max_nodes: int = GRAPH_BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983; the
     Matula-Beck peel, rounds-synchronous): repeatedly delete every node
@@ -462,7 +463,11 @@ def kcore(
     anti-joins against the (shrinking) sub-k node set, with an eager
     ``localCheckpoint`` per round so lineage stays flat; rounds are
     bounded by the graph's degeneracy ordering depth (log-ish for
-    tree-like regions), not by node count.
+    tree-like regions), not by node count.  The peeled set is counted
+    each round (the count doubles as the convergence check); under
+    ``broadcast_max_nodes`` the anti-joins take a broadcast hint —
+    the checkpointed set reports no stats, so Catalyst otherwise
+    shuffles the full edge relation against it twice per round.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -482,11 +487,24 @@ def kcore(
         bad = deg.where(F.col("degree") < k).select("src").localCheckpoint(
             eager=True
         )
-        if bad.isEmpty():
+        n_bad = bad.count()
+        if n_bad == 0:
             return deg.select(F.col("src").alias("id"), "degree")
         cur = (
-            cur.join(bad, "src", "left_anti")
-            .join(bad.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            cur.join(
+                _maybe_broadcast(bad, n_bad, broadcast_max_nodes),
+                "src",
+                "left_anti",
+            )
+            .join(
+                _maybe_broadcast(
+                    bad.withColumnRenamed("src", "dst"),
+                    n_bad,
+                    broadcast_max_nodes,
+                ),
+                "dst",
+                "left_anti",
+            )
             .localCheckpoint(eager=True)
         )
     # one final check: the last filter round may have converged exactly
