@@ -12,9 +12,12 @@ effects never pollute any timed rep; round 8's capstone spread
 35.6/8.8/8.8 s was exactly this artifact.  Warmup times are recorded
 in BENCH_DETAIL.json under "warmup" for the archaeology but excluded
 from every reported stat), ``SPARK_GRAFT_BENCH_BUDGET`` (seconds,
-default 1200 — the warmup sweep and timed rep 1 always complete; later
-reps are skipped once the budget is spent, so a slow VM degrades to
-n=1 instead of overrunning the driver).
+default 1800 — raised from 1200 when the warmup sweep landed so the
+default run still fits warmup + 3 TIMED reps; a budget that only
+admits warmup + 2 reps silently weakens the min statistic vs earlier
+rounds.  The warmup sweep and timed rep 1 always complete; later reps
+are skipped once the budget is spent, so a slow VM degrades to n=1
+instead of overrunning the driver).
 
 Each query is materialized with the ``noop`` sink — full computation, no
 driver-side row transfer — so the number measures the engine, not py4j.
@@ -83,7 +86,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     warmups = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
 
