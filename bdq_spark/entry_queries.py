@@ -2937,7 +2937,7 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{len(census['files'])}/{census['total']} files"
         )
     return (
-        read_zonemap(spark, path, preds)
+        read_zonemap(spark, path, preds, candidates=census)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -8166,7 +8166,9 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom pruning regressed — candidate census "
             f"{len(census['files'])}/{census['total']} files"
         )
-    return read_bloom(spark, path, {"o_orderkey": probe}).select(
+    return read_bloom(
+        spark, path, {"o_orderkey": probe}, candidates=census
+    ).select(
         "o_orderkey", "o_custkey", "cents"
     )
 
@@ -8266,7 +8268,9 @@ def indexed_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{len(cb['files'])}/{cb['total']}, intersection "
             f"{len(ci['files'])}"
         )
-    return read_indexed(spark, path, ranges, equals).select(
+    return read_indexed(
+        spark, path, ranges, equals, candidates=ci
+    ).select(
         "o_orderkey", "o_custkey", "cents"
     )
 

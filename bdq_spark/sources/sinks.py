@@ -302,15 +302,20 @@ def zonemap_candidate_files(spark, path: str, predicates: dict) -> dict:
     return {"files": sorted(keep), "total": len(manifest)}
 
 
-def read_zonemap(spark, path: str, predicates: dict) -> DataFrame:
+def read_zonemap(
+    spark, path: str, predicates: dict, candidates: Optional[dict] = None
+) -> DataFrame:
     """Scan only the files the zonemap cannot rule out, then apply the
     predicates exactly (pruning is a superset filter — the real
     predicate still runs, so results are identical to a full scan, just
     cheaper).  Empty candidate set returns an empty DataFrame with the
-    table's schema."""
+    table's schema.  ``candidates`` accepts a
+    :func:`zonemap_candidate_files` result for the SAME predicates so
+    callers that already resolved (e.g. to log a pruning census) don't
+    pay the resolution job twice."""
     from pyspark.sql import functions as F
 
-    cand = zonemap_candidate_files(spark, path, predicates)
+    cand = candidates or zonemap_candidate_files(spark, path, predicates)
     full = spark.read.parquet(path)
     out = (
         spark.read.parquet(*cand["files"])
@@ -662,14 +667,18 @@ def bloom_candidate_files(spark, path: str, equals: dict) -> dict:
     return {"files": keep, "total": len(all_files)}
 
 
-def read_bloom(spark, path: str, equals: dict) -> DataFrame:
+def read_bloom(
+    spark, path: str, equals: dict, candidates: Optional[dict] = None
+) -> DataFrame:
     """Scan only the files the Bloom index cannot rule out, then apply
     the equality predicates exactly (pruning is a superset filter, so
     results are identical to a full scan).  Empty candidate set returns
-    an empty DataFrame with the table's schema."""
+    an empty DataFrame with the table's schema.  ``candidates`` accepts
+    a :func:`bloom_candidate_files` result for the SAME predicates so
+    callers that already resolved don't pay the resolution job twice."""
     from pyspark.sql import functions as F
 
-    cand = bloom_candidate_files(spark, path, equals)
+    cand = candidates or bloom_candidate_files(spark, path, equals)
     full = spark.read.parquet(path)
     out = (
         spark.read.parquet(*cand["files"]) if cand["files"] else full.limit(0)
@@ -705,16 +714,18 @@ def indexed_candidate_files(
 
 def read_indexed(
     spark, path: str, ranges: Optional[dict] = None,
-    equals: Optional[dict] = None,
+    equals: Optional[dict] = None, candidates: Optional[dict] = None,
 ) -> DataFrame:
     """Scan only the files that BOTH sidecar indexes admit, then apply
     every predicate exactly (superset pruning — results identical to a
     full scan).  The one-call read path over a directory laid out with
     :func:`write_zonemap` (+ optionally Z-order) and
-    :func:`write_bloom_index`."""
+    :func:`write_bloom_index`.  ``candidates`` accepts an
+    :func:`indexed_candidate_files` result for the SAME predicates so
+    callers that already resolved don't pay the resolution jobs twice."""
     from pyspark.sql import functions as F
 
-    cand = indexed_candidate_files(spark, path, ranges, equals)
+    cand = candidates or indexed_candidate_files(spark, path, ranges, equals)
     full = spark.read.parquet(path)
     out = (
         spark.read.parquet(*cand["files"]) if cand["files"] else full.limit(0)
