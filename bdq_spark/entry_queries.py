@@ -8275,6 +8275,132 @@ def indexed_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "indexed_append_scan_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    p AS (SELECT o_orderkey AS k, d AS pd FROM t
+          WHERE o_orderkey = (SELECT max(o_orderkey) FROM t))
+    SELECT t.o_orderkey, t.o_custkey, t.cents
+    FROM t, p
+    WHERE t.o_orderkey = p.k AND t.d BETWEEN p.pd - 30 AND p.pd + 30
+    """,
+)
+def indexed_append_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sidecar maintenance, gated end to end: orders staged
+    in TWO ingest generations — the first written with
+    :func:`write_zonemap` + :func:`write_bloom_index`, the second
+    dropped into the same directory later and indexed by
+    :func:`append_zonemap` + :func:`append_bloom` (the streaming-ingest
+    path: census only the NEW files, never rebuild).  The combined
+    range+point probe then resolves over the MERGED sidecars and must
+    prune (each index individually, intersection bounded by both) while
+    the census covers every file of both generations — so a hash match
+    against DuckDB's raw-table filter proves append-maintained pruning
+    is as lossless as a full rebuild.  New-file discovery at staging is
+    an input_file_name diff (bounded by the staged dir's file count;
+    a production appender passes the paths it just wrote)."""
+    import hashlib
+    import os
+
+    from bdq_spark.sources.sinks import (
+        append_bloom,
+        append_zonemap,
+        bloom_candidate_files,
+        indexed_candidate_files,
+        read_indexed,
+        write_bloom_index,
+        write_zonemap,
+        zonemap_candidate_files,
+        zonemap_manifest,
+    )
+
+    # v1: two-generation staging; bump on any staging/index change so
+    # cached stale dirs regenerate instead of silently testing old data
+    key = hashlib.md5(f"{sf_dir}:indexed_append_orders:v1".encode())\
+        .hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_idx_append_{key}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("o_date_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        gen1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+        gen2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+        write_zonemap(
+            spark,
+            gen1.repartitionByRange(8, "o_date_days"),
+            path,
+            ["o_date_days", "cents"],
+        )
+        n_rows = spark.read.parquet(path).count()
+        bits = 16384
+        while bits < 16 * (n_rows // 16 + 1):
+            bits *= 2
+        write_bloom_index(spark, path, ["o_orderkey"], bits=bits, hashes=5)
+        gen1_files = set(zonemap_manifest(spark, path))
+        gen2.repartitionByRange(8, "o_date_days").write.mode(
+            "append"
+        ).parquet(path)
+        all_files = {
+            r["f"]
+            for r in spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        new_files = sorted(all_files - gen1_files)
+        append_zonemap(spark, path, new_files)
+        append_bloom(spark, path, new_files)
+        probe_row = (
+            spark.read.parquet(path)
+            .orderBy(F.desc("o_orderkey"))
+            .select("o_orderkey", "o_date_days")
+            .limit(1)
+            .collect()[0]
+        )
+        with open(marker, "w") as fh:
+            fh.write(
+                f"{sf_dir}\n{probe_row.o_orderkey}\n"
+                f"{probe_row.o_date_days}\n{len(all_files)}"
+            )
+    with open(marker) as fh:
+        _, probe_s, day_s, nf_s = fh.read().splitlines()
+    probe, day, n_files = int(probe_s), int(day_s), int(nf_s)
+    ranges = {"o_date_days": (day - 30, day + 30)}
+    equals = {"o_orderkey": probe}
+    cz = zonemap_candidate_files(spark, path, ranges)
+    cb = bloom_candidate_files(spark, path, equals)
+    ci = indexed_candidate_files(spark, path, ranges, equals)
+    if not (
+        ci["files"]
+        and cz["total"] == cb["total"] == n_files
+        and len(cz["files"]) < cz["total"]
+        and len(cb["files"]) < cb["total"]
+        and len(ci["files"]) <= min(len(cz["files"]), len(cb["files"]))
+    ):
+        raise RuntimeError(
+            "append-maintained index pruning regressed — zonemap "
+            f"{len(cz['files'])}/{cz['total']}, bloom "
+            f"{len(cb['files'])}/{cb['total']}, intersection "
+            f"{len(ci['files'])}, expected census {n_files}"
+        )
+    return read_indexed(
+        spark, path, ranges, equals, candidates=ci
+    ).select("o_orderkey", "o_custkey", "cents")
+
+
 _MATVIEW_ORACLE = """
 WITH fin AS (
   SELECT CASE WHEN o_orderkey % 10 < 7 AND o_orderkey % 13 = 0
@@ -8562,7 +8688,8 @@ _DRIVER_PRIORITY = [
     # covers the whole registry, and no entry's latest driver row is
     # older than newest-3.
     #
-    # staged-sidecar format changed in r9
+    # staged-sidecar format changed / new capability in r9
+    "indexed_append_scan_orders",
     "zonemap_pruned_scan",
     "bloom_pruned_scan",
     "indexed_scan_orders",
@@ -8614,7 +8741,6 @@ _DRIVER_PRIORITY = [
     "doc_quality",
     "doc_repetition",
     "doc_stats",
-    "doc_training_order",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -28,10 +28,12 @@ __all__ = [
     "write_bucketed",
     "compact_parquet",
     "write_zonemap",
+    "append_zonemap",
     "zonemap_candidate_files",
     "zonemap_manifest",
     "read_zonemap",
     "write_bloom_index",
+    "append_bloom",
     "bloom_candidate_files",
     "bloom_manifest",
     "read_bloom",
@@ -241,6 +243,61 @@ def zonemap_manifest(spark, path: str) -> dict:
             for r in rows
         }
     return _fs_read_json(spark, path, "_ZONEMAP.json")
+
+
+def append_zonemap(spark, path: str, new_files: List[str]) -> dict:
+    """Incrementally extend an existing zonemap sidecar with the
+    min/max census of ``new_files`` — the streaming-ingest maintenance
+    path: an appender that just wrote a batch of parquet files into
+    ``path`` indexes exactly those files instead of rebuilding the
+    whole sidecar (at 100 TB a rebuild re-scans the entire table; the
+    append scans only the new data).
+
+    The caller names the files because the caller knows what it wrote
+    (a directory diff would need a full listing — the O(files) driver
+    walk the r9 sidecar design retired).  The stats columns come from
+    the existing sidecar's schema; the append is IDEMPOTENT (files
+    already censused are anti-joined away executor-side, so re-running
+    a failed batch never duplicates rows) and executor-side end to end
+    (parquet append of census shards; no driver collect).  Returns
+    ``{"files_appended": n, "sidecar": ...}`` (n from a 1-row count
+    of the appended frame).
+    """
+    from pyspark.sql import functions as F
+
+    if not new_files:
+        raise ValueError("new_files must name at least one parquet file")
+    if not _fs_exists(spark, path, "_ZONEMAP"):
+        raise ValueError(
+            f"no _ZONEMAP sidecar under {path} — build one with "
+            "write_zonemap first (append extends, it does not create)"
+        )
+    sidecar = path.rstrip("/") + "/_ZONEMAP"
+    existing = spark.read.parquet(sidecar)
+    stats_cols = sorted(
+        c[3:] for c in existing.columns if c.startswith("lo_")
+    )
+    batch = spark.read.parquet(*new_files)
+    missing = [c for c in stats_cols if c not in batch.columns]
+    if missing:
+        raise ValueError(
+            f"new files lack indexed column(s) {missing}; the sidecar "
+            f"censuses {stats_cols}"
+        )
+    census = (
+        batch.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(
+            *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+            *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+        )
+        # idempotence: a retried batch must not double-census a file
+        .join(existing.select("__file"), "__file", "left_anti")
+        .select(*existing.columns)
+    )
+    n = census.count()  # 1-row driver read, BEFORE the sidecar grows
+    census.write.mode("append").parquet(sidecar)
+    return {"files_appended": n, "sidecar": sidecar}
 
 
 def zonemap_candidate_files(spark, path: str, predicates: dict) -> dict:
@@ -544,6 +601,97 @@ def bloom_manifest(spark, path: str) -> dict:
             "columns": columns,
         }
     return _fs_read_json(spark, path, "_BLOOM.json")
+
+
+def append_bloom(spark, path: str, new_files: List[str]) -> dict:
+    """Incrementally extend an existing Bloom sidecar with filters for
+    ``new_files`` — :func:`append_zonemap`'s equality-index sibling:
+    the appender that just wrote a batch indexes exactly those files
+    under the SIDECAR'S OWN (bits, hashes, columns) from
+    ``_BLOOM_META.json``, so probe positions stay compatible with the
+    existing filters.  Per-file Bloom filters are independent, which
+    is what makes the index mergeable by construction.
+
+    Idempotent (already-censused files are anti-joined away
+    executor-side) and executor-side end to end.  Returns
+    ``{"files_appended": n, "sidecar": ...}``.
+    """
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.dedup import _md5_base_hash
+
+    if not new_files:
+        raise ValueError("new_files must name at least one parquet file")
+    if not _fs_exists(spark, path, "_BLOOM"):
+        raise ValueError(
+            f"no _BLOOM sidecar under {path} — build one with "
+            "write_bloom_index first (append extends, it does not create)"
+        )
+    meta = _fs_read_json(spark, path, "_BLOOM_META.json")
+    bits, hashes, bloom_cols = (
+        meta["bits"], meta["hashes"], meta["bloom_cols"],
+    )
+    sidecar = path.rstrip("/") + "/_BLOOM"
+    existing = spark.read.parquet(sidecar)
+    batch = spark.read.parquet(*new_files)
+    missing = [c for c in bloom_cols if c not in batch.columns]
+    if missing:
+        raise ValueError(
+            f"new files lack indexed column(s) {missing}; the sidecar "
+            f"indexes {bloom_cols}"
+        )
+    base = batch.withColumn("__file", F.input_file_name())
+    known = existing.select("__file").where("__col IS NULL")
+    stack = "stack({}, {}) AS (__col, __v)".format(
+        len(bloom_cols),
+        ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in bloom_cols),
+    )
+    filters = (
+        base.selectExpr("__file", stack)
+        .join(known, "__file", "left_anti")  # idempotence
+        .where(F.col("__v").isNotNull())
+        .select(
+            "__file",
+            "__col",
+            F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("__j"),
+            "__v",
+        )
+        .select(
+            "__file",
+            "__col",
+            F.pmod(
+                _md5_base_hash(
+                    F.concat_ws(
+                        ":", F.col("__j").cast("string"), F.col("__v")
+                    )
+                ),
+                F.lit(bits),
+            ).alias("__p"),
+        )
+        .distinct()
+        .selectExpr(
+            "__file",
+            "__col",
+            "CAST(__p DIV 64 AS INT) AS __w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT)) AS __bv",
+        )
+        .groupBy("__file", "__col", "__w")
+        .agg(F.expr("bit_or(__bv)").alias("__word"))
+    )
+    census = (
+        base.select("__file")
+        .distinct()
+        .join(known, "__file", "left_anti")
+        .select(
+            "__file",
+            F.lit(None).cast("string").alias("__col"),
+            F.lit(None).cast("int").alias("__w"),
+            F.lit(None).cast("bigint").alias("__word"),
+        )
+    )
+    n = census.count()  # 1-row driver read, BEFORE the sidecar grows
+    filters.unionByName(census).write.mode("append").parquet(sidecar)
+    return {"files_appended": n, "sidecar": sidecar}
 
 
 def bloom_candidate_files(spark, path: str, equals: dict) -> dict:

@@ -212,3 +212,73 @@ def test_all_null_first_column_file_not_dropped(spark):
             os.remove(crc)
         cand2 = bloom_candidate_files(spark, path, {"b": "needle"})
         assert set(cand2["files"]) == set(cand["files"])
+
+
+def test_append_bloom_incremental_filters(spark):
+    """append_bloom indexes only the new files under the sidecar's own
+    (bits, hashes, columns); the merged index has no false negatives
+    across old AND new files, the new filters match a plain-Python
+    recompute, and a retried batch appends nothing."""
+    import pytest as _pt
+
+    from bdq_spark.sources.sinks import append_bloom
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path, summary = _stage(spark, tmp, n=200, files=4, bits=1024)
+        bits, hashes = summary["bits"], summary["hashes"]
+        before = set(bloom_manifest(spark, path)["files"])
+
+        extra = spark.createDataFrame(
+            [Row(id=i, grp=i % 7, payload=f"new-{i}") for i in
+             range(1000, 1100)]
+        )
+        extra.coalesce(2).write.mode("append").parquet(path)
+        all_files = {
+            r["f"]
+            for r in spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        new_files = sorted(all_files - before)
+        assert len(new_files) == 2
+
+        got = append_bloom(spark, path, new_files)
+        assert got["files_appended"] == 2
+        manifest = bloom_manifest(spark, path)
+        assert set(manifest["files"]) == all_files
+
+        # new filters == plain-Python recompute over the new files
+        full = spark.read.parquet(*new_files).withColumn(
+            "__file", F.input_file_name()
+        )
+        by_file: dict = {}
+        for r in full.select("id", "__file").collect():
+            by_file.setdefault(r["__file"], set()).update(
+                _bloom_positions(r.id, hashes, bits)
+            )
+        import base64
+
+        def unpack(b64s):
+            raw = base64.b64decode(b64s)
+            return {p for p in range(bits) if raw[p >> 3] & (1 << (p & 7))}
+
+        for f in new_files:
+            assert unpack(manifest["columns"]["id"][f]) == by_file[f]
+
+        # no false negatives across the grown directory
+        truth = {
+            r.id: r["__f"]
+            for r in spark.read.parquet(path)
+            .select("id", F.input_file_name().alias("__f"))
+            .collect()
+        }
+        for probe in [0, 55, 199, 1000, 1042, 1099]:
+            cand = bloom_candidate_files(spark, path, {"id": probe})
+            assert truth[probe] in cand["files"], probe
+            assert cand["total"] == len(all_files)
+
+        # idempotence + errors
+        assert append_bloom(spark, path, new_files)["files_appended"] == 0
+        with _pt.raises(ValueError, match="no _BLOOM"):
+            append_bloom(spark, os.path.join(tmp, "nope"), new_files)

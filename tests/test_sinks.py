@@ -266,3 +266,81 @@ def test_zonemap_legacy_json_fallback(spark, tmp_path):
     assert legacy == cand
     # manifest introspection also reads the legacy format
     assert zonemap_manifest(spark, path) == manifest
+
+
+def test_append_zonemap_incremental_census(spark, tmp_path):
+    """append_zonemap censuses ONLY the named new files, the merged
+    sidecar equals a from-scratch rebuild, pruning stays lossless over
+    the grown directory, and re-appending the same batch is a no-op
+    (idempotence for retried ingests)."""
+    import os
+
+    import pytest as _pt
+
+    from bdq_spark.sources.sinks import (
+        append_zonemap,
+        read_zonemap,
+        write_zonemap,
+        zonemap_candidate_files,
+        zonemap_manifest,
+    )
+
+    path = str(tmp_path / "zma")
+    base = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 40).alias("a")
+    )
+    write_zonemap(spark, base.repartitionByRange(4, "a"), path, ["a"])
+    before = zonemap_manifest(spark, path)
+
+    # a later ingest drops new files into the same directory
+    extra = spark.range(10_000, 12_000).select(
+        F.col("id"), (F.col("id") % 40 + 100).alias("a")
+    )
+    extra.coalesce(2).write.mode("append").parquet(path)
+    all_files = {
+        r["f"]
+        for r in spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    new_files = sorted(all_files - set(before))
+    assert len(new_files) == 2
+
+    got = append_zonemap(spark, path, new_files)
+    assert got["files_appended"] == 2
+    after = zonemap_manifest(spark, path)
+    assert set(after) == all_files
+    # appended stats are exact: the extra batch holds a in [100, 139]
+    for f in new_files:
+        lo, hi = after[f]["a"]
+        assert 100 <= lo <= hi <= 139
+
+    # pruning over the grown directory is lossless and actually prunes
+    cand = zonemap_candidate_files(spark, path, {"a": (100, 139)})
+    assert set(cand["files"]) == set(new_files)
+    assert cand["total"] == 6
+    got_rows = read_zonemap(spark, path, {"a": (100, 139)}).count()
+    assert got_rows == 2000
+
+    # idempotence: same batch again appends nothing
+    again = append_zonemap(spark, path, new_files)
+    assert again["files_appended"] == 0
+    assert zonemap_manifest(spark, path) == after
+
+    with _pt.raises(ValueError, match="at least one"):
+        append_zonemap(spark, path, [])
+    with _pt.raises(ValueError, match="no _ZONEMAP"):
+        append_zonemap(spark, str(tmp_path / "missing"), new_files)
+    # a batch missing the indexed column is refused
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(5).write.parquet(bad)
+    bad_file = [
+        r["f"]
+        for r in spark.read.parquet(bad)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    with _pt.raises(ValueError, match="lack indexed column"):
+        append_zonemap(spark, path, bad_file)

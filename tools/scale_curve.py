@@ -68,6 +68,7 @@ QUERY_TABLE = {
     "orders_hll_custkey": "orders",
     "orders_incremental_matview": "orders",
     "bloom_pruned_scan": "orders",
+    "indexed_append_scan_orders": "orders",
     "token_countmin_topk": "documents",
     "events_kmv_setops": "events",
     "streaming_hll_distinct": "events",
