@@ -8320,9 +8320,13 @@ def indexed_append_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         zonemap_manifest,
     )
 
-    # v1: two-generation staging; bump on any staging/index change so
-    # cached stale dirs regenerate instead of silently testing old data
-    key = hashlib.md5(f"{sf_dir}:indexed_append_orders:v1".encode())\
+    # v2: bloom bits sized from the FULL expected row count (ADVICE r9 —
+    # v1 auto-sized from the gen1-only census, so gen2 doubled the key
+    # population under the same bits and the per-file FPR ran at half
+    # the intended bits/row vs the sibling indexed entries); bump on any
+    # staging/index change so cached stale dirs regenerate instead of
+    # silently testing old data
+    key = hashlib.md5(f"{sf_dir}:indexed_append_orders:v2".encode())\
         .hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_idx_append_{key}")
     marker = os.path.join(path, "_STAGED")
@@ -8338,13 +8342,17 @@ def indexed_append_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         gen1 = orders.filter(F.col("o_orderkey") % 2 == 0)
         gen2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+        # size bits from the FULL row population (both generations) —
+        # append_bloom extends under the staged _BLOOM_META bits, so
+        # sizing from gen1 alone would run the merged index at half the
+        # intended bits/row and erode the pruning margin
+        n_rows = orders.count()
         write_zonemap(
             spark,
             gen1.repartitionByRange(8, "o_date_days"),
             path,
             ["o_date_days", "cents"],
         )
-        n_rows = spark.read.parquet(path).count()
         bits = 16384
         while bits < 16 * (n_rows // 16 + 1):
             bits *= 2
@@ -8675,72 +8683,78 @@ def streaming_matview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-9 WINDOW (see NOTES_r9 and tests/test_registry.py): first
-    # the three entries whose staged sidecar format changed this round
-    # (executor-written parquet zonemap/bloom manifests + Spark-side
-    # candidate resolution — outputs proven hash-identical locally,
-    # re-verified by the driver here), then ALL 29 entries whose
-    # latest driver row is r5 (the oldest coverage — the rotation
-    # invariant would go red at r10 handoff for any of these left
-    # out), then the 18 alphabetically-first of the 39 r6-stale
-    # entries (the remaining 21 are first in line for r10).
+    # ROUND-10 WINDOW (see NOTES_r10 and tests/test_registry.py):
+    # changed-code-first (the r9 verdict's hard rule — any entry whose
+    # operator code changed in-round takes a window slot THAT round,
+    # before staleness rotation): indexed_append_scan_orders restaged
+    # this round (bloom bits now sized from the full two-generation row
+    # count, staging v2) on top of the append_zonemap type-alignment
+    # change in sinks.py.  Then the three graph entries whose join
+    # strategy changed in r9 (components.py broadcast cutover) but
+    # which missed the r9 window — the verdict's top item.  Then the
+    # remaining 19 entries whose latest driver row is r6 (they go red
+    # at the newest-3 staleness edge otherwise), then the 26
+    # alphabetically-first of the 42 remaining r7-stale entries.
     # Invariant (pytest): first-50 union all CORRECTNESS_r* rounds
     # covers the whole registry, and no entry's latest driver row is
     # older than newest-3.
     #
-    # staged-sidecar format changed / new capability in r9
+    # changed code this round (staging v2 + sinks.py append path)
     "indexed_append_scan_orders",
-    "zonemap_pruned_scan",
-    "bloom_pruned_scan",
-    "indexed_scan_orders",
-    # oldest driver coverage (latest row is r5)
-    "doc_compression_ratio",
-    "fk_broken_sampled",
-    "histogram_orders_totalprice",
-    "incremental_minhash_md5",
-    "incremental_minhash_near_dup",
-    "knn_ivf_embeddings",
-    "knn_quantized_embeddings",
-    "language_confusion",
-    "latest_events",
-    "latest_events_conflict",
-    "minhash_lsh_near_dup",
-    "minhash_md5_near_dup",
-    "near_dup_clusters",
-    "near_dup_edit_verified",
-    "near_dup_jaccard",
-    "pk_validate_lineitem_composite",
-    "pk_validate_lineitem_orderkey",
-    "pricing_summary",
-    "profile_drift_orders",
-    "quantiles_lineitem_by_flag",
-    "simhash_fingerprints",
-    "simhash_md5_pairs",
-    "simhash_pairs",
-    "stateful_running_counter",
-    "stateful_sessionize",
-    "streaming_interval_join",
-    "surrogate_key_hash_customer",
-    "surrogate_key_string_customer",
-    "vocab_stats_documents",
-    # r6-stale refresh (alphabetical prefix of the 39 r6-latest entries)
-    "asof_click_purchase",
-    "corpus_prepare",
-    "customer_pseudonymize",
-    "customers_per_region",
-    "dedup_events_by_user_type",
-    "dedup_fingerprint_documents",
-    "doc_bpe_tokens",
-    "doc_chunking",
-    "doc_contamination",
-    "doc_contamination_spans",
-    "doc_contamination_weighted",
-    "doc_gopher_quality",
-    "doc_language",
-    "doc_pii_redaction",
-    "doc_quality",
-    "doc_repetition",
-    "doc_stats",
+    # changed code in r9 (components.py broadcast cutover), missed the
+    # r9 window — verdict r9 "What's wrong" #1
+    "pagerank_part_supplier",
+    "near_dup_triangles",
+    "docs_kcore_graph",
+    # remaining r6-stale entries (latest driver row is r6)
+    "doc_training_order",
+    "events_running_zscore",
+    "incremental_dedup_batch",
+    "local_supplier_volume",
+    "multimodal_audio_decode",
+    "nation_pair_volume",
+    "order_priority_check",
+    "orders_grouping_sets",
+    "orders_hash_split",
+    "paragraph_dedup_documents",
+    "profile_orders_numeric",
+    "pruned_scan_orders",
+    "range_join_price_tiers",
+    "returned_items_top_customers",
+    "shipping_priority",
+    "statestore_roundtrip",
+    "streaming_foreach_batch",
+    "token_vocab_top100",
+    "top_customers_by_revenue",
+    "window_suite_orders",
+    # r7-stale refresh (alphabetical prefix; docs_kcore_graph already
+    # above, the remaining 16 r7s are first in line for r11)
+    "brand_quantity_revenue",
+    "bucketed_join_orders_customer",
+    "column_combinations",
+    "csv_ingest_events",
+    "customer_scd2_history",
+    "dag_states",
+    "doc_lm_score",
+    "doc_mixture_upsample",
+    "doc_stratified_sample",
+    "doc_temperature_mixture",
+    "docs_bm25_search",
+    "docs_boolean_search",
+    "docs_phrase_search",
+    "embedding_dedup_clusters",
+    "events_daily_by_type",
+    "events_dedup_watermark",
+    "events_funnel_conversion",
+    "events_kmv_setops",
+    "events_retention_cohorts",
+    "forecast_revenue_change",
+    "knn_ivf_quantized",
+    "knn_lsh_embeddings",
+    "knn_multiprobe_embeddings",
+    "multimodal_adpcm_pcm_stats",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_decode",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

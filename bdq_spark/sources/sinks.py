@@ -284,6 +284,34 @@ def append_zonemap(spark, path: str, new_files: List[str]) -> dict:
             f"new files lack indexed column(s) {missing}; the sidecar "
             f"censuses {stats_cols}"
         )
+    # type alignment guard (ADVICE r9): appended census shards must match
+    # the sidecar's parquet schema exactly or a later plain read of the
+    # sidecar fails / silently picks one file's schema.  Upcasts (int
+    # batch into a bigint sidecar) are lossless and handled by the cast
+    # below; NARROWING (bigint batch into an int sidecar) would overflow
+    # min/max to NULL and the pruner treats NULL lo_ as "can't match" —
+    # silently LOSSY pruning — so that direction raises instead.
+    _num_rank = {
+        "tinyint": 0, "smallint": 1, "integer": 2, "int": 2,
+        "bigint": 3, "float": 4, "double": 5,
+    }
+    for c in stats_cols:
+        got = batch.schema[c].dataType.simpleString()
+        want = existing.schema[f"lo_{c}"].dataType.simpleString()
+        if got == want:
+            continue
+        if (
+            got in _num_rank
+            and want in _num_rank
+            and _num_rank[got] <= _num_rank[want]
+        ):
+            continue  # lossless upcast, applied in the select below
+        raise ValueError(
+            f"column {c!r} arrives as {got} but the sidecar censuses "
+            f"{want}; rebuild the sidecar with write_zonemap to widen it "
+            f"(a narrowing cast would NULL-overflow min/max and silently "
+            f"drop files from pruning)"
+        )
     census = (
         batch.withColumn("__file", F.input_file_name())
         .groupBy("__file")
@@ -293,7 +321,17 @@ def append_zonemap(spark, path: str, new_files: List[str]) -> dict:
         )
         # idempotence: a retried batch must not double-census a file
         .join(existing.select("__file"), "__file", "left_anti")
-        .select(*existing.columns)
+        # align by TYPE as well as name: a batch whose indexed column
+        # arrives at a different numeric width (int vs bigint) would
+        # otherwise append parquet shards with a divergent schema, and a
+        # later plain read of the sidecar fails or silently picks one
+        # file's schema (ADVICE r9)
+        .select(
+            *[
+                F.col(c).cast(existing.schema[c].dataType).alias(c)
+                for c in existing.columns
+            ]
+        )
     )
     n = census.count()  # 1-row driver read, BEFORE the sidecar grows
     census.write.mode("append").parquet(sidecar)

@@ -82,3 +82,31 @@ def test_arrow_rows_preserves_duplicate_column_names(con):
     assert mod.arrow_rows(tbl) == [(1, 2, 3)]
     empty = con.sql("SELECT 1 AS a WHERE false").arrow()
     assert mod.arrow_rows(empty) == []
+
+
+def test_align_order_gives_each_duplicate_column_its_own_index(con):
+    """ADVICE r9: the alignment order must be positional over (name,
+    occurrence) — list.index() mapped every duplicate name to the FIRST
+    occurrence, so a value difference confined to the SECOND duplicate
+    column was invisible to the multiset compare.  Exercise row_key
+    end-to-end: same first column, differing second duplicate."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_align",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cols = ["a", "a", "b"]
+    order = mod.align_order(cols)
+    assert sorted(order) == [0, 1, 2] and order != [0, 0, 2]
+
+    # end-to-end: rows differ ONLY in the second 'a' column
+    spark_row, duck_row = (1, 2, 3), (1, 99, 3)
+    assert mod.row_key(spark_row, order) != mod.row_key(duck_row, order)
+    # and identical rows still align regardless of column ordering
+    shuffled = mod.align_order(["b", "a", "a"])
+    assert mod.row_key((3, 1, 2), shuffled) == mod.row_key(spark_row, order)

@@ -115,6 +115,77 @@ def test_every_entry_has_plan_golden_and_driver_coverage():
     assert stale == [], f"rotate these into _DRIVER_PRIORITY: {stale}"
 
 
+def test_changed_modules_gated_in_current_window():
+    """VERDICT r9 item 3 (changed-code-first window policy): any entry
+    whose operator code changed in-round must take a driver-window slot
+    THAT round, before staleness rotation.  Enforcement: git names every
+    ``bdq_spark/`` module that changed since the last round-boundary
+    commit (``round N: verdict...``) including uncommitted edits; each
+    must be declared in ``tests/window_policy.py`` mapping it to the
+    entries that gate the change (or exempted with a reason); every
+    declared gating entry must hold a ``_DRIVER_PRIORITY`` slot."""
+    import subprocess
+
+    from bdq_spark import entry_queries as eq
+
+    wp_spec = importlib.util.spec_from_file_location(
+        "window_policy",
+        os.path.join(os.path.dirname(__file__), "window_policy.py"),
+    )
+    window_policy = importlib.util.module_from_spec(wp_spec)
+    wp_spec.loader.exec_module(window_policy)
+
+    log = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if log.returncode != 0:
+        pytest.skip("not a git checkout")
+    boundary = None
+    for line in log.stdout.splitlines():
+        sha, _, subject = line.partition(" ")
+        if subject.startswith("round ") and "verdict" in subject:
+            boundary = sha
+            break
+    if boundary is None:
+        pytest.skip("no round-boundary commit yet (round 1)")
+
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", boundary, "--", "bdq_spark/"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    assert diff.returncode == 0, diff.stderr
+    changed = sorted(p for p in diff.stdout.splitlines() if p.endswith(".py"))
+
+    undeclared = [
+        p
+        for p in changed
+        if p not in window_policy.TOUCHED and p not in window_policy.EXEMPT
+    ]
+    assert undeclared == [], (
+        f"modules changed in-round but not declared in "
+        f"tests/window_policy.py: {undeclared} — map each to the entries "
+        f"that gate it (and put those entries in _DRIVER_PRIORITY), or "
+        f"exempt it with a reason"
+    )
+
+    window = set(eq._DRIVER_PRIORITY)
+    for module, entries in window_policy.TOUCHED.items():
+        assert entries, f"{module}: declare at least one gating entry"
+        unknown = [e for e in entries if e not in eq.QUERIES]
+        assert unknown == [], f"{module}: unknown entries {unknown}"
+        out_of_window = [e for e in entries if e not in window]
+        assert out_of_window == [], (
+            f"{module} changed in-round but its gating entries "
+            f"{out_of_window} are not in the current _DRIVER_PRIORITY "
+            f"window — changed code takes a slot before staleness rotation"
+        )
+    for module, reason in window_policy.EXEMPT.items():
+        assert isinstance(reason, str) and len(reason) >= 15, (
+            f"{module}: exemption needs a checkable reason"
+        )
+
+
 @pytest.mark.slow
 def test_full_registry_lints_error_free(spark):
     """VERDICT r8 item 3: EVERY registry entry's physical plan must be

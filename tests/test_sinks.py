@@ -344,3 +344,70 @@ def test_append_zonemap_incremental_census(spark, tmp_path):
     ]
     with _pt.raises(ValueError, match="lack indexed column"):
         append_zonemap(spark, path, bad_file)
+
+
+def test_append_zonemap_type_alignment(spark, tmp_path):
+    """ADVICE r9: appended census shards must match the sidecar's parquet
+    schema by TYPE, not just name.  An int batch into a bigint sidecar
+    upcasts losslessly (merged sidecar stays one-schema readable); a
+    bigint batch into an int sidecar RAISES — a narrowing cast would
+    NULL-overflow min/max and pruning would silently drop files."""
+    import pytest as _pt
+
+    from bdq_spark.sources.sinks import (
+        append_zonemap,
+        write_zonemap,
+        zonemap_manifest,
+    )
+
+    # bigint sidecar, int batch -> lossless upcast, single readable schema
+    path = str(tmp_path / "zty")
+    base = spark.range(0, 100).select(
+        F.col("id"), F.col("id").cast("bigint").alias("a")
+    )
+    write_zonemap(spark, base.coalesce(1), path, ["a"])
+    before = set(zonemap_manifest(spark, path))
+    extra = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") + 1000).cast("int").alias("a")
+    )
+    extra.coalesce(1).write.mode("append").parquet(path)
+    new_files = sorted(
+        {
+            r["f"]
+            for r in spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        - before
+    )
+    got = append_zonemap(spark, path, new_files)
+    assert got["files_appended"] == 1
+    merged = spark.read.parquet(path.rstrip("/") + "/_ZONEMAP")
+    assert merged.schema["lo_a"].dataType.simpleString() == "bigint"
+    assert merged.count() == len(before) + 1
+
+    # int sidecar, bigint batch -> refused, sidecar untouched
+    path2 = str(tmp_path / "zty2")
+    base2 = spark.range(0, 100).select(
+        F.col("id"), F.col("id").cast("int").alias("a")
+    )
+    write_zonemap(spark, base2.coalesce(1), path2, ["a"])
+    before2 = set(zonemap_manifest(spark, path2))
+    wide = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") + 3_000_000_000).cast("bigint").alias("a")
+    )
+    wide.coalesce(1).write.mode("append").parquet(path2)
+    new2 = sorted(
+        {
+            r["f"]
+            for r in spark.read.parquet(path2)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        - before2
+    )
+    with _pt.raises(ValueError, match="narrowing"):
+        append_zonemap(spark, path2, new2)
+    assert set(zonemap_manifest(spark, path2)) == before2

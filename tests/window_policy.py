@@ -1,0 +1,34 @@
+"""Round-scoped window policy declaration (VERDICT r9 item 3).
+
+The r9 verdict's hard rule: any entry whose operator code changed
+in-round must take a driver-window slot THAT round, before staleness
+rotation.  This file is the declaration side of the invariant;
+``tests/test_plan_regressions.py::test_changed_modules_gated_in_current_window``
+is the enforcement side.  Ground truth of WHAT changed comes from
+``git diff --name-only <last round-boundary commit>`` (so a module
+edit can never silently skip the policy); the builder declares here
+WHICH entries gate each changed module, and the test asserts every
+one of those entries holds a ``_DRIVER_PRIORITY`` slot.
+
+Update this file every round, alongside the ``_DRIVER_PRIORITY``
+rotation in ``bdq_spark/entry_queries.py``.
+"""
+
+# module path (repo-relative) -> the queries() entries that gate the
+# change end-to-end through the driver's value-hash compare.  Every
+# bdq_spark/ module that changed since the last round boundary MUST
+# appear here (or in EXEMPT below with a reason) and every listed
+# entry must be in the current _DRIVER_PRIORITY window.
+TOUCHED = {
+    # append_zonemap type-alignment guard (ADVICE r9) — gated by the
+    # append-maintained index entry, which exercises append_zonemap +
+    # append_bloom + merged-sidecar pruning end to end
+    "bdq_spark/sources/sinks.py": ["indexed_append_scan_orders"],
+    # staging v2: bloom bits sized from the full two-generation row
+    # count (ADVICE r9); plus the window rotation itself
+    "bdq_spark/entry_queries.py": ["indexed_append_scan_orders"],
+}
+
+# modules whose in-round change has no relational queries() surface —
+# each needs a reason a reviewer can check
+EXEMPT = {}

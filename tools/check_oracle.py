@@ -52,6 +52,17 @@ def row_key(row, col_order):
     return tuple(norm_cell(row[i]) for i in col_order)
 
 
+def align_order(cols) -> list:
+    """Column-alignment order built over (name, occurrence) pairs.
+    ``list.index()`` maps every duplicate output name to its FIRST
+    occurrence (cols ['a','a','b'] -> [0,0,2]), so the second duplicate
+    column was never actually compared (ADVICE r9).  Sorting
+    ``enumerate`` pairs by (name, original position) gives each
+    duplicate its own index, and the k-th occurrence of a name on the
+    Spark side aligns with the k-th occurrence on the DuckDB side."""
+    return [i for _, i in sorted((c, i) for i, c in enumerate(cols))]
+
+
 def arrow_rows(tbl) -> list:
     """Rows of an Arrow table as positional tuples.  Positional, not
     via ``to_pylist()`` dicts: dict-keyed rebuild silently collapses
@@ -124,8 +135,8 @@ def main() -> int:
             problems.append(f"rowcount {len(spark_rows)} != {len(duck_rows)}")
 
         if not problems:
-            s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
-            d_order = [duck_cols.index(c) for c in sorted(duck_cols)]
+            s_order = align_order(spark_cols)
+            d_order = align_order(duck_cols)
             s_multi = Counter(row_key(r, s_order) for r in spark_rows)
             d_multi = Counter(row_key(tuple(r), d_order) for r in duck_rows)
             if s_multi != d_multi:

@@ -43,7 +43,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FACTORS = [1, 3, 10]
+# Default decade: 1x/3x/10x off sf0.1.  VERDICT r9 item 5 asked for the
+# NEXT decade (sf1.0-based): run with SPARK_GRAFT_SCALE_FACTORS=10,30,100
+# — factor 10 of sf0.1 IS sf1.0 row count, so 10/30/100 is exactly a
+# 1x/3x/10x sweep off sf1.0.  Results merge per-factor into
+# BENCH_SCALE.json (union of points, exponent refit over all of them,
+# plus exponent_last_decade over the top decade alone).
+FACTORS = [
+    int(f)
+    for f in os.environ.get("SPARK_GRAFT_SCALE_FACTORS", "1,3,10").split(",")
+]
 DEFAULT_QUERIES = [
     "near_dup_jaccard",
     "minhash_lsh_near_dup",
@@ -59,6 +68,7 @@ QUERY_TABLE = {
     "pagerank_part_supplier": "lineitem",
     "near_dup_triangles": "documents",
     "knn_embeddings": "embeddings",
+    "knn_ivf_quantized": "embeddings",
     "knn_lsh_embeddings": "embeddings",
     "knn_multiprobe_embeddings": "embeddings",
     "embedding_near_dup_pairs": "embeddings",
@@ -111,6 +121,25 @@ EXTRA_QUERIES = {
 }
 
 
+# multipliers coprime to 26: with shift b in [0, 26) this spans 12*26 =
+# 312 distinct affine letter permutations x -> a*x + b (mod 26), so
+# copies stay pairwise-unrelated far beyond the 26 plain Caesar shifts
+# (at factor >= 27 copies i and i-26 would otherwise be EXACT duplicate
+# text under different doc_ids, inflating the near-dup density the
+# constant-density synthesis promises to hold fixed)
+_AFFINE_A = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def _affine_alphabet(i: int) -> str:
+    """Permuted alphabet for copy ``i``: an affine cipher a*x + b mod 26
+    with a = _AFFINE_A[i // 26], b = i % 26.  Copies 0..25 reproduce the
+    original Caesar shifts exactly (a=1), so factor-<=26 staged dirs
+    cached by earlier rounds remain byte-compatible."""
+    a = _AFFINE_A[(i // 26) % len(_AFFINE_A)]
+    b = i % 26
+    return "".join(ALPHA[(a * x + b) % 26] for x in range(26))
+
+
 def _stage_documents(spark, factor: int, out: str) -> None:
     from pyspark.sql import functions as F
 
@@ -120,8 +149,7 @@ def _stage_documents(spark, factor: int, out: str) -> None:
     n = docs.agg(F.max("doc_id")).first()[0] + 1
     copies = []
     for i in range(factor):
-        shift = i % 26
-        shifted = ALPHA[shift:] + ALPHA[:shift]
+        shifted = _affine_alphabet(i)
         c = docs.select(
             (F.col("doc_id") + i * n).alias("doc_id"),
             F.translate(
@@ -169,10 +197,18 @@ def _stage_lineitem(spark, factor: int, out: str) -> None:
 
 def _stage_embeddings(spark, factor: int, out: str) -> None:
     """``factor`` copies of the embeddings table with ids offset and
-    each copy's vectors ROLLED by ``i`` components — norms and
+    each copy's vectors ROLLED by ``i % dim`` components — norms and
     coordinate distributions are preserved while cross-copy directions
     decorrelate, so per-query neighbor structure stays constant-density
-    as the corpus grows (the ANN analogue of the Caesar-shift corpus)."""
+    as the corpus grows (the ANN analogue of the Caesar-shift corpus).
+    Beyond one full roll cycle (``i >= dim``, reached at factor > 64 on
+    the 64-dim testdata) a per-cycle deterministic ±1 SIGN MASK is
+    applied element-wise — copies ``i`` and ``i - dim`` would otherwise
+    be exact duplicates under different ids.  Sign flips preserve norms
+    exactly and decorrelate directions; the mask is the bit pattern of
+    ``(i // dim) * golden-ratio-odd-constant``, identity for the first
+    cycle so factor-<=64 staged dirs cached by earlier rounds remain
+    byte-compatible."""
     from pyspark.sql import functions as F
 
     from bdq_spark.sources import load_table
@@ -191,6 +227,18 @@ def _stage_embeddings(spark, factor: int, out: str) -> None:
                 F.slice(F.col("embedding"), 1, r),
             )
         )
+        cycle = i // dim
+        if cycle:
+            bits = cycle * 0x9E3779B97F4A7C15
+            mask = [1.0 - 2.0 * ((bits >> (k % 63)) & 1) for k in range(dim)]
+            # mask lits cast to the element type so the staged column
+            # stays array<float> (a double-typed product would silently
+            # widen the schema vs the real testdata)
+            rolled = F.zip_with(
+                rolled,
+                F.array(*[F.lit(m).cast("float") for m in mask]),
+                lambda x, s: x * s,
+            )
         copies.append(
             emb.select(
                 (F.col("vec_id") + i * n).alias("vec_id"),
@@ -340,6 +388,24 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    prior = {}
+    if os.path.exists(path):
+        try:
+            prior = json.load(open(path)).get("queries", {})
+        except (ValueError, OSError):
+            pass
+
+    def _fit(rows: dict, secs: dict) -> float:
+        keys = sorted(rows, key=int)
+        xs = [math.log(rows[k]) for k in keys]
+        ys = [math.log(secs[k]) for k in keys]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        den = sum((x - mx) ** 2 for x in xs)
+        if den == 0:
+            return 0.0
+        return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den
+
     results = {}
     for name in only:
         table = QUERY_TABLE.get(name, "documents")
@@ -366,34 +432,40 @@ def main() -> int:
                     jrdd.unpersist()
                 spark.sparkContext._jvm.System.gc()
             secs[f] = round(best, 3)
-        xs = [math.log(rows[f]) for f in FACTORS]
-        ys = [math.log(secs[f]) for f in FACTORS]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        exponent = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-            (x - mx) ** 2 for x in xs
-        )
-        results[name] = {
-            "rows": {str(f): rows[f] for f in FACTORS},
-            "sec": {str(f): secs[f] for f in FACTORS},
-            "exponent": round(exponent, 3),
+        # union this run's points with any prior snapshot for the query
+        # (a 10/30/100 sweep composes with the original 1/3/10 one) and
+        # refit over all of them; exponent_last_decade isolates the top
+        # decade — the "does the curve hold another 10x" question
+        all_rows = {
+            **prior.get(name, {}).get("rows", {}),
+            **{str(f): rows[f] for f in FACTORS},
         }
-        print(json.dumps({"query": name, **results[name]}))
+        all_secs = {
+            **prior.get(name, {}).get("sec", {}),
+            **{str(f): secs[f] for f in FACTORS},
+        }
+        rec = {
+            "rows": {k: all_rows[k] for k in sorted(all_rows, key=int)},
+            "sec": {k: all_secs[k] for k in sorted(all_secs, key=int)},
+            "exponent": round(_fit(all_rows, all_secs), 3),
+        }
+        max_r = max(int(v) for v in rec["rows"].values())
+        top = {
+            k: v for k, v in rec["rows"].items() if v * 10 > max_r
+        }
+        if len(top) >= 2 and len(top) < len(rec["rows"]):
+            rec["exponent_last_decade"] = round(
+                _fit(top, {k: rec["sec"][k] for k in top}), 3
+            )
+        results[name] = rec
+        print(json.dumps({"query": name, **rec}))
 
-    # merge into any existing snapshot so per-query invocations compose
-    path = os.path.join(REPO, "BENCH_SCALE.json")
-    merged = results
-    if os.path.exists(path):
-        try:
-            prior = json.load(open(path)).get("queries", {})
-            merged = {**prior, **results}
-        except (ValueError, OSError):
-            pass
     out = {
         "base_sf_dir": BASE_SF_DIR,
         "factors": FACTORS,
         "reps": reps,
         "cpus": int(cpus),
-        "queries": merged,
+        "queries": {**prior, **results},
     }
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
