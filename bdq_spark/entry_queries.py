@@ -8409,6 +8409,244 @@ def indexed_append_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "cents")
 
 
+@_register(
+    "streaming_ingest_dedup_index",
+    """
+    WITH feed AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, upper(text) AS text,
+             lang, n_chars
+      FROM documents WHERE doc_id % 3 = 0),
+    fp AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM feed),
+    keep AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rk
+        FROM fp) WHERE rk = 1)
+    SELECT doc_id, lang, n_chars FROM keep
+    WHERE n_chars BETWEEN 250 AND 350
+    UNION
+    SELECT doc_id, lang, n_chars FROM keep
+    WHERE doc_id = (SELECT max(doc_id) FROM keep)
+    """,
+)
+def streaming_ingest_dedup_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end streaming INGEST → DEDUP → INDEX pipeline, value-hash
+    gated against a one-shot oracle — the documents-scale composition
+    VERDICT r9 item 6 named: a corpus arrives as ordered micro-batches
+    (a third of which are synthesized case-variant duplicates of earlier
+    documents, so dedup provably fires both WITHIN a batch and ACROSS
+    batches), driven through a TRUE readStream → ``foreachBatch`` run
+    where every trigger (a) anti-joins the batch against the
+    corpus-so-far on the normalized-text fingerprint
+    (:func:`incremental_fingerprint_dedup` probing the corpus's STORED
+    fingerprint column — a column-pruned 16-byte scan, never a re-hash
+    of accumulated text; only the small batch carries full rows),
+    (b) appends the survivors as n_chars-range-clustered parquet, and
+    (c) extends BOTH sidecar indexes incrementally
+    (:func:`append_zonemap` + :func:`append_bloom` — census only the
+    files this trigger wrote, never a rebuild).  The final state is
+    probed through the merged sidecars — an ``n_chars`` range scan
+    (zonemap-pruned) unioned with a point lookup of the max surviving
+    ``doc_id`` (bloom-pruned), both asserted to actually prune — and
+    must hash-equal DuckDB applying the whole feed at once (dedup =
+    global min-id per fingerprint; pruning = lossless).  That single
+    compare proves the three claims jointly: stream/batch dedup
+    unification, append-maintained indexes as lossless as a full
+    rebuild, and exactly-once ingest under availableNow.
+
+    Keeper determinism across batches relies on arrival order (first
+    occurrence wins), so the staged feed pins file mtimes hours apart —
+    ``FileStreamSource`` schedules oldest-first and all duplicates
+    carry ``+10_000_000`` ids, making arrival-order keepers equal the
+    oracle's global min-id keepers.  New-file discovery per trigger is
+    an ``input_file_name`` diff (bounded by the corpus dir's file
+    count, ≤ ~12 here; a production appender passes the paths it just
+    wrote).  Scale: per-trigger cost is O(batch + distinct corpus
+    fingerprints + new files) — nothing re-scans or re-indexes the
+    accumulated corpus."""
+    import hashlib
+    import os
+
+    from bdq_spark.operators.dedup import incremental_fingerprint_dedup
+    from bdq_spark.sources.sinks import (
+        append_bloom,
+        append_zonemap,
+        bloom_candidate_files,
+        read_indexed,
+        write_bloom_index,
+        write_zonemap,
+        zonemap_candidate_files,
+        zonemap_manifest,
+    )
+
+    key = hashlib.md5(f"{sf_dir}:stream_dedup_idx:v1".encode()).hexdigest()[
+        :12
+    ]
+    feed_dir = os.path.join(
+        tempfile.gettempdir(), f"bdq_stage_sdi_feed_{key}"
+    )
+    marker = os.path.join(feed_dir, "_STAGED")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+            "lang",
+            "n_chars",
+        )
+        feed = docs.unionByName(dups)
+        n = docs.agg(F.max("doc_id")).first()[0] + 1
+        t1, t2 = n // 3, 2 * n // 3
+        # g0/g1: the low/mid thirds of the original corpus; g2: the top
+        # third PLUS every duplicate (+1e7 ids) — so g2-originals' dups
+        # are INTRA-batch (min-id keeper within one trigger) and
+        # g0/g1-originals' dups are CROSS-batch (anti-join vs corpus)
+        parts = [
+            feed.filter(F.col("doc_id") < t1),
+            feed.filter((F.col("doc_id") >= t1) & (F.col("doc_id") < t2)),
+            feed.filter(F.col("doc_id") >= t2),
+        ]
+        # fixed epoch (not wall clock): staged dirs cache across runs and
+        # FileStreamSource ages files against the NEWEST seen timestamp,
+        # so any fixed base keeps all three inside the maxFileAge window
+        base_ts = 1_700_000_000
+        for i, p in enumerate(parts):
+            gdir = os.path.join(feed_dir, f"g{i}")
+            p.coalesce(1).write.mode("overwrite").parquet(gdir)
+            for fname in os.listdir(gdir):
+                os.utime(
+                    os.path.join(gdir, fname),
+                    (base_ts + 3600 * i, base_ts + 3600 * i),
+                )
+        total_rows = feed.count()
+        kept = feed.groupBy(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+            ).alias("f")
+        ).agg(F.min("doc_id").alias("k"))
+        expected_kept = kept.count()
+        probe = kept.agg(F.max("k")).first()[0]
+        with open(marker, "w") as fh:
+            fh.write(f"{sf_dir}\n{total_rows}\n{expected_kept}\n{probe}")
+    with open(marker) as fh:
+        _, total_s, kept_s, probe_s = fh.read().splitlines()
+    total_rows, expected_kept, probe = (
+        int(total_s), int(kept_s), int(probe_s),
+    )
+
+    corpus = tempfile.mkdtemp(prefix="entry_sdi_corpus_")
+    ckpt = tempfile.mkdtemp(prefix="entry_sdi_ckpt_")
+    # bloom bits sized from the FULL expected ingest (kept ≤ total), the
+    # sizing basis the append path extends under (ADVICE r9)
+    bits = 16384
+    while bits < 16 * (total_rows // 16 + 1):
+        bits *= 2
+
+    def ingest(batch_df, batch_id: int) -> None:
+        from bdq_spark.functions.text import doc_fingerprint
+
+        s = batch_df.sparkSession
+        first = not os.path.exists(os.path.join(corpus, "_ZONEMAP"))
+        # the corpus stores its fingerprints as a column, so each
+        # trigger's probe is a column-pruned 16-byte scan — never a
+        # re-hash of the accumulated corpus's full text
+        prior = (
+            batch_df.limit(0).withColumn("fingerprint", F.lit(""))
+            if first
+            else s.read.parquet(corpus)
+        )
+        kept_batch = incremental_fingerprint_dedup(
+            prior, batch_df, corpus_fingerprint_column="fingerprint"
+        ).select(
+            "doc_id",
+            "text",
+            "lang",
+            "n_chars",
+            doc_fingerprint(F.col("text")).alias("fingerprint"),
+        )
+        clustered = kept_batch.repartitionByRange(4, "n_chars")
+        if first:
+            write_zonemap(s, clustered, corpus, ["n_chars", "doc_id"])
+            write_bloom_index(s, corpus, ["doc_id"], bits=bits, hashes=5)
+            return
+        before = set(zonemap_manifest(s, corpus))
+        clustered.write.mode("append").parquet(corpus)
+        all_files = {
+            r["f"]
+            for r in s.read.parquet(corpus)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        new_files = sorted(all_files - before)
+        if new_files:
+            append_zonemap(s, corpus, new_files)
+            append_bloom(s, corpus, new_files)
+
+    try:
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed_dir}/g*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_ingest_dedup_index: stream did not finish "
+                "within 300 s — refusing to probe a partial corpus"
+            )
+        n_kept = spark.read.parquet(corpus).count()
+        if n_kept != expected_kept:
+            raise RuntimeError(
+                f"incremental dedup regressed — corpus holds {n_kept} "
+                f"docs, one-shot dedup keeps {expected_kept}"
+            )
+        ranges = {"n_chars": (250, 350)}
+        equals = {"doc_id": probe}
+        cz = zonemap_candidate_files(spark, corpus, ranges)
+        cb = bloom_candidate_files(spark, corpus, equals)
+        if not (
+            cb["files"]
+            and cz["total"] == cb["total"]
+            and len(cz["files"]) < cz["total"]
+            and len(cb["files"]) < cb["total"]
+        ):
+            raise RuntimeError(
+                "append-maintained pruning regressed — zonemap "
+                f"{len(cz['files'])}/{cz['total']}, bloom "
+                f"{len(cb['files'])}/{cb['total']}"
+            )
+        band = read_indexed(spark, corpus, ranges=ranges, candidates=cz)
+        point = read_indexed(spark, corpus, equals=equals, candidates=cb)
+        cols = ["doc_id", "lang", "n_chars"]
+        return (
+            band.select(*cols)
+            .union(point.select(*cols))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 _MATVIEW_ORACLE = """
 WITH fin AS (
   SELECT CASE WHEN o_orderkey % 10 < 7 AND o_orderkey % 13 = 0
@@ -8699,6 +8937,9 @@ _DRIVER_PRIORITY = [
     # covers the whole registry, and no entry's latest driver row is
     # older than newest-3.
     #
+    # NEW this round: streaming ingest -> dedup -> index composition
+    # (VERDICT r9 item 6) — new entries take a slot the round they land
+    "streaming_ingest_dedup_index",
     # changed code this round (staging v2 + sinks.py append path)
     "indexed_append_scan_orders",
     # changed code in r9 (components.py broadcast cutover), missed the
@@ -8754,7 +8995,9 @@ _DRIVER_PRIORITY = [
     "knn_multiprobe_embeddings",
     "multimodal_adpcm_pcm_stats",
     "multimodal_bmp_pixel_stats",
-    "multimodal_decode",
+    # (multimodal_decode was the 26th r7-stale slot; it yields its slot
+    # to the new streaming_ingest_dedup_index entry and leads the r11
+    # rotation instead)
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -111,6 +111,7 @@ def incremental_fingerprint_dedup(
     batch: DataFrame,
     text_column: str = "text",
     id_column: str = "doc_id",
+    corpus_fingerprint_column: str | None = None,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against an existing corpus: keep only
     batch rows whose content fingerprint (a) does not already exist in
@@ -125,10 +126,24 @@ def incremental_fingerprint_dedup(
     side carrying full rows through a shuffle.  Deterministic keeper
     choice (min id) makes reruns idempotent.
 
+    ``corpus_fingerprint_column`` names a PRE-COMPUTED fingerprint
+    column on the corpus (written at ingest time).  Without it, every
+    probe re-reads the corpus's full ``text_column`` and re-hashes it —
+    fine once, ruinous per-trigger at 100 TB; with it, the probe is a
+    column-pruned scan of a 16-byte column (parquet reads nothing
+    else), which is the production shape for a continuously-maintained
+    corpus.  The batch side always hashes fresh (it is the new data).
+
     Returns the surviving batch rows with their original columns.
     """
     fp = doc_fingerprint(F.col(text_column))
-    corpus_fps = corpus.select(fp.alias("__fp")).distinct()
+    corpus_fps = corpus.select(
+        (
+            F.col(corpus_fingerprint_column)
+            if corpus_fingerprint_column
+            else fp
+        ).alias("__fp")
+    ).distinct()
     keeper = (
         batch.withColumn("__fp", fp)
         .withColumn(

@@ -618,6 +618,44 @@ def test_incremental_dedup_semantics(spark):
     assert again.count() == 0
 
 
+def test_incremental_dedup_stored_fingerprint_column(spark):
+    """The corpus_fingerprint_column probe path (column-pruned scan of
+    a pre-computed fingerprint — the per-trigger ingest shape) must
+    decide exactly like the default re-hash path, including when the
+    stored fingerprints were computed from differently-normalized
+    source text."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.functions.text import doc_fingerprint
+    from bdq_spark.operators.dedup import incremental_fingerprint_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also   SEEN  before")],
+        "doc_id long, text string",
+    ).withColumn("fingerprint", doc_fingerprint(F.col("text")))
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),
+            (11, "Seen  BEFORE "),
+            (12, "brand new content"),
+            (13, "brand new content"),
+            (14, "other new content"),
+        ],
+        "doc_id long, text string",
+    )
+    stored = incremental_fingerprint_dedup(
+        corpus, batch, corpus_fingerprint_column="fingerprint"
+    )
+    rehash = incremental_fingerprint_dedup(corpus.drop("fingerprint"), batch)
+    assert sorted(r.doc_id for r in stored.collect()) == [12, 14]
+    assert sorted(r.doc_id for r in stored.collect()) == sorted(
+        r.doc_id for r in rehash.collect()
+    )
+    # output carries the BATCH schema either way (the corpus's
+    # fingerprint column never leaks into the survivors)
+    assert stored.columns == ["doc_id", "text"]
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -25,8 +25,23 @@ TOUCHED = {
     # append_bloom + merged-sidecar pruning end to end
     "bdq_spark/sources/sinks.py": ["indexed_append_scan_orders"],
     # staging v2: bloom bits sized from the full two-generation row
-    # count (ADVICE r9); plus the window rotation itself
-    "bdq_spark/entry_queries.py": ["indexed_append_scan_orders"],
+    # count (ADVICE r9); the window rotation itself; and the NEW
+    # streaming ingest -> dedup -> index composition entry (VERDICT r9
+    # item 6), gated by its own value-hashed driver slot
+    "bdq_spark/entry_queries.py": [
+        "indexed_append_scan_orders",
+        "streaming_ingest_dedup_index",
+    ],
+    # incremental_fingerprint_dedup gained the corpus_fingerprint_column
+    # probe path (column-pruned 16-byte scan instead of re-hashing the
+    # corpus text per trigger); default behavior unchanged (pinned in
+    # test_text_dedup.py).  Gated by the new streaming composition
+    # entry (stored-column path) and the incremental batch entry
+    # (default path), both in the r10 window.
+    "bdq_spark/operators/dedup.py": [
+        "streaming_ingest_dedup_index",
+        "incremental_dedup_batch",
+    ],
 }
 
 # modules whose in-round change has no relational queries() surface —

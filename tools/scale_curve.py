@@ -469,7 +469,7 @@ def main() -> int:
     }
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(f"wrote BENCH_SCALE.json ({len(merged)} queries)")
+    print(f"wrote BENCH_SCALE.json ({len(out['queries'])} queries)")
     return 0
 
 
