@@ -27,8 +27,12 @@ Scale mechanics, per round:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from bdq_spark.operators._checkpoint import data_checkpoint
 
 __all__ = ["connected_components", "apply_dedup_clusters", "pagerank", "pagerank_quantized", "triangle_counts", "kcore"]
 
@@ -37,12 +41,61 @@ __all__ = ["connected_components", "apply_dedup_clusters", "pagerank", "pagerank
 # rank relation into their per-round joins (2 longs/row -> ~32 MB at
 # the bound) instead of shuffling both sides: near-dup graphs are
 # proportional to the DUPLICATE population, so they sit far below this
-# in practice, while a genuinely huge graph keeps the shuffle path.
+# in practice, while a genuinely huge graph takes the CO-PARTITIONED
+# shuffle path: every static relation is hash-partitioned by its join
+# key once at setup, the iterated relation keeps that partitioning
+# through its per-round checkpoint, and each round's only exchange is
+# the keyed aggregate — the edge relation is never re-shuffled.
 GRAPH_BROADCAST_MAX_NODES = 2_000_000
 
 
 def _maybe_broadcast(df: DataFrame, n_nodes: int, bound: int) -> DataFrame:
-    return F.broadcast(df) if n_nodes <= bound else df
+    """Below the bound: broadcast.  Above it: SHUFFLE_HASH build hint —
+    on the co-partitioned path both join sides are already hash-
+    partitioned, so the hint's only effect is join STRATEGY: the node-
+    sized side becomes a per-partition hash build and the edge side
+    STREAMS, instead of the default sort-merge join re-sorting the full
+    edge relation every round (at x100 scale those per-round sorts ran
+    the 16 GiB measurement heap out of execution memory)."""
+    return F.broadcast(df) if n_nodes <= bound else df.hint("shuffle_hash")
+
+
+@contextmanager
+def _aqe_disabled(spark):
+    """Scope for the co-partitioned shuffle path of the iterative graph
+    operators.  ``localCheckpoint`` preserves a relation's
+    ``outputPartitioning`` through the resulting ``LogicalRDD`` — but
+    only when the captured physical plan is concrete: under AQE the
+    captured root is an ``AdaptiveSparkPlanExec``, which reports unknown
+    partitioning until execution commits a final plan, so every
+    checkpointed side loses its co-partitioning and every per-round join
+    re-shuffles the full edge relation (measured: the x100 pagerank
+    graph, just past the broadcast cutover, paid 153 s vs 20 s at x30).
+    Inside this scope plans are static, checkpoints keep their
+    ``HashPartitioning``, and EnsureRequirements elides the per-round
+    exchanges.  The trade — no runtime skew splitting during the rounds
+    — is the standard one for co-partitioned iterative graph execution
+    (a skewed key cannot be split without breaking co-location anyway);
+    map-side partial aggregation still absorbs hot destination keys.
+    """
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _keyed_checkpoint(df: DataFrame, key: str) -> DataFrame:
+    """Hash-partition ``df`` by ``key`` into the session's shuffle
+    partition count and checkpoint it — inside :func:`_aqe_disabled`
+    the checkpoint keeps the partitioning, so downstream equi-joins and
+    aggregates on ``key`` (with the same partition count, which
+    ENSURE_REQUIREMENTS defaults to) insert no exchange."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return data_checkpoint(df.repartition(n, key))
 
 
 def connected_components(
@@ -66,23 +119,26 @@ def connected_components(
     merge join run as BROADCAST hash joins — one keyed shuffle per
     round (the min-aggregate) instead of three.  Near-dup graphs are
     sized by the duplicate population, not the corpus, so this is the
-    common case; a larger graph falls back to the shuffle topology
-    automatically (values are exact integers either way, so the result
-    is identical).
+    common case.  A larger graph takes the CO-PARTITIONED shuffle path:
+    edges are hash-partitioned by source and labels by id once at setup
+    (under :func:`_aqe_disabled`, so the checkpoints keep their
+    partitioning), the per-round label relation inherits hash(id)
+    through its lazy checkpoint (the merge join's left side), and each
+    round again costs exactly one exchange — the min-aggregate; the
+    edge relation is shuffled once at setup, never per round.  Values
+    are exact integers on either path, so the result is identical.
     """
     # checkpoint the INPUT first: the union below reads the pair relation
     # twice (both edge directions), and the upstream pair producers
     # (LSH banding, Jaccard verify) are the expensive part of the whole
     # clustering query — without this they would execute twice
-    directed = pairs.select(
-        F.col(id_a).alias("a"), F.col(id_b).alias("b")
-    ).localCheckpoint(eager=True)
-    edges = (
+    directed = data_checkpoint(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    )
+    edges = data_checkpoint(
         directed.union(
             directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -92,48 +148,58 @@ def connected_components(
     )
     n_nodes = labels.count()
 
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(
-                _maybe_broadcast(labels, n_nodes, broadcast_max_nodes),
-                edges.a == labels.id,
+    def _rounds(edges: DataFrame, labels: DataFrame) -> DataFrame:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(
+                    _maybe_broadcast(labels, n_nodes, broadcast_max_nodes),
+                    edges.a == labels.id,
+                )
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.min("comp").alias("__n_comp"))
             )
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("comp").alias("__n_comp"))
+            new_labels = (
+                labels.join(
+                    _maybe_broadcast(
+                        neighbor_min, n_nodes, broadcast_max_nodes
+                    ),
+                    "id",
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("__n_comp"), F.col("comp")),
+                    ).alias("comp"),
+                    (F.col("__n_comp") < F.col("comp")).alias("__changed"),
+                )
+                # LAZY checkpoint: the changed-count below is the round's
+                # one and only action — it materializes and stores the
+                # checkpoint blocks as a side effect, halving the
+                # per-round job count (an eager checkpoint + separate
+                # count was two full jobs)
+                .localCheckpoint(eager=False)
+            )
+            changed = new_labels.filter(F.col("__changed")).count()
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                return labels.select(
+                    "id",
+                    F.col("comp").alias("cluster_id"),
+                    (F.col("id") == F.col("comp")).alias("is_keeper"),
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the bound)"
         )
-        new_labels = (
-            labels.join(
-                _maybe_broadcast(
-                    neighbor_min, n_nodes, broadcast_max_nodes
-                ),
-                "id",
-                "left",
+
+    if n_nodes > broadcast_max_nodes:
+        with _aqe_disabled(pairs.sparkSession):
+            return _rounds(
+                _keyed_checkpoint(edges, "a"), _keyed_checkpoint(labels, "id")
             )
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("__n_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("__n_comp") < F.col("comp")).alias("__changed"),
-            )
-            # LAZY checkpoint: the changed-count below is the round's one
-            # and only action — it materializes and stores the checkpoint
-            # blocks as a side effect, halving the per-round job count
-            # (an eager checkpoint + separate count was two full jobs)
-            .localCheckpoint(eager=False)
-        )
-        changed = new_labels.filter(F.col("__changed")).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
-            return labels.select(
-                "id",
-                F.col("comp").alias("cluster_id"),
-                (F.col("id") == F.col("comp")).alias("is_keeper"),
-            )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds "
-        "(graph diameter exceeds the bound)"
-    )
+    return _rounds(edges, labels)
 
 
 def apply_dedup_clusters(
@@ -179,22 +245,38 @@ def pagerank(
     pure function of the input — required for the value-hash oracle,
     and the standard choice for bounded-latency batch ranking.
 
-    Scale mechanics: the edge⋈degree relation and the DANGLING NODE SET
-    are both static across iterations, so they are computed and
-    checkpointed ONCE; per iteration the only work is one shuffle
-    (pre-degreed edges join ranks on the source, partial-agg sum per
-    destination) plus — only when dangling nodes exist at all — a 1-row
-    mass aggregate.  A LAZY ``localCheckpoint`` per iteration keeps the
-    plan flat (same iterative-lineage cure as
+    Scale mechanics: the edge relation is materialized EXACTLY ONCE —
+    one shuffle that hash-partitions it by source (per-partition dedup
+    rides the same exchange: hash(src) satisfies the (src, dst)
+    distinct clustering) into a SERIALIZED checkpoint captured under
+    :func:`_aqe_disabled` so it keeps its partitioning.  The per-edge
+    ``rank/outdeg`` weight is NOT pre-joined onto the edges (an
+    edge-scale second materialization, measured 59 s of the x100 wall):
+    each round first computes it NODE-scale (ranks ⋈ degree, an
+    exchange-free co-partitioned join) and then streams the edges
+    against that, so per iteration the only work is one shuffle (the
+    per-destination partial-agg sum) plus — only when dangling nodes
+    exist at all — a 1-row mass aggregate.  A LAZY ``localCheckpoint``
+    per iteration keeps the plan flat (same iterative-lineage cure as
     :func:`connected_components`).  When the node table is small
-    (``<= broadcast_max_nodes``), the rank and contribution joins run
-    as BROADCAST hash joins — the checkpointed sides report no
-    partitioning stats, so without the explicit hint every round paid
-    three shuffles; a huge graph keeps the shuffle path automatically.
+    (``<= broadcast_max_nodes``), the weight and update joins run as
+    BROADCAST hash joins; a huge graph takes the CO-PARTITIONED path —
+    node tables hash-partitioned by id at setup, the rank relation
+    inheriting hash(id) through its per-round lazy checkpoint, and the
+    node-sized join sides built as SHUFFLE_HASH maps so the edge side
+    streams without per-round sorts.
     """
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    with _aqe_disabled(spark):
+        # ONE edge shuffle for the whole query, captured with its
+        # hash(src) partitioning (harmless when the broadcast path is
+        # taken: same shuffle count as a plain distinct)
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        e = data_checkpoint(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .repartition(n_part, "src")
+            .dropDuplicates()
+        )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -204,51 +286,71 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # static across iterations: each edge with its source's out-degree
-    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
-    dangling_nodes = nodes.join(
-        deg.select(F.col("src").alias("id")), "id", "left_anti"
-    ).localCheckpoint(eager=True)
-    has_dangling = dangling_nodes.count() > 0
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    base = (1.0 - damping) / n_nodes
-    for _ in range(iterations):
-        dangling = (
-            dangling_nodes.join(ranks, "id")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-            if has_dangling
-            else 0.0
+
+    def _run(nodes: DataFrame) -> DataFrame:
+        # node-scale statics: out-degree per source (exchange-free over
+        # the src-partitioned edges) and the dangling node set
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col("src").alias("id"), "deg")
+            .localCheckpoint(eager=True)
         )
-        contrib = (
-            e_deg.join(
-                _maybe_broadcast(ranks, n_nodes, broadcast_max_nodes),
-                e_deg["src"] == ranks["id"],
+        dangling_nodes = nodes.join(
+            deg.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        has_dangling = dangling_nodes.count() > 0
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        base = (1.0 - damping) / n_nodes
+        for _ in range(iterations):
+            dangling = (
+                dangling_nodes.join(ranks, "id")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+                if has_dangling
+                else 0.0
             )
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
-        )
-        ranks = (
-            nodes.join(
-                _maybe_broadcast(contrib, n_nodes, broadcast_max_nodes),
-                nodes["id"] == contrib["dst"],
-                "left",
+            # per-source weight, node-scale (inner join: zero-outdegree
+            # nodes contribute through the dangling term instead)
+            rdeg = ranks.join(
+                _maybe_broadcast(deg, n_nodes, broadcast_max_nodes), "id"
+            ).select("id", (F.col("rank") / F.col("deg")).alias("w"))
+            contrib = (
+                e.join(
+                    _maybe_broadcast(rdeg, n_nodes, broadcast_max_nodes),
+                    e["src"] == rdeg["id"],
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("w")).alias("c"))
             )
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.lit(dangling / n_nodes)
-                    )
-                ).alias("rank"),
+            ranks = (
+                nodes.join(
+                    _maybe_broadcast(contrib, n_nodes, broadcast_max_nodes),
+                    nodes["id"] == contrib["dst"],
+                    "left",
+                )
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.lit(dangling / n_nodes)
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
-    return ranks
+        # every round is PLANNED here (localCheckpoint builds its RDD at
+        # call time, lazy only in materialization), so the whole loop's
+        # plans are captured inside the caller's scope
+        return ranks
+
+    if n_nodes > broadcast_max_nodes:
+        with _aqe_disabled(spark):
+            return _run(_keyed_checkpoint(nodes, "id"))
+    return _run(nodes)
 
 
 def pagerank_quantized(
@@ -280,12 +382,21 @@ def pagerank_quantized(
                               + dangling // N)) // 100
 
     Scale mechanics: identical to :func:`pagerank` — one shuffle per
-    iteration under the node-count broadcast bound (three above it),
-    broadcast 1-row dangling scalar, lazy localCheckpoint.
+    iteration under the node-count broadcast bound, broadcast 1-row
+    dangling scalar, lazy localCheckpoint; above the bound, the same
+    co-partitioned setup (edges by source, nodes/ranks by id, planned
+    under :func:`_aqe_disabled`) keeps the rounds at one exchange with
+    the edge relation shuffled once at setup.
     """
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    with _aqe_disabled(spark):
+        # ONE edge shuffle, captured with hash(src) — see :func:`pagerank`
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        e = data_checkpoint(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .repartition(n_part, "src")
+            .dropDuplicates()
+        )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -295,54 +406,68 @@ def pagerank_quantized(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # static across iterations — same precomputation as :func:`pagerank`
-    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
-    dangling_nodes = nodes.join(
-        deg.select(F.col("src").alias("id")), "id", "left_anti"
-    ).localCheckpoint(eager=True)
-    has_dangling = dangling_nodes.count() > 0
-    ranks = nodes.withColumn(
-        "rank_q", F.lit(scale // n_nodes).cast("bigint")
-    )
-    base = (15 * (scale // n_nodes)) // 100
-    for _ in range(iterations):
-        dangling = (
-            dangling_nodes.join(ranks, "id")
-            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("bigint"))
-            .first()[0]
-            if has_dangling
-            else 0
+
+    def _run(nodes: DataFrame) -> DataFrame:
+        # node-scale statics — same shapes as :func:`pagerank`
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col("src").alias("id"), "deg")
+            .localCheckpoint(eager=True)
         )
-        contrib = (
-            e_deg.join(
-                _maybe_broadcast(ranks, n_nodes, broadcast_max_nodes),
-                e_deg["src"] == ranks["id"],
-            )
-            .groupBy("dst")
-            .agg(
-                # `div` is Spark's EXACT integer division — floor() of
-                # the double quotient can misround for large operands
-                F.sum(F.expr("rank_q div deg")).alias("c")
-            )
+        dangling_nodes = nodes.join(
+            deg.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        has_dangling = dangling_nodes.count() > 0
+        ranks = nodes.withColumn(
+            "rank_q", F.lit(scale // n_nodes).cast("bigint")
         )
-        ranks = (
-            nodes.join(
-                _maybe_broadcast(contrib, n_nodes, broadcast_max_nodes),
-                nodes["id"] == contrib["dst"],
-                "left",
+        base = (15 * (scale // n_nodes)) // 100
+        for _ in range(iterations):
+            dangling = (
+                dangling_nodes.join(ranks, "id")
+                .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("bigint"))
+                .first()[0]
+                if has_dangling
+                else 0
             )
-            .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
-            .select(
-                "id",
-                F.expr(
-                    f"CAST({base} + (85 * (c + {dangling // n_nodes}))"
-                    " div 100 AS BIGINT)"
-                ).alias("rank_q"),
+            # `div` is Spark's EXACT integer division — floor() of the
+            # double quotient can misround for large operands.  Computed
+            # once per NODE; the per-edge contribution is identical to
+            # dividing per edge, so the recurrence is unchanged.
+            rdeg = ranks.join(
+                _maybe_broadcast(deg, n_nodes, broadcast_max_nodes), "id"
+            ).select("id", F.expr("rank_q div deg").alias("w"))
+            contrib = (
+                e.join(
+                    _maybe_broadcast(rdeg, n_nodes, broadcast_max_nodes),
+                    e["src"] == rdeg["id"],
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("w")).alias("c"))
             )
-            .localCheckpoint(eager=False)
-        )
-    return ranks
+            ranks = (
+                nodes.join(
+                    _maybe_broadcast(contrib, n_nodes, broadcast_max_nodes),
+                    nodes["id"] == contrib["dst"],
+                    "left",
+                )
+                .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+                .select(
+                    "id",
+                    F.expr(
+                        f"CAST({base} + (85 * (c + {dangling // n_nodes}))"
+                        " div 100 AS BIGINT)"
+                    ).alias("rank_q"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks
+
+    if n_nodes > broadcast_max_nodes:
+        with _aqe_disabled(spark):
+            return _run(_keyed_checkpoint(nodes, "id"))
+    return _run(nodes)
 
 
 def triangle_counts(
@@ -370,14 +495,13 @@ def triangle_counts(
     distributions.  Output: ``(id, n_triangles)`` for EVERY vertex in
     the edge set (zeros included — a deterministic relation).
     """
-    und = (
+    und = data_checkpoint(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     verts = und.select(F.col("a").alias("id")).union(
         und.select(F.col("b").alias("id"))
@@ -400,10 +524,12 @@ def triangle_counts(
     # create cycles that double-count or miss triangles
     ka = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i"))
     kb = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("i"))
-    oriented = keyed.select(
-        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint(eager=True)
+    oriented = data_checkpoint(
+        keyed.select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
     e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
     wedges = e1.join(e2, "u").filter(F.col("w1") < F.col("w2"))
@@ -459,58 +585,119 @@ def kcore(
     ``max_rounds`` rounds computes the same fixed point (extra rounds
     past convergence are no-ops).
 
-    Scale shape: each round is one degree aggregation plus two
-    anti-joins against the (shrinking) sub-k node set, with an eager
-    ``localCheckpoint`` per round so lineage stays flat; rounds are
-    bounded by the graph's degeneracy ordering depth (log-ish for
-    tree-like regions), not by node count.  The peeled set is counted
-    each round (the count doubles as the convergence check); under
-    ``broadcast_max_nodes`` the anti-joins take a broadcast hint —
-    the checkpointed set reports no stats, so Catalyst otherwise
-    shuffles the full edge relation against it twice per round.
+    Scale shape, two regimes split on the symmetrized edge count
+    (measured: the zero-exchange machinery's fixed costs — serialized
+    round checkpoints, per-round broadcast builds — cost ~+1 s on
+    bench-scale graphs while saving nothing, so small graphs keep the
+    simple peel):
+
+    - ``<= broadcast_max_nodes`` edges: each round is one degree
+      aggregation plus two BROADCAST anti-joins against the (shrinking)
+      sub-k node set, eager checkpoint per round, AQE left on.
+    - above it: the adjacency is hash-partitioned by source ONCE
+      (inside :func:`_aqe_disabled`, so every per-round checkpoint
+      keeps the partitioning), after which the peel rounds are
+      EXCHANGE-FREE: the degree aggregation and the source-side
+      anti-join are co-partitioned on ``src`` (SHUFFLE_HASH build on
+      the bad set, so the adjacency streams unsorted), and the
+      destination-side deletions are exactly the MIRRORS of the
+      source-side deletions (the relation is symmetric) — a set bounded
+      by ``k * n_bad`` rows (every deleted node has degree < k),
+      broadcast into an anti-join on the full edge pair instead of
+      re-shuffling the adjacency by destination.  A round whose
+      deletion set exceeds the broadcast bound falls back to the
+      shuffled destination anti-join and re-establishes the source
+      partitioning for the next round.
+
+    Rounds are bounded by the graph's degeneracy ordering depth
+    (log-ish for tree-like regions), not by node count; the peeled set
+    is counted each round (the count doubles as the convergence check).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     fwd = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
-    cur = (
+    # the input pair producer (often an expensive near-dup query) runs
+    # HERE, under the session's normal AQE setting
+    cur = data_checkpoint(
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    n_edges = cur.count()
+
+    if n_edges <= broadcast_max_nodes:
+        for _ in range(max_rounds):
+            deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+            bad = deg.where(F.col("degree") < k).select(
+                "src"
+            ).localCheckpoint(eager=True)
+            if bad.isEmpty():
+                return deg.select(F.col("src").alias("id"), "degree")
+            cur = (
+                cur.join(F.broadcast(bad), "src", "left_anti")
+                .join(
+                    F.broadcast(bad.withColumnRenamed("src", "dst")),
+                    "dst",
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-        bad = deg.where(F.col("degree") < k).select("src").localCheckpoint(
-            eager=True
-        )
-        n_bad = bad.count()
-        if n_bad == 0:
+        if deg.where(F.col("degree") < k).isEmpty():
             return deg.select(F.col("src").alias("id"), "degree")
-        cur = (
-            cur.join(
-                _maybe_broadcast(bad, n_bad, broadcast_max_nodes),
-                "src",
-                "left_anti",
-            )
-            .join(
-                _maybe_broadcast(
-                    bad.withColumnRenamed("src", "dst"),
-                    n_bad,
-                    broadcast_max_nodes,
-                ),
-                "dst",
-                "left_anti",
-            )
-            .localCheckpoint(eager=True)
+        raise RuntimeError(
+            f"kcore: peel did not converge within {max_rounds} rounds"
         )
-    # one final check: the last filter round may have converged exactly
-    deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    if deg.where(F.col("degree") < k).isEmpty():
-        return deg.select(F.col("src").alias("id"), "degree")
-    raise RuntimeError(
-        f"kcore: peel did not converge within {max_rounds} rounds"
-    )
+
+    with _aqe_disabled(edges.sparkSession):
+        cur = _keyed_checkpoint(cur, "src")
+        for _ in range(max_rounds):
+            deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+            bad = deg.where(F.col("degree") < k).select(
+                "src"
+            ).localCheckpoint(eager=True)
+            n_bad = bad.count()
+            if n_bad == 0:
+                return deg.select(F.col("src").alias("id"), "degree")
+            # shuffle-hash build on the bad set: co-partitioned on src,
+            # so the adjacency streams (no per-round sort of the edges)
+            survivors = cur.join(
+                bad.hint("shuffle_hash"), "src", "left_anti"
+            )
+            if k * n_bad <= broadcast_max_nodes:
+                # deleted rows' mirrors = the rows whose DESTINATION is
+                # bad; <= k * n_bad rows, so broadcast beats re-keying
+                # the adjacency
+                mirrored = (
+                    cur.join(bad, "src", "left_semi")
+                    .select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                )
+                cur = data_checkpoint(
+                    survivors.join(
+                        F.broadcast(mirrored), ["src", "dst"], "left_anti"
+                    )
+                )
+            else:
+                cur = _keyed_checkpoint(
+                    survivors.join(
+                        bad.withColumnRenamed("src", "dst").hint(
+                            "shuffle_hash"
+                        ),
+                        "dst",
+                        "left_anti",
+                    ),
+                    "src",
+                )
+        # one final check: the last filter round may have converged
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        if deg.where(F.col("degree") < k).isEmpty():
+            return deg.select(F.col("src").alias("id"), "degree")
+        raise RuntimeError(
+            f"kcore: peel did not converge within {max_rounds} rounds"
+        )

@@ -34,6 +34,8 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bdq_spark.operators._checkpoint import data_checkpoint
+
 from bdq_spark.functions.text import doc_fingerprint, word_tokens
 
 __all__ = [
@@ -419,8 +421,8 @@ def _prefix_candidates(
         # cannot invalidate the positional filter — it only removes
         # candidate-generating keys
         index = index.filter(F.col("df_cnt") <= max_shingle_doc_freq)
-    index = index.select("id", "shingle", "__pos", "__size").localCheckpoint(
-        eager=False
+    index = data_checkpoint(
+        index.select("id", "shingle", "__pos", "__size"), eager=False
     )
     a = index.alias("a")
     b = index.alias("b")
@@ -511,7 +513,7 @@ def ngram_jaccard_pairs(
     # rather than cache so the blocks are released by the context
     # cleaner when the frame goes out of scope — an unpersist-less
     # cache would accumulate across invocations in a long session.
-    sh = sh.localCheckpoint(eager=True)
+    sh = data_checkpoint(sh)
 
     if prefix_filter:
         cand = _prefix_candidates(sh, threshold, max_shingle_doc_freq)
@@ -744,8 +746,8 @@ def incremental_minhash_near_dup(
     sig = minhash_signatures(
         batch, text_column, id_column, n, num_hashes, hash_fn=hash_fn
     )
-    banded = _band_keys(sig, bands, num_hashes // bands).localCheckpoint(
-        eager=False
+    banded = data_checkpoint(
+        _band_keys(sig, bands, num_hashes // bands), eager=False
     )
 
     if max_bucket_size is not None:
@@ -834,12 +836,13 @@ def minhash_lsh_candidates(
     # the cache manager across invocations.
     sh = None
     if verify_threshold is not None:
-        sh = shingle(df, text_column, id_column, n).localCheckpoint(
-            eager=True
+        sh = data_checkpoint(shingle(df, text_column, id_column, n))
+    sig = data_checkpoint(
+        minhash_signatures(
+            df, text_column, id_column, n, num_hashes, shingles=sh,
+            hash_fn=hash_fn,
         )
-    sig = minhash_signatures(
-        df, text_column, id_column, n, num_hashes, shingles=sh, hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
+    )
 
     banded = _band_keys(sig, bands, rows_per_band)
 
@@ -1003,8 +1006,8 @@ def simhash_pairs(
 
     # referenced by the key explode and both join sides — materialize
     # once; localCheckpoint blocks self-release when the frame is GC'd
-    sig = simhash(df, text_column, id_column, hash_fn=hash_fn).localCheckpoint(
-        eager=True
+    sig = data_checkpoint(
+        simhash(df, text_column, id_column, hash_fn=hash_fn)
     )
     combos = list(combinations(range(b), t))
     keys = sig.select(

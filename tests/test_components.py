@@ -315,3 +315,118 @@ def test_kcore_raises_on_nonconvergence_and_bad_k(spark):
         kcore(path, k=2, max_rounds=3).collect()
     with _p.raises(ValueError):
         kcore(path, k=0)
+
+
+# ---------------------------------------------------------------------------
+# co-partitioned shuffle path (graphs past the broadcast cutover)
+# ---------------------------------------------------------------------------
+
+
+def _rand_graph(seed, n_nodes=60, n_edges=140):
+    import random
+
+    rng = random.Random(seed)
+    return list(
+        {
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        }
+    )
+
+
+def test_shuffle_path_parity_all_ops(spark):
+    """``broadcast_max_nodes=0`` forces the co-partitioned shuffle path;
+    results must match the broadcast path exactly (exact-integer ops)
+    or to float round-off (pagerank), and the AQE conf must be restored
+    afterward."""
+    from bdq_spark.operators.components import (
+        connected_components,
+        kcore,
+        pagerank,
+        pagerank_quantized,
+    )
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    edges = [(a, b) for a, b in _rand_graph(7) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pairs = df.toDF("id_a", "id_b")
+
+    cc_b = {
+        (r.id, r.cluster_id, r.is_keeper)
+        for r in connected_components(pairs).collect()
+    }
+    cc_s = {
+        (r.id, r.cluster_id, r.is_keeper)
+        for r in connected_components(pairs, broadcast_max_nodes=0).collect()
+    }
+    assert cc_s == cc_b
+
+    prq_b = {
+        (r.id, r.rank_q) for r in pagerank_quantized(df).collect()
+    }
+    prq_s = {
+        (r.id, r.rank_q)
+        for r in pagerank_quantized(df, broadcast_max_nodes=0).collect()
+    }
+    assert prq_s == prq_b
+
+    pr_b = {r.id: r.rank for r in pagerank(df).collect()}
+    pr_s = {
+        r.id: r.rank
+        for r in pagerank(df, broadcast_max_nodes=0).collect()
+    }
+    assert set(pr_s) == set(pr_b)
+    assert all(abs(pr_s[i] - pr_b[i]) < 1e-9 for i in pr_b)
+
+    # kcore's broadcast-mirror round vs the shuffled-fallback round
+    kc_b = {(r.id, r.degree) for r in kcore(df, k=3).collect()}
+    kc_s = {
+        (r.id, r.degree)
+        for r in kcore(df, k=3, broadcast_max_nodes=0).collect()
+    }
+    assert kc_s == kc_b
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_keyed_checkpoint_elides_round_exchanges(spark):
+    """The mechanism the shuffle path rests on: inside ``_aqe_disabled``
+    a ``_keyed_checkpoint``-ed relation keeps its HashPartitioning
+    through the LogicalRDD, so the pagerank round shape (edge join on
+    src -> per-dst sum -> rank-update join on id) plans with exactly ONE
+    exchange — the aggregate.  If a Spark upgrade stops preserving
+    partitioning through localCheckpoint, this fails loudly."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.components import (
+        _aqe_disabled,
+        _keyed_checkpoint,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.range(2000).select(
+            (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+        )
+        r = spark.range(97).select(
+            F.col("id"), F.lit(1.0).alias("rank")
+        )
+        with _aqe_disabled(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            ep = _keyed_checkpoint(e, "src")
+            rp = _keyed_checkpoint(r, "id")
+            contrib = (
+                ep.join(rp, ep.src == rp.id)
+                .groupBy("dst")
+                .agg(F.sum("rank").alias("c"))
+            )
+            nodes = rp.select("id")
+            ranks = nodes.join(
+                contrib, nodes.id == contrib.dst, "left"
+            ).select("id", F.coalesce("c", F.lit(0.0)).alias("rank"))
+            plan = ranks._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -42,6 +42,19 @@ TOUCHED = {
         "streaming_ingest_dedup_index",
         "incremental_dedup_batch",
     ],
+    # co-partitioned shuffle path for graphs past the broadcast cutover
+    # (second-decade walls from the sf1.0 sweep): pagerank/CC loop
+    # restructure, kcore's zero-exchange mirror-broadcast peel.  Gated
+    # by graph-family entries already holding r10 window slots —
+    # pagerank (pagerank_part_supplier), triangles (near_dup_triangles),
+    # kcore (docs_kcore_graph), connected components
+    # (embedding_dedup_clusters).
+    "bdq_spark/operators/components.py": [
+        "pagerank_part_supplier",
+        "near_dup_triangles",
+        "docs_kcore_graph",
+        "embedding_dedup_clusters",
+    ],
 }
 
 # modules whose in-round change has no relational queries() surface —
