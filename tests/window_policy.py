@@ -32,15 +32,26 @@ TOUCHED = {
         "indexed_append_scan_orders",
         "streaming_ingest_dedup_index",
     ],
-    # incremental_fingerprint_dedup gained the corpus_fingerprint_column
-    # probe path (column-pruned 16-byte scan instead of re-hashing the
-    # corpus text per trigger); default behavior unchanged (pinned in
-    # test_text_dedup.py).  Gated by the new streaming composition
-    # entry (stored-column path) and the incremental batch entry
-    # (default path), both in the r10 window.
+    # (a) incremental_fingerprint_dedup gained the
+    # corpus_fingerprint_column probe path (column-pruned 16-byte scan
+    # instead of re-hashing the corpus text per trigger); default
+    # behavior unchanged (pinned in test_text_dedup.py).  Gated by the
+    # new streaming composition entry (stored-column path) and the
+    # incremental batch entry (default path), both in the r10 window.
+    # (b) shingle-scale checkpoints switched to serialized storage
+    # (second-decade fix); storage level changes no values, and the
+    # ngram-Jaccard path is gated end-to-end by near_dup_triangles
+    # (exact Jaccard pairs producer), also in the window.
     "bdq_spark/operators/dedup.py": [
         "streaming_ingest_dedup_index",
         "incremental_dedup_batch",
+        "near_dup_triangles",
+    ],
+    # serialized-checkpoint helper shared by components.py/dedup.py —
+    # gated through the same entries as its two consumers
+    "bdq_spark/operators/_checkpoint.py": [
+        "pagerank_part_supplier",
+        "near_dup_triangles",
     ],
     # co-partitioned shuffle path for graphs past the broadcast cutover
     # (second-decade walls from the sf1.0 sweep): pagerank/CC loop

@@ -460,11 +460,21 @@ def main() -> int:
         results[name] = rec
         print(json.dumps({"query": name, **rec}))
 
+    # host-state stamp (same yardstick as bench.py): BENCH_SCALE merges
+    # points across runs, so the stamp describes the LATEST sweep only —
+    # enough to tell a real curve change from host drift, which the r10
+    # minhash x100 re-measurements showed swinging +-25% run to run
+    from bench import _machine_state
+
     out = {
         "base_sf_dir": BASE_SF_DIR,
         "factors": FACTORS,
         "reps": reps,
         "cpus": int(cpus),
+        "machine_latest_sweep": {
+            "queries": sorted(results),
+            "state": _machine_state(),
+        },
         "queries": {**prior, **results},
     }
     with open(path, "w") as fh:
