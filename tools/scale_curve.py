@@ -72,6 +72,7 @@ QUERY_TABLE = {
     "knn_lsh_embeddings": "embeddings",
     "knn_multiprobe_embeddings": "embeddings",
     "embedding_near_dup_pairs": "embeddings",
+    "embedding_dedup_clusters": "embeddings",
     "embedding_near_dup_pairs_lsh": "embeddings",
     "embedding_kmeans_quantized": "embeddings",
     "orders_zorder_layout": "orders",
