@@ -77,6 +77,15 @@ def _aqe_disabled(spark):
     — is the standard one for co-partitioned iterative graph execution
     (a skewed key cannot be split without breaking co-location anyway);
     map-side partial aggregation still absorbs hot destination keys.
+
+    Caveat: ``spark.conf`` is SESSION-scoped, so a query planned
+    CONCURRENTLY on the same session (e.g. a parallel
+    ``SparkPipeline`` step) while a past-the-cutover graph op holds
+    this scope would also plan without AQE.  The scope only engages
+    for >2M-node graphs, lasts for the iterative section only, and is
+    exception-safe (restored in ``finally``); pipelines that interleave
+    huge-graph steps with AQE-sensitive steps should order them
+    sequentially.
     """
     key = "spark.sql.adaptive.enabled"
     prev = spark.conf.get(key)

@@ -430,3 +430,31 @@ def test_keyed_checkpoint_elides_round_exchanges(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_aqe_disabled_restores_on_exception(spark):
+    """The co-partitioned scope must restore the session's AQE conf even
+    when the iterative section raises (e.g. a convergence bound)."""
+    import pytest as _p
+
+    from bdq_spark.operators.components import _aqe_disabled
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    with _p.raises(RuntimeError, match="boom"):
+        with _aqe_disabled(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    # and through a real operator failure past the cutover: a 6-node
+    # path needs >1 round, so max_iterations=1 raises inside the scope
+    from bdq_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _p.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            pairs, max_iterations=1, broadcast_max_nodes=0
+        )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
