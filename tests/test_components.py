@@ -458,3 +458,28 @@ def test_aqe_disabled_restores_on_exception(spark):
             pairs, max_iterations=1, broadcast_max_nodes=0
         )
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_data_checkpoint_stores_serialized_blocks(spark):
+    """Pin the second-decade fix's mechanism: data_checkpoint persists
+    with a SERIALIZED level (deserialized=False), unlike the default
+    localCheckpoint (MEMORY_AND_DISK_DESER)."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators._checkpoint import data_checkpoint
+
+    df = data_checkpoint(
+        spark.range(10_000).select(
+            F.col("id").alias("src"), (F.col("id") % 97).alias("dst")
+        )
+    )
+    assert df.count() == 10_000
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    levels = {
+        (i.storageLevel().useMemory(), i.storageLevel().deserialized())
+        for i in infos
+        if i.numCachedPartitions() > 0
+    }
+    # at least one live cached RDD is memory+serialized (ours); the
+    # default-deserialized level may coexist from other fixtures
+    assert (True, False) in levels, levels
