@@ -104,7 +104,7 @@ def _compact(payload: dict) -> str:
     return json.dumps(payload, separators=(",", ":"))
 
 
-def _final_line(best: dict[str, float], sf) -> str:
+def _final_line(best: dict[str, float], sf, machine: dict | None = None) -> str:
     """Build the final stdout line, shedding per-query entries (fastest
     first) until it fits the driver's capture window."""
     total = round(sum(best.values()), 3)
@@ -117,6 +117,16 @@ def _final_line(best: dict[str, float], sf) -> str:
         "mean_query_time": round(total / max(len(best), 1), 3),
         "sf": sf,
     }
+    if machine:
+        # the host yardstick travels IN the per-round artifact: the
+        # driver records only this line, and cross-round totals on this
+        # box are meaningless without it (same-code spans measured
+        # 55-101 s at x100 and py_loop 60-160 ms within one round)
+        base["host"] = {
+            k: machine[k]
+            for k in ("py_loop_ms", "np_gemm_ms", "loadavg_1m")
+            if k in machine
+        }
     # slowest-first so a truncated line still covers the heavy hitters
     ordered = sorted(best.items(), key=lambda kv: -kv[1])
     kept = {k: round(v, 2) for k, v in ordered}
@@ -250,7 +260,7 @@ def main() -> None:
     with open(os.path.join(REPO, detail_name), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    print(_final_line(best, sf))
+    print(_final_line(best, sf, machine=detail["machine"]["end"]))
 
 
 if __name__ == "__main__":
