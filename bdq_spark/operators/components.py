@@ -144,11 +144,21 @@ def connected_components(
     directed = data_checkpoint(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     )
-    edges = data_checkpoint(
-        directed.union(
-            directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
-    )
+    spark = pairs.sparkSession
+    with _aqe_disabled(spark):
+        # ONE symmetrize-dedup shuffle, captured with hash(a): the
+        # per-partition dropDuplicates rides the repartition exchange
+        # (hash(a) satisfies the (a, b) clustering), and past the
+        # cutover the rounds reuse this partitioning without a second
+        # edge materialization — see :func:`pagerank`
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges = data_checkpoint(
+            directed.union(
+                directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .repartition(n_part, "a")
+            .dropDuplicates()
+        )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -204,10 +214,10 @@ def connected_components(
         )
 
     if n_nodes > broadcast_max_nodes:
-        with _aqe_disabled(pairs.sparkSession):
-            return _rounds(
-                _keyed_checkpoint(edges, "a"), _keyed_checkpoint(labels, "id")
-            )
+        # edges already carry hash(a) from the setup checkpoint; only
+        # the label relation needs keying
+        with _aqe_disabled(spark):
+            return _rounds(edges, _keyed_checkpoint(labels, "id"))
     return _rounds(edges, labels)
 
 
