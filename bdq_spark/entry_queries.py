@@ -1728,6 +1728,91 @@ def incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_near_dup(index, batch, hash_fn="md5")
 
 
+#: persisted MinHash index version — bump on any index parameter or
+#: schema change so stale staged dirs regenerate (the CDC staging
+#: lesson: the version is baked into the staging key AND the marker)
+_MINHASH_INDEX_VERSION = 1
+
+
+@_register("persisted_minhash_index_probe", _INCREMENTAL_MD5_ORACLE)
+def persisted_minhash_index_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-RUN INDEX DURABILITY, gated end to end (VERDICT r10 item
+    7): the md5 MinHash band index of the corpus slice (doc_id % 3 !=
+    0) is BUILT ONCE and persisted as parquet hash-clustered by
+    band_key (a production deployment would write it bucketed — the
+    zero-exchange bucketed-scan play is gated separately by
+    ``bucketed_join_orders_customer``); every later invocation —
+    including the NEXT DRIVER ROUND, which shares the staged dir —
+    loads the index from disk and probes the batch slice (doc_id % 3
+    == 0) against it without re-touching corpus text on the index
+    side.  Steady state is probe-only: O(batch) signature work plus an
+    equi-join on (band, band_key) against a 3-column index scan —
+    at 100 TB the corpus is never re-hashed, which is the entire value
+    of persisting the index.
+
+    The entry RAISES unless the plan proves the steady-state contract:
+    the staged index dir must appear as a parquet scan, and no
+    documents scan may be visible (the batch side's one text read
+    lives behind its lazy checkpoint inside the probe operator — if a
+    documents scan ever surfaces here, the index side has started
+    rebuilding from text and must fail loudly, because the rows would
+    still be correct).  Values hash against DuckDB recomputing
+    signatures, banding and BOTH probe joins from scratch, proving the
+    persisted index is lossless vs the in-memory build
+    (``incremental_minhash_md5`` gates the in-memory path; the two
+    entries coincide by construction).
+    """
+    import hashlib
+    import os
+
+    from bdq_spark.operators.dedup import (
+        incremental_minhash_near_dup,
+        minhash_band_index,
+    )
+    from bdq_spark.plans.plan_lint import plan_text
+
+    key = hashlib.md5(
+        f"{sf_dir}:minhash_idx_v{_MINHASH_INDEX_VERSION}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_minhash_idx_{key}")
+    marker = os.path.join(path, "_STAGED")
+    expected_marker = f"{sf_dir}:v{_MINHASH_INDEX_VERSION}"
+    docs = load_table(spark, sf_dir, "documents")
+    staged = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            staged = fh.read() == expected_marker
+    if not staged:
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        (
+            minhash_band_index(corpus, hash_fn="md5")
+            .repartition(16, "band_key")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(marker, "w") as fh:
+            fh.write(expected_marker)
+    index = spark.read.parquet(path)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    out = incremental_minhash_near_dup(index, batch, hash_fn="md5")
+
+    plan = plan_text(out)
+    if os.path.basename(path) not in plan:
+        raise RuntimeError(
+            "persisted-index contract regressed: the staged index dir "
+            "is not scanned (index rebuilt in memory?):\n" + plan[:2000]
+        )
+    if "documents.parquet" in plan:
+        raise RuntimeError(
+            "persisted-index contract regressed: a documents scan is "
+            "visible in the probe plan (index side touching corpus "
+            "text?):\n" + plan[:2000]
+        )
+    return out
+
+
 _SIMHASH_MD5_FP_CTES = r"""
 WITH toks AS (
   SELECT doc_id, u.tok FROM (
@@ -8921,83 +9006,73 @@ def streaming_matview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-10 WINDOW (see NOTES_r10 and tests/test_registry.py):
-    # changed-code-first (the r9 verdict's hard rule — any entry whose
-    # operator code changed in-round takes a window slot THAT round,
-    # before staleness rotation): indexed_append_scan_orders restaged
-    # this round (bloom bits now sized from the full two-generation row
-    # count, staging v2) on top of the append_zonemap type-alignment
-    # change in sinks.py.  Then the three graph entries whose join
-    # strategy changed in r9 (components.py broadcast cutover) but
-    # which missed the r9 window — the verdict's top item.  Then the
-    # remaining 19 entries whose latest driver row is r6 (they go red
-    # at the newest-3 staleness edge otherwise), then the 26
-    # alphabetically-first of the 42 remaining r7-stale entries.
-    # Invariant (pytest): first-50 union all CORRECTNESS_r* rounds
-    # covers the whole registry, and no entry's latest driver row is
-    # older than newest-3.
-    #
-    # NEW this round: streaming ingest -> dedup -> index composition
-    # (VERDICT r9 item 6) — new entries take a slot the round they land
-    "streaming_ingest_dedup_index",
-    # changed code this round (staging v2 + sinks.py append path)
-    "indexed_append_scan_orders",
-    # changed code in r9 (components.py broadcast cutover), missed the
-    # r9 window — verdict r9 "What's wrong" #1
-    "pagerank_part_supplier",
-    "near_dup_triangles",
-    "docs_kcore_graph",
-    # remaining r6-stale entries (latest driver row is r6)
-    "doc_training_order",
-    "events_running_zscore",
-    "incremental_dedup_batch",
-    "local_supplier_volume",
-    "multimodal_audio_decode",
-    "nation_pair_volume",
-    "order_priority_check",
-    "orders_grouping_sets",
-    "orders_hash_split",
-    "paragraph_dedup_documents",
-    "profile_orders_numeric",
-    "pruned_scan_orders",
-    "range_join_price_tiers",
-    "returned_items_top_customers",
-    "shipping_priority",
-    "statestore_roundtrip",
-    "streaming_foreach_batch",
-    "token_vocab_top100",
-    "top_customers_by_revenue",
-    "window_suite_orders",
-    # r7-stale refresh (alphabetical prefix; docs_kcore_graph already
-    # above, the remaining 16 r7s are first in line for r11)
-    "brand_quantity_revenue",
-    "bucketed_join_orders_customer",
-    "column_combinations",
-    "csv_ingest_events",
-    "customer_scd2_history",
-    "dag_states",
-    "doc_lm_score",
-    "doc_mixture_upsample",
-    "doc_stratified_sample",
-    "doc_temperature_mixture",
-    "docs_bm25_search",
-    "docs_boolean_search",
-    "docs_phrase_search",
+    # ROUND-11 WINDOW (see NOTES_r11 and tests/window_policy.py):
+    # changed-code-first (the r9 hard rule): the six graph-family
+    # entries gating this round's components.py fix — the CC fused-
+    # setup small-graph de-pin (VERDICT r10 "What's wrong" #1), the
+    # pagerank post-count de-pin, the depth-counted _aqe_disabled
+    # scope, and _checkpoint.py's PySpark-3.x guard.  Then the 17
+    # entries whose latest driver row is r7 (they hit the newest-3
+    # staleness edge when r11 lands), then the 27 alphabetically-first
+    # of the 48 r8-stale entries.  Invariant (pytest): first-50 union
+    # all CORRECTNESS_r* rounds covers the whole registry, and no
+    # entry's latest driver row is older than newest-3.
+    # changed code this round (components.py / _checkpoint.py)
+    # NEW this round: cross-run persisted index probe (VERDICT r10
+    # item 7) — new entries take a slot the round they land
+    "persisted_minhash_index_probe",
     "embedding_dedup_clusters",
-    "events_daily_by_type",
-    "events_dedup_watermark",
-    "events_funnel_conversion",
-    "events_kmv_setops",
-    "events_retention_cohorts",
-    "forecast_revenue_change",
-    "knn_ivf_quantized",
-    "knn_lsh_embeddings",
-    "knn_multiprobe_embeddings",
-    "multimodal_adpcm_pcm_stats",
-    "multimodal_bmp_pixel_stats",
-    # (multimodal_decode was the 26th r7-stale slot; it yields its slot
-    # to the new streaming_ingest_dedup_index entry and leads the r11
-    # rotation instead)
+    "near_dup_clusters",
+    "pagerank_part_supplier",
+    "docs_kcore_graph",
+    "near_dup_kcore",
+    "near_dup_triangles",
+    # r7-stale refresh (latest driver row is r7)
+    "multimodal_decode",
+    "multimodal_mjpeg_pixel_stats",
+    "multimodal_png_pixel_stats",
+    "multimodal_rle8_pixel_stats",
+    "multimodal_video_frames",
+    "multimodal_wav_pcm_stats",
+    "nation_market_share",
+    "orders_hll_custkey",
+    "orders_hll_rollup",
+    "orders_incremental_matview",
+    "orders_pit_scd2_join",
+    "orders_zorder_layout",
+    "promo_revenue_share",
+    "streaming_cdc_merge",
+    "streaming_hll_distinct",
+    "streaming_matview_merge",
+    "token_countmin_topk",
+    # r8-stale refresh (alphabetical prefix; the remaining 21 r8s
+    # sit exactly at the newest-3 edge and lead the r12 rotation)
+    "bpe_token_counts",
+    "bpe_train_merges",
+    "cdc_apply_customer",
+    "cheapest_supplier_per_part",
+    "compact_roundtrip_orders",
+    "compare_orders_diff",
+    "corpus_prepare_neardup",
+    "corpus_training_pipeline",
+    "customer_retention_setops",
+    "doc_bpe_packing",
+    "doc_lm_score_bigram",
+    "doc_lm_score_trigram",
+    "doc_sequence_packing",
+    "doc_top_terms",
+    "docs_fixed_sample_by_lang",
+    "documents_deduped",
+    "duplicate_spans_documents",
+    "embedding_kmeans_quantized",
+    "embedding_near_dup_pairs",
+    "events_sliding_windows",
+    "events_user_sessions",
+    "fk_broken_lineitem_part",
+    "join_size_estimate_cms",
+    "jsonl_ingest_documents",
+    "knn_embeddings",
+    "large_order_customers",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

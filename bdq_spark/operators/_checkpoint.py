@@ -22,18 +22,42 @@ ships as its default edge storage level.  Use it for any checkpoint
 whose row count scales with the DATA (edges, shingles, signatures,
 band keys, token streams); keep the default level for node-scale and
 per-round relations.
+
+One deliberate exception to the keep-node-scale-deserialized default:
+``components._keyed_checkpoint`` routes its node-scale relations (CC
+labels, PageRank nodes/ranks) through ``data_checkpoint`` too — that
+helper only runs PAST the 2M-node broadcast cutover, where the "node
+scale" relation exceeds 2M rows by definition and keeps growing with
+the graph, so capping its storage footprint wins over saving a
+per-round deserialize that is noise next to the edge-scan join it
+feeds (rationale restated at the call site).
 """
 
 from __future__ import annotations
+
+import inspect
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 __all__ = ["data_checkpoint"]
 
+# ``storageLevel`` landed on DataFrame.localCheckpoint in PySpark 4.0
+# (SPARK-48258); on a 3.x runtime the keyword raises TypeError at first
+# use.  Detect once at import: the 3.x fallback keeps the lineage-cut
+# semantics at the default deserialized level — correct, just without
+# the memory-footprint win (documented trade, not silent breakage).
+_HAS_CHECKPOINT_STORAGE_LEVEL = (
+    "storageLevel"
+    in inspect.signature(DataFrame.localCheckpoint).parameters
+)
+
 
 def data_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
-    """``df.localCheckpoint(eager)`` with serialized block storage."""
-    return df.localCheckpoint(
-        eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    """``df.localCheckpoint(eager)`` with serialized block storage
+    (PySpark >= 4.0; plain localCheckpoint on older runtimes)."""
+    if _HAS_CHECKPOINT_STORAGE_LEVEL:
+        return df.localCheckpoint(
+            eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    return df.localCheckpoint(eager=eager)

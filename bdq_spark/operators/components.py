@@ -27,6 +27,7 @@ Scale mechanics, per round:
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -60,6 +61,19 @@ def _maybe_broadcast(df: DataFrame, n_nodes: int, bound: int) -> DataFrame:
     return F.broadcast(df) if n_nodes <= bound else df.hint("shuffle_hash")
 
 
+# depth-counted save/restore for _aqe_disabled: overlapping scopes on
+# one session (concurrent SparkPipeline steps each planning a
+# past-the-cutover graph op) must save the USER's AQE setting exactly
+# once — at the outermost entry — and restore it exactly once, at the
+# outermost exit.  Naive per-scope save/restore races: scope A saves
+# "true", B saves the "false" A just set, A restores "true" mid-B, B
+# finally restores "false" and the session leaks AQE-off.  The lock
+# guards only the bookkeeping (entry/exit), never the yielded body, so
+# concurrent graph sections still run in parallel.
+_AQE_LOCK = threading.Lock()
+_AQE_SCOPES: dict = {}  # id(session) -> [depth, saved_value]
+
+
 @contextmanager
 def _aqe_disabled(spark):
     """Scope for the co-partitioned shuffle path of the iterative graph
@@ -81,19 +95,45 @@ def _aqe_disabled(spark):
     Caveat: ``spark.conf`` is SESSION-scoped, so a query planned
     CONCURRENTLY on the same session (e.g. a parallel
     ``SparkPipeline`` step) while a past-the-cutover graph op holds
-    this scope would also plan without AQE.  The scope only engages
-    for >2M-node graphs, lasts for the iterative section only, and is
-    exception-safe (restored in ``finally``); pipelines that interleave
-    huge-graph steps with AQE-sensitive steps should order them
-    sequentially.
+    this scope also plans without AQE — unavoidable for a shared
+    session; pipelines that interleave huge-graph steps with
+    AQE-sensitive steps should order them sequentially or run the
+    graph step on ``spark.newSession()``.  What IS guaranteed: the
+    user's AQE setting is saved at the OUTERMOST scope entry and
+    restored at the OUTERMOST exit (depth-counted, lock-guarded), so
+    overlapping scopes can never restore each other's intermediate
+    "false" and leak AQE-off past the last exit.
     """
     key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    sid = id(spark)
+    with _AQE_LOCK:
+        depth, saved = _AQE_SCOPES.get(sid, (0, None))
+        if depth == 0:
+            saved = spark.conf.get(key)
+            spark.conf.set(key, "false")
+        _AQE_SCOPES[sid] = (depth + 1, saved)
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        with _AQE_LOCK:
+            depth, saved = _AQE_SCOPES[sid]
+            if depth == 1:
+                del _AQE_SCOPES[sid]
+                spark.conf.set(key, saved)
+            else:
+                _AQE_SCOPES[sid] = (depth - 1, saved)
+
+
+def _shuffle_partitions(spark) -> int:
+    """The session's shuffle partition count as an int, falling back to
+    ``defaultParallelism`` when the conf is non-numeric — platforms with
+    AQE auto-optimized shuffle report ``spark.sql.shuffle.partitions``
+    as the string ``"auto"``, and ``int("auto")`` would fail the whole
+    graph operator at first use."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
 
 
 def _keyed_checkpoint(df: DataFrame, key: str) -> DataFrame:
@@ -101,10 +141,62 @@ def _keyed_checkpoint(df: DataFrame, key: str) -> DataFrame:
     partition count and checkpoint it — inside :func:`_aqe_disabled`
     the checkpoint keeps the partitioning, so downstream equi-joins and
     aggregates on ``key`` (with the same partition count, which
-    ENSURE_REQUIREMENTS defaults to) insert no exchange."""
+    ENSURE_REQUIREMENTS defaults to) insert no exchange.
+
+    Storage level: SERIALIZED (:func:`data_checkpoint`) even for the
+    node-scale relations routed here, deliberately diverging from
+    ``_checkpoint.py``'s keep-node-scale-deserialized default — this
+    helper only runs PAST the broadcast cutover, where "node-scale"
+    means >2M rows by definition and grows with the graph, so the ~4x
+    deserialized object overhead is exactly the storage-memory pressure
+    the serialized level exists to cap; the per-round deserialize of a
+    2-long-row relation is noise next to the round's edge-scan join it
+    feeds."""
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return data_checkpoint(df.repartition(n, key))
+    return data_checkpoint(df.repartition(_shuffle_partitions(spark), key))
+
+
+# fused-setup regime floor, in INPUT PAIR rows: a pair relation at or
+# below half the node cutover cannot produce a past-cutover graph
+# (n_nodes <= 2 * n_pairs), so its edge checkpoint's hash(a)
+# partitioning would never be reused — the rounds broadcast the node
+# side — and pinning a tiny edge relation at the session shuffle
+# partition count just schedules that many near-empty tasks in EVERY
+# per-round job (measured at sf0.1: embedding_dedup_clusters 5.6 s with
+# the AQE-coalesced setup vs 12.1 s pinned at 32 partitions).  Small
+# graphs keep the AQE-planned symmetrize-distinct; only graphs that can
+# cross the cutover pay the fused co-partitioned setup.
+def _may_exceed_cutover(n_pairs: int, broadcast_max_nodes: int) -> bool:
+    return 2 * n_pairs > broadcast_max_nodes
+
+
+# de-pin coalesce target: ~4 MiB of serialized 16-byte edge rows per
+# partition — small enough that a single peeled round never waits on
+# one straggler partition, large enough that a sub-million-row graph
+# collapses to a handful of tasks
+_EDGE_ROWS_PER_PARTITION = 262_144
+
+
+def _depin_small_edges(e: DataFrame, broadcast_max_nodes: int) -> DataFrame:
+    """PageRank's fused setup shuffles the edge relation ONCE at the
+    session shuffle partition count, necessarily before any count
+    exists (pre-counting would re-materialize the edge-scale input —
+    the second edge materialization the x100 sweep removed).  When the
+    count — one cheap job over the just-written checkpoint blocks —
+    then shows a graph that CANNOT cross the node cutover
+    (``n_nodes <= 2 * n_edges``), the captured hash(src) partitioning
+    will never be reused (the rounds broadcast the node side), so a
+    tiny relation pinned at the shuffle partition count pays that many
+    near-empty tasks in every per-round job — the CC bench cliff
+    (5.6 s -> 12.1 s at sf0.1).  Re-checkpoint coalesced to the data's
+    natural width; a cutover-capable graph keeps its keyed pin
+    untouched."""
+    n_edges = e.count()
+    n_cur = e.rdd.getNumPartitions()
+    want = max(1, min(n_cur, -(-n_edges // _EDGE_ROWS_PER_PARTITION)))
+    if want < n_cur and not _may_exceed_cutover(n_edges, broadcast_max_nodes):
+        return data_checkpoint(e.coalesce(want))
+    return e
 
 
 def connected_components(
@@ -145,20 +237,32 @@ def connected_components(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     )
     spark = pairs.sparkSession
-    with _aqe_disabled(spark):
-        # ONE symmetrize-dedup shuffle, captured with hash(a): the
-        # per-partition dropDuplicates rides the repartition exchange
-        # (hash(a) satisfies the (a, b) clustering), and past the
-        # cutover the rounds reuse this partitioning without a second
-        # edge materialization — see :func:`pagerank`
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        edges = data_checkpoint(
-            directed.union(
-                directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mirror = directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # the count is one cheap job over the checkpoint blocks just
+    # materialized; it picks the setup regime BEFORE the symmetrize
+    # shuffle runs, so small graphs never get pinned wide
+    n_pairs = directed.count()
+    if _may_exceed_cutover(n_pairs, broadcast_max_nodes):
+        with _aqe_disabled(spark):
+            # ONE symmetrize-dedup shuffle, captured with hash(a): the
+            # per-partition dropDuplicates rides the repartition
+            # exchange (hash(a) satisfies the (a, b) clustering), and
+            # past the cutover the rounds reuse this partitioning
+            # without a second edge materialization — see
+            # :func:`pagerank`
+            edges = data_checkpoint(
+                directed.union(mirror)
+                .repartition(_shuffle_partitions(spark), "a")
+                .dropDuplicates()
             )
-            .repartition(n_part, "a")
-            .dropDuplicates()
-        )
+    else:
+        # small graph (cannot cross the node cutover): the rounds
+        # broadcast the label side, so edge partitioning is never
+        # reused — let AQE plan the symmetrize-dedup and COALESCE the
+        # checkpoint to the data's natural width instead of pinning a
+        # sub-partition-size relation at the session shuffle count
+        # (see :func:`_may_exceed_cutover` for the measured cliff)
+        edges = data_checkpoint(directed.union(mirror).distinct())
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -288,14 +392,14 @@ def pagerank(
     spark = edges.sparkSession
     with _aqe_disabled(spark):
         # ONE edge shuffle for the whole query, captured with its
-        # hash(src) partitioning (harmless when the broadcast path is
-        # taken: same shuffle count as a plain distinct)
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # hash(src) partitioning (same shuffle count as a plain
+        # distinct; small graphs get de-pinned right below)
         e = data_checkpoint(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .repartition(n_part, "src")
+            .repartition(_shuffle_partitions(spark), "src")
             .dropDuplicates()
         )
+    e = _depin_small_edges(e, broadcast_max_nodes)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -410,12 +514,12 @@ def pagerank_quantized(
     spark = edges.sparkSession
     with _aqe_disabled(spark):
         # ONE edge shuffle, captured with hash(src) — see :func:`pagerank`
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         e = data_checkpoint(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .repartition(n_part, "src")
+            .repartition(_shuffle_partitions(spark), "src")
             .dropDuplicates()
         )
+    e = _depin_small_edges(e, broadcast_max_nodes)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -605,10 +709,20 @@ def kcore(
     past convergence are no-ops).
 
     Scale shape, two regimes split on the symmetrized edge count
-    (measured: the zero-exchange machinery's fixed costs — serialized
-    round checkpoints, per-round broadcast builds — cost ~+1 s on
-    bench-scale graphs while saving nothing, so small graphs keep the
-    simple peel):
+    compared against ``broadcast_max_nodes`` — a deliberately
+    CONSERVATIVE node-regime test, not a repurposing of the bound:
+    every node of the symmetrized relation contributes at least one
+    source row, so ``n_nodes <= n_edges_sym``, and an edge count at or
+    under the node bound PROVES the node set is under it too (the
+    converse regime can only start later than a true node count would,
+    which costs nothing: the zero-exchange machinery's fixed costs —
+    serialized round checkpoints, per-round broadcast builds — measured
+    ~+1 s on bench-scale graphs while saving nothing, so erring toward
+    the simple peel is the right direction).  The same inequality
+    bounds the small path's unconditional ``F.broadcast(bad)``: the
+    sub-k node set is at most ``n_nodes <= n_edges_sym <=
+    broadcast_max_nodes`` rows of one long (~16 MB at the default
+    bound), within Spark's broadcast comfort zone by construction:
 
     - ``<= broadcast_max_nodes`` edges: each round is one degree
       aggregation plus two BROADCAST anti-joins against the (shrinking)

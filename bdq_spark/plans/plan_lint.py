@@ -159,6 +159,35 @@ def plan_fingerprint(df_or_text: Union[DataFrame, str]) -> dict:
     }
 
 
+def checkpoint_partitions(df: DataFrame) -> int:
+    """MAX partition count across the plan's ``LogicalRDD`` leaves (the
+    ``localCheckpoint`` scans) — the plan-shape dimension the r10 CC
+    defect proved invisible to every count in :func:`plan_fingerprint`:
+    a fused setup that pins a 920-row edge checkpoint at 32 partitions
+    has identical exchange/join/rdd-scan counts to one AQE-coalesced to
+    1 partition, but schedules 32 near-empty tasks in every downstream
+    job (measured 2x on the clustering entry).  Partition counts live
+    on the RDD, not in the explain text, so this reads the analyzed
+    plan's leaves through the JVM; returns 0 when the plan has no
+    checkpoint leaves (or on any introspection failure — the
+    fingerprint must never break the audit).
+
+    Note ``LogicalRDD`` also covers ``createDataFrame`` over a local
+    collection (parallelized at defaultParallelism), so entries built
+    from literal fixtures report that width here — a constant for a
+    fixed session config, which is all the regression golden needs."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        best = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                best = max(best, leaf.rdd().getNumPartitions())
+        return best
+    except Exception:
+        return 0
+
+
 # ops below a SinglePartition exchange that make it benign: the stream
 # was already reduced to O(partitions) rows (partial aggregates) or a
 # bounded prefix (limits) before the funnel

@@ -483,3 +483,112 @@ def test_data_checkpoint_stores_serialized_blocks(spark):
     # at least one live cached RDD is memory+serialized (ours); the
     # default-deserialized level may coexist from other fixtures
     assert (True, False) in levels, levels
+
+
+def test_aqe_scope_overlap_restores_outermost(spark):
+    """ADVICE r10 (medium): two OVERLAPPING _aqe_disabled scopes on one
+    session (concurrent pipeline steps) must not race the save/restore —
+    the naive per-scope version let scope B save the 'false' A had just
+    set, so B's restore leaked AQE-off session-wide.  Depth-counted:
+    the user's value is saved at the outermost entry, AQE stays off
+    while ANY scope is live, and the outermost exit restores."""
+    from bdq_spark.operators.components import _aqe_disabled
+
+    key = "spark.sql.adaptive.enabled"
+    assert spark.conf.get(key) == "true"
+    a = _aqe_disabled(spark)
+    b = _aqe_disabled(spark)
+    a.__enter__()
+    b.__enter__()  # overlapping, non-nested exit order below
+    assert spark.conf.get(key) == "false"
+    a.__exit__(None, None, None)
+    # a scope is still live: AQE must STAY off (old code restored here)
+    assert spark.conf.get(key) == "false"
+    b.__exit__(None, None, None)
+    assert spark.conf.get(key) == "true"
+
+
+def test_shuffle_partitions_auto_fallback(spark):
+    """ADVICE r10: platforms with AQE auto-optimized shuffle report
+    spark.sql.shuffle.partitions as the string 'auto' — the graph
+    operators must fall back to defaultParallelism, not ValueError."""
+    from bdq_spark.operators.components import _shuffle_partitions
+
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    # OSS Spark validates the conf as an int at set-time, so the
+    # non-numeric value can't be injected through a real session —
+    # stub the read the way the managed platform would report it
+    class _Conf:
+        def get(self, key):
+            return "auto"
+
+    class _Stub:
+        conf = _Conf()
+        sparkContext = spark.sparkContext
+
+    assert (
+        _shuffle_partitions(_Stub())
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_small_graph_checkpoints_not_pinned_wide(spark):
+    """VERDICT r10 item 1: a graph that cannot cross the broadcast
+    cutover must NOT have its checkpoints pinned at the session shuffle
+    partition count — the r10 fused setup did, scheduling 32 near-empty
+    tasks in every per-round job (embedding_dedup_clusters 5.6 s ->
+    12.1 s at sf0.1).  Pin the fix through the same lens the audit now
+    records: max LogicalRDD partition count of the result plan."""
+    from bdq_spark.operators import connected_components, pagerank
+    from bdq_spark.operators.components import pagerank_quantized
+    from bdq_spark.plans.plan_lint import checkpoint_partitions
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n_part >= 2, "test needs >1 shuffle partition to detect a pin"
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long"
+    )
+    cc = connected_components(pairs)
+    assert cc.count() == 40
+    assert checkpoint_partitions(cc) < n_part
+
+    edges = pairs.selectExpr("id_a as src", "id_b as dst")
+    pr = pagerank(edges, iterations=2)
+    assert pr.count() == 40
+    assert checkpoint_partitions(pr) < n_part
+    prq = pagerank_quantized(edges, iterations=2)
+    assert prq.count() == 40
+    assert checkpoint_partitions(prq) < n_part
+
+
+def test_depin_small_edges_keeps_cutover_capable_graphs(spark):
+    """_depin_small_edges must only coalesce when the graph PROVABLY
+    cannot cross the node cutover; a cutover-capable edge relation keeps
+    its keyed pin (partitioning reuse is the whole point there)."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.components import (
+        _depin_small_edges,
+        _keyed_checkpoint,
+        _aqe_disabled,
+    )
+
+    with _aqe_disabled(spark):
+        e = _keyed_checkpoint(
+            spark.range(2_000).select(
+                F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+            ),
+            "src",
+        )
+    n_before = e.rdd.getNumPartitions()
+    # tiny vs its cutover: coalesced below the pin
+    assert (
+        _depin_small_edges(e, broadcast_max_nodes=2_000_000)
+        .rdd.getNumPartitions()
+        < n_before
+    )
+    # cutover-capable (2 * 2000 > 1000): pin kept, same object
+    assert _depin_small_edges(e, broadcast_max_nodes=1_000) is e

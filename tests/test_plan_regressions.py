@@ -215,3 +215,77 @@ def test_full_registry_lints_error_free(spark):
         if bad:
             errors[name] = bad
     assert errors == {}, f"scale-hazard ERRORs in {sorted(errors)}: {errors}"
+
+
+def test_hot_module_changes_carry_bench_ab():
+    """VERDICT r10 item 2 (bench-scale A/B rule): the CC fuse's 2x
+    bench-scale cost shipped because its only A/B ran at x100 — so any
+    module changed in-round whose gating entries include a
+    top-20-by-wall bench entry must record a same-box focused
+    SPARK_GRAFT_BENCH_ONLY A/B (old round-boundary rev vs HEAD,
+    machine-stamped) in BENCH_AB_r{N}.json, declared in
+    tests/window_policy.py::BENCH_AB, covering every intersecting
+    entry on BOTH sides."""
+    import subprocess
+
+    wp_spec = importlib.util.spec_from_file_location(
+        "window_policy",
+        os.path.join(os.path.dirname(__file__), "window_policy.py"),
+    )
+    window_policy = importlib.util.module_from_spec(wp_spec)
+    wp_spec.loader.exec_module(window_policy)
+
+    log = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if log.returncode != 0:
+        pytest.skip("not a git checkout")
+    boundary = None
+    for line in log.stdout.splitlines():
+        sha, _, subject = line.partition(" ")
+        if subject.startswith("round ") and "verdict" in subject:
+            boundary = sha
+            break
+    if boundary is None:
+        pytest.skip("no round-boundary commit yet (round 1)")
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", boundary, "--", "bdq_spark/"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    changed = {p for p in diff.stdout.splitlines() if p.endswith(".py")}
+
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if not os.path.exists(detail_path):
+        pytest.skip("no BENCH_DETAIL.json yet")
+    mins = json.load(open(detail_path))["min"]
+    top20 = set(sorted(mins, key=mins.get, reverse=True)[:20])
+
+    for module, entries in window_policy.TOUCHED.items():
+        if module not in changed:
+            continue
+        hot = sorted(set(entries) & top20)
+        if not hot:
+            continue
+        artifact = window_policy.BENCH_AB.get(module)
+        assert artifact, (
+            f"{module} changed in-round and gates top-20 bench entries "
+            f"{hot} — declare its same-box A/B artifact in "
+            f"window_policy.BENCH_AB and record it"
+        )
+        path = os.path.join(REPO, artifact)
+        assert os.path.exists(path), f"{module}: {artifact} missing"
+        art = json.load(open(path))
+        for side in ("old", "new"):
+            assert "queries" in art.get(side, {}), (
+                f"{artifact}: side '{side}' needs a bench 'queries' map"
+            )
+            missing = [e for e in hot if e not in art[side]["queries"]]
+            assert missing == [], (
+                f"{artifact}: side '{side}' missing A/B numbers for "
+                f"hot entries {missing} of {module}"
+            )
+            assert "host" in art[side], (
+                f"{artifact}: side '{side}' needs its machine stamp"
+            )
+        assert art.get("old_rev"), f"{artifact}: record the old rev"

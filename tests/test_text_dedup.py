@@ -1014,3 +1014,39 @@ def test_trigram_backoff_score_matches_reference(spark):
     s = {r.doc_id: r.lm3_score for r in
          trigram_backoff_score(probe, train=self_train).collect()}
     assert s[0] > s[1]
+
+
+def test_persisted_minhash_index_probe_steady_state(spark, monkeypatch):
+    """Cross-run index durability (VERDICT r10 item 7): the first
+    invocation stages the band index to the shared temp dir; every
+    later one — including the next driver ROUND, which shares the dir
+    — must be probe-only.  Proven by poisoning the index builder on
+    the second call: if the steady state re-built the index from
+    corpus text, the entry would raise; and both invocations must
+    return the identical pair set (persisted index lossless vs the
+    in-memory build)."""
+    import bdq_spark.operators.dedup as dedup_mod
+    from bdq_spark.entry_queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    fn = QUERIES["persisted_minhash_index_probe"]
+    first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert first, "probe found no pairs at sf0.001 — fixture too small?"
+
+    def _boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError(
+            "minhash_band_index called on the steady-state path: the "
+            "persisted index was rebuilt instead of loaded"
+        )
+
+    monkeypatch.setattr(dedup_mod, "minhash_band_index", _boom)
+    second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert second == first
+
+    # in-memory twin equivalence: the persisted probe's pair set equals
+    # incremental_minhash_md5's (same slices, same parameters)
+    monkeypatch.undo()
+    twin = sorted(
+        map(tuple, QUERIES["incremental_minhash_md5"](spark, sf_dir).collect())
+    )
+    assert twin == first

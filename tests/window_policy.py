@@ -1,4 +1,5 @@
-"""Round-scoped window policy declaration (VERDICT r9 item 3).
+"""Round-scoped window policy declaration (VERDICT r9 item 3; bench
+A/B rule added per VERDICT r10 item 2).
 
 The r9 verdict's hard rule: any entry whose operator code changed
 in-round must take a driver-window slot THAT round, before staleness
@@ -10,6 +11,15 @@ edit can never silently skip the policy); the builder declares here
 WHICH entries gate each changed module, and the test asserts every
 one of those entries holds a ``_DRIVER_PRIORITY`` slot.
 
+The r10 verdict added a second rule after the CC fuse's 2x bench-scale
+cost shipped behind an x100-only A/B: any TOUCHED module whose gating
+entries include a top-20-by-wall bench entry must also record a
+same-box focused ``SPARK_GRAFT_BENCH_ONLY`` A/B (old round-boundary
+rev in a worktree vs HEAD, machine-stamped) in ``BENCH_AB_r{N}.json``
+before the round closes.
+``tests/test_plan_regressions.py::test_hot_module_changes_carry_bench_ab``
+enforces it.
+
 Update this file every round, alongside the ``_DRIVER_PRIORITY``
 rotation in ``bdq_spark/entry_queries.py``.
 """
@@ -20,54 +30,59 @@ rotation in ``bdq_spark/entry_queries.py``.
 # appear here (or in EXEMPT below with a reason) and every listed
 # entry must be in the current _DRIVER_PRIORITY window.
 TOUCHED = {
-    # append_zonemap type-alignment guard (ADVICE r9) — gated by the
-    # append-maintained index entry, which exercises append_zonemap +
-    # append_bloom + merged-sidecar pruning end to end
-    "bdq_spark/sources/sinks.py": ["indexed_append_scan_orders"],
-    # staging v2: bloom bits sized from the full two-generation row
-    # count (ADVICE r9); the window rotation itself; and the NEW
-    # streaming ingest -> dedup -> index composition entry (VERDICT r9
-    # item 6), gated by its own value-hashed driver slot
-    "bdq_spark/entry_queries.py": [
-        "indexed_append_scan_orders",
-        "streaming_ingest_dedup_index",
+    # VERDICT r10 item 1: the CC fused edge setup pinned small graphs
+    # at the session shuffle partition count — dual-pathed
+    # (connected_components pre-counts its checkpointed pair input;
+    # pagerank/pagerank_quantized de-pin post-count); plus the
+    # depth-counted _aqe_disabled scope (ADVICE medium), the
+    # _shuffle_partitions "auto" fallback, and the kcore regime-split
+    # documentation.  Gated by the full graph family.
+    "bdq_spark/operators/components.py": [
+        "embedding_dedup_clusters",
+        "near_dup_clusters",
+        "pagerank_part_supplier",
+        "docs_kcore_graph",
+        "near_dup_kcore",
     ],
-    # (a) incremental_fingerprint_dedup gained the
-    # corpus_fingerprint_column probe path (column-pruned 16-byte scan
-    # instead of re-hashing the corpus text per trigger); default
-    # behavior unchanged (pinned in test_text_dedup.py).  Gated by the
-    # new streaming composition entry (stored-column path) and the
-    # incremental batch entry (default path), both in the r10 window.
-    # (b) shingle-scale checkpoints switched to serialized storage
-    # (second-decade fix); storage level changes no values, and the
-    # ngram-Jaccard path is gated end-to-end by near_dup_triangles
-    # (exact Jaccard pairs producer), also in the window.
-    "bdq_spark/operators/dedup.py": [
-        "streaming_ingest_dedup_index",
-        "incremental_dedup_batch",
-        "near_dup_triangles",
-    ],
-    # serialized-checkpoint helper shared by components.py/dedup.py —
-    # gated through the same entries as its two consumers
+    # PySpark-3.x localCheckpoint(storageLevel=...) guard (ADVICE r10)
+    # — behavior-neutral on this runtime; gated through the serialized-
+    # checkpoint consumers as in r10
     "bdq_spark/operators/_checkpoint.py": [
         "pagerank_part_supplier",
         "near_dup_triangles",
     ],
-    # co-partitioned shuffle path for graphs past the broadcast cutover
-    # (second-decade walls from the sf1.0 sweep): pagerank/CC loop
-    # restructure, kcore's zero-exchange mirror-broadcast peel.  Gated
-    # by graph-family entries already holding r10 window slots —
-    # pagerank (pagerank_part_supplier), triangles (near_dup_triangles),
-    # kcore (docs_kcore_graph), connected components
-    # (embedding_dedup_clusters).
-    "bdq_spark/operators/components.py": [
-        "pagerank_part_supplier",
-        "near_dup_triangles",
-        "docs_kcore_graph",
-        "embedding_dedup_clusters",
+    # the r11 window rotation itself (gated by rotated-in entries —
+    # deliberately NON-top-20 picks: a rotation reorders the window
+    # without touching any query's code, so the bench-A/B rule has
+    # nothing to measure for it) and the NEW persisted-index entry
+    # (VERDICT r10 item 7), gated by its own value-hashed driver slot
+    "bdq_spark/entry_queries.py": [
+        "persisted_minhash_index_probe",
+        "multimodal_decode",
+        "orders_pit_scd2_join",
     ],
 }
 
 # modules whose in-round change has no relational queries() surface —
 # each needs a reason a reviewer can check
-EXEMPT = {}
+EXEMPT = {
+    # additive plan-introspection helper (checkpoint_partitions — the
+    # fingerprint field VERDICT r10 item 3 asked for); no query
+    # semantics changed; pinned by
+    # test_components.py::test_small_graph_checkpoints_not_pinned_wide
+    # and the regenerated plans_golden.json
+    "bdq_spark/plans/plan_lint.py": (
+        "additive introspection (checkpoint_partitions); no relational "
+        "surface; gated by plan-golden regen + components pin test"
+    ),
+}
+
+# TOUCHED modules whose gating entries intersect the top-20-by-wall
+# bench set this round -> the BENCH_AB_r{N}.json artifact that records
+# their same-box focused A/B.  The enforcement test recomputes the
+# top-20 from BENCH_DETAIL.json and fails if an intersecting module is
+# missing here or the artifact doesn't cover the intersecting entries.
+BENCH_AB = {
+    "bdq_spark/operators/components.py": "BENCH_AB_r11.json",
+    "bdq_spark/operators/_checkpoint.py": "BENCH_AB_r11.json",
+}

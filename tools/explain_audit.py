@@ -100,15 +100,26 @@ CARTESIAN_OK = {
 }
 
 
-from bdq_spark.plans.plan_lint import plan_fingerprint, plan_text
+from bdq_spark.plans.plan_lint import (
+    checkpoint_partitions,
+    plan_fingerprint,
+    plan_text,
+)
 
 plan_of = plan_text  # back-compat alias; the library owns the capture
 
 
 # fingerprint fields where a HIGHER value than golden is a regression
-# (more shuffles / more unbroadcast joins / more checkpoint truncation);
-# cartesian is boolean: golden False -> True regresses
-_REGRESSION_KEYS = ("exchanges", "sort_merge_joins", "rdd_scans")
+# (more shuffles / more unbroadcast joins / more checkpoint truncation /
+# a checkpoint pinned wider than its data — the r10 CC defect, which no
+# explain-text count could see); cartesian is boolean: golden
+# False -> True regresses
+_REGRESSION_KEYS = (
+    "exchanges",
+    "sort_merge_joins",
+    "rdd_scans",
+    "checkpoint_partitions",
+)
 
 
 def regressions_vs_golden(golden_fp: dict, fp: dict) -> list:
@@ -139,7 +150,8 @@ def run_audit(spark, queries, only=(), golden=None, quiet=False):
         if only and name not in only:
             continue
         try:
-            plan = plan_of(fn(spark, SF_DIR))
+            df = fn(spark, SF_DIR)
+            plan = plan_of(df)
         except Exception as e:
             problems.append((name, f"explain failed: {e}"))
             regressed.append((name, f"explain failed: {e}"))
@@ -155,6 +167,9 @@ def run_audit(spark, queries, only=(), golden=None, quiet=False):
         if "BroadcastNestedLoopJoin" in plan and name not in CARTESIAN_OK:
             notes.append("BroadcastNestedLoopJoin")
         fp = plan_fingerprint(plan)
+        # partition counts live on the checkpoint RDDs, not in the
+        # explain text — read them off the DataFrame's analyzed plan
+        fp["checkpoint_partitions"] = checkpoint_partitions(df)
         n_exchange = fp["exchanges"]
         n_bcast = fp["broadcast_hash_joins"]
         n_smj = fp["sort_merge_joins"]
@@ -185,7 +200,7 @@ def run_audit(spark, queries, only=(), golden=None, quiet=False):
             print(
                 f"{status:4s} {name:34s} exchanges={n_exchange:2d} "
                 f"bhj={n_bcast} smj={n_smj} pushed_scans={n_pushed} "
-                f"rdd={n_rdd}"
+                f"rdd={n_rdd} ckpt_parts={fp['checkpoint_partitions']}"
                 + (f"  <- {'; '.join(notes)}" if notes else "")
             )
         if notes:
