@@ -1154,13 +1154,32 @@ def _blocked_cosine_candidates(
 EMBEDDING_PAIRS_EXACT_MAX_ROWS = 200_000
 
 
+#: adaptive-LSH bucket occupancy target, in ASSIGNMENTS per bucket
+#: (rows x n_probe / 2^planes): small enough that the within-bucket
+#: GEMM cost (~n x occupancy) stays linear-in-n from the first
+#: post-cutover decade, large enough that near neighbors keep sharing
+#: buckets at near-dup thresholds (the 0.95-cosine default)
+LSH_TARGET_BUCKET_ROWS = 512
+
+
+def _adaptive_planes(n_rows: int, n_probe: int, floor: int = 8) -> int:
+    """Smallest plane count >= ``floor`` that keeps expected bucket
+    occupancy (``n_rows * n_probe / 2^planes``) at or under
+    :data:`LSH_TARGET_BUCKET_ROWS` — doubling the corpus adds one
+    plane, so the candidate GEMM stays O(n x occupancy) = linear."""
+    planes = floor
+    while (n_rows * n_probe) >> planes > LSH_TARGET_BUCKET_ROWS:
+        planes += 1
+    return planes
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vector_column: str = "embedding",
     id_column: str = "vec_id",
     threshold: float = 0.95,
     mode: str = "auto",
-    num_planes: int = 8,
+    num_planes: Optional[int] = None,
     n_probe: int = 3,
     block_rows: int = 16384,
     exact_max_rows: int = EMBEDDING_PAIRS_EXACT_MAX_ROWS,
@@ -1179,7 +1198,18 @@ def embedding_cosine_pairs(
        only bucket-sharing pairs are compared (recall < 1, rising with
        ``n_probe`` / falling with ``num_planes``).  ``mode="auto"``
        counts the corpus and picks exact up to ``exact_max_rows``, lsh
-       beyond.
+       beyond.  ``num_planes=None`` (the default) sizes the plane
+       count ADAPTIVELY from the corpus count so bucket occupancy
+       stays ~``LSH_TARGET_BUCKET_ROWS`` assignments however large the
+       corpus: with a FIXED plane count the bucket population grows
+       linearly and the within-bucket GEMM quadratically — measured as
+       a last-decade exponent of 1.94 on the x30->x100 sweep (8.7 s ->
+       89.9 s) before this sizing.  Constant occupancy makes the
+       candidate phase O(n x occupancy) — linear.  The recall trade is
+       real and documented: more planes split more true neighbors, so
+       a production deployment tunes (planes, n_probe, and if needed
+       multiple independent tables OR-ed together) against a recall
+       target; passing an explicit ``num_planes`` pins the geometry.
     2. **Candidates:** per group, a sub-blocked executor-side BLAS GEMM
        (:func:`_blocked_cosine_candidates`) emits pairs above
        ``threshold - margin``.  Per-task memory is capped at ~2x
@@ -1207,14 +1237,26 @@ def embedding_cosine_pairs(
     )
     id_type = base.schema["id"].dataType.simpleString()
 
+    n_rows = None
     if mode == "auto":
-        mode = "exact" if base.count() <= exact_max_rows else "lsh"
+        n_rows = base.count()
+        mode = "exact" if n_rows <= exact_max_rows else "lsh"
 
     if mode == "exact":
         assigned = base.withColumn("grp", F.lit(0))
     else:
+        if num_planes is None:
+            # adaptive plane count: hold bucket occupancy at
+            # ~LSH_TARGET_BUCKET_ROWS assignments (see docstring).
+            # The count is one cheap job and only runs on the lsh
+            # path, whose candidate phase dwarfs it.
+            if n_rows is None:
+                n_rows = base.count()
+            planes = _adaptive_planes(n_rows, n_probe)
+        else:
+            planes = num_planes
         assigned = lsh_probe_buckets(
-            base, "vec", "id", num_planes=num_planes, n_probe=n_probe, dim=dim
+            base, "vec", "id", num_planes=planes, n_probe=n_probe, dim=dim
         ).withColumnRenamed("bucket", "grp")
 
     margin = 1e-6

@@ -1050,3 +1050,26 @@ def test_persisted_minhash_index_probe_steady_state(spark, monkeypatch):
         map(tuple, QUERIES["incremental_minhash_md5"](spark, sf_dir).collect())
     )
     assert twin == first
+
+
+def test_adaptive_lsh_planes_hold_occupancy():
+    """The x100 sweep measured the fixed-8-plane LSH path going
+    quadratic (last-decade exponent 1.94: bucket population grows with
+    the corpus, within-bucket GEMM with its square).  Pin the fix:
+    plane count grows one per corpus doubling past the floor, so
+    expected occupancy never exceeds the target."""
+    from bdq_spark.operators.dedup import (
+        LSH_TARGET_BUCKET_ROWS,
+        _adaptive_planes,
+    )
+
+    assert _adaptive_planes(1_000, 3) == 8          # floor
+    assert _adaptive_planes(40_000, 3) == 8         # floor still binds
+    for n in (300_000, 600_000, 10_000_000, 10**9):
+        p = _adaptive_planes(n, 3)
+        assert (n * 3) >> p <= LSH_TARGET_BUCKET_ROWS
+        assert (n * 3) >> (p - 1) > LSH_TARGET_BUCKET_ROWS  # minimal
+    # one plane per doubling
+    assert _adaptive_planes(2_000_000, 3) + 1 == _adaptive_planes(
+        4_000_000, 3
+    )

@@ -44,6 +44,17 @@ TOUCHED = {
         "docs_kcore_graph",
         "near_dup_kcore",
     ],
+    # adaptive LSH plane sizing for embedding_cosine_pairs' 100 TB path
+    # (the x100 sweep measured the fixed-8-plane path quadratic,
+    # last-decade exponent 1.94 -> 0.34 after).  The adaptive branch is
+    # REGISTRY-UNREACHABLE at driver scale (auto mode picks exact below
+    # the 200k-row cutover; only the scale-only EXTRA query forces
+    # lsh), so the gating entries pin no-change: embedding_dedup_clusters
+    # (auto mode) and embedding_near_dup_pairs (pinned exact).
+    "bdq_spark/operators/dedup.py": [
+        "embedding_dedup_clusters",
+        "embedding_near_dup_pairs",
+    ],
     # PySpark-3.x localCheckpoint(storageLevel=...) guard (ADVICE r10)
     # — behavior-neutral on this runtime; gated through the serialized-
     # checkpoint consumers as in r10
@@ -85,4 +96,5 @@ EXEMPT = {
 BENCH_AB = {
     "bdq_spark/operators/components.py": "BENCH_AB_r11.json",
     "bdq_spark/operators/_checkpoint.py": "BENCH_AB_r11.json",
+    "bdq_spark/operators/dedup.py": "BENCH_AB_r11.json",
 }

@@ -95,6 +95,8 @@ QUERY_TABLE = {
     "doc_contamination": "documents",
     "doc_gopher_quality": "documents",
     "multimodal_mp3_stream_stats": "documents",
+    "knn_quantized_embeddings": "embeddings",
+    "events_running_zscore": "events",
 }
 
 
