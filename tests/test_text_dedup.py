@@ -1073,3 +1073,56 @@ def test_adaptive_lsh_planes_hold_occupancy():
     assert _adaptive_planes(2_000_000, 3) + 1 == _adaptive_planes(
         4_000_000, 3
     )
+
+
+def test_adaptive_lsh_recall_floor_on_planted_neighbors(spark):
+    """The adaptive plane sizing trades recall for linear cost — put a
+    MEASURED floor under that trade so a future occupancy-target change
+    can't silently gut recall.  A seeded corpus of random unit vectors
+    gets PLANTED near-duplicates (tiny perturbations, cosine ~0.995);
+    the LSH path is run with the plane count the adaptive rule would
+    pick for a post-cutover corpus (simulated via explicit num_planes,
+    so the test stays small), and must recover >= 80% of planted pairs
+    at the operator's 0.95 default threshold with the default 3-probe
+    setting."""
+    import numpy as np
+
+    from bdq_spark.operators.dedup import (
+        _adaptive_planes,
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_planted = 32, 400, 120
+    base_vecs = rng.normal(size=(n_base, dim))
+    base_vecs /= np.linalg.norm(base_vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base_vecs[i]]) for i in range(n_base)]
+    # planted twin of vector i at id 10_000 + i: cosine ~0.995
+    for i in range(n_planted):
+        twin = base_vecs[i] + 0.03 * rng.normal(size=dim)
+        twin /= np.linalg.norm(twin)
+        if float(twin @ base_vecs[i]) < 0.95:
+            continue
+        rows.append((10_000 + i, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # ground truth: exact mode at the same threshold
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            df, threshold=0.95, mode="exact"
+        ).collect()
+    }
+    assert len(exact) >= 80, "fixture should plant enough >=0.95 pairs"
+
+    # the plane count the adaptive rule picks for a 1M-row corpus —
+    # the deep post-cutover regime this test simulates on small data
+    planes = _adaptive_planes(1_000_000, 3)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            df, threshold=0.95, mode="lsh", num_planes=planes
+        ).collect()
+    }
+    assert got <= exact  # verify stage is exact: no false positives
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.80, f"adaptive-LSH recall {recall:.2f} < 0.80"
