@@ -97,6 +97,22 @@ CARTESIAN_OK = {
     # same shape: the 1-row (N, V) train-corpus scalar broadcast onto
     # the scored trigrams for the backoff floor
     "doc_lm_score_trigram",
+    # same shape (audited r11 — every BroadcastNestedLoopJoin below is
+    # a Cross against a 1-ROW scalar aggregate, bounded at any scale):
+    # KMV theta (the k-th minimum hash) gating the h < theta filter and
+    # the union/intersection estimates
+    "events_kmv_setops",
+    # the 1-row corpus size N for idf, as in doc_top_terms
+    "docs_bm25_search",
+    # the 1-row streaming HLL register-merge total attached to the
+    # batch replay twin for the compare
+    "streaming_hll_distinct",
+    # the 1-row per-sketch width/total scalars attached to the joined
+    # CMS grids before the estimate projection
+    "join_size_estimate_cms",
+    # the 1-row funnel denominator (stage-1 population) broadcast onto
+    # the per-stage conversion rates
+    "events_funnel_conversion",
 }
 
 
