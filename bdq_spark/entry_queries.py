@@ -19,7 +19,7 @@ from __future__ import annotations
 import re
 import shutil
 import tempfile
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1532,17 +1532,28 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@_register("minhash_lsh_near_dup")  # rows-only: xxhash64 not in DuckDB
+@_register("minhash_lsh_near_dup", ORACLE_SQL["near_dup_jaccard"])
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates with exact verify at J >= 0.8.
+    """MinHash LSH near-dup candidates with exact verify at J >= 0.8 —
+    VALUE-HASHED since r12 (was rows-only): the xxhash64 signatures are
+    engine-local, but the entry's OUTPUT after the exact-Jaccard verify
+    stage is not — reported pairs carry exact rational scores, and the
+    banding's measured recall on >= 0.8 pairs is 1 on the driver
+    fixtures at both sf0.001 and sf0.01 (expected: a J = 0.8 pair
+    escapes all 16 4-row bands with probability (1-0.8^4)^16 ~ 2e-4).
+    So the EXHAUSTIVE exact-Jaccard oracle (``near_dup_jaccard``'s SQL)
+    value-hashes the verified pair set; the engine-local ``est_jaccard``
+    column is dropped from the output to keep every reported value
+    engine-reproducible.  A hash-miss here means the LSH path lost a
+    true pair (or invented a score) — exactly the regression worth
+    failing on.
 
     OUTPUT CONTRACT (since round 3): ``max_bucket_size=256`` caps band
     buckets — a duplicate cluster larger than 256 documents whose
     members collide in EVERY band contributes no pairs (deliberate
     recall trade: such clusters are intrinsically quadratic and belong
     to exact fingerprint dedup).  On the driver's testdata no bucket
-    approaches the cap, so results equal the uncapped run; the entry is
-    rows-only-checked (xxhash64 keys are not reproducible in DuckDB)."""
+    approaches the cap, so results equal the uncapped run."""
     from bdq_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
@@ -1551,19 +1562,53 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # skew guard: a mass-duplicate cluster collides in every band;
         # capped buckets are skipped instead of going quadratic
         max_bucket_size=256,
-    )
+    ).select("id_a", "id_b", "jaccard")
 
 
-@_register("incremental_minhash_near_dup")  # rows-only: xxhash64 keys
+@_register(
+    "incremental_minhash_near_dup",
+    # the exhaustive exact-Jaccard pipeline, oriented per the split:
+    # id_a is always the batch doc (doc_id % 5 == 0); match_side says
+    # whether id_b came from the corpus index or is a batch sibling
+    """
+    WITH jp AS ({near_dup_jaccard}),
+    oriented AS (
+      SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS a,
+             CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS b,
+             jaccard
+      FROM jp
+      WHERE id_a % 5 = 0 OR id_b % 5 = 0)
+    SELECT a AS id_a, b AS id_b,
+           CASE WHEN b % 5 = 0 THEN 'batch' ELSE 'corpus' END
+             AS match_side,
+           jaccard
+    FROM oriented
+    """.format(near_dup_jaccard=ORACLE_SQL["near_dup_jaccard"]),
+)
 def incremental_minhash_near_dup_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Continuous-ingest near-dup: 80% of documents form the persisted
     band index, the other 20% arrive as a batch and are probed against
-    it (plus batch-internal pairs) without re-touching corpus text."""
+    it (plus batch-internal pairs) without re-touching corpus text —
+    then the candidates are EXACT-VERIFIED at J >= 0.8 (the full
+    candidates-then-verify incremental pipeline; the verify join
+    touches only the LSH survivors' shingle sets).
+
+    VALUE-HASHED since r12 (was rows-only): the xxhash64 band keys are
+    engine-local, but the verified output is not — scores are exact
+    rationals, and banding recall on >= 0.8 pairs is measured 1 on the
+    driver fixtures at both SFs (same (1-0.8^4)^16 ~ 2e-4 escape math
+    as ``minhash_lsh_near_dup``), so the oracle recomputes the
+    exhaustive cross-split exact-Jaccard pairs with the operator's id
+    orientation.  A hash-miss means the incremental probe lost a true
+    pair across the index boundary — the regression this entry exists
+    to catch."""
     from bdq_spark.operators.dedup import (
+        _jaccard_for_pairs,
         incremental_minhash_near_dup,
         minhash_band_index,
+        shingle,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1571,10 +1616,16 @@ def incremental_minhash_near_dup_docs(
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     # cap BOTH sides: corpus-hot buckets once at build time, batch-hot
     # buckets at probe time
-    return incremental_minhash_near_dup(
+    cand = incremental_minhash_near_dup(
         minhash_band_index(corpus, max_bucket_size=256),
         batch,
         max_bucket_size=256,
+    )
+    ver = _jaccard_for_pairs(
+        cand.select("id_a", "id_b"), shingle(docs, "text", "doc_id", 3)
+    ).filter(F.col("jaccard") >= 0.8)
+    return cand.join(ver, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "match_side", "jaccard"
     )
 
 
@@ -1734,6 +1785,84 @@ def incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_INDEX_VERSION = 1
 
 
+def _index_marker_content(
+    sf_dir: str, table: str, version: int, params: dict
+) -> str:
+    """Marker content for a cross-run staged index (ADVICE r11): the
+    sf_dir + version ALONE under-identify the index — regenerating the
+    fixture in place, or an operator default drifting without a version
+    bump, must invalidate the staged dir.  So the marker folds in a
+    cheap data fingerprint (source parquet mtime + size) and the full
+    build-parameter set; any drift makes the content mismatch and the
+    index rebuild."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    param_sig = ",".join(f"{k}={params[k]!r}" for k in sorted(params))
+    return (
+        f"{sf_dir}:v{version}:data={int(st.st_mtime)}:{st.st_size}"
+        f":params[{param_sig}]"
+    )
+
+
+def _operator_defaults(fn) -> dict:
+    """Every defaulted parameter of ``fn`` — folded into the staging
+    marker so a banding/bucketing default changed WITHOUT a version
+    bump still regenerates the staged index."""
+    import inspect
+
+    return {
+        k: v.default
+        for k, v in inspect.signature(fn).parameters.items()
+        if v.default is not inspect.Parameter.empty
+    }
+
+
+def _stage_index_atomic(df, path: str, marker_content: str) -> None:
+    """Publish a staged index dir ATOMICALLY (ADVICE r11): write to a
+    pid-suffixed temp dir (marker last, inside it), then a single
+    ``os.rename`` to the final path — a concurrent builder racing us
+    either wins the rename (we discard our temp copy; contents are
+    deterministic, so theirs equals ours) or sees ours.  Readers can
+    never observe a half-written dir with a valid marker."""
+    import os
+    import shutil
+
+    tmp = f"{path}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_STAGED"), "w") as fh:
+        fh.write(marker_content)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent builder published first — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _staged_index_ok(path: str, marker_content: str) -> bool:
+    import os
+
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        return fh.read() == marker_content
+
+
+# build-parameter sets captured at IMPORT time: a source-level default
+# drift regenerates the staged index (the marker changes), while
+# runtime monkeypatching (the steady-state rebuild-poison tests) can't
+# perturb the marker and fake a drift
+from bdq_spark.operators.dedup import (  # noqa: E402
+    minhash_band_index as _mbi_for_defaults,
+)
+
+_MINHASH_INDEX_PARAMS = _operator_defaults(_mbi_for_defaults)
+del _mbi_for_defaults
+
+
 @_register("persisted_minhash_index_probe", _INCREMENTAL_MD5_ORACLE)
 def persisted_minhash_index_probe(
     spark: SparkSession, sf_dir: str
@@ -1777,23 +1906,26 @@ def persisted_minhash_index_probe(
         f"{sf_dir}:minhash_idx_v{_MINHASH_INDEX_VERSION}".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"bdq_minhash_idx_{key}")
-    marker = os.path.join(path, "_STAGED")
-    expected_marker = f"{sf_dir}:v{_MINHASH_INDEX_VERSION}"
+    # ADVICE r11: the marker identifies the DATA (fixture fingerprint)
+    # and the BUILD PARAMETERS (operator defaults + explicit overrides),
+    # not just (sf_dir, version) — regenerating the fixture in place or
+    # drifting a banding default regenerates the index instead of
+    # silently reusing a stale one
+    params = dict(_MINHASH_INDEX_PARAMS)
+    params.update(hash_fn="md5", corpus_split="doc_id % 3 != 0")
+    expected_marker = _index_marker_content(
+        sf_dir, "documents", _MINHASH_INDEX_VERSION, params
+    )
     docs = load_table(spark, sf_dir, "documents")
-    staged = False
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            staged = fh.read() == expected_marker
-    if not staged:
+    if not _staged_index_ok(path, expected_marker):
         corpus = docs.filter(F.col("doc_id") % 3 != 0)
-        (
-            minhash_band_index(corpus, hash_fn="md5")
-            .repartition(16, "band_key")
-            .write.mode("overwrite")
-            .parquet(path)
+        _stage_index_atomic(
+            minhash_band_index(corpus, hash_fn="md5").repartition(
+                16, "band_key"
+            ),
+            path,
+            expected_marker,
         )
-        with open(marker, "w") as fh:
-            fh.write(expected_marker)
     index = spark.read.parquet(path)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     out = incremental_minhash_near_dup(index, batch, hash_fn="md5")
@@ -1954,6 +2086,227 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all-pairs oracle shape at this scale"
         )
     return embedding_cosine_pairs(emb, threshold=0.3, mode="exact")
+
+
+def _pairs_lsh_md5_oracle(
+    num_planes: int,
+    num_tables: int,
+    threshold: float,
+    dim: int = 64,
+    split: Optional[tuple] = None,
+) -> str:
+    """DuckDB oracle for :func:`embedding_cosine_pairs_md5` (and the
+    persisted-index probe): recomputes EVERY OR-table — per-table md5
+    integer hyperplanes (table 0 the bare seed, table t the ``:t{t}``
+    suffix, see ``_table_seed``), quantized int64 margins, bucket
+    codes, per-table same-bucket joins, the cross-table union/distinct
+    and the rounded-cosine verify cut — so the multi-table candidate
+    path is value-checked end to end, not just its exact fallback.
+
+    ``split=(batch_pred, corpus_pred)`` switches the pair join from
+    within-corpus (``id_a < id_b``) to batch-vs-corpus probing (id_a
+    from the batch side, id_b from the corpus side) — the oracle shape
+    of ``persisted_vector_index_probe``."""
+    if split is None:
+        cand_join = (
+            "JOIN buckets b ON b.t = a.t AND b.bucket = a.bucket\n"
+            "                    AND a.vec_id < b.vec_id"
+        )
+        cand_from = "FROM buckets a"
+    else:
+        batch_pred, corpus_pred = split
+        cand_from = f"FROM (SELECT * FROM buckets WHERE {batch_pred}) a"
+        cand_join = (
+            f"JOIN (SELECT * FROM buckets WHERE {corpus_pred}) b\n"
+            "        ON b.t = a.t AND b.bucket = a.bucket"
+        )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    comp AS (
+      SELECT vec_id, CAST(tj.j AS INT) AS j,
+             CAST(round(v.e[CAST(tj.j AS INT) + 1] * 10000) AS BIGINT) AS q
+      FROM v CROSS JOIN range({dim}) tj(j)),
+    planes AS (
+      SELECT CAST(tt.t AS INT) AS t, CAST(tp.p AS INT) AS p,
+             CAST(tj.j AS INT) AS j,
+             (('0x' || substr(md5(
+                 CASE WHEN tt.t = 0 THEN 'bdq_lshq'
+                      ELSE 'bdq_lshq:t' || tt.t END
+                 || ':' || tp.p || ':' || tj.j), 1, 15))::BIGINT
+              % 20001) - 10000 AS hv
+      FROM range({num_tables}) tt(t)
+      CROSS JOIN range({num_planes}) tp(p)
+      CROSS JOIN range({dim}) tj(j)),
+    margins AS (
+      SELECT c.vec_id, pl.t, pl.p,
+             CAST(sum(c.q * pl.hv) AS BIGINT) AS margin
+      FROM comp c JOIN planes pl ON pl.j = c.j
+      GROUP BY 1, 2, 3),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN margin >= 0
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM margins GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      {cand_from}
+      {cand_join}),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM cand c
+      JOIN v a ON a.vec_id = c.id_a
+      JOIN v b ON b.vec_id = c.id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@_register(
+    "embedding_near_dup_pairs_multitable",
+    _pairs_lsh_md5_oracle(num_planes=3, num_tables=2, threshold=0.3),
+)
+def embedding_near_dup_pairs_multitable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OR-ed MULTI-TABLE LSH near-dup pairs (VERDICT r11 item 1),
+    value-hashed through the md5 twin
+    (:func:`~bdq_spark.operators.dedup.embedding_cosine_pairs_md5`):
+    two independent integer-hyperplane tables, same-bucket candidates
+    unioned before the exact ``round(cosine, 6)`` verify.  The DuckDB
+    oracle replays BOTH tables.  On this fixture the OR-lift is
+    directly visible — at 3 planes, T=1 recovers 245 of the 990 exact
+    >= 0.3 pairs, T=2 401, T=3 541 (``1 - (1 - r)^T``); the float
+    production path (:func:`embedding_cosine_pairs` lsh mode) applies
+    the same geometry with ``LSH_DEFAULT_TABLES`` OR-tables and a
+    recall floor pinned at >= 0.95 on planted twins
+    (tests/test_text_dedup.py)."""
+    from bdq_spark.operators.dedup import embedding_cosine_pairs_md5
+
+    return embedding_cosine_pairs_md5(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3, num_planes=3, num_tables=2, dim=64,
+    )
+
+
+#: persisted vector-LSH index version — same contract as
+#: _MINHASH_INDEX_VERSION: bump on any schema/parameter change
+_VECTOR_INDEX_VERSION = 1
+
+#: build geometry of the persisted vector index — module-level so the
+#: entry, its marker, and its oracle can never disagree
+_VECTOR_INDEX_GEO = dict(num_planes=3, num_tables=2, threshold=0.3, dim=64)
+
+
+@_register(
+    "persisted_vector_index_probe",
+    _pairs_lsh_md5_oracle(
+        split=("vec_id % 3 = 0", "vec_id % 3 <> 0"), **_VECTOR_INDEX_GEO
+    ),
+)
+def persisted_vector_index_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-RUN INDEX DURABILITY for the VECTOR side (VERDICT r11 item
+    3 — the mirror of ``persisted_minhash_index_probe``): the corpus
+    slice of embeddings (vec_id % 3 != 0) is bucketed ONCE with the
+    OR-ed multi-table md5 LSH (2 independent integer-hyperplane tables,
+    namespaced int64 buckets) and persisted as parquet hash-clustered
+    by bucket; every later invocation — including the next driver
+    round, which shares the staged dir — loads the index from disk and
+    probes the batch slice (vec_id % 3 == 0) against it without
+    re-reading corpus embeddings on the index side.  Steady state is
+    probe-only: O(batch) bucketing plus an equi-join on ``bucket``
+    against the index scan — at 100 TB the corpus embeddings are never
+    re-hashed, which is the entire value of persisting the index.
+
+    The entry RAISES unless the plan proves the steady-state contract:
+    the staged index dir must appear as a parquet scan and no
+    embeddings scan may be visible (the batch side's one read lives
+    behind its lazy checkpoint — if an embeddings scan surfaces, the
+    index side has started rebuilding and must fail loudly).  The
+    marker carries the fixture fingerprint + full build geometry
+    (ADVICE r11), and staging is atomic (temp dir + rename).  Values
+    hash against DuckDB recomputing BOTH tables' planes, margins,
+    buckets and the batch-vs-corpus probe join from scratch — the
+    persisted index is lossless vs the in-memory build."""
+    import hashlib
+    import os
+
+    from bdq_spark.operators._checkpoint import data_checkpoint
+    from bdq_spark.operators.similarity import (
+        _table_seed,
+        cosine_similarity,
+        lsh_bucket_vectors_md5,
+    )
+    from bdq_spark.plans.plan_lint import plan_text
+
+    geo = _VECTOR_INDEX_GEO
+    key = hashlib.md5(
+        f"{sf_dir}:vector_idx_v{_VECTOR_INDEX_VERSION}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdq_vector_idx_{key}")
+    params = dict(geo)
+    params.update(scale=10000, seed="bdq_lshq",
+                  corpus_split="vec_id % 3 != 0")
+    expected_marker = _index_marker_content(
+        sf_dir, "embeddings", _VECTOR_INDEX_VERSION, params
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _buckets(df):
+        # OR-ed multi-table md5 bucketing, (table << planes) | bucket
+        out = None
+        for t in range(geo["num_tables"]):
+            ns = F.lit(t * (1 << geo["num_planes"])).cast("long")
+            bt = lsh_bucket_vectors_md5(
+                df, "embedding", "vec_id", geo["num_planes"], geo["dim"],
+                seed=_table_seed("bdq_lshq", t),
+            ).select("id", "vec", (F.col("bucket") + ns).alias("bucket"))
+            out = bt if out is None else out.unionByName(bt)
+        return out
+
+    if not _staged_index_ok(path, expected_marker):
+        corpus = emb.filter(F.col("vec_id") % 3 != 0)
+        _stage_index_atomic(
+            _buckets(corpus).repartition(8, "bucket"), path, expected_marker
+        )
+    index = spark.read.parquet(path)
+    # the batch side's single embeddings read hides behind this lazy
+    # checkpoint — the plan assertion below would otherwise see it
+    batch = data_checkpoint(
+        _buckets(emb.filter(F.col("vec_id") % 3 == 0)), eager=False
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    out = (
+        batch.alias("q")
+        .join(index.alias("c"), "bucket")
+        .select(
+            F.col("q.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.col("q.vec").alias("qv"),
+            F.col("c.vec").alias("cv"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # cross-table re-surfacing
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= geo["threshold"])
+    )
+    plan = plan_text(out)
+    if os.path.basename(path) not in plan:
+        raise RuntimeError(
+            "persisted-index contract regressed: the staged vector "
+            "index dir is not scanned (index rebuilt in memory?):\n"
+            + plan[:2000]
+        )
+    if "embeddings.parquet" in plan:
+        raise RuntimeError(
+            "persisted-index contract regressed: an embeddings scan is "
+            "visible in the probe plan (index side re-hashing corpus "
+            "vectors?):\n" + plan[:2000]
+        )
+    return out
 
 
 @_register(
@@ -9006,74 +9359,75 @@ def streaming_matview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-11 WINDOW (see NOTES_r11 and tests/window_policy.py):
-    # changed-code-first (the r9 hard rule): the six graph-family
-    # entries gating this round's components.py fix — the CC fused-
-    # setup small-graph de-pin (VERDICT r10 "What's wrong" #1), the
-    # pagerank post-count de-pin, the depth-counted _aqe_disabled
-    # scope, and _checkpoint.py's PySpark-3.x guard.  Then the 17
-    # entries whose latest driver row is r7 (they hit the newest-3
-    # staleness edge when r11 lands), then the 27 alphabetically-first
-    # of the 48 r8-stale entries.  Invariant (pytest): first-50 union
+    # ROUND-12 WINDOW (see NOTES_r12 and tests/window_policy.py):
+    # changed-code-first (the r9 hard rule): the multi-table-LSH work
+    # (VERDICT r11 item 1) — two NEW entries (the md5 multi-table pair
+    # gate and the persisted vector index, item 3), the two rows-only
+    # -> value-hash oracle upgrades (item 5), the knn md5-LSH twins
+    # (knn_lsh_md5 gained num_tables), the embedding pair/cluster
+    # entries gating dedup.py, the graph entries gating components.py's
+    # graph_session option (item 6), and the persisted minhash index
+    # (staging hardening, ADVICE r11).  Then the 21 entries whose
+    # latest driver row is r8 (they hit the newest-3 staleness edge
+    # when r12 lands), then the 18 alphabetically-first of the 46
+    # remaining r9-stale entries.  Invariant (pytest): first-50 union
     # all CORRECTNESS_r* rounds covers the whole registry, and no
     # entry's latest driver row is older than newest-3.
-    # changed code this round (components.py / _checkpoint.py)
-    # NEW this round: cross-run persisted index probe (VERDICT r10
-    # item 7) — new entries take a slot the round they land
+    "embedding_near_dup_pairs_multitable",
+    "persisted_vector_index_probe",
+    "minhash_lsh_near_dup",
+    "incremental_minhash_near_dup",
     "persisted_minhash_index_probe",
+    "knn_lsh_embeddings",
+    "knn_multiprobe_embeddings",
+    "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
     "near_dup_clusters",
     "pagerank_part_supplier",
-    "docs_kcore_graph",
-    "near_dup_kcore",
-    "near_dup_triangles",
-    # r7-stale refresh (latest driver row is r7)
-    "multimodal_decode",
-    "multimodal_mjpeg_pixel_stats",
-    "multimodal_png_pixel_stats",
-    "multimodal_rle8_pixel_stats",
-    "multimodal_video_frames",
-    "multimodal_wav_pcm_stats",
-    "nation_market_share",
-    "orders_hll_custkey",
-    "orders_hll_rollup",
-    "orders_incremental_matview",
-    "orders_pit_scd2_join",
-    "orders_zorder_layout",
-    "promo_revenue_share",
-    "streaming_cdc_merge",
-    "streaming_hll_distinct",
-    "streaming_matview_merge",
-    "token_countmin_topk",
-    # r8-stale refresh (alphabetical prefix; the remaining 21 r8s
-    # sit exactly at the newest-3 edge and lead the r12 rotation)
-    "bpe_token_counts",
-    "bpe_train_merges",
-    "cdc_apply_customer",
-    "cheapest_supplier_per_part",
-    "compact_roundtrip_orders",
-    "compare_orders_diff",
-    "corpus_prepare_neardup",
-    "corpus_training_pipeline",
-    "customer_retention_setops",
-    "doc_bpe_packing",
-    "doc_lm_score_bigram",
-    "doc_lm_score_trigram",
-    "doc_sequence_packing",
-    "doc_top_terms",
-    "docs_fixed_sample_by_lang",
-    "documents_deduped",
-    "duplicate_spans_documents",
-    "embedding_kmeans_quantized",
-    "embedding_near_dup_pairs",
-    "events_sliding_windows",
-    "events_user_sessions",
-    "fk_broken_lineitem_part",
-    "join_size_estimate_cms",
-    "jsonl_ingest_documents",
-    "knn_embeddings",
-    "large_order_customers",
+    # r8-stale refresh (latest driver row is r8 — the newest-3 edge)
+    "lineitem_cube",
+    "multimodal_mp3_stream_stats",
+    "orc_roundtrip_supplier",
+    "orders_pivot_priority_status",
+    "orders_rollup_by_year",
+    "orders_sampled_quantiles",
+    "orders_snapshot_diff_matview",
+    "pipeline_odd_even",
+    "pk_minimal_combinations",
+    "profile_lineitem_correlations",
+    "quality_rules_lineitem",
+    "rules_quarantine_lineitem",
+    "salted_join_revenue",
+    "schema_diff_orders",
+    "simhash_md5_fingerprints",
+    "sink_partitioned_roundtrip",
+    "skew_report_lineitem_suppkey",
+    "streaming_windowed_counts",
+    "supplier_part_join_agg",
+    "top_supplier_by_period_revenue",
+    "wealthy_low_activity_customers",
+    # r9-stale refresh (alphabetical prefix; the remaining 28 r9s lead
+    # the r13 rotation)
+    "asof_click_purchase",
+    "bloom_pruned_scan",
+    "corpus_prepare",
+    "customer_pseudonymize",
+    "customers_per_region",
+    "dedup_events_by_user_type",
+    "dedup_fingerprint_documents",
+    "doc_bpe_tokens",
+    "doc_chunking",
+    "doc_compression_ratio",
+    "doc_contamination",
+    "doc_contamination_spans",
+    "doc_contamination_weighted",
+    "doc_gopher_quality",
+    "doc_language",
+    "doc_pii_redaction",
+    "doc_quality",
+    "doc_repetition",
 ]
+
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
 if _missing:  # guard against silent drift if a query is renamed

@@ -156,6 +156,57 @@ def _keyed_checkpoint(df: DataFrame, key: str) -> DataFrame:
     return data_checkpoint(df.repartition(_shuffle_partitions(spark), key))
 
 
+def _cloned_session(spark):
+    """An ISOLATED SparkSession for a graph op's iterative section
+    (``graph_session=True``): same SparkContext (same executors, same
+    cached blocks), cloned SQL state — so the :func:`_aqe_disabled`
+    scope the co-partitioned path needs flips AQE off on the CLONE
+    only, and queries planned concurrently on the caller's session
+    keep their AQE.  This removes the one residual caveat of the
+    shared-session scope (documented in :func:`_aqe_disabled`) for
+    pipeline users, at zero cost to the default path.
+
+    ``cloneSession()`` (not ``newSession()``): the clone COPIES the
+    current runtime SQL conf — shuffle partition counts etc. set at
+    runtime keep governing the graph — where a new session would reset
+    to the builder-time conf."""
+    from pyspark.sql import SparkSession
+
+    jclone = spark._jsparkSession.cloneSession()
+    return SparkSession(spark.sparkContext, jsparkSession=jclone)
+
+
+def _rebind(df: DataFrame, session) -> DataFrame:
+    """Re-expose ``df`` as a DataFrame of ``session`` WITHOUT copying
+    data: the physical plan's ``RDD[InternalRow]`` (lazy — nothing
+    executes here) becomes the new frame's leaf.  Planning of ``df``'s
+    own subtree stays with the session that created it (its
+    ``QueryExecution`` is already bound), so rebinding the graph input
+    into the clone and the result back out gives the iterative section
+    the clone's conf while the caller composes the output with their
+    own session's frames as usual.  Sessions sharing one SparkContext
+    is exactly the case ``internalCreateDataFrame`` exists for
+    (package-private in Scala, public in bytecode — the same surface
+    PySpark itself crosses for Arrow ingestion)."""
+    jdf = df._jdf
+    jrdd = jdf.queryExecution().toRdd()
+    jnew = session._jsparkSession.internalCreateDataFrame(
+        jrdd, jdf.schema(), False
+    )
+    return DataFrame(jnew, session)
+
+
+def _enter_graph_session(df: DataFrame, graph_session: bool):
+    """Common entry hook: returns ``(df, exec_spark, caller_spark)`` —
+    identity when ``graph_session`` is False (the default path plans
+    nothing extra), else ``df`` rebound into a cloned session."""
+    spark = df.sparkSession
+    if not graph_session:
+        return df, spark, spark
+    clone = _cloned_session(spark)
+    return _rebind(df, clone), clone, spark
+
+
 # fused-setup regime floor, in INPUT PAIR rows: a pair relation at or
 # below half the node cutover cannot produce a past-cutover graph
 # (n_nodes <= 2 * n_pairs), so its edge checkpoint's hash(a)
@@ -205,9 +256,17 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     broadcast_max_nodes: int = GRAPH_BROADCAST_MAX_NODES,
+    graph_session: bool = False,
 ) -> DataFrame:
     """Label every node appearing in ``pairs`` with its component's
     minimum member id.
+
+    ``graph_session=True`` runs the iterative section on a CLONED
+    session (:func:`_cloned_session`), so the AQE-off scope the
+    past-cutover path requires can't leak into queries planned
+    concurrently on the caller's session; the input crosses in and the
+    result crosses back as zero-copy RDD rebinds.  Default False: no
+    extra planning, byte-identical to the historical path.
 
     Output: ``(id, cluster_id, is_keeper)`` — one row per distinct node;
     ``is_keeper`` marks the minimum-id member, giving a deterministic
@@ -236,7 +295,9 @@ def connected_components(
     directed = data_checkpoint(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     )
-    spark = pairs.sparkSession
+    directed, spark, caller_spark = _enter_graph_session(
+        directed, graph_session
+    )
     mirror = directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
     # the count is one cheap job over the checkpoint blocks just
     # materialized; it picks the setup regime BEFORE the symmetrize
@@ -321,8 +382,10 @@ def connected_components(
         # edges already carry hash(a) from the setup checkpoint; only
         # the label relation needs keying
         with _aqe_disabled(spark):
-            return _rounds(edges, _keyed_checkpoint(labels, "id"))
-    return _rounds(edges, labels)
+            out = _rounds(edges, _keyed_checkpoint(labels, "id"))
+    else:
+        out = _rounds(edges, labels)
+    return _rebind(out, caller_spark) if graph_session else out
 
 
 def apply_dedup_clusters(
@@ -351,6 +414,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     broadcast_max_nodes: int = GRAPH_BROADCAST_MAX_NODES,
+    graph_session: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank power iteration over an edge relation —
     the standard importance measure for entity graphs a data pipeline
@@ -388,8 +452,13 @@ def pagerank(
     inheriting hash(id) through its per-round lazy checkpoint, and the
     node-sized join sides built as SHUFFLE_HASH maps so the edge side
     streams without per-round sorts.
+
+    ``graph_session=True``: same cloned-session isolation contract as
+    :func:`connected_components` — the AQE-off scope (which this
+    operator holds for its ENTIRE body, setup included) applies to the
+    clone only.
     """
-    spark = edges.sparkSession
+    edges, spark, caller_spark = _enter_graph_session(edges, graph_session)
     with _aqe_disabled(spark):
         # ONE edge shuffle for the whole query, captured with its
         # hash(src) partitioning (same shuffle count as a plain
@@ -408,7 +477,8 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0))
+        return _rebind(out, caller_spark) if graph_session else out
 
     def _run(nodes: DataFrame) -> DataFrame:
         # node-scale statics: out-degree per source (exchange-free over
@@ -472,8 +542,10 @@ def pagerank(
 
     if n_nodes > broadcast_max_nodes:
         with _aqe_disabled(spark):
-            return _run(_keyed_checkpoint(nodes, "id"))
-    return _run(nodes)
+            out = _run(_keyed_checkpoint(nodes, "id"))
+    else:
+        out = _run(nodes)
+    return _rebind(out, caller_spark) if graph_session else out
 
 
 def pagerank_quantized(

@@ -56,6 +56,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_cosine_pairs",
+    "embedding_cosine_pairs_md5",
+    "LSH_DEFAULT_TABLES",
 ]
 
 
@@ -1161,15 +1163,33 @@ EMBEDDING_PAIRS_EXACT_MAX_ROWS = 200_000
 #: buckets at near-dup thresholds (the 0.95-cosine default)
 LSH_TARGET_BUCKET_ROWS = 512
 
+#: OR-tables the adaptive-geometry lsh path uses by default: the
+#: adaptive plane sizing (linear cost) splits more true neighbors as
+#: the corpus grows, pinning single-table recall near 0.80 at the
+#: 0.95-cosine default — too low for production dedup.  T independent
+#: tables OR-ed before the exact verify lift recall to 1 - (1 - r)^T
+#: (measured >= 0.95 at T=2 on the planted-twin fixture,
+#: tests/test_text_dedup.py) at T x candidate cost — still linear.
+#: Passing an explicit ``num_planes`` pins the LEGACY single-table
+#: geometry unless ``num_tables`` is also explicit.
+LSH_DEFAULT_TABLES = 2
+
 
 def _adaptive_planes(n_rows: int, n_probe: int, floor: int = 8) -> int:
-    """Smallest plane count >= ``floor`` that keeps expected bucket
-    occupancy (``n_rows * n_probe / 2^planes``) at or under
+    """Smallest plane count >= ``floor`` that keeps expected PER-TABLE
+    bucket occupancy (``n_rows * n_probe / 2^planes``) at or under
     :data:`LSH_TARGET_BUCKET_ROWS` — doubling the corpus adds one
-    plane, so the candidate GEMM stays O(n x occupancy) = linear."""
+    plane, so the candidate GEMM stays O(n x occupancy) = linear.
+    Capped at :data:`~bdq_spark.operators.similarity.LSH_MAX_PLANES`
+    (int64 bucket namespace, ADVICE r11) — unreachable below ~10^19
+    rows, but the id arithmetic must never be able to wrap."""
+    from bdq_spark.operators.similarity import LSH_MAX_PLANES
+
     planes = floor
     while (n_rows * n_probe) >> planes > LSH_TARGET_BUCKET_ROWS:
         planes += 1
+        if planes >= LSH_MAX_PLANES:
+            return LSH_MAX_PLANES
     return planes
 
 
@@ -1184,6 +1204,7 @@ def embedding_cosine_pairs(
     block_rows: int = 16384,
     exact_max_rows: int = EMBEDDING_PAIRS_EXACT_MAX_ROWS,
     dim: Optional[int] = None,
+    num_tables: Optional[int] = None,
 ) -> DataFrame:
     """Pairs of rows whose embedding cosine similarity >= ``threshold``.
 
@@ -1206,10 +1227,15 @@ def embedding_cosine_pairs(
        a last-decade exponent of 1.94 on the x30->x100 sweep (8.7 s ->
        89.9 s) before this sizing.  Constant occupancy makes the
        candidate phase O(n x occupancy) — linear.  The recall trade is
-       real and documented: more planes split more true neighbors, so
-       a production deployment tunes (planes, n_probe, and if needed
-       multiple independent tables OR-ed together) against a recall
-       target; passing an explicit ``num_planes`` pins the geometry.
+       controlled by OR-ED MULTI-TABLE LSH: with adaptive geometry the
+       corpus is bucketed against ``num_tables`` INDEPENDENT hyperplane
+       draws (default :data:`LSH_DEFAULT_TABLES`), candidates unioned
+       before the exact verify — a pair split by one table's planes is
+       recovered by another, recall ``1 - (1 - r)^T`` at ``T``x
+       candidate cost, still linear (measured >= 0.95 on planted
+       ~0.995-cosine twins at T=2 vs 0.80 single-table).  Passing an
+       explicit ``num_planes`` without ``num_tables`` pins the legacy
+       single-table geometry; pass both to control the trade directly.
     2. **Candidates:** per group, a sub-blocked executor-side BLAS GEMM
        (:func:`_blocked_cosine_candidates`) emits pairs above
        ``threshold - margin``.  Per-task memory is capped at ~2x
@@ -1246,17 +1272,23 @@ def embedding_cosine_pairs(
         assigned = base.withColumn("grp", F.lit(0))
     else:
         if num_planes is None:
-            # adaptive plane count: hold bucket occupancy at
+            # adaptive plane count: hold PER-TABLE bucket occupancy at
             # ~LSH_TARGET_BUCKET_ROWS assignments (see docstring).
             # The count is one cheap job and only runs on the lsh
             # path, whose candidate phase dwarfs it.
             if n_rows is None:
                 n_rows = base.count()
             planes = _adaptive_planes(n_rows, n_probe)
+            tables = LSH_DEFAULT_TABLES if num_tables is None else num_tables
         else:
             planes = num_planes
+            # explicit planes without explicit tables = the legacy
+            # pinned single-table geometry (recall-floor tests and
+            # historical callers depend on it)
+            tables = 1 if num_tables is None else num_tables
         assigned = lsh_probe_buckets(
-            base, "vec", "id", num_planes=planes, n_probe=n_probe, dim=dim
+            base, "vec", "id", num_planes=planes, n_probe=n_probe, dim=dim,
+            num_tables=tables,
         ).withColumnRenamed("bucket", "grp")
 
     margin = 1e-6
@@ -1266,6 +1298,79 @@ def embedding_cosine_pairs(
     if mode == "lsh":
         # the same pair can surface from several shared probe buckets
         cand = cand.dropDuplicates(["id_a", "id_b"])
+
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_md5(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    threshold: float = 0.9,
+    num_planes: int = 6,
+    num_tables: int = 2,
+    dim: Optional[int] = None,
+    scale: int = 10000,
+    seed: str = "bdq_lshq",
+) -> DataFrame:
+    """OR-ed multi-table LSH near-dup pairs, engine-portable — the md5
+    twin of :func:`embedding_cosine_pairs`'s lsh mode (same pattern as
+    the md5 minhash/simhash/knn twins: the production path keeps the
+    fast float primitives, the twin makes every CANDIDATE decision
+    exact int64 arithmetic so any engine with md5 recomputes the same
+    pair set for value-level verification).
+
+    Per table ``t``, vectors are bucketed with
+    :func:`~bdq_spark.operators.similarity.lsh_bucket_vectors_md5`
+    against that table's independent integer hyperplane draw
+    (:func:`~bdq_spark.operators.similarity._table_seed` — seeds are
+    public strings, so the oracle replays ALL ``num_tables`` tables);
+    same-bucket pairs from ANY table are unioned, deduped, and
+    re-scored with the sequential double-precision ``round(cosine, 6)``
+    on the original float vectors — the OR-table recall lift
+    ``1 - (1 - r)^T`` with an exact, deterministic verify cut.
+
+    Pure codegen expressions throughout (``aggregate(zip_with(...))``
+    dots), no UDFs.  Scale shape matches the float path: per-table
+    bucket equi-joins (never all-pairs), candidate volume ``T`` x
+    linear at constant occupancy.  Output: ``id_a, id_b, cosine`` with
+    ``id_a < id_b``.
+    """
+    from bdq_spark.operators.similarity import (
+        _check_lsh_geometry,
+        _table_seed,
+        cosine_similarity,
+        lsh_bucket_vectors_md5,
+    )
+
+    _check_lsh_geometry(num_planes, num_tables)
+    base = df.select(
+        F.col(id_column).alias("id"), F.col(vector_column).alias("vec")
+    )
+
+    cand = None
+    for t in range(num_tables):
+        bt = lsh_bucket_vectors_md5(
+            base, "vec", "id", num_planes, dim, scale, _table_seed(seed, t)
+        ).select("id", "bucket")
+        lhs, rhs = bt.alias("l"), bt.alias("r")
+        ct = (
+            lhs.join(rhs, "bucket")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+        )
+        cand = ct if cand is None else cand.unionByName(ct)
+    cand = cand.distinct()  # the same pair surfaces from several tables
 
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))

@@ -138,13 +138,15 @@ def knn_bruteforce(
     )
 
 
-def _hyperplanes(num_planes: int, dim: int):
+def _hyperplanes(num_planes: int, dim: int, seed: str = "bdq_lsh"):
     """Deterministic pseudo-random hyperplanes as a numpy matrix.
 
-    Components derive from sha256(plane, j) scaled to [-1, 1] —
+    Components derive from sha256(seed, plane, j) scaled to [-1, 1] —
     reproducible across sessions, platforms and library versions with no
     stored model, so bucketing a new batch of vectors tomorrow lands in
-    the same buckets as today's.
+    the same buckets as today's.  ``seed`` gives OR-ed multi-table LSH
+    its independent plane sets (:func:`_table_seed`); the default keeps
+    every pre-existing single-table bucketing bit-identical.
     """
     import hashlib
 
@@ -153,10 +155,36 @@ def _hyperplanes(num_planes: int, dim: int):
     planes = np.empty((num_planes, dim), dtype=np.float64)
     for p in range(num_planes):
         for j in range(dim):
-            digest = hashlib.sha256(f"bdq_lsh:{p}:{j}".encode()).digest()
+            digest = hashlib.sha256(f"{seed}:{p}:{j}".encode()).digest()
             v = int.from_bytes(digest[:8], "big") % 20_001
             planes[p, j] = (v - 10_000) / 10_000.0
     return planes
+
+
+def _table_seed(seed: str, table: int) -> str:
+    """Seed of OR-table ``table``: table 0 keeps the bare seed (so
+    ``num_tables=1`` reproduces every historical bucket bit-for-bit);
+    tables 1+ append a suffix, giving independent hyperplane draws."""
+    return seed if table == 0 else f"{seed}:t{table}"
+
+
+#: hard ceiling on LSH plane count: buckets are int64 and multi-table
+#: ids are namespaced as ``(table << num_planes) | bucket``, so planes
+#: plus table bits must stay under 63.  56 planes already means 2^56
+#: buckets — no real corpus gets near it; the cap exists so the int64
+#: bucket id can NEVER wrap (ADVICE r11: int32 buckets wrapped past 31
+#: planes), leaving 7 bits ≡ 128 OR-tables of namespace.
+LSH_MAX_PLANES = 56
+
+
+def _check_lsh_geometry(num_planes: int, num_tables: int) -> None:
+    if num_planes > LSH_MAX_PLANES:
+        raise ValueError(
+            f"num_planes={num_planes} exceeds LSH_MAX_PLANES="
+            f"{LSH_MAX_PLANES} (int64 bucket-id namespace)"
+        )
+    if not (1 <= num_tables <= 128):
+        raise ValueError(f"num_tables must be in [1, 128], got {num_tables}")
 
 
 def lsh_bucket_vectors(
@@ -165,8 +193,10 @@ def lsh_bucket_vectors(
     id_column: str = "vec_id",
     num_planes: int = 8,
     dim: Optional[int] = None,
+    num_tables: int = 1,
+    seed: str = "bdq_lsh",
 ) -> DataFrame:
-    """Random-hyperplane LSH: (id, vec, bucket int in [0, 2^num_planes)).
+    """Random-hyperplane LSH: (id, vec, bucket bigint).
 
     Sign patterns are computed with one Arrow-batched numpy matmul per
     partition (``block @ planes.T``) — measured far faster than
@@ -174,19 +204,33 @@ def lsh_bucket_vectors(
     values) are what's kept, so BLAS summation-order wobble can only
     matter for dot products within ~1e-12 of zero.
 
+    ``num_tables > 1`` is OR-ed multi-table LSH: each vector gets one
+    row PER TABLE, bucketed against that table's independent hyperplane
+    draw (:func:`_table_seed`), with ids namespaced
+    ``(table << num_planes) | bucket`` so tables can never cross-match.
+    A pair missed by one table's split is recovered by another —
+    recall ``1 - (1 - r)^T`` at ``T`` times the candidate cost, still
+    linear in the corpus.  Buckets are int64 (int32 wrapped past 31
+    planes — ADVICE r11) and plane count is capped at
+    :data:`LSH_MAX_PLANES` so the namespace can't overflow.
+
     ``dim`` defaults to the length of the first vector (one tiny job);
     pass it explicitly in production pipelines.
     """
     import numpy as np
     import pandas as pd
 
+    _check_lsh_geometry(num_planes, num_tables)
     if dim is None:
         first = df.select(F.size(F.col(vector_column)).alias("d")).first()
         if first is None:
             raise ValueError("cannot infer dim from an empty DataFrame")
         dim = first["d"]
 
-    planes = _hyperplanes(num_planes, dim)
+    all_planes = [
+        _hyperplanes(num_planes, dim, _table_seed(seed, t))
+        for t in range(num_tables)
+    ]
     weights = (1 << np.arange(num_planes)).astype(np.int64)
 
     base = df.select(
@@ -198,16 +242,25 @@ def lsh_bucket_vectors(
             block = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             ).reshape(len(pdf), dim)
-            signs = (block @ planes.T) >= 0
-            buckets = (signs @ weights).astype(np.int32)
+            per_table = []
+            for t, planes in enumerate(all_planes):
+                signs = (block @ planes.T) >= 0
+                per_table.append(
+                    (signs @ weights).astype(np.int64)
+                    | (np.int64(t) << np.int64(num_planes))
+                )
             yield pd.DataFrame(
-                {"id": pdf["id"], "vec": pdf["vec"], "bucket": buckets}
+                {
+                    "id": np.tile(pdf["id"].to_numpy(), num_tables),
+                    "vec": list(pdf["vec"]) * num_tables,
+                    "bucket": np.concatenate(per_table),
+                }
             )
 
     id_type = base.schema["id"].dataType.simpleString()
     vec_type = dict(base.dtypes)["vec"]
     return base.mapInPandas(
-        bucketize, schema=f"id {id_type}, vec {vec_type}, bucket int"
+        bucketize, schema=f"id {id_type}, vec {vec_type}, bucket bigint"
     )
 
 
@@ -218,8 +271,11 @@ def lsh_probe_buckets(
     num_planes: int = 8,
     n_probe: int = 1,
     dim: Optional[int] = None,
+    num_tables: int = 1,
+    seed: str = "bdq_lsh",
 ) -> DataFrame:
-    """Multi-probe bucket expansion: up to ``n_probe`` rows per vector.
+    """Multi-probe bucket expansion: up to ``n_probe`` rows per vector
+    PER TABLE.
 
     Standard multi-probe LSH (Lv et al., VLDB'07 — query-directed probing,
     restricted to single-bit perturbations): the first probe is the exact
@@ -229,13 +285,20 @@ def lsh_probe_buckets(
     likely home of a missed true neighbor.  ``n_probe`` is clamped to
     ``num_planes + 1`` (exact bucket + one flip per plane).
 
+    ``num_tables > 1`` repeats the whole probe set against independent
+    hyperplane draws with namespaced int64 bucket ids (see
+    :func:`lsh_bucket_vectors`) — the OR-ed multi-table recall lift,
+    ``1 - (1 - r)^T``.
+
     Probing the query side N ways costs N broadcast-hash lookups instead
     of re-bucketing the corpus N times — the corpus keeps exactly one row
-    per vector, which is what makes this the scale-path recall knob.
+    per vector per table, which is what makes this the scale-path recall
+    knob.
     """
     import numpy as np
     import pandas as pd
 
+    _check_lsh_geometry(num_planes, num_tables)
     if dim is None:
         first = df.select(F.size(F.col(vector_column)).alias("d")).first()
         if first is None:
@@ -243,7 +306,10 @@ def lsh_probe_buckets(
         dim = first["d"]
 
     n_probe = max(1, min(n_probe, num_planes + 1))
-    planes = _hyperplanes(num_planes, dim)
+    all_planes = [
+        _hyperplanes(num_planes, dim, _table_seed(seed, t))
+        for t in range(num_tables)
+    ]
     weights = (1 << np.arange(num_planes)).astype(np.int64)
 
     base = df.select(
@@ -257,20 +323,27 @@ def lsh_probe_buckets(
             block = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             ).reshape(len(pdf), dim)
-            margins = block @ planes.T
-            signs = margins >= 0
-            exact = (signs @ weights).astype(np.int64)
-            # ascending |margin|: nearest hyperplanes flipped first
-            order = np.argsort(np.abs(margins), axis=1)
-            all_buckets = [exact]
-            for p in range(n_probe - 1):
-                flip_bit = weights[order[:, p]]
-                all_buckets.append(np.bitwise_xor(exact, flip_bit))
+            per_table = []
+            for t, planes in enumerate(all_planes):
+                margins = block @ planes.T
+                signs = margins >= 0
+                exact = (signs @ weights).astype(np.int64) | (
+                    np.int64(t) << np.int64(num_planes)
+                )
+                # ascending |margin|: nearest hyperplanes flipped first
+                order = np.argsort(np.abs(margins), axis=1)
+                all_buckets = [exact]
+                for p in range(n_probe - 1):
+                    flip_bit = weights[order[:, p]]
+                    all_buckets.append(np.bitwise_xor(exact, flip_bit))
+                per_table.append(np.concatenate(all_buckets))
             out = pd.DataFrame(
                 {
-                    "id": np.tile(pdf["id"].to_numpy(), n_probe),
-                    "vec": list(pdf["vec"]) * n_probe,
-                    "bucket": np.concatenate(all_buckets).astype(np.int32),
+                    "id": np.tile(
+                        pdf["id"].to_numpy(), n_probe * num_tables
+                    ),
+                    "vec": list(pdf["vec"]) * (n_probe * num_tables),
+                    "bucket": np.concatenate(per_table),
                 }
             )
             yield out
@@ -278,7 +351,7 @@ def lsh_probe_buckets(
     id_type = base.schema["id"].dataType.simpleString()
     vec_type = dict(base.dtypes)["vec"]
     return base.mapInPandas(
-        probe, schema=f"id {id_type}, vec {vec_type}, bucket int"
+        probe, schema=f"id {id_type}, vec {vec_type}, bucket bigint"
     )
 
 
@@ -293,20 +366,28 @@ def knn_lsh(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     dim: Optional[int] = None,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact ranking within matching LSH buckets.
 
     Recall < 1.0 by construction (a true neighbor can land in a different
-    bucket); raise recall by lowering ``num_planes`` or raising
+    bucket); raise recall by lowering ``num_planes``, raising
     ``n_probe`` (multi-probe: each extra probe checks the query's
-    next-nearest sign bucket, see :func:`lsh_probe_buckets`).
+    next-nearest sign bucket, see :func:`lsh_probe_buckets`), or
+    raising ``num_tables`` (OR-ed independent plane sets: recall
+    ``1 - (1 - r)^T`` at ``T``x candidate cost — the production recall
+    control that doesn't coarsen the buckets).
     Output: ``query_id, neighbor_id, rank, cosine``.
     """
     from pyspark.sql import Window
 
-    cb = lsh_bucket_vectors(corpus, corpus_vec, corpus_id, num_planes, dim)
+    cb = lsh_bucket_vectors(
+        corpus, corpus_vec, corpus_id, num_planes, dim,
+        num_tables=num_tables,
+    )
     qb = lsh_probe_buckets(
-        queries, query_vec, query_id, num_planes, n_probe, dim
+        queries, query_vec, query_id, num_planes, n_probe, dim,
+        num_tables=num_tables,
     )
 
     # norms once per ROW below the join (same rationale as
@@ -328,7 +409,7 @@ def knn_lsh(
             F.col("c.__n").alias("__cn"),
         )
     )
-    if n_probe > 1:
+    if n_probe > 1 or num_tables > 1:
         candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
     cos = cosine_from_norms(
         F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
@@ -440,6 +521,7 @@ def knn_lsh_md5(
     dim: Optional[int] = None,
     scale: int = 10000,
     seed: str = "bdq_lshq",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Engine-portable LSH ANN whose every BUCKET decision is exact
     int64 arithmetic — the oracle twin of :func:`knn_lsh` (same pattern
@@ -471,15 +553,14 @@ def knn_lsh_md5(
             raise ValueError("cannot infer dim from an empty DataFrame")
         dim = first["d"]
 
+    _check_lsh_geometry(num_planes, num_tables)
     n_probe = max(1, min(n_probe, num_planes + 1))
-
-    cb = lsh_bucket_vectors_md5(
-        corpus, corpus_vec, corpus_id, num_planes, dim, scale, seed
-    ).select("id", "vec", "bucket", l2_norm(F.col("vec")).alias("__n"))
 
     # query probes: exact bucket first, then single-bit flips in
     # ascending (|margin|, plane) order — margins are exact ints, so
-    # the flip order is deterministic and engine-portable
+    # the flip order is deterministic and engine-portable.  Flips only
+    # touch bits below num_planes, so the multi-table namespace offset
+    # (applied before probing) survives every probe.
     probes_expr = (
         "concat(array(bucket), transform("
         "  slice(array_sort(transform(margins,"
@@ -487,14 +568,35 @@ def knn_lsh_md5(
         f"       1, {n_probe - 1}),"
         "  s -> bucket ^ shiftleft(cast(1 as bigint), s.p)))"
     )
-    qb = (
-        lsh_bucket_vectors_md5(
-            queries, query_vec, query_id, num_planes, dim, scale, seed
+
+    # OR-ed multi-table: one bucketing per independent md5 plane set,
+    # namespaced (table << num_planes) | bucket, unioned — same recall
+    # lift as the float path, still engine-recomputable (each table's
+    # seed is a public string, see _table_seed)
+    cb = None
+    qb = None
+    for t in range(num_tables):
+        ns = F.lit(t * (1 << num_planes)).cast("long")
+        cb_t = (
+            lsh_bucket_vectors_md5(
+                corpus, corpus_vec, corpus_id, num_planes, dim, scale,
+                _table_seed(seed, t),
+            )
+            .withColumn("bucket", F.col("bucket") + ns)
+            .select("id", "vec", "bucket", l2_norm(F.col("vec")).alias("__n"))
         )
-        .withColumn("__n", l2_norm(F.col("vec")))  # once, before the fan-out
-        .withColumn("bucket", F.explode(F.expr(probes_expr)))
-        .select("id", "vec", "bucket", "__n")
-    )
+        qb_t = (
+            lsh_bucket_vectors_md5(
+                queries, query_vec, query_id, num_planes, dim, scale,
+                _table_seed(seed, t),
+            )
+            .withColumn("bucket", F.col("bucket") + ns)
+            .withColumn("__n", l2_norm(F.col("vec")))  # before the fan-out
+            .withColumn("bucket", F.explode(F.expr(probes_expr)))
+            .select("id", "vec", "bucket", "__n")
+        )
+        cb = cb_t if cb is None else cb.unionByName(cb_t)
+        qb = qb_t if qb is None else qb.unionByName(qb_t)
 
     candidates = (
         cb.alias("c")
@@ -511,10 +613,10 @@ def knn_lsh_md5(
             F.col("c.__n").alias("__cn"),
         )
     )
-    if n_probe > 1:
-        # probes are distinct buckets and a corpus vector lives in
-        # exactly one, but keep the dedup for structural parity with
-        # knn_lsh (and safety under future probe strategies)
+    if n_probe > 1 or num_tables > 1:
+        # within a table, probes are distinct buckets and a corpus
+        # vector lives in exactly one; ACROSS tables the same pair
+        # re-surfaces routinely — dedup before the (expensive) cosine
         candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
     cos = cosine_from_norms(
         F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")

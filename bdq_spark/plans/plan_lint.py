@@ -172,17 +172,24 @@ def checkpoint_partitions(df: DataFrame) -> int:
     checkpoint leaves (or on any introspection failure — the
     fingerprint must never break the audit).
 
-    Note ``LogicalRDD`` also covers ``createDataFrame`` over a local
-    collection (parallelized at defaultParallelism), so entries built
-    from literal fixtures report that width here — a constant for a
-    fixed session config, which is all the regression golden needs."""
+    ``LogicalRDD`` also covers ``createDataFrame`` over a local
+    collection — parallelized at ``defaultParallelism``, i.e. a
+    SESSION/MACHINE-dependent width that would make goldens flag false
+    regressions on a box with a different core count (ADVICE r11).
+    Those leaves are excluded: their lineage bottoms out in a
+    ``ParallelCollectionRDD`` (visible in ``toDebugString``), whereas a
+    ``localCheckpoint`` leaf's lineage is truncated at the checkpoint,
+    so the probe distinguishes them reliably."""
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
         best = 0
         for i in range(leaves.size()):
             leaf = leaves.apply(i)
             if leaf.getClass().getSimpleName() == "LogicalRDD":
-                best = max(best, leaf.rdd().getNumPartitions())
+                rdd = leaf.rdd()
+                if "ParallelCollectionRDD" in rdd.toDebugString():
+                    continue  # createDataFrame leaf, not a checkpoint
+                best = max(best, rdd.getNumPartitions())
         return best
     except Exception:
         return 0

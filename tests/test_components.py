@@ -460,6 +460,94 @@ def test_aqe_disabled_restores_on_exception(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_graph_session_isolates_aqe_from_concurrent_queries(spark):
+    """VERDICT r11 item 6: ``graph_session=True`` runs the iterative
+    section on a CLONED session, so while a past-the-cutover graph op
+    holds its AQE-off scope, a query planned concurrently on the
+    CALLER's session still plans with AQE.  Proven three ways: (a) the
+    AQE scope is entered on a session that is NOT the caller's, and
+    the caller's conf reads AQE-on INSIDE the scope; (b) results are
+    identical to the default path on both regimes; (c) the result
+    frame is re-bound to the caller's session, so downstream
+    composition (joins with caller-session frames) works."""
+    import bdq_spark.operators.components as comp
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9)],
+        "id_a long, id_b long",
+    )
+    baseline = sorted(
+        map(tuple, comp.connected_components(pairs).collect())
+    )
+
+    seen = {}
+    real_scope = comp._aqe_disabled
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def spy_scope(scoped_spark):
+        with real_scope(scoped_spark):
+            seen["scoped_is_caller"] = scoped_spark is spark
+            seen["scoped_jsession_is_caller"] = (
+                scoped_spark._jsparkSession == spark._jsparkSession
+            )
+            # the concurrent-planning guarantee, observed mid-scope:
+            # the caller session still reports AQE on (and a frame
+            # planned on it now would plan adaptively)
+            seen["caller_aqe_mid_scope"] = spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            )
+            seen["scoped_aqe_mid_scope"] = scoped_spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            )
+            yield
+
+    comp._aqe_disabled = spy_scope
+    try:
+        # broadcast_max_nodes=0 forces the co-partitioned (AQE-off)
+        # path on this tiny graph
+        out = comp.connected_components(
+            pairs, broadcast_max_nodes=0, graph_session=True
+        )
+        got = sorted(map(tuple, out.collect()))
+    finally:
+        comp._aqe_disabled = real_scope
+
+    assert got == baseline
+    assert seen["scoped_is_caller"] is False
+    assert seen["scoped_jsession_is_caller"] is False
+    assert seen["caller_aqe_mid_scope"] == "true"
+    assert seen["scoped_aqe_mid_scope"] == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    # (c) the result is the CALLER's frame: composing with a
+    # caller-session relation must not raise a cross-session error
+    out2 = comp.connected_components(pairs, graph_session=True)
+    assert out2.sparkSession is spark
+    names = spark.createDataFrame([(1, "a"), (5, "b")], "id long, nm string")
+    assert out2.join(names, "id").count() == 2
+
+    # pagerank: identical ranks through the isolated session on both
+    # regimes (broadcast and co-partitioned)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    p0 = {r.id: round(r.rank, 9) for r in comp.pagerank(e).collect()}
+    p1 = {
+        r.id: round(r.rank, 9)
+        for r in comp.pagerank(e, graph_session=True).collect()
+    }
+    p2 = {
+        r.id: round(r.rank, 9)
+        for r in comp.pagerank(
+            e, broadcast_max_nodes=0, graph_session=True
+        ).collect()
+    }
+    assert p0 == p1 == p2
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_data_checkpoint_stores_serialized_blocks(spark):
     """Pin the second-decade fix's mechanism: data_checkpoint persists
     with a SERIALIZED level (deserialized=False), unlike the default

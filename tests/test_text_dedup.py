@@ -1016,6 +1016,144 @@ def test_trigram_backoff_score_matches_reference(spark):
     assert s[0] > s[1]
 
 
+def test_staged_index_marker_invalidates_on_drift(tmp_path):
+    """ADVICE r11: the staging marker folds in a DATA fingerprint
+    (source parquet mtime+size) and the full BUILD-PARAMETER set, so
+    regenerating the fixture in place or drifting a banding default
+    without a version bump regenerates the index instead of silently
+    reusing a stale one."""
+    import os
+    import shutil
+
+    from bdq_spark.entry_queries import (
+        _MINHASH_INDEX_PARAMS,
+        _index_marker_content,
+        _operator_defaults,
+        _stage_index_atomic,
+        _staged_index_ok,
+    )
+    from bdq_spark.operators.dedup import minhash_band_index
+
+    # params captured at import time match the live operator defaults —
+    # a source-level default change fails HERE (bump the version or
+    # accept the regenerate), a runtime monkeypatch can't fake a drift
+    assert _MINHASH_INDEX_PARAMS == _operator_defaults(minhash_band_index)
+
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    src = src_dir / "documents.parquet"
+    src.write_bytes(b"x" * 100)
+    base = _index_marker_content(str(src_dir), "documents", 1, {"n": 3})
+    # version drift
+    assert _index_marker_content(str(src_dir), "documents", 2, {"n": 3}) != base
+    # parameter drift
+    assert _index_marker_content(str(src_dir), "documents", 1, {"n": 4}) != base
+    # data drift: same path, different size
+    src.write_bytes(b"x" * 101)
+    assert _index_marker_content(str(src_dir), "documents", 1, {"n": 3}) != base
+    # data drift: same size, different mtime (in-place regeneration)
+    src.write_bytes(b"x" * 100)
+    st = os.stat(src)
+    os.utime(src, (st.st_atime, st.st_mtime + 10))
+    assert _index_marker_content(str(src_dir), "documents", 1, {"n": 3}) != base
+
+    # atomic publish: valid marker only after the rename, tmp dir gone
+    class _FakeWriter:
+        def __init__(self, path):
+            self._p = path
+
+        def mode(self, _):
+            return self
+
+        def parquet(self, p):
+            os.makedirs(p, exist_ok=True)
+            with open(os.path.join(p, "part-0.parquet"), "w") as fh:
+                fh.write("data")
+
+    class _FakeDF:
+        write = property(lambda self: _FakeWriter(None))
+
+    dest = str(tmp_path / "idx")
+    _stage_index_atomic(_FakeDF(), dest, "content-v1")
+    assert _staged_index_ok(dest, "content-v1")
+    assert not _staged_index_ok(dest, "content-v2")
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith("idx.tmp")]
+    assert leftovers == []
+    shutil.rmtree(dest)
+
+
+def test_persisted_vector_index_probe_steady_state(spark, monkeypatch):
+    """The vector-side mirror of the minhash cross-run index (VERDICT
+    r11 item 3): first invocation stages the multi-table LSH bucket
+    index; the second must be probe-only — proven by poisoning the
+    staging writer (any rebuild would call it and raise).  Both
+    invocations return the identical pair set, and the persisted path
+    equals the in-memory two-table probe computed from scratch."""
+    import bdq_spark.entry_queries as eq
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    fn = eq.QUERIES["persisted_vector_index_probe"]
+    first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert first, "probe found no pairs at sf0.001 — fixture too small?"
+
+    def _boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError(
+            "_stage_index_atomic called on the steady-state path: the "
+            "persisted vector index was rebuilt instead of loaded"
+        )
+
+    monkeypatch.setattr(eq, "_stage_index_atomic", _boom)
+    second = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert second == first
+    monkeypatch.undo()
+
+    # in-memory twin equivalence: same slices, same geometry, no disk
+    from bdq_spark.operators.similarity import (
+        _table_seed,
+        cosine_similarity,
+        lsh_bucket_vectors_md5,
+    )
+    from bdq_spark.sources import load_table
+
+    geo = eq._VECTOR_INDEX_GEO
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def buckets(df):
+        out = None
+        for t in range(geo["num_tables"]):
+            ns = F.lit(t * (1 << geo["num_planes"])).cast("long")
+            bt = lsh_bucket_vectors_md5(
+                df, "embedding", "vec_id", geo["num_planes"], geo["dim"],
+                seed=_table_seed("bdq_lshq", t),
+            ).select("id", "vec", (F.col("bucket") + ns).alias("bucket"))
+            out = bt if out is None else out.unionByName(bt)
+        return out
+
+    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    twin = sorted(
+        map(
+            tuple,
+            buckets(emb.filter(F.col("vec_id") % 3 == 0)).alias("q")
+            .join(
+                buckets(emb.filter(F.col("vec_id") % 3 != 0)).alias("c"),
+                "bucket",
+            )
+            .select(
+                F.col("q.id").alias("id_a"),
+                F.col("c.id").alias("id_b"),
+                F.col("q.vec").alias("qv"),
+                F.col("c.vec").alias("cv"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= geo["threshold"])
+            .collect(),
+        )
+    )
+    assert twin == first
+
+
 def test_persisted_minhash_index_probe_steady_state(spark, monkeypatch):
     """Cross-run index durability (VERDICT r10 item 7): the first
     invocation stages the band index to the shared temp dir; every
@@ -1075,6 +1213,175 @@ def test_adaptive_lsh_planes_hold_occupancy():
     )
 
 
+def test_adaptive_planes_capped_at_max(monkeypatch=None):
+    """_adaptive_planes can never exceed LSH_MAX_PLANES (int64 bucket
+    namespace, ADVICE r11: int32 buckets silently wrapped past 31
+    planes — now the id is bigint and the plane count hard-capped)."""
+    from bdq_spark.operators.dedup import _adaptive_planes
+    from bdq_spark.operators.similarity import LSH_MAX_PLANES
+
+    assert _adaptive_planes(2**70, 3) == LSH_MAX_PLANES
+    assert _adaptive_planes(10**15, 3) <= LSH_MAX_PLANES
+
+
+def test_lsh_geometry_validation():
+    """num_planes past the int64-namespace cap and out-of-range
+    num_tables are rejected loudly instead of wrapping bucket ids."""
+    import pytest
+
+    from bdq_spark.operators.similarity import (
+        LSH_MAX_PLANES,
+        _check_lsh_geometry,
+    )
+
+    _check_lsh_geometry(LSH_MAX_PLANES, 128)  # boundary OK
+    with pytest.raises(ValueError, match="LSH_MAX_PLANES"):
+        _check_lsh_geometry(LSH_MAX_PLANES + 1, 1)
+    with pytest.raises(ValueError, match="num_tables"):
+        _check_lsh_geometry(8, 0)
+    with pytest.raises(ValueError, match="num_tables"):
+        _check_lsh_geometry(8, 129)
+
+
+def test_lsh_buckets_int64_past_31_planes(spark):
+    """Past 31 planes the old int32 bucket wrapped (ADVICE r11); the
+    bigint id must carry the full 2^40 namespace without collapsing
+    distinct sign patterns into wrapped ids."""
+    import numpy as np
+
+    from bdq_spark.operators.similarity import lsh_bucket_vectors
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.normal(size=(64, 8)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_bucket_vectors(df, num_planes=40, dim=8).collect()
+    assert dict(df.sparkSession.createDataFrame(got).dtypes)["bucket"] == (
+        "bigint"
+    )
+    assert all(0 <= r.bucket < (1 << 40) for r in got)
+    assert any(r.bucket > (1 << 31) for r in got)  # would have wrapped
+
+
+def test_multitable_lsh_namespacing_and_backcompat(spark):
+    """Table 0 of a multi-table bucketing reproduces the single-table
+    buckets bit-for-bit (the bare-seed contract of _table_seed), and
+    every table's ids live in a disjoint (table << num_planes)
+    namespace so tables can never cross-match."""
+    import numpy as np
+
+    from bdq_spark.operators.similarity import (
+        lsh_bucket_vectors,
+        lsh_probe_buckets,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.normal(size=(80, 16)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = {
+        r.id: r.bucket
+        for r in lsh_bucket_vectors(df, num_planes=6, dim=16).collect()
+    }
+    multi = lsh_bucket_vectors(
+        df, num_planes=6, dim=16, num_tables=3
+    ).collect()
+    assert len(multi) == 3 * 80  # one row per vector per table
+    by_table = {}
+    for r in multi:
+        by_table.setdefault(r.bucket >> 6, {})[r.id] = r.bucket & 63
+    assert sorted(by_table) == [0, 1, 2]
+    assert by_table[0] == single  # table 0 == legacy single-table
+    assert by_table[1] != by_table[0]  # independent draws differ
+
+    probes = lsh_probe_buckets(
+        df, num_planes=6, n_probe=2, dim=16, num_tables=2
+    ).collect()
+    assert len(probes) == 2 * 2 * 80
+    # probe flips only touch bits below num_planes: namespace survives
+    assert {r.bucket >> 6 for r in probes} == {0, 1}
+
+
+def test_embedding_cosine_pairs_md5_or_lift(spark):
+    """The md5 multi-table pairs twin: (a) subset of the exact pair
+    set (verify stage is exact), (b) monotone in num_tables (pure OR),
+    (c) table count actually lifts recall on correlated data."""
+    import numpy as np
+
+    from bdq_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_md5,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(150, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+    for i in range(60):  # planted twins, cosine ~0.99
+        twin = base[i] + 0.05 * rng.normal(size=16)
+        twin /= np.linalg.norm(twin)
+        rows.append((1000 + i, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            df, threshold=0.9, mode="exact"
+        ).collect()
+    }
+    assert exact
+    sets = {}
+    for t in (1, 2, 3):
+        sets[t] = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs_md5(
+                df, threshold=0.9, num_planes=6, num_tables=t, dim=16
+            ).collect()
+        }
+        assert sets[t] <= exact  # no false positives, ever
+    assert sets[1] <= sets[2] <= sets[3]  # OR-union is monotone
+    assert len(sets[2]) > len(sets[1])  # the lift is real on this data
+
+
+def test_knn_lsh_multitable_recall_lift(spark):
+    """knn_lsh num_tables: results stay exact-ranked within the
+    candidate set, and 2 tables recover at least as many true top-1
+    neighbors as 1 table."""
+    import numpy as np
+
+    from bdq_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(200, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.limit(20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(corpus, queries, k=1).collect()
+    }
+
+    def hits(t):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_lsh(
+                corpus, queries, k=1, num_planes=8, num_tables=t
+            ).collect()
+        }
+        return len(got & truth)
+
+    assert hits(2) >= hits(1)
+
+
 def test_adaptive_lsh_recall_floor_on_planted_neighbors(spark):
     """The adaptive plane sizing trades recall for linear cost — put a
     MEASURED floor under that trade so a future occupancy-target change
@@ -1126,3 +1433,23 @@ def test_adaptive_lsh_recall_floor_on_planted_neighbors(spark):
     assert got <= exact  # verify stage is exact: no false positives
     recall = len(got & exact) / len(exact)
     assert recall >= 0.80, f"adaptive-LSH recall {recall:.2f} < 0.80"
+
+    # the OR-ed multi-table lift (VERDICT r11 item 1): T=2 independent
+    # plane sets, candidates unioned before the exact verify — recall
+    # 1-(1-r)^2, measured and PINNED at >= 0.95 where single-table
+    # floors at 0.80.  This is the adaptive lsh path's default
+    # (LSH_DEFAULT_TABLES), so the floor is the production contract.
+    from bdq_spark.operators.dedup import LSH_DEFAULT_TABLES
+
+    assert LSH_DEFAULT_TABLES >= 2
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            df, threshold=0.95, mode="lsh", num_planes=planes,
+            num_tables=2,
+        ).collect()
+    }
+    assert got2 <= exact  # verify stage still exact: no false positives
+    assert got <= got2  # table 0 IS the single-table set: pure OR-lift
+    recall2 = len(got2 & exact) / len(exact)
+    assert recall2 >= 0.95, f"2-table LSH recall {recall2:.2f} < 0.95"

@@ -30,61 +30,71 @@ rotation in ``bdq_spark/entry_queries.py``.
 # appear here (or in EXEMPT below with a reason) and every listed
 # entry must be in the current _DRIVER_PRIORITY window.
 TOUCHED = {
-    # VERDICT r10 item 1: the CC fused edge setup pinned small graphs
-    # at the session shuffle partition count — dual-pathed
-    # (connected_components pre-counts its checkpointed pair input;
-    # pagerank/pagerank_quantized de-pin post-count); plus the
-    # depth-counted _aqe_disabled scope (ADVICE medium), the
-    # _shuffle_partitions "auto" fallback, and the kcore regime-split
-    # documentation.  Gated by the full graph family.
+    # VERDICT r11 item 1: OR-ed multi-table LSH — _hyperplanes gained a
+    # per-table seed, lsh_bucket_vectors / lsh_probe_buckets /
+    # knn_lsh / knn_lsh_md5 gained num_tables with int64 namespaced
+    # bucket ids (also the ADVICE int32-wrap fix).  Gated by the NEW
+    # multi-table pair entry plus the md5 knn-LSH twins (single-table
+    # path must be bit-identical: table 0 keeps the bare seed) and the
+    # new persisted vector index (multi-table probe).
+    "bdq_spark/operators/similarity.py": [
+        "embedding_near_dup_pairs_multitable",
+        "persisted_vector_index_probe",
+        "knn_lsh_embeddings",
+        "knn_multiprobe_embeddings",
+    ],
+    # embedding_cosine_pairs gained num_tables (adaptive-geometry lsh
+    # path now defaults to LSH_DEFAULT_TABLES=2 OR-tables; explicit
+    # num_planes keeps the legacy single-table geometry), new
+    # embedding_cosine_pairs_md5 operator, _adaptive_planes capped at
+    # LSH_MAX_PLANES (ADVICE r11).  Driver-scale entries pin no-change
+    # (exact/auto mode below the cutover); the new md5 entry gates the
+    # multi-table candidate path by value.
+    "bdq_spark/operators/dedup.py": [
+        "embedding_near_dup_pairs_multitable",
+        "embedding_near_dup_pairs",
+        "embedding_dedup_clusters",
+        "minhash_lsh_near_dup",
+    ],
+    # VERDICT r11 item 6: graph_session=False (default, byte-identical
+    # path) / True (cloned-session isolation for the AQE scope).
+    # Additive parameter; gated by the graph family re-running through
+    # the default path plus
+    # test_components.py::test_graph_session_isolates_aqe_from_concurrent_queries.
     "bdq_spark/operators/components.py": [
         "embedding_dedup_clusters",
         "near_dup_clusters",
         "pagerank_part_supplier",
-        "docs_kcore_graph",
-        "near_dup_kcore",
     ],
-    # adaptive LSH plane sizing for embedding_cosine_pairs' 100 TB path
-    # (the x100 sweep measured the fixed-8-plane path quadratic,
-    # last-decade exponent 1.94 -> 0.34 after).  The adaptive branch is
-    # REGISTRY-UNREACHABLE at driver scale (auto mode picks exact below
-    # the 200k-row cutover; only the scale-only EXTRA query forces
-    # lsh), so the gating entries pin no-change: embedding_dedup_clusters
-    # (auto mode) and embedding_near_dup_pairs (pinned exact).
-    "bdq_spark/operators/dedup.py": [
-        "embedding_dedup_clusters",
-        "embedding_near_dup_pairs",
-    ],
-    # PySpark-3.x localCheckpoint(storageLevel=...) guard (ADVICE r10)
-    # — behavior-neutral on this runtime; gated through the serialized-
-    # checkpoint consumers as in r10
-    "bdq_spark/operators/_checkpoint.py": [
-        "pagerank_part_supplier",
-        "near_dup_triangles",
-    ],
-    # the r11 window rotation itself (gated by rotated-in entries —
-    # deliberately NON-top-20 picks: a rotation reorders the window
-    # without touching any query's code, so the bench-A/B rule has
-    # nothing to measure for it) and the NEW persisted-index entry
-    # (VERDICT r10 item 7), gated by its own value-hashed driver slot
+    # NEW entries (multi-table gate + persisted vector index, VERDICT
+    # r11 items 1+3), the two rows-only -> value-hash oracle upgrades
+    # (item 5: minhash_lsh_near_dup drops the engine-local est_jaccard
+    # column, incremental_minhash_near_dup gains the exact-verify
+    # stage), and the staged-index marker hardening (ADVICE r11:
+    # data fingerprint + build params + atomic rename).
     "bdq_spark/entry_queries.py": [
+        "embedding_near_dup_pairs_multitable",
+        "persisted_vector_index_probe",
         "persisted_minhash_index_probe",
-        "multimodal_decode",
-        "orders_pit_scd2_join",
+        "minhash_lsh_near_dup",
+        "incremental_minhash_near_dup",
     ],
 }
 
 # modules whose in-round change has no relational queries() surface —
 # each needs a reason a reviewer can check
 EXEMPT = {
-    # additive plan-introspection helper (checkpoint_partitions — the
-    # fingerprint field VERDICT r10 item 3 asked for); no query
-    # semantics changed; pinned by
-    # test_components.py::test_small_graph_checkpoints_not_pinned_wide
-    # and the regenerated plans_golden.json
+    # ADVICE r11: checkpoint_partitions now EXCLUDES createDataFrame
+    # (ParallelCollectionRDD-rooted) leaves, whose width is
+    # defaultParallelism — a session/machine constant that made goldens
+    # flag false regressions on a different box.  Introspection-only;
+    # no query plan changes; gated by the regenerated plans_golden.json
+    # (13 literal-fixture entries dropped 32/16 -> 0, real streaming
+    # checkpoints kept) and test_plan_lint.py.
     "bdq_spark/plans/plan_lint.py": (
-        "additive introspection (checkpoint_partitions); no relational "
-        "surface; gated by plan-golden regen + components pin test"
+        "introspection-only (checkpoint_partitions ignores "
+        "createDataFrame leaves); no relational surface; gated by "
+        "plan-golden regen + test_plan_lint"
     ),
 }
 
@@ -94,7 +104,7 @@ EXEMPT = {
 # top-20 from BENCH_DETAIL.json and fails if an intersecting module is
 # missing here or the artifact doesn't cover the intersecting entries.
 BENCH_AB = {
-    "bdq_spark/operators/components.py": "BENCH_AB_r11.json",
-    "bdq_spark/operators/_checkpoint.py": "BENCH_AB_r11.json",
-    "bdq_spark/operators/dedup.py": "BENCH_AB_r11.json",
+    "bdq_spark/operators/components.py": "BENCH_AB_r12.json",
+    "bdq_spark/operators/dedup.py": "BENCH_AB_r12.json",
+    "bdq_spark/entry_queries.py": "BENCH_AB_r12.json",
 }

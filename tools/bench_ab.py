@@ -54,19 +54,23 @@ def _bench(cwd: str, entries: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if len(args) < 2:
-        print(__doc__, file=sys.stderr)
-        return 2
-    old_rev, entries = args[0], args[1]
-    modules = []
-    out_path = None
-    it = iter(sys.argv[1:])
-    for a in it:
-        if a == "--module":
-            modules.append(next(it))
-        elif a == "--out":
-            out_path = next(it)
+    # argparse (not hand-rolled token filtering): option VALUES must
+    # never be mistaken for positionals when --module/--out precede
+    # old_rev/entries (ADVICE r11)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("old_rev")
+    ap.add_argument("entries", help="comma-separated bench entry names")
+    ap.add_argument("--module", action="append", default=[], dest="modules")
+    ap.add_argument("--out", default=None, dest="out_path")
+    ns = ap.parse_args()
+    old_rev, entries = ns.old_rev, ns.entries
+    modules = ns.modules
+    out_path = ns.out_path
     if out_path is None:
         rounds = [
             int(p.split("_r")[1].split(".")[0])

@@ -143,7 +143,9 @@ def regressions_vs_golden(golden_fp: dict, fp: dict) -> list:
     that appeared.  Improvements (counts that shrank, pushdown gained)
     are drift worth a snapshot refresh but never a failure."""
     regs = [
-        f"{k} {golden_fp[k]}->{fp[k]}"
+        # .get() in the message too: an older golden snapshot missing a
+        # newer fingerprint key must REPORT the regression, not KeyError
+        f"{k} {golden_fp.get(k, 0)}->{fp.get(k, 0)}"
         for k in _REGRESSION_KEYS
         if fp.get(k, 0) > golden_fp.get(k, 0)
     ]

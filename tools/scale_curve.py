@@ -74,6 +74,8 @@ QUERY_TABLE = {
     "embedding_near_dup_pairs": "embeddings",
     "embedding_dedup_clusters": "embeddings",
     "embedding_near_dup_pairs_lsh": "embeddings",
+    "embedding_near_dup_pairs_lsh_t1": "embeddings",
+    "embedding_dedup_pairs_only": "embeddings",
     "embedding_kmeans_quantized": "embeddings",
     "orders_zorder_layout": "orders",
     "orders_hll_custkey": "orders",
@@ -116,11 +118,40 @@ def _embedding_near_dup_pairs_lsh(spark, sf_dir):
     )
 
 
+def _embedding_near_dup_pairs_lsh_t1(spark, sf_dir):
+    """Single-table control for the r12 multi-table default: same
+    adaptive plane geometry, ``num_tables=1`` — isolates the OR-table
+    cost factor from corpus growth in the lsh curve."""
+    from bdq_spark.operators.dedup import embedding_cosine_pairs
+    from bdq_spark.sources import load_table
+
+    return embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3, mode="lsh", num_tables=1,
+    )
+
+
+def _embedding_dedup_pairs_only(spark, sf_dir):
+    """The PAIR PHASE of ``embedding_dedup_clusters`` in isolation
+    (same auto-mode call, same 0.4 threshold, no CC) — the VERDICT r11
+    watch-item decomposition: is the clusters entry's x100 growth
+    pair-volume-bound (expected) or a re-emerging CC partition
+    pathology?"""
+    from bdq_spark.operators.dedup import embedding_cosine_pairs
+    from bdq_spark.sources import load_table
+
+    return embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 # scale-only callables measured alongside registry entries but kept OUT
 # of the driver registry (they exist to measure a mode the oracle twin
 # can't use, not to claim new query surface)
 EXTRA_QUERIES = {
     "embedding_near_dup_pairs_lsh": _embedding_near_dup_pairs_lsh,
+    "embedding_near_dup_pairs_lsh_t1": _embedding_near_dup_pairs_lsh_t1,
+    "embedding_dedup_pairs_only": _embedding_dedup_pairs_only,
 }
 
 
