@@ -36,6 +36,8 @@ __all__ = [
     "knn_lsh",
     "lsh_bucket_vectors_md5",
     "knn_lsh_md5",
+    "diagonal_metric_score",
+    "rerank_topk",
     "quantize_embedding",
     "dequantize_embedding",
 ]
@@ -633,6 +635,149 @@ def knn_lsh_md5(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def diagonal_metric_score(
+    a: Column, b: Column, period: int = 7
+) -> Column:
+    """The built-in DETERMINISTIC re-rank scorer: cosine under a fixed
+    diagonal metric ``w_j = 1 + (j mod period) / 10`` — the stand-in
+    for a cross-encoder's learned interaction that any engine can
+    recompute exactly (the weights are small exact rationals; every
+    multiply/add is sequential double precision, same contract as
+    :func:`dot_product`).  DuckDB replay:
+    ``list_sum(list_transform(list_zip? ...))`` — see the
+    ``knn_rerank_embeddings`` oracle for the exact SQL shape
+    (indexed-lambda ``(x, i) ->`` with 1-based ``i``; weight
+    ``1 + ((i-1) % period)/10.0``).
+
+    Deliberately NOT monotone in plain cosine, so re-ranking actually
+    reorders the retrieve stage's candidates — which is the point of a
+    second-stage scorer."""
+    idx = F.sequence(F.lit(0), F.size(a) - 1)
+    w = F.transform(
+        idx, lambda j: F.lit(1.0) + (j % period).cast("double") / F.lit(10.0)
+    )
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    wdot = F.aggregate(
+        F.zip_with(prod, w, lambda p, ww: p * ww),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq_a = F.zip_with(a, a, lambda x, y: x.cast("double") * y.cast("double"))
+    sq_b = F.zip_with(b, b, lambda x, y: x.cast("double") * y.cast("double"))
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with(sq_a, w, lambda p, ww: p * ww),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with(sq_b, w, lambda p, ww: p * ww),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(wdot / denom)
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    scorer=None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Second-stage RE-RANK over retrieve-stage candidates — the hook
+    that completes the 100 TB retrieve → filter → re-rank pattern
+    (mirrors :func:`~bdq_spark.operators.dedup.levenshtein_rescore`,
+    the Jaccard path's second opinion): an ANN stage
+    (:func:`knn_lsh`, :func:`knn_lsh_md5`,
+    :func:`~bdq_spark.operators.ivf.knn_ivf`) retrieves a WIDE
+    candidate set cheaply; this stage scores only those candidates
+    with an expensive/learned scorer and keeps the top ``k``.
+
+    ``candidates`` needs columns ``(query_id, neighbor_id)`` (extra
+    columns are dropped).  ``scorer`` is the plug:
+
+    - ``None`` (default) — :func:`diagonal_metric_score`, a
+      deterministic engine-portable stand-in for a learned
+      cross-encoder, so the whole pipeline stays value-hashable;
+    - a Python callable ``(qv: pd.Series, cv: pd.Series) ->
+      1-D scores`` — run ARROW-BATCHED via ``mapInPandas`` (the real
+      cross-encoder slot: a model forward pass over vector pairs;
+      batches arrive as object Series of array values).  UDF cost is
+      paid per CANDIDATE, never per corpus row — the economics that
+      make a heavy scorer affordable at scale.
+
+    Scale shape: candidate-sized joins back to the two vector sides
+    (query side broadcast — it is query-scale), scoring linear in
+    candidates, one per-query top-k window.  Output:
+    ``query_id, neighbor_id, rank, score``.
+    """
+    from pyspark.sql import Window
+
+    cand = candidates.select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+    )
+    joined = cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+
+    if scorer is None:
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                diagonal_metric_score(F.col("qv"), F.col("cv")), 6
+            ).alias("score"),
+        )
+    else:
+        import pandas as pd
+
+        id_types = dict(joined.dtypes)
+
+        def apply_scorer(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                s = scorer(pdf["qv"], pdf["cv"])
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "score": pd.Series(s, index=pdf.index).astype(
+                            "float64"
+                        ),
+                    }
+                )
+
+        scored = joined.mapInPandas(
+            apply_scorer,
+            schema=(
+                f"query_id {id_types['query_id']}, "
+                f"neighbor_id {id_types['neighbor_id']}, score double"
+            ),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
     )
 
 

@@ -1602,3 +1602,119 @@ def test_audio_stream_stats_dataframe(spark):
     assert got[0].total_samples == 2 * 1152
     assert not got[1].decode_ok and got[1].frames == 0
     assert not got[2].decode_ok
+
+
+def test_rerank_topk_default_scorer_reorders_and_ranks(spark):
+    """The retrieve->re-rank hook (VERDICT r11 item 7): the built-in
+    diagonal-metric scorer is deterministic, NOT monotone in plain
+    cosine (so re-ranking actually reorders), scores only the given
+    candidates, and ranks (score DESC, neighbor_id ASC)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.similarity import (
+        diagonal_metric_score,
+        knn_bruteforce,
+        rerank_topk,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(60, 16))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wide = knn_bruteforce(corpus, queries, k=20)
+    out = rerank_topk(wide, corpus, queries, k=5).collect()
+
+    # shape: 5 per query, ranks 1..5, candidates only
+    by_q = {}
+    cand = {(r.query_id, r.neighbor_id) for r in wide.collect()}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert (r.query_id, r.neighbor_id) in cand
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    # the re-rank ordering differs from the retrieve (cosine) ordering
+    # for at least one query's top-5 sequence — the diagonal metric is
+    # a different geometry (verified offline for this seed: 2 of 3
+    # queries reorder within the top 5, ranks 4-5)
+    cos_seq = {}
+    for r in sorted(wide.collect(), key=lambda r: (r.query_id, r.rank)):
+        if r.rank <= 5:
+            cos_seq.setdefault(r.query_id, []).append(r.neighbor_id)
+    rr_seq = {
+        q: [r.neighbor_id for r in rows] for q, rows in by_q.items()
+    }
+    assert any(cos_seq[q] != rr_seq[q] for q in cos_seq)
+
+    # and the self-pair still wins under the metric (w-cosine(v,v)=1)
+    for q, rows in by_q.items():
+        assert rows[0].neighbor_id == q and rows[0].score == 1.0
+
+
+def test_rerank_topk_pluggable_scorer_matches_expression_twin(spark):
+    """The Arrow-batched callable slot: a numpy implementation of the
+    same diagonal metric must reproduce the expression path's ids and
+    ranks exactly (scores agree to the 6-decimal rounding)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.similarity import knn_bruteforce, rerank_topk
+
+    rng = np.random.default_rng(33)
+    vecs = rng.normal(size=(40, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wide = knn_bruteforce(corpus, queries, k=15)
+
+    w = 1.0 + (np.arange(8) % 7) / 10.0
+
+    def np_scorer(qv, cv):
+        q = np.asarray([np.asarray(v) for v in qv])
+        c = np.asarray([np.asarray(v) for v in cv])
+        wdot = ((q * c) * w).sum(axis=1)
+        qn = np.sqrt(((q * q) * w).sum(axis=1))
+        cn = np.sqrt(((c * c) * w).sum(axis=1))
+        return np.round(wdot / (qn * cn), 6)
+
+    expr = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in rerank_topk(wide, corpus, queries, k=5).collect()
+    )
+    udf = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in rerank_topk(
+            wide, corpus, queries, k=5, scorer=np_scorer
+        ).collect()
+    )
+    assert expr == udf
+
+
+def test_rerank_topk_empty_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.similarity import rerank_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    empty = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, rank int, cosine double"
+    )
+    assert rerank_topk(empty, corpus, queries, k=3).count() == 0

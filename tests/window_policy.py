@@ -39,6 +39,7 @@ TOUCHED = {
     # new persisted vector index (multi-table probe).
     "bdq_spark/operators/similarity.py": [
         "embedding_near_dup_pairs_multitable",
+        "knn_rerank_embeddings",
         "persisted_vector_index_probe",
         "knn_lsh_embeddings",
         "knn_multiprobe_embeddings",
@@ -74,6 +75,7 @@ TOUCHED = {
     # data fingerprint + build params + atomic rename).
     "bdq_spark/entry_queries.py": [
         "embedding_near_dup_pairs_multitable",
+        "knn_rerank_embeddings",
         "persisted_vector_index_probe",
         "persisted_minhash_index_probe",
         "minhash_lsh_near_dup",
@@ -97,6 +99,10 @@ EXEMPT = {
         "plan-golden regen + test_plan_lint"
     ),
 }
+
+#   (similarity.py also gained rerank_topk/diagonal_metric_score —
+#   VERDICT r11 item 7, the retrieve->re-rank hook — gated by the new
+#   knn_rerank_embeddings entry whose oracle replays both stages)
 
 # TOUCHED modules whose gating entries intersect the top-20-by-wall
 # bench set this round -> the BENCH_AB_r{N}.json artifact that records
