@@ -555,6 +555,7 @@ def pagerank_quantized(
     iterations: int = 3,
     scale: int = 10**12,
     broadcast_max_nodes: int = GRAPH_BROADCAST_MAX_NODES,
+    graph_session: bool = False,
 ) -> DataFrame:
     """Engine-portable PageRank twin: the same power iteration as
     :func:`pagerank` carried out entirely in EXACT bigint arithmetic —
@@ -581,9 +582,10 @@ def pagerank_quantized(
     dangling scalar, lazy localCheckpoint; above the bound, the same
     co-partitioned setup (edges by source, nodes/ranks by id, planned
     under :func:`_aqe_disabled`) keeps the rounds at one exchange with
-    the edge relation shuffled once at setup.
+    the edge relation shuffled once at setup.  ``graph_session=True``:
+    same cloned-session AQE isolation as :func:`pagerank`.
     """
-    spark = edges.sparkSession
+    edges, spark, caller_spark = _enter_graph_session(edges, graph_session)
     with _aqe_disabled(spark):
         # ONE edge shuffle, captured with hash(src) — see :func:`pagerank`
         e = data_checkpoint(
@@ -600,7 +602,8 @@ def pagerank_quantized(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
+        out = nodes.withColumn("rank_q", F.lit(0).cast("bigint"))
+        return _rebind(out, caller_spark) if graph_session else out
 
     def _run(nodes: DataFrame) -> DataFrame:
         # node-scale statics — same shapes as :func:`pagerank`
@@ -661,8 +664,10 @@ def pagerank_quantized(
 
     if n_nodes > broadcast_max_nodes:
         with _aqe_disabled(spark):
-            return _run(_keyed_checkpoint(nodes, "id"))
-    return _run(nodes)
+            out = _run(_keyed_checkpoint(nodes, "id"))
+    else:
+        out = _run(nodes)
+    return _rebind(out, caller_spark) if graph_session else out
 
 
 def triangle_counts(
@@ -759,6 +764,7 @@ def kcore(
     dst: str = "dst",
     max_rounds: int = 20,
     broadcast_max_nodes: int = GRAPH_BROADCAST_MAX_NODES,
+    graph_session: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983; the
     Matula-Beck peel, rounds-synchronous): repeatedly delete every node
@@ -820,6 +826,20 @@ def kcore(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if graph_session:
+        # same cloned-session AQE isolation as connected_components,
+        # via self-recursion: rebind the edge input into the clone
+        # (upstream planning stays with the caller's session — toRdd
+        # captures it under the caller's conf), peel there, rebind the
+        # result back
+        rebased, _, caller_spark = _enter_graph_session(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            True,
+        )
+        out = kcore(
+            rebased, k, "src", "dst", max_rounds, broadcast_max_nodes
+        )
+        return _rebind(out, caller_spark)
     fwd = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )

@@ -547,6 +547,30 @@ def test_graph_session_isolates_aqe_from_concurrent_queries(spark):
     assert p0 == p1 == p2
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
+    # pagerank_quantized and kcore carry the same option (the whole
+    # _aqe_disabled-holding family): identical results on both regimes
+    q0 = sorted(map(tuple, comp.pagerank_quantized(e).collect()))
+    q1 = sorted(
+        map(
+            tuple,
+            comp.pagerank_quantized(
+                e, broadcast_max_nodes=0, graph_session=True
+            ).collect(),
+        )
+    )
+    assert q0 == q1
+    k0 = sorted(map(tuple, comp.kcore(e, k=2).collect()))
+    k1 = sorted(
+        map(
+            tuple,
+            comp.kcore(
+                e, k=2, broadcast_max_nodes=0, graph_session=True
+            ).collect(),
+        )
+    )
+    assert k0 == k1
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
 
 def test_data_checkpoint_stores_serialized_blocks(spark):
     """Pin the second-decade fix's mechanism: data_checkpoint persists

@@ -58,9 +58,10 @@ TOUCHED = {
         "minhash_lsh_near_dup",
     ],
     # VERDICT r11 item 6: graph_session=False (default, byte-identical
-    # path) / True (cloned-session isolation for the AQE scope).
-    # Additive parameter; gated by the graph family re-running through
-    # the default path plus
+    # path) / True (cloned-session isolation for the AQE scope) on all
+    # four _aqe_disabled holders (CC, pagerank, pagerank_quantized,
+    # kcore).  Additive parameter; gated by the graph family re-running
+    # through the default path plus
     # test_components.py::test_graph_session_isolates_aqe_from_concurrent_queries.
     "bdq_spark/operators/components.py": [
         "embedding_dedup_clusters",
