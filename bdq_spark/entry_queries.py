@@ -2185,11 +2185,29 @@ def embedding_near_dup_pairs_multitable(
     (tests/test_text_dedup.py)."""
     from bdq_spark.operators.dedup import embedding_cosine_pairs_md5
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > _FIXED_GEOMETRY_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dup_pairs_multitable pins a small ORACLE "
+            f"geometry (3 planes x 2 tables) whose bucket occupancy "
+            f"grows linearly with the corpus ({n} rows > "
+            f"{_FIXED_GEOMETRY_MAX_ROWS}); the production multi-table "
+            "path is embedding_cosine_pairs(mode='lsh') — adaptive "
+            "planes + LSH_DEFAULT_TABLES, measured sub-linear "
+            "(BENCH_SCALE embedding_near_dup_pairs_lsh)"
+        )
     return embedding_cosine_pairs_md5(
-        load_table(spark, sf_dir, "embeddings"),
-        threshold=0.3, num_planes=3, num_tables=2, dim=64,
+        emb, threshold=0.3, num_planes=3, num_tables=2, dim=64,
     )
 
+
+#: fixed-geometry oracle entries state their own scale limit (the
+#: pruned_scan_orders / embedding_near_dup_pairs pattern): their pinned
+#: small plane counts exist so DuckDB can replay every bucket, and past
+#: this corpus size the pinned buckets go quadratic BY CONSTRUCTION —
+#: the production path (adaptive planes) is the measured-linear one.
+_FIXED_GEOMETRY_MAX_ROWS = 50_000
 
 #: persisted vector-LSH index version — same contract as
 #: _MINHASH_INDEX_VERSION: bump on any schema/parameter change
@@ -2255,6 +2273,15 @@ def persisted_vector_index_probe(
         sf_dir, "embeddings", _VECTOR_INDEX_VERSION, params
     )
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > _FIXED_GEOMETRY_MAX_ROWS:
+        raise ValueError(
+            f"persisted_vector_index_probe pins a small ORACLE geometry "
+            f"({n} rows > {_FIXED_GEOMETRY_MAX_ROWS}); a production "
+            "deployment persists the ADAPTIVE-plane bucketing "
+            "(lsh_probe_buckets with _adaptive_planes sizing), whose "
+            "occupancy — and therefore probe cost — stays constant"
+        )
 
     def _buckets(df):
         # OR-ed multi-table md5 bucketing, (table << planes) | bucket

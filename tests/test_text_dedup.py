@@ -1453,3 +1453,27 @@ def test_adaptive_lsh_recall_floor_on_planted_neighbors(spark):
     assert got <= got2  # table 0 IS the single-table set: pure OR-lift
     recall2 = len(got2 & exact) / len(exact)
     assert recall2 >= 0.95, f"2-table LSH recall {recall2:.2f} < 0.95"
+
+
+def test_fixed_geometry_entries_state_their_scale_bound(spark):
+    """The two pinned-geometry oracle entries refuse past
+    _FIXED_GEOMETRY_MAX_ROWS (the pruned_scan_orders self-bound
+    pattern) instead of silently going quadratic, and the message
+    names the adaptive production path."""
+    import pytest as _p
+
+    import bdq_spark.entry_queries as eq
+
+    orig = eq._FIXED_GEOMETRY_MAX_ROWS
+    eq._FIXED_GEOMETRY_MAX_ROWS = 10  # sf0.001 has more rows than this
+    try:
+        with _p.raises(ValueError, match="embedding_cosine_pairs"):
+            eq.QUERIES["embedding_near_dup_pairs_multitable"](
+                spark, "/root/testdata/sf0.001"
+            )
+        with _p.raises(ValueError, match="ADAPTIVE"):
+            eq.QUERIES["persisted_vector_index_probe"](
+                spark, "/root/testdata/sf0.001"
+            )
+    finally:
+        eq._FIXED_GEOMETRY_MAX_ROWS = orig

@@ -71,6 +71,7 @@ QUERY_TABLE = {
     "knn_ivf_quantized": "embeddings",
     "knn_lsh_embeddings": "embeddings",
     "knn_multiprobe_embeddings": "embeddings",
+    "knn_rerank_embeddings": "embeddings",
     "embedding_near_dup_pairs": "embeddings",
     "embedding_dedup_clusters": "embeddings",
     "embedding_near_dup_pairs_lsh": "embeddings",
