@@ -261,10 +261,23 @@ def test_hot_module_changes_carry_bench_ab():
     mins = json.load(open(detail_path))["min"]
     top20 = set(sorted(mins, key=mins.get, reverse=True)[:20])
 
+    # an A/B of an entry that did not EXIST at the old round-boundary
+    # rev is undefined (the old side's bench would reject the name), so
+    # the rule applies to pre-existing entries only: an entry is
+    # pre-existing iff some prior round's driver CORRECTNESS file
+    # recorded it.  A NEW top-20 entry still cannot dodge scrutiny —
+    # it leads the current window (changed-code-first), so its first
+    # driver round value-hashes and times it from scratch.
+    preexisting = set()
+    for r in range(1, 31):
+        p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(p):
+            preexisting.update(json.load(open(p)))
+
     for module, entries in window_policy.TOUCHED.items():
         if module not in changed:
             continue
-        hot = sorted(set(entries) & top20)
+        hot = sorted(set(entries) & top20 & preexisting)
         if not hot:
             continue
         artifact = window_policy.BENCH_AB.get(module)
