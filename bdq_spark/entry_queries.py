@@ -2336,6 +2336,239 @@ def persisted_vector_index_probe(
     return out
 
 
+_VEC_STREAM_ORACLE = r"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+allv AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  -- planted near-twin of every third vector: first component halved
+  -- (0.5 is a power of two, so the float-stored twin equals the
+  -- double-computed one bit-for-bit), id offset +1e7 so originals
+  -- always carry the smaller id
+  SELECT vec_id + 10000000,
+         list_transform(e, (x, i) -> CASE WHEN i = 1
+                                          THEN x * 0.5 ELSE x END)
+  FROM v WHERE vec_id % 3 = 0),
+comp AS (
+  SELECT vec_id, CAST(tj.j AS INT) AS j,
+         CAST(round(a.e[CAST(tj.j AS INT) + 1] * 10000) AS BIGINT) AS q
+  FROM allv a CROSS JOIN range(64) tj(j)),
+planes AS (
+  SELECT CAST(tt.t AS INT) AS t, CAST(tp.p AS INT) AS p,
+         CAST(tj.j AS INT) AS j,
+         (('0x' || substr(md5(
+             CASE WHEN tt.t = 0 THEN 'bdq_lshq'
+                  ELSE 'bdq_lshq:t' || tt.t END
+             || ':' || tp.p || ':' || tj.j), 1, 15))::BIGINT
+          % 20001) - 10000 AS hv
+  FROM range(2) tt(t) CROSS JOIN range(3) tp(p)
+  CROSS JOIN range(64) tj(j)),
+margins AS (
+  SELECT c.vec_id, pl.t, pl.p, CAST(sum(c.q * pl.hv) AS BIGINT) AS margin
+  FROM comp c JOIN planes pl ON pl.j = c.j
+  GROUP BY 1, 2, 3),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN margin >= 0
+                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM margins GROUP BY 1, 2),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON b.t = a.t AND b.bucket = a.bucket
+              AND a.vec_id < b.vec_id),
+dropped AS (
+  SELECT DISTINCT p.id_b AS vec_id
+  FROM pairs p
+  JOIN allv a ON a.vec_id = p.id_a
+  JOIN allv b ON b.vec_id = p.id_b
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9)
+SELECT vec_id FROM allv
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@_register("streaming_ingest_vector_index", _VEC_STREAM_ORACLE)
+def streaming_ingest_vector_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming INGEST -> SEMANTIC DEDUP -> INDEX for the VECTOR side
+    — the embeddings analogue of ``streaming_ingest_dedup_index``,
+    filling the streaming x embeddings capability cell: vectors arrive
+    as ordered micro-batches (a third are planted near-twins of
+    earlier vectors, cosine ~0.999 via a power-of-two component halving
+    that float storage preserves exactly), driven through a TRUE
+    ``readStream`` -> ``foreachBatch`` run where every trigger
+
+    (a) buckets the batch with the 2-OR-table md5 LSH (engine-portable
+        integer margins — the same public geometry as
+        ``persisted_vector_index_probe``),
+    (b) drops batch vectors that share a bucket (either table) with a
+        SMALLER-id batch sibling at exact ``round(cosine, 6) >= 0.9``
+        (within-batch semantic dedup),
+    (c) probes the survivors against the PERSISTED bucket index of the
+        corpus-so-far — same bucket join + exact cosine verify — and
+        drops the hits (cross-batch dedup; the index carries
+        ``(id, vec, bucket)``, so the probe never re-reads or
+        re-hashes accumulated corpus parquet), then
+    (d) appends the survivors' bucket rows to the index — incremental
+        index maintenance, one append per trigger, no rebuild.
+
+    The final survivor set must hash-equal DuckDB applying the WHOLE
+    feed at once (drop iff ANY smaller-id bucket-sharing partner
+    scores >= 0.9) — proving stream/batch semantic-dedup unification
+    and that the incrementally-appended index is lossless vs a one-shot
+    build.  First-occurrence-wins equals global min-id here because the
+    planted duplicate structure is pair-shaped with originals staged
+    ahead of (or beside) their twins — the same arrival-order contract
+    ``streaming_ingest_dedup_index`` documents.  Per-trigger cost is
+    O(batch + bucket-matched candidates + one append); the accumulated
+    corpus is never re-scanned."""
+    import hashlib
+    import os
+
+    from bdq_spark.operators.similarity import (
+        _table_seed,
+        cosine_similarity,
+        lsh_bucket_vectors_md5,
+    )
+
+    geo_planes, geo_tables, geo_dim, geo_thresh = 3, 2, 64, 0.9
+
+    key = hashlib.md5(
+        f"{sf_dir}:stream_vec_idx:v1".encode()
+    ).hexdigest()[:12]
+    feed_dir = os.path.join(
+        tempfile.gettempdir(), f"bdq_stage_svi_feed_{key}"
+    )
+    marker = os.path.join(feed_dir, "_STAGED")
+    if not os.path.exists(marker):
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        twin_vec = F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x * F.lit(0.5)).otherwise(x),
+        ).cast("array<float>")
+        twins = emb.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            twin_vec.alias("embedding"),
+        )
+        n = emb.agg(F.max("vec_id")).first()[0] + 1
+        t1, t2 = n // 3, 2 * n // 3
+        feed = emb.unionByName(twins)
+        # g0/g1: low/mid-third originals; g2: top third + ALL twins —
+        # so g2-originals' twins dedup WITHIN a trigger and g0/g1
+        # originals' twins dedup against the persisted index
+        parts = [
+            feed.filter(F.col("vec_id") < t1),
+            feed.filter((F.col("vec_id") >= t1) & (F.col("vec_id") < t2)),
+            feed.filter(F.col("vec_id") >= t2),
+        ]
+        base_ts = 1_700_000_000  # fixed epoch: see the minhash twin
+        for i, p in enumerate(parts):
+            gdir = os.path.join(feed_dir, f"g{i}")
+            p.coalesce(1).write.mode("overwrite").parquet(gdir)
+            for fname in os.listdir(gdir):
+                os.utime(
+                    os.path.join(gdir, fname),
+                    (base_ts + 3600 * i, base_ts + 3600 * i),
+                )
+        with open(marker, "w") as fh:
+            fh.write(f"{sf_dir}:{feed.count()}")
+
+    def _buckets(df):
+        out = None
+        for t in range(geo_tables):
+            ns = F.lit(t * (1 << geo_planes)).cast("long")
+            bt = lsh_bucket_vectors_md5(
+                df, "embedding", "vec_id", geo_planes, geo_dim,
+                seed=_table_seed("bdq_lshq", t),
+            ).select("id", "vec", (F.col("bucket") + ns).alias("bucket"))
+            out = bt if out is None else out.unionByName(bt)
+        return out
+
+    index_dir = tempfile.mkdtemp(prefix="entry_svi_index_")
+    ckpt = tempfile.mkdtemp(prefix="entry_svi_ckpt_")
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+
+    def ingest(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        bb = _buckets(batch_df).localCheckpoint(eager=True)
+        # (b) within-batch: drop the larger id of every bucket-sharing
+        # pair that verifies at >= threshold
+        pairs = (
+            bb.alias("l")
+            .join(bb.alias("r"), "bucket")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.vec").alias("va"),
+                F.col("r.vec").alias("vb"),
+                F.col("r.id").alias("id"),
+            )
+            .filter(F.round(cos, 6) >= geo_thresh)
+            .select("id")
+            .distinct()
+        )
+        kept = bb.join(pairs, "id", "left_anti")
+        # (c) cross-batch: probe the persisted index (survivors only)
+        first = not os.path.exists(os.path.join(index_dir, "_SUCCESS"))
+        if not first:
+            idx = s.read.parquet(index_dir)
+            hits = (
+                kept.alias("q")
+                .join(idx.alias("c"), "bucket")
+                .select(
+                    F.col("q.vec").alias("va"),
+                    F.col("c.vec").alias("vb"),
+                    F.col("q.id").alias("id"),
+                )
+                .filter(F.round(cos, 6) >= geo_thresh)
+                .select("id")
+                .distinct()
+            )
+            kept = kept.join(hits, "id", "left_anti")
+        # (d) incremental index append — survivors' bucket rows only
+        kept.write.mode("append").parquet(index_dir)
+
+    try:
+        stream = (
+            spark.readStream.schema(
+                "vec_id bigint, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed_dir}/g*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_ingest_vector_index: stream did not finish "
+                "within 300 s — refusing to read a partial index"
+            )
+        idx = spark.read.parquet(index_dir)
+        survivors = idx.select(F.col("id").alias("vec_id")).distinct()
+        n_rows, n_surv = idx.count(), survivors.count()
+        if n_rows != geo_tables * n_surv:
+            raise RuntimeError(
+                "incremental vector index inconsistent: "
+                f"{n_rows} rows for {n_surv} survivors "
+                f"(expected {geo_tables} rows each)"
+            )
+        return survivors.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @_register(
     "embedding_dedup_clusters",
     """
@@ -9511,6 +9744,7 @@ _DRIVER_PRIORITY = [
     "embedding_near_dup_pairs_multitable",
     "persisted_vector_index_probe",
     "knn_rerank_embeddings",
+    "streaming_ingest_vector_index",
     "minhash_lsh_near_dup",
     "incremental_minhash_near_dup",
     "persisted_minhash_index_probe",
@@ -9560,7 +9794,6 @@ _DRIVER_PRIORITY = [
     "doc_gopher_quality",
     "doc_language",
     "doc_pii_redaction",
-    "doc_quality",
 ]
 
 

@@ -77,6 +77,7 @@ TOUCHED = {
     "bdq_spark/entry_queries.py": [
         "embedding_near_dup_pairs_multitable",
         "knn_rerank_embeddings",
+        "streaming_ingest_vector_index",
         "persisted_vector_index_probe",
         "persisted_minhash_index_probe",
         "minhash_lsh_near_dup",
