@@ -2438,6 +2438,16 @@ def streaming_ingest_vector_index(
 
     geo_planes, geo_tables, geo_dim, geo_thresh = 3, 2, 64, 0.9
 
+    n = load_table(spark, sf_dir, "embeddings").count()
+    if n > _FIXED_GEOMETRY_MAX_ROWS:
+        raise ValueError(
+            f"streaming_ingest_vector_index pins a small ORACLE "
+            f"geometry ({n} rows > {_FIXED_GEOMETRY_MAX_ROWS}); a "
+            "production ingest sizes planes adaptively "
+            "(_adaptive_planes) so per-trigger bucket occupancy stays "
+            "constant as the corpus grows"
+        )
+
     key = hashlib.md5(
         f"{sf_dir}:stream_vec_idx:v1".encode()
     ).hexdigest()[:12]

@@ -1475,5 +1475,9 @@ def test_fixed_geometry_entries_state_their_scale_bound(spark):
             eq.QUERIES["persisted_vector_index_probe"](
                 spark, "/root/testdata/sf0.001"
             )
+        with _p.raises(ValueError, match="adaptively"):
+            eq.QUERIES["streaming_ingest_vector_index"](
+                spark, "/root/testdata/sf0.001"
+            )
     finally:
         eq._FIXED_GEOMETRY_MAX_ROWS = orig
