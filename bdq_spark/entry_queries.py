@@ -2166,7 +2166,7 @@ def _pairs_lsh_md5_oracle(
 
 @_register(
     "embedding_near_dup_pairs_multitable",
-    _pairs_lsh_md5_oracle(num_planes=3, num_tables=2, threshold=0.3),
+    _pairs_lsh_md5_oracle(num_planes=4, num_tables=2, threshold=0.3),
 )
 def embedding_near_dup_pairs_multitable(
     spark: SparkSession, sf_dir: str
@@ -2177,8 +2177,8 @@ def embedding_near_dup_pairs_multitable(
     two independent integer-hyperplane tables, same-bucket candidates
     unioned before the exact ``round(cosine, 6)`` verify.  The DuckDB
     oracle replays BOTH tables.  On this fixture the OR-lift is
-    directly visible — at 3 planes, T=1 recovers 245 of the 990 exact
-    >= 0.3 pairs, T=2 401, T=3 541 (``1 - (1 - r)^T``); the float
+    directly visible — at 4 planes, T=1 recovers 151 of the 990 exact
+    >= 0.3 pairs, T=2 264, T=3 367 (``1 - (1 - r)^T``); the float
     production path (:func:`embedding_cosine_pairs` lsh mode) applies
     the same geometry with ``LSH_DEFAULT_TABLES`` OR-tables and a
     recall floor pinned at >= 0.95 on planted twins
@@ -2198,7 +2198,7 @@ def embedding_near_dup_pairs_multitable(
             "(BENCH_SCALE embedding_near_dup_pairs_lsh)"
         )
     return embedding_cosine_pairs_md5(
-        emb, threshold=0.3, num_planes=3, num_tables=2, dim=64,
+        emb, threshold=0.3, num_planes=4, num_tables=2, dim=64,
     )
 
 
@@ -2361,7 +2361,7 @@ planes AS (
                   ELSE 'bdq_lshq:t' || tt.t END
              || ':' || tp.p || ':' || tj.j), 1, 15))::BIGINT
           % 20001) - 10000 AS hv
-  FROM range(2) tt(t) CROSS JOIN range(3) tp(p)
+  FROM range(2) tt(t) CROSS JOIN range(5) tp(p)
   CROSS JOIN range(64) tj(j)),
 margins AS (
   SELECT c.vec_id, pl.t, pl.p, CAST(sum(c.q * pl.hv) AS BIGINT) AS margin
@@ -2436,7 +2436,12 @@ def streaming_ingest_vector_index(
         lsh_bucket_vectors_md5,
     )
 
-    geo_planes, geo_tables, geo_dim, geo_thresh = 3, 2, 64, 0.9
+    # 5 planes (32 buckets/table): candidate volume stays modest at the
+    # bench SF while twin-detection recall through 2 OR-tables remains
+    # ~0.99 (the oracle replays the same geometry, so a twin that lands
+    # in different buckets than its original legitimately survives on
+    # BOTH sides)
+    geo_planes, geo_tables, geo_dim, geo_thresh = 5, 2, 64, 0.9
 
     n = load_table(spark, sf_dir, "embeddings").count()
     if n > _FIXED_GEOMETRY_MAX_ROWS:
@@ -2449,7 +2454,7 @@ def streaming_ingest_vector_index(
         )
 
     key = hashlib.md5(
-        f"{sf_dir}:stream_vec_idx:v1".encode()
+        f"{sf_dir}:stream_vec_idx:v2".encode()
     ).hexdigest()[:12]
     feed_dir = os.path.join(
         tempfile.gettempdir(), f"bdq_stage_svi_feed_{key}"
