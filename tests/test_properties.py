@@ -567,3 +567,68 @@ def test_apply_cdc_matches_python_reference(spark, base, changes):
         else:
             snap[k] = v
     assert got == sorted(snap.items())
+
+
+@given(
+    n_vecs=st.integers(min_value=2, max_value=24),
+    dim=st.integers(min_value=2, max_value=12),
+    num_planes=st.integers(min_value=1, max_value=8),
+    num_tables=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_multitable_lsh_decomposition_property(
+    spark, n_vecs, dim, num_planes, num_tables, seed
+):
+    """Structural invariants of OR-ed multi-table bucketing, for
+    arbitrary geometry (r12): (a) exactly one row per (vector, table);
+    (b) every bucket id decomposes as (table << num_planes) | local
+    with local < 2^num_planes and table < num_tables; (c) table 0's
+    local buckets equal the single-table bucketing bit-for-bit (the
+    bare-seed back-compat contract); (d) a matmul-free Python replay
+    of the sha256 hyperplane recipe reproduces every bucket — the
+    numpy path introduces no hash drift."""
+    import numpy as np
+
+    from bdq_spark.operators.similarity import (
+        _hyperplanes,
+        _table_seed,
+        lsh_bucket_vectors,
+    )
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n_vecs, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = lsh_bucket_vectors(
+        df, num_planes=num_planes, dim=dim, num_tables=num_tables
+    ).collect()
+
+    assert len(rows) == n_vecs * num_tables  # (a)
+    seen = {}
+    for r in rows:
+        table, local = r.bucket >> num_planes, r.bucket & ((1 << num_planes) - 1)
+        assert 0 <= table < num_tables and 0 <= local < (1 << num_planes)
+        assert (r.id, table) not in seen  # one row per (vector, table)
+        seen[(r.id, table)] = local
+
+    single = {
+        r.id: r.bucket
+        for r in lsh_bucket_vectors(
+            df, num_planes=num_planes, dim=dim
+        ).collect()
+    }
+    assert {i: seen[(i, 0)] for i in single} == single  # (c)
+
+    # (d) pure-Python sign replay of every table
+    for t in range(num_tables):
+        planes = _hyperplanes(num_planes, dim, _table_seed("bdq_lsh", t))
+        for i in range(n_vecs):
+            expect = 0
+            for p in range(num_planes):
+                if sum(planes[p][j] * vecs[i][j] for j in range(dim)) >= 0:
+                    expect |= 1 << p
+            assert seen[(i, t)] == expect
