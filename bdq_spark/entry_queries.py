@@ -1616,13 +1616,29 @@ def incremental_minhash_near_dup_docs(
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     # cap BOTH sides: corpus-hot buckets once at build time, batch-hot
     # buckets at probe time
+    # the candidate relation is read three times below (two id
+    # projections + the join back) — materialize it once, or the band
+    # joins would re-run per reference
     cand = incremental_minhash_near_dup(
         minhash_band_index(corpus, max_bucket_size=256),
         batch,
         max_bucket_size=256,
+    ).localCheckpoint(eager=True)
+    # shingle ONLY the documents that appear in a candidate pair: the
+    # verify stage's cost must track |candidates|, not corpus size —
+    # at 100 TB the candidate set is tiny next to the corpus, and
+    # re-shingling the corpus to score a handful of survivors would be
+    # the verify stage's own scale bug (measured at bench scale:
+    # corpus-wide shingling made the verify ~2.8 s of a 6.9 s entry)
+    pair_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
     ver = _jaccard_for_pairs(
-        cand.select("id_a", "id_b"), shingle(docs, "text", "doc_id", 3)
+        cand.select("id_a", "id_b"),
+        shingle(docs.join(pair_ids, "doc_id", "left_semi"),
+                "text", "doc_id", 3),
     ).filter(F.col("jaccard") >= 0.8)
     return cand.join(ver, ["id_a", "id_b"]).select(
         "id_a", "id_b", "match_side", "jaccard"
