@@ -15,6 +15,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import re
 
 import pytest
 
@@ -217,6 +218,45 @@ def test_full_registry_lints_error_free(spark):
     assert errors == {}, f"scale-hazard ERRORs in {sorted(errors)}: {errors}"
 
 
+def preexisting_entries(repo, boundary_round):
+    """Entries recorded by a driver CORRECTNESS file from a round
+    <= ``boundary_round`` — i.e. entries that provably existed at the
+    old round-boundary rev.
+
+    VERDICT r12 "what's wrong": the union used to cover ALL
+    ``CORRECTNESS_r*.json`` on disk, so the moment the driver landed
+    the CURRENT round's file (after the builder's battery), entries
+    born in-round flipped to "preexisting" and the bench-A/B gate
+    demanded an old-side number the old rev cannot produce.  Capping
+    at the boundary round keeps the exemption exactly as scoped:
+    born-in-round entries stay exempt until the NEXT round's boundary,
+    when the old rev genuinely can run them.
+    """
+    out = set()
+    for r in range(1, boundary_round + 1):
+        p = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out.update(json.load(f))
+    return out
+
+
+def test_preexisting_union_capped_at_boundary_round():
+    """Pin the post-round-landing scenario from VERDICT r12: after the
+    driver writes CORRECTNESS_r12.json, the two entries born in round
+    12 must still be exempt relative to the round-11 boundary, and
+    only become pre-existing once the boundary advances to round 12."""
+    born_r12 = {"embedding_near_dup_pairs_multitable", "knn_rerank_embeddings"}
+    assert os.path.exists(os.path.join(REPO, "CORRECTNESS_r12.json"))
+    at_r11_boundary = preexisting_entries(REPO, 11)
+    assert not (born_r12 & at_r11_boundary), (
+        "entries born in round 12 leaked into the round-11-boundary "
+        f"preexisting set: {sorted(born_r12 & at_r11_boundary)}"
+    )
+    at_r12_boundary = preexisting_entries(REPO, 12)
+    assert born_r12 <= at_r12_boundary
+
+
 def test_hot_module_changes_carry_bench_ab():
     """VERDICT r10 item 2 (bench-scale A/B rule): the CC fuse's 2x
     bench-scale cost shipped because its only A/B ran at x100 — so any
@@ -242,10 +282,14 @@ def test_hot_module_changes_carry_bench_ab():
     if log.returncode != 0:
         pytest.skip("not a git checkout")
     boundary = None
+    boundary_round = None
     for line in log.stdout.splitlines():
         sha, _, subject = line.partition(" ")
         if subject.startswith("round ") and "verdict" in subject:
             boundary = sha
+            m = re.match(r"round (\d+)", subject)
+            assert m, f"unparseable round-boundary subject: {subject!r}"
+            boundary_round = int(m.group(1))
             break
     if boundary is None:
         pytest.skip("no round-boundary commit yet (round 1)")
@@ -264,15 +308,12 @@ def test_hot_module_changes_carry_bench_ab():
     # an A/B of an entry that did not EXIST at the old round-boundary
     # rev is undefined (the old side's bench would reject the name), so
     # the rule applies to pre-existing entries only: an entry is
-    # pre-existing iff some prior round's driver CORRECTNESS file
-    # recorded it.  A NEW top-20 entry still cannot dodge scrutiny —
-    # it leads the current window (changed-code-first), so its first
-    # driver round value-hashes and times it from scratch.
-    preexisting = set()
-    for r in range(1, 31):
-        p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
-        if os.path.exists(p):
-            preexisting.update(json.load(open(p)))
+    # pre-existing iff a driver CORRECTNESS file from a round <= the
+    # boundary round recorded it (capped — see preexisting_entries).
+    # A NEW top-20 entry still cannot dodge scrutiny — it leads the
+    # current window (changed-code-first), so its first driver round
+    # value-hashes and times it from scratch.
+    preexisting = preexisting_entries(REPO, boundary_round)
 
     for module, entries in window_policy.TOUCHED.items():
         if module not in changed:
