@@ -1853,8 +1853,16 @@ def _stage_index_atomic(df, path: str, marker_content: str) -> None:
     try:
         os.rename(tmp, path)
     except OSError:
-        # a concurrent builder published first — use theirs
+        # Either a concurrent builder published first (fine — contents
+        # are deterministic, theirs equals ours) or the rename failed
+        # for a mundane reason, e.g. the stale dest survived the
+        # ignore_errors rmtree above.  Distinguish the two (ADVICE
+        # r12): accept only a dest that carries a VALID marker;
+        # otherwise surface the failure instead of letting callers
+        # silently read a stale index.
         shutil.rmtree(tmp, ignore_errors=True)
+        if not _staged_index_ok(path, marker_content):
+            raise
 
 
 def _staged_index_ok(path: str, marker_content: str) -> bool:
@@ -2206,7 +2214,7 @@ def embedding_near_dup_pairs_multitable(
     if n > _FIXED_GEOMETRY_MAX_ROWS:
         raise ValueError(
             f"embedding_near_dup_pairs_multitable pins a small ORACLE "
-            f"geometry (3 planes x 2 tables) whose bucket occupancy "
+            f"geometry (4 planes x 2 tables) whose bucket occupancy "
             f"grows linearly with the corpus ({n} rows > "
             f"{_FIXED_GEOMETRY_MAX_ROWS}); the production multi-table "
             "path is embedding_cosine_pairs(mode='lsh') — adaptive "
@@ -2440,9 +2448,18 @@ def streaming_ingest_vector_index(
     build.  First-occurrence-wins equals global min-id here because the
     planted duplicate structure is pair-shaped with originals staged
     ahead of (or beside) their twins — the same arrival-order contract
-    ``streaming_ingest_dedup_index`` documents.  Per-trigger cost is
-    O(batch + bucket-matched candidates + one append); the accumulated
-    corpus is never re-scanned."""
+    ``streaming_ingest_dedup_index`` documents.
+
+    FIXTURE ASSUMPTION (ADVICE r12): the oracle drops a vector if ANY
+    smaller-id bucket partner scores >= 0.9 — dropped or not — while
+    step (c) probes SURVIVORS only (the index).  The two agree on this
+    fixture because every >= 0.9 pair is a planted (original, twin)
+    pair whose original always survives (originals score < 0.9 against
+    each other), so a drop's cause is never itself dropped.  A fixture
+    with natural >= 0.9 original-original CHAINS would need the oracle
+    aligned to survivors-only (transitive keeper) semantics first.
+    Per-trigger cost is O(batch + bucket-matched candidates + one
+    append); the accumulated corpus is never re-scanned."""
     import hashlib
     import os
 
@@ -2552,6 +2569,12 @@ def streaming_ingest_vector_index(
             hits = (
                 kept.alias("q")
                 .join(idx.alias("c"), "bucket")
+                # replay guard (ADVICE r12): under foreachBatch's
+                # at-least-once contract a retried batch may already
+                # be in the index — a self-match at cosine 1.0 would
+                # drop every retried row (same guard as
+                # incremental_minhash_near_dup documents)
+                .filter(F.col("q.id") != F.col("c.id"))
                 .select(
                     F.col("q.vec").alias("va"),
                     F.col("c.vec").alias("vb"),

@@ -725,7 +725,14 @@ def rerank_topk(
     """
     from pyspark.sql import Window
 
-    cand = candidates.select("query_id", "neighbor_id")
+    # dedup the candidate pairs (ADVICE r12): all in-repo retrievers
+    # emit distinct (query_id, neighbor_id), but an external caller
+    # passing a non-deduped relation would otherwise get the same
+    # neighbor scored twice, eating two row_number ranks in the top-k;
+    # cheap at candidate scale (one candidate-sized exchange)
+    cand = candidates.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
     cv = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),

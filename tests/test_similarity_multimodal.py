@@ -1705,6 +1705,34 @@ def test_rerank_topk_pluggable_scorer_matches_expression_twin(spark):
     assert expr == udf
 
 
+def test_rerank_topk_dedupes_candidate_pairs(spark):
+    """ADVICE r12: an external caller passing a NON-deduped candidate
+    relation (e.g. a multi-table LSH candidate union without the
+    distinct) must not get the same neighbor scored twice — duplicate
+    (query_id, neighbor_id) rows would eat two row_number ranks and
+    shrink the effective top-k."""
+    from pyspark.sql import functions as F
+
+    from bdq_spark.operators.similarity import rerank_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = spark.createDataFrame(
+        # neighbor 1 appears three times, neighbor 2 twice
+        [(0, 1), (0, 1), (0, 1), (0, 2), (0, 2), (0, 3), (0, 4)],
+        "query_id long, neighbor_id long",
+    )
+    out = rerank_topk(cand, corpus, queries, k=4).collect()
+    ids = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert sorted(ids) == [1, 2, 3, 4], ids  # each neighbor exactly once
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4]
+
+
 def test_rerank_topk_empty_candidates(spark):
     from pyspark.sql import functions as F
 

@@ -1016,7 +1016,7 @@ def test_trigram_backoff_score_matches_reference(spark):
     assert s[0] > s[1]
 
 
-def test_staged_index_marker_invalidates_on_drift(tmp_path):
+def test_staged_index_marker_invalidates_on_drift(tmp_path, monkeypatch):
     """ADVICE r11: the staging marker folds in a DATA fingerprint
     (source parquet mtime+size) and the full BUILD-PARAMETER set, so
     regenerating the fixture in place or drifting a banding default
@@ -1080,6 +1080,40 @@ def test_staged_index_marker_invalidates_on_drift(tmp_path):
     leftovers = [d for d in os.listdir(tmp_path) if d.startswith("idx.tmp")]
     assert leftovers == []
     shutil.rmtree(dest)
+
+    # rename-failure disambiguation (ADVICE r12): an OSError from the
+    # final rename is only acceptable if the dest carries a VALID
+    # marker (a concurrent deterministic builder won); a stale dest
+    # that survived the rmtree must RAISE, not be silently read
+    real_rename = os.rename
+
+    def _deny_rename(a, b):
+        raise OSError("simulated: dest could not be replaced")
+
+    import pytest as _pytest
+
+    # case 1: stale dest (wrong marker) -> the failure surfaces
+    # (the function's local `import os` binds this same module object)
+    stale = str(tmp_path / "idx_stale")
+    _stage_index_atomic(_FakeDF(), stale, "old-content")
+    monkeypatch.setattr(os, "rename", _deny_rename)
+    with _pytest.raises(OSError):
+        _stage_index_atomic(_FakeDF(), stale, "new-content")
+    # case 2: concurrent winner — another builder publishes a VALID
+    # copy between our rmtree and our rename (so the rename fails) ->
+    # swallowed, their copy is used
+    winner = str(tmp_path / "idx_winner")
+
+    def _lose_race_rename(a, b):
+        os.makedirs(winner, exist_ok=True)
+        with open(os.path.join(winner, "_STAGED"), "w") as fh:
+            fh.write("same-content")
+        raise OSError("simulated: concurrent builder won the rename")
+
+    monkeypatch.setattr(os, "rename", _lose_race_rename)
+    _stage_index_atomic(_FakeDF(), winner, "same-content")  # no raise
+    assert _staged_index_ok(winner, "same-content")
+    monkeypatch.setattr(os, "rename", real_rename)
 
 
 def test_persisted_vector_index_probe_steady_state(spark, monkeypatch):
