@@ -112,7 +112,14 @@ EXEMPT = {
 # top-20 from BENCH_DETAIL.json and fails if an intersecting module is
 # missing here or the artifact doesn't cover the intersecting entries.
 BENCH_AB = {
+    # r13 (optimization round): similarity.py + entry_queries.py carry
+    # the pre-round advisory fixes (rerank dedup, staging re-check,
+    # replay guard) and the round's optimization work; their hot-entry
+    # A/Bs are recorded vs the r12 boundary (57582a3) in the r13
+    # artifact.  Modules untouched since the boundary keep their r12
+    # rows for the archaeology.
+    "bdq_spark/operators/similarity.py": "BENCH_AB_r13.json",
+    "bdq_spark/entry_queries.py": "BENCH_AB_r13.json",
     "bdq_spark/operators/components.py": "BENCH_AB_r12.json",
     "bdq_spark/operators/dedup.py": "BENCH_AB_r12.json",
-    "bdq_spark/entry_queries.py": "BENCH_AB_r12.json",
 }
