@@ -2610,7 +2610,11 @@ def streaming_ingest_vector_index(
             )
         idx = spark.read.parquet(index_dir)
         survivors = idx.select(F.col("id").alias("vec_id")).distinct()
-        n_rows, n_surv = idx.count(), survivors.count()
+        # one aggregation job for both consistency counts (was two
+        # separate count() jobs over the same tiny index)
+        n_rows, n_surv = idx.agg(
+            F.count(F.lit(1)), F.count_distinct("id")
+        ).first()
         if n_rows != geo_tables * n_surv:
             raise RuntimeError(
                 "incremental vector index inconsistent: "

@@ -53,38 +53,61 @@ from pyspark.sql import functions as F
 __all__ = ["kmeans_fit_quantized", "kmeans_quantized"]
 
 
+def _q_expr(vector_column: str, scale: int):
+    """The quantization projection ``round(x * scale)`` as int64, built
+    as one SQL string (a single py4j round trip — the per-element
+    Python construction measured as pure driver overhead,
+    OPTIMIZATION_r13)."""
+    return F.expr(
+        f"transform(`{vector_column}`, "
+        f"x -> cast(round(cast(x as double) * {int(scale)}) as bigint))"
+    )
+
+
 def _quantized(df: DataFrame, vector_column: str, id_column: str,
                scale: int) -> DataFrame:
     return df.select(
         F.col(id_column).alias("id"),
-        F.transform(
-            F.col(vector_column),
-            lambda x: F.round(x.cast("double") * scale).cast("long"),
-        ).alias("q"),
+        _q_expr(vector_column, scale).alias("q"),
     )
 
 
-def _assign_exprs(qcol, centroids: list):
-    """(cluster, dist2) columns for the argmin against a centroid
-    literal — first occurrence of the min breaks ties to the smallest
-    centroid index, matching ``ORDER BY d2, j`` in the SQL replay."""
-    cents = F.array(
-        *[
-            F.array(*[F.lit(int(c)).cast("long") for c in row])
-            for row in centroids
-        ]
+def _dists_sql(qname: str, centroids: list) -> str:
+    """SQL for the exact int64 squared-distance array of column
+    ``qname`` against a centroid-matrix literal.  One string, however
+    large the matrix — the previous per-element ``F.lit`` construction
+    crossed py4j ~2 x k x dim times (~1 s of driver time per call at
+    8x64) before any task ran."""
+    rows = ",".join(
+        "array(" + ",".join(f"{int(c)}L" for c in row) + ")"
+        for row in centroids
     )
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(qcol, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ),
+    return (
+        f"transform(array({rows}), c -> aggregate("
+        f"zip_with(`{qname}`, c, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, t) -> acc + t))"
     )
-    dist2 = F.array_min(dists)
-    cluster = (F.array_position(dists, dist2) - 1).cast("int")
-    return cluster, dist2
+
+
+def _assign_frame(qdf: DataFrame, centroids: list, keep: list) -> DataFrame:
+    """Attach ``cluster``/``dist2`` argmin columns to a frame carrying
+    the quantized column ``q``.  The distance array is STAGED in its own
+    projection so every centroid dot is evaluated once per row (the
+    previous Column form re-evaluated the whole distance array for
+    ``array_min`` and again for ``array_position``).  First occurrence
+    of the min breaks ties to the smallest centroid index, matching
+    ``ORDER BY d2, j`` in the SQL replay."""
+    staged = qdf.select(
+        *keep, "q", F.expr(_dists_sql("q", centroids)).alias("__d")
+    )
+    return staged.select(
+        *keep,
+        "q",
+        F.expr(
+            "cast(array_position(__d, array_min(__d)) - 1 as int)"
+        ).alias("cluster"),
+        F.expr("array_min(__d)").alias("dist2"),
+    )
 
 
 def kmeans_fit_quantized(
@@ -120,12 +143,13 @@ def kmeans_fit_quantized(
     centroids = [list(r["q"]) for r in seeds]
 
     for _ in range(iters):
-        cluster, _d2 = _assign_exprs(F.col("q"), centroids)
-        assigned = q.select(cluster.alias("cluster"), "q")
+        assigned = _assign_frame(q, centroids, []).select("cluster", "q")
+        # q[i] (0-based subscript) == element_at(q, i+1); one F.expr per
+        # aggregate keeps construction at one py4j call per column
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("cnt"),
             *[
-                F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                F.expr(f"sum(q[{i}])").alias(f"s{i}")
                 for i in range(dim)
             ],
         )
@@ -165,9 +189,6 @@ def kmeans_quantized(
         df, vector_column, id_column, k, iters, scale, dim
     )
     q = _quantized(df, vector_column, id_column, scale)
-    cluster, dist2 = _assign_exprs(F.col("q"), centroids)
-    return q.select(
-        F.col("id").alias(id_column),
-        cluster.alias("cluster"),
-        dist2.alias("dist2"),
+    return _assign_frame(q, centroids, ["id"]).select(
+        F.col("id").alias(id_column), "cluster", "dist2"
     )

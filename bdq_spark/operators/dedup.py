@@ -239,8 +239,15 @@ def shingle(
     text_column: str = "text",
     id_column: str = "doc_id",
     n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct word-level n-gram shingles per document: (id, shingle).
+
+    ``distinct=False`` skips the trailing per-document dedup (one
+    exchange + hash-agg over the exploded shingle stream) for consumers
+    whose downstream aggregation is multiplicity-insensitive — the
+    MinHash signature min is the canonical case.  Set-semantics callers
+    (Jaccard sizes/intersections) must keep the default.
 
     Words come from :func:`word_tokens` (lowercased alphanumeric);
     shingles are the space-joined sliding windows of ``n`` words.
@@ -272,14 +279,14 @@ def shingle(
     doc_len = F.count(F.lit(1)).over(Window.partitionBy("id"))
     full = leads[-1].isNotNull() if leads else F.lit(True)
     keep = full | ((doc_len < n) & (F.col("pos") == 0))
-    return (
+    out = (
         toks.withColumn("shingle", F.concat_ws(" ", F.col("tok"), *leads))
         .withColumn("__keep", keep)
         .filter(F.col("__keep"))
         .select("id", "shingle")
         .filter(F.col("shingle") != "")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def positional_shingles(
@@ -607,25 +614,43 @@ def minhash_signatures(
         ((2 * i + 1) * 2_654_435_761 % p, (i * 40_503 + 97) % p)
         for i in range(num_hashes)
     ]
-    sh = shingles if shingles is not None else shingle(df, text_column, id_column, n)
+    if shingles is not None:
+        sh = shingles
+    else:
+        # the signature is a min over shingles, so duplicate shingles
+        # cannot change it — skip shingle()'s trailing distinct (one
+        # exchange + hash-agg over the exploded shingle stream) when the
+        # shingle set is private to this signature computation
+        sh = shingle(df, text_column, id_column, n, distinct=False)
     if hash_fn == "md5":
-        base = F.pmod(_md5_base_hash(F.col("shingle")), F.lit(p))
+        base_sql = (
+            f"pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10) "
+            f"as bigint), {p})"
+        )
     elif hash_fn == "xxhash64":
-        base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(p))
+        base_sql = f"pmod(xxhash64(shingle), {p})"
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5': {hash_fn!r}")
-    hashed = sh.select(
+    # one selectExpr (a single py4j round trip) instead of num_hashes
+    # Python-assembled pmod trees — the per-column construction measured
+    # ~0.6 s of driver time per call at 64 hashes (OPTIMIZATION_r13);
+    # codegen subexpression elimination evaluates the shared base hash
+    # once per row either way
+    hashed = sh.selectExpr(
         "id",
         *[
-            F.pmod(base * F.lit(a) + F.lit(b), F.lit(p)).alias(f"h{i}")
+            f"pmod({base_sql} * {a}L + {b}L, {p}) as h{i}"
             for i, (a, b) in enumerate(coef)
         ],
     )
     agg = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(h{i})").alias(f"m{i}") for i in range(num_hashes)]
     )
     return agg.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+        "id",
+        F.expr(
+            "array(" + ",".join(f"m{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
 
 
@@ -929,23 +954,24 @@ def simhash(
         )
         .withColumn("h", token_hash)
     )
+    # SQL-string construction (one py4j round trip per aggregate /
+    # one for the fingerprint) — the per-bit Python assembly crossed
+    # py4j ~800 times and measured as pure driver time
+    # (OPTIMIZATION_r13); identical expressions, identical results
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+            F.expr(
+                f"sum(case when (shiftright(h, {i}) & 1) = 1 "
+                "then 1 else -1 end)"
             ).alias(f"b{i}")
             for i in range(64)
         ]
     )
-    fingerprint = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return votes.select("id", fingerprint.alias("simhash"))
+    fingerprint_sql = " ^ ".join(
+        f"shiftleft(case when b{i} > 0 then 1L else 0L end, {i})"
+        for i in range(64)
+    )
+    return votes.select("id", F.expr(fingerprint_sql).alias("simhash"))
 
 
 def simhash_pairs(
@@ -1000,11 +1026,9 @@ def simhash_pairs(
     widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
     offsets = [sum(widths[:i]) for i in range(b)]
 
-    def block(i: int):
+    def block_sql(i: int) -> str:
         mask = (1 << widths[i]) - 1
-        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
-            F.lit(mask)
-        )
+        return f"shiftright(simhash, {offsets[i]}) & {mask}"
 
     # referenced by the key explode and both join sides — materialize
     # once; localCheckpoint blocks self-release when the frame is GC'd
@@ -1012,22 +1036,18 @@ def simhash_pairs(
         simhash(df, text_column, id_column, hash_fn=hash_fn)
     )
     combos = list(combinations(range(b), t))
+    # combo keys as one SQL array literal — same xxhash64 expressions,
+    # one py4j call instead of ~10 per combination
+    key_exprs = ",".join(
+        f"named_struct('combo', {ci}, 'key', xxhash64({ci}, "
+        + ", ".join(block_sql(i) for i in combo)
+        + "))"
+        for ci, combo in enumerate(combos)
+    )
     keys = sig.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("combo"),
-                        F.xxhash64(
-                            F.lit(ci), *[block(i) for i in combo]
-                        ).alias("key"),
-                    )
-                    for ci, combo in enumerate(combos)
-                ]
-            )
-        ).alias("c"),
+        F.explode(F.expr(f"array({key_exprs})")).alias("c"),
     ).select("id", "simhash", "c.combo", "c.key")
 
     if max_bucket_size is not None:

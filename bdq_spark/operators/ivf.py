@@ -248,8 +248,9 @@ def knn_ivf_quantized(
     from pyspark.sql import Window
 
     from bdq_spark.operators.clustering import (
-        _assign_exprs,
-        _quantized,
+        _assign_frame,
+        _dists_sql,
+        _q_expr,
         kmeans_fit_quantized,
     )
     from bdq_spark.operators.similarity import cosine_similarity
@@ -260,49 +261,41 @@ def knn_ivf_quantized(
     )
     n_probe = max(1, min(n_probe, n_clusters))
 
-    cq = _quantized(corpus, corpus_vec, corpus_id, scale)
-    cell, _d2 = _assign_exprs(F.col("q"), centroids)
-    cells = (
-        corpus.select(F.col(corpus_id).alias("id"),
-                      F.col(corpus_vec).alias("vec"))
-        .join(cq.select("id", "q"), "id")
-        .select("id", "vec", cell.alias("cluster"))
-    )
+    # quantize in the SAME projection that carries (id, vec): the
+    # previous corpus.join(quantized, "id") re-attached a column the
+    # scan already had — one whole Exchange + join per side for a
+    # projection's worth of work (OPTIMIZATION_r13; ids are unique by
+    # the operator's contract, so row multiplicity is unchanged)
+    cells = _assign_frame(
+        corpus.select(
+            F.col(corpus_id).alias("id"),
+            F.col(corpus_vec).alias("vec"),
+            _q_expr(corpus_vec, scale).alias("q"),
+        ),
+        centroids,
+        ["id", "vec"],
+    ).select("id", "vec", "cluster")
 
     # probe order: the n_probe nearest centroids by exact (d2, j) —
-    # array_sort on (d2, j) structs is deterministic in any engine
-    qq = _quantized(queries, query_vec, query_id, scale)
-    cents = F.array(
-        *[
-            F.array(*[F.lit(int(c)).cast("long") for c in row])
-            for row in centroids
-        ]
-    )
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ),
-    )
-    probe_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    dists, lambda d, j: F.struct(d.alias("d"), j.alias("j"))
-                )
-            ),
-            lambda s: s["j"],
-        ),
-        1,
-        n_probe,
+    # array_sort on (d2, j) structs is deterministic in any engine.
+    # The distance array is staged so the sort reads a materialized
+    # column, and the struct fields are named explicitly (named_struct)
+    # to match the (d, j) ordering contract.
+    probe_cells_sql = (
+        "slice(transform(array_sort(transform(__d, "
+        "(d, j) -> named_struct('d', d, 'j', j))), s -> s.j), "
+        f"1, {n_probe})"
     )
     probes = (
-        queries.select(F.col(query_id).alias("id"),
-                       F.col(query_vec).alias("vec"))
-        .join(qq.select("id", "q"), "id")
-        .withColumn("cluster", F.explode(probe_cells))
+        queries.select(
+            F.col(query_id).alias("id"),
+            F.col(query_vec).alias("vec"),
+            _q_expr(query_vec, scale).alias("q"),
+        )
+        .select(
+            "id", "vec", F.expr(_dists_sql("q", centroids)).alias("__d")
+        )
+        .withColumn("cluster", F.explode(F.expr(probe_cells_sql)))
         .select("id", "vec", "cluster")
     )
 
