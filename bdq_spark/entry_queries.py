@@ -9785,24 +9785,23 @@ def streaming_matview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-12 WINDOW (see NOTES_r12 and tests/window_policy.py):
-    # changed-code-first (the r9 hard rule): the multi-table-LSH work
-    # (VERDICT r11 item 1) — two NEW entries (the md5 multi-table pair
-    # gate and the persisted vector index, item 3), the two rows-only
-    # -> value-hash oracle upgrades (item 5), the knn md5-LSH twins
-    # (knn_lsh_md5 gained num_tables), the embedding pair/cluster
-    # entries gating dedup.py, the graph entries gating components.py's
-    # graph_session option (item 6), and the persisted minhash index
-    # (staging hardening, ADVICE r11).  Then the 21 entries whose
-    # latest driver row is r8 (they hit the newest-3 staleness edge
-    # when r12 lands), then the 18 alphabetically-first of the 46
-    # remaining r9-stale entries.  Invariant (pytest): first-50 union
-    # all CORRECTNESS_r* rounds covers the whole registry, and no
-    # entry's latest driver row is older than newest-3.
+    # ROUND-13 WINDOW (optimization round; see OPTIMIZATION_r13.md and
+    # tests/window_policy.py): changed-code-first (the r9 hard rule) —
+    # the entries gating this round's optimization work in
+    # similarity.py / dedup.py / clustering.py / ivf.py /
+    # entry_queries.py (every one must value-hash bit-identically: an
+    # optimization that changes results is a regression, not a win).
+    # Then ALL 30 entries whose latest driver row is r9 (they hit the
+    # newest-3 staleness edge when r13 lands — VERDICT r12 item 2),
+    # then the optimization targets of the corpus/BPE/graph families.
+    # Invariant (pytest): first-50 union all CORRECTNESS_r* rounds
+    # covers the whole registry, and no entry's latest driver row is
+    # older than newest-3.
     "embedding_near_dup_pairs_multitable",
     "persisted_vector_index_probe",
     "knn_rerank_embeddings",
     "streaming_ingest_vector_index",
+    "streaming_ingest_dedup_index",
     "minhash_lsh_near_dup",
     "incremental_minhash_near_dup",
     "persisted_minhash_index_probe",
@@ -9810,48 +9809,49 @@ _DRIVER_PRIORITY = [
     "knn_multiprobe_embeddings",
     "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
-    "near_dup_clusters",
+    "embedding_kmeans_quantized",
+    "knn_ivf_quantized",
+    # r9-stale refresh (latest driver row is r9 — the newest-3 edge;
+    # all 30, so the r13 histogram holds nothing older than r10).
+    # Several double as changed-code gates (minhash/simhash/jaccard/
+    # ivf/quantized families touched by the optimization commits).
+    "doc_quality",
+    "doc_repetition",
+    "doc_stats",
+    "fk_broken_sampled",
+    "histogram_orders_totalprice",
+    "incremental_minhash_md5",
+    "indexed_scan_orders",
+    "knn_ivf_embeddings",
+    "knn_quantized_embeddings",
+    "language_confusion",
+    "latest_events",
+    "latest_events_conflict",
+    "minhash_md5_near_dup",
+    "near_dup_edit_verified",
+    "near_dup_jaccard",
+    "pk_validate_lineitem_composite",
+    "pk_validate_lineitem_orderkey",
+    "pricing_summary",
+    "profile_drift_orders",
+    "quantiles_lineitem_by_flag",
+    "simhash_fingerprints",
+    "simhash_md5_pairs",
+    "simhash_pairs",
+    "stateful_running_counter",
+    "stateful_sessionize",
+    "streaming_interval_join",
+    "surrogate_key_hash_customer",
+    "surrogate_key_string_customer",
+    "vocab_stats_documents",
+    "zonemap_pruned_scan",
+    # optimization-target refresh (corpus/BPE/graph hot entries)
+    "corpus_prepare_neardup",
+    "corpus_training_pipeline",
+    "doc_bpe_packing",
+    "bpe_train_merges",
+    "documents_deduped",
     "pagerank_part_supplier",
-    # r8-stale refresh (latest driver row is r8 — the newest-3 edge)
-    "lineitem_cube",
-    "multimodal_mp3_stream_stats",
-    "orc_roundtrip_supplier",
-    "orders_pivot_priority_status",
-    "orders_rollup_by_year",
-    "orders_sampled_quantiles",
-    "orders_snapshot_diff_matview",
-    "pipeline_odd_even",
-    "pk_minimal_combinations",
-    "profile_lineitem_correlations",
-    "quality_rules_lineitem",
-    "rules_quarantine_lineitem",
-    "salted_join_revenue",
-    "schema_diff_orders",
-    "simhash_md5_fingerprints",
-    "sink_partitioned_roundtrip",
-    "skew_report_lineitem_suppkey",
-    "streaming_windowed_counts",
-    "supplier_part_join_agg",
-    "top_supplier_by_period_revenue",
-    "wealthy_low_activity_customers",
-    # r9-stale refresh (alphabetical prefix; the remaining 28 r9s lead
-    # the r13 rotation)
-    "asof_click_purchase",
-    "bloom_pruned_scan",
-    "corpus_prepare",
-    "customer_pseudonymize",
-    "customers_per_region",
-    "dedup_events_by_user_type",
-    "dedup_fingerprint_documents",
-    "doc_bpe_tokens",
-    "doc_chunking",
-    "doc_compression_ratio",
-    "doc_contamination",
-    "doc_contamination_spans",
-    "doc_contamination_weighted",
-    "doc_gopher_quality",
-    "doc_language",
-    "doc_pii_redaction",
 ]
 
 

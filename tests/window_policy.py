@@ -29,14 +29,17 @@ rotation in ``bdq_spark/entry_queries.py``.
 # bdq_spark/ module that changed since the last round boundary MUST
 # appear here (or in EXEMPT below with a reason) and every listed
 # entry must be in the current _DRIVER_PRIORITY window.
+#
+# ROUND 13 (optimization round): every change below is an
+# OPTIMIZATION — declared queries must compute byte-identical results
+# (the gating entries' value hashes are exactly that check); see
+# OPTIMIZATION_r13.md for the before/after evidence.
 TOUCHED = {
-    # VERDICT r11 item 1: OR-ed multi-table LSH — _hyperplanes gained a
-    # per-table seed, lsh_bucket_vectors / lsh_probe_buckets /
-    # knn_lsh / knn_lsh_md5 gained num_tables with int64 namespaced
-    # bucket ids (also the ADVICE int32-wrap fix).  Gated by the NEW
-    # multi-table pair entry plus the md5 knn-LSH twins (single-table
-    # path must be bit-identical: table 0 keeps the bare seed) and the
-    # new persisted vector index (multi-table probe).
+    # Pre-round advisory fixes (rerank dropDuplicates, staged-index
+    # re-check) + optimization: LSH bucket margins staged as one SQL
+    # projection instead of per-plane interpreted aggregates evaluated
+    # twice; hyperplane literals built as one SQL string (py4j
+    # round-trips removed from DataFrame construction).
     "bdq_spark/operators/similarity.py": [
         "embedding_near_dup_pairs_multitable",
         "knn_rerank_embeddings",
@@ -44,67 +47,54 @@ TOUCHED = {
         "knn_lsh_embeddings",
         "knn_multiprobe_embeddings",
     ],
-    # embedding_cosine_pairs gained num_tables (adaptive-geometry lsh
-    # path now defaults to LSH_DEFAULT_TABLES=2 OR-tables; explicit
-    # num_planes keeps the legacy single-table geometry), new
-    # embedding_cosine_pairs_md5 operator, _adaptive_planes capped at
-    # LSH_MAX_PLANES (ADVICE r11).  Driver-scale entries pin no-change
-    # (exact/auto mode below the cutover); the new md5 entry gates the
-    # multi-table candidate path by value.
+    # Optimization: minhash_signatures builds the 64 affine hashes in
+    # one selectExpr; the private shingle set drops its trailing
+    # distinct (min is multiplicity-insensitive — one exchange +
+    # hash-agg removed); simhash per-bit votes/fingerprints as SQL
+    # strings.  Gated by the minhash/simhash/embedding families.
     "bdq_spark/operators/dedup.py": [
         "embedding_near_dup_pairs_multitable",
         "embedding_near_dup_pairs",
         "embedding_dedup_clusters",
         "minhash_lsh_near_dup",
+        "incremental_minhash_near_dup",
+        "minhash_md5_near_dup",
+        "simhash_pairs",
+        "simhash_md5_pairs",
+        "near_dup_jaccard",
     ],
-    # VERDICT r11 item 6: graph_session=False (default, byte-identical
-    # path) / True (cloned-session isolation for the AQE scope) on all
-    # four _aqe_disabled holders (CC, pagerank, pagerank_quantized,
-    # kcore).  Additive parameter; gated by the graph family re-running
-    # through the default path plus
-    # test_components.py::test_graph_session_isolates_aqe_from_concurrent_queries.
-    "bdq_spark/operators/components.py": [
-        "embedding_dedup_clusters",
-        "near_dup_clusters",
-        "pagerank_part_supplier",
+    # Optimization: _dists_sql/_assign_frame build the centroid
+    # distance array as ONE staged SQL expression (py4j literal-tree
+    # assembly was ~1 s per k-means iteration at 8x64); per-iteration
+    # sums one F.expr per component.
+    "bdq_spark/operators/clustering.py": [
+        "embedding_kmeans_quantized",
+        "knn_quantized_embeddings",
     ],
-    # NEW entries (multi-table gate + persisted vector index, VERDICT
-    # r11 items 1+3), the two rows-only -> value-hash oracle upgrades
-    # (item 5: minhash_lsh_near_dup drops the engine-local est_jaccard
-    # column, incremental_minhash_near_dup gains the exact-verify
-    # stage), and the staged-index marker hardening (ADVICE r11:
-    # data fingerprint + build params + atomic rename).
+    # Optimization: quantize in the projection that carries (id, vec)
+    # instead of re-attaching via a self-join on id — one Exchange +
+    # join removed per side; probe order over a staged distance array.
+    "bdq_spark/operators/ivf.py": [
+        "knn_ivf_quantized",
+        "knn_ivf_embeddings",
+    ],
+    # Pre-round advisory fixes (replay guard, staging re-check,
+    # corrected refusal message) + optimization: the streaming vector
+    # index computes both final consistency counts in one aggregation
+    # job.  Gated by the streaming/persisted index family.
     "bdq_spark/entry_queries.py": [
-        "embedding_near_dup_pairs_multitable",
-        "knn_rerank_embeddings",
         "streaming_ingest_vector_index",
         "persisted_vector_index_probe",
         "persisted_minhash_index_probe",
         "minhash_lsh_near_dup",
         "incremental_minhash_near_dup",
+        "streaming_ingest_dedup_index",
     ],
 }
 
 # modules whose in-round change has no relational queries() surface —
 # each needs a reason a reviewer can check
-EXEMPT = {
-    # ADVICE r11: checkpoint_partitions now EXCLUDES createDataFrame
-    # (ParallelCollectionRDD-rooted) leaves, whose width is
-    # defaultParallelism — a session/machine constant that made goldens
-    # flag false regressions on a different box.  Introspection-only;
-    # no query plan changes; gated by the regenerated plans_golden.json
-    # (13 literal-fixture entries dropped 32/16 -> 0, real streaming
-    # checkpoints kept) and test_plan_lint.py.
-    "bdq_spark/plans/plan_lint.py": (
-        "introspection-only (checkpoint_partitions ignores "
-        "createDataFrame leaves); no relational surface; gated by "
-        "plan-golden regen + test_plan_lint"
-    ),
-}
-
-#   (similarity.py also gained rerank_topk/diagonal_metric_score —
-#   VERDICT r11 item 7, the retrieve->re-rank hook — gated by the new
-#   knn_rerank_embeddings entry whose oracle replays both stages)
+EXEMPT = {}
 
 # TOUCHED modules whose gating entries intersect the top-20-by-wall
 # bench set this round -> the BENCH_AB_r{N}.json artifact that records
@@ -112,14 +102,13 @@ EXEMPT = {
 # top-20 from BENCH_DETAIL.json and fails if an intersecting module is
 # missing here or the artifact doesn't cover the intersecting entries.
 BENCH_AB = {
-    # r13 (optimization round): similarity.py + entry_queries.py carry
-    # the pre-round advisory fixes (rerank dedup, staging re-check,
-    # replay guard) and the round's optimization work; their hot-entry
-    # A/Bs are recorded vs the r12 boundary (57582a3) in the r13
-    # artifact.  Modules untouched since the boundary keep their r12
-    # rows for the archaeology.
+    # r13 (optimization round): all five touched modules carry
+    # optimization work whose gating entries intersect the top-20; the
+    # round's final focused A/B vs the r12 boundary (57582a3) covers
+    # the union of hot entries in the r13 artifact.
     "bdq_spark/operators/similarity.py": "BENCH_AB_r13.json",
+    "bdq_spark/operators/dedup.py": "BENCH_AB_r13.json",
+    "bdq_spark/operators/clustering.py": "BENCH_AB_r13.json",
+    "bdq_spark/operators/ivf.py": "BENCH_AB_r13.json",
     "bdq_spark/entry_queries.py": "BENCH_AB_r13.json",
-    "bdq_spark/operators/components.py": "BENCH_AB_r12.json",
-    "bdq_spark/operators/dedup.py": "BENCH_AB_r12.json",
 }
