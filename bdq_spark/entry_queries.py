@@ -3858,10 +3858,18 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bdq_spark.operators.components import pagerank_quantized
 
     l = load_table(spark, sf_dir, "lineitem")
+    # LAZY checkpoint so the two union branches below SHARE one
+    # scan+distinct: a plain DataFrame referenced twice in a union is
+    # planned as two independent subtrees (no cross-branch CSE), i.e.
+    # two full lineitem scans and two dedup exchanges for the same
+    # relation (OPTIMIZATION_r13).  The distinct itself stays: lineitem
+    # repeats each (part, supp) pair ~7x, so deduping BEFORE the union
+    # and pagerank's hash(src) edge shuffle cuts the shuffled rows the
+    # same factor at any scale (guide §2.3 aggregate-before-shuffle).
     fwd = l.select(
         F.col("l_partkey").cast("bigint").alias("src"),
         (F.col("l_suppkey").cast("bigint") + 10000000).alias("dst"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -9347,7 +9355,6 @@ def streaming_ingest_dedup_index(
         write_bloom_index,
         write_zonemap,
         zonemap_candidate_files,
-        zonemap_manifest,
     )
 
     key = hashlib.md5(f"{sf_dir}:stream_dedup_idx:v1".encode()).hexdigest()[
@@ -9415,7 +9422,29 @@ def streaming_ingest_dedup_index(
     while bits < 16 * (total_rows // 16 + 1):
         bits *= 2
 
+    def _data_files(s) -> dict:
+        """``{basename: uri}`` of the corpus dir's parquet data files
+        via a Hadoop-FS LISTING — an O(files) driver metadata call on
+        any filesystem.  The pre-r13 implementation diffed
+        ``input_file_name()`` over a full corpus read (a DATA scan of
+        every file, plus a second O(files) driver collect of the
+        zonemap manifest) per trigger; the listing replaces both
+        (OPTIMIZATION_r13, guide §5/§6 — new-file discovery is
+        metadata, not data).  Keyed by basename so the diff is
+        format-stable; the URIs feed spark.read directly."""
+        jvm = s._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(corpus)
+        fs = hpath.getFileSystem(s._jsc.hadoopConfiguration())
+        out = {}
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(".parquet"):
+                out[name] = st.getPath().toUri().toString()
+        return out
+
     def ingest(batch_df, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from bdq_spark.functions.text import doc_fingerprint
 
         s = batch_df.sparkSession
@@ -9442,19 +9471,20 @@ def streaming_ingest_dedup_index(
             write_zonemap(s, clustered, corpus, ["n_chars", "doc_id"])
             write_bloom_index(s, corpus, ["doc_id"], bits=bits, hashes=5)
             return
-        before = set(zonemap_manifest(s, corpus))
+        before = set(_data_files(s))
         clustered.write.mode("append").parquet(corpus)
-        all_files = {
-            r["f"]
-            for r in s.read.parquet(corpus)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        }
-        new_files = sorted(all_files - before)
+        after = _data_files(s)
+        new_files = sorted(
+            uri for name, uri in after.items() if name not in before
+        )
         if new_files:
-            append_zonemap(s, corpus, new_files)
-            append_bloom(s, corpus, new_files)
+            # the two sidecar appends are INDEPENDENT jobs over the
+            # same new files — overlap them so the trigger pays one
+            # round of fixed job latency, not two (guide §2.6)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fz = pool.submit(append_zonemap, s, corpus, new_files)
+                fb = pool.submit(append_bloom, s, corpus, new_files)
+                fz.result(), fb.result()
 
     try:
         stream = (
@@ -9484,8 +9514,14 @@ def streaming_ingest_dedup_index(
             )
         ranges = {"n_chars": (250, 350)}
         equals = {"doc_id": probe}
-        cz = zonemap_candidate_files(spark, corpus, ranges)
-        cb = bloom_candidate_files(spark, corpus, equals)
+        # the two sidecar resolutions are independent — overlap them
+        # (guide §2.6), same as the per-trigger appends above
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fz = pool.submit(zonemap_candidate_files, spark, corpus, ranges)
+            fb = pool.submit(bloom_candidate_files, spark, corpus, equals)
+            cz, cb = fz.result(), fb.result()
         if not (
             cb["files"]
             and cz["total"] == cb["total"]

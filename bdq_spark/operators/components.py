@@ -124,6 +124,47 @@ def _aqe_disabled(spark):
                 _AQE_SCOPES[sid] = (depth - 1, saved)
 
 
+_CONF_LOCK = threading.Lock()
+_CONF_SCOPES: dict = {}  # (id(session), key) -> [depth, saved_value]
+
+
+@contextmanager
+def _conf_pinned(spark, key: str, value: str):
+    """Depth-counted session-conf pin (same locking discipline as
+    :func:`_aqe_disabled`): the USER's value is saved at the OUTERMOST
+    scope entry and restored at the OUTERMOST exit, so overlapping
+    scopes on one session can never restore each other's intermediate
+    values and leak the pin past the last exit.  Every entry SETS the
+    value (nested scopes with different values: innermost-set wins
+    until the outermost exit — a perf-only effect for the iterative
+    loops this serves; results never depend on the pinned confs)."""
+    sid = (id(spark), key)
+    with _CONF_LOCK:
+        depth, saved = _CONF_SCOPES.get(sid, (0, None))
+        if depth == 0:
+            saved = spark.conf.get(key)
+        _CONF_SCOPES[sid] = (depth + 1, saved)
+        spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        with _CONF_LOCK:
+            depth, saved = _CONF_SCOPES[sid]
+            if depth == 1:
+                del _CONF_SCOPES[sid]
+                spark.conf.set(key, saved)
+            else:
+                _CONF_SCOPES[sid] = (depth - 1, saved)
+
+
+# per-partition row target for the ITERATION-LOOP shuffles of the
+# broadcast-regime graph rounds: node-scale aggregates whose row count
+# is KNOWN (counted at setup), so the loop pins exactly
+# ceil(n_nodes / this) shuffle partitions — scale-adaptive by data, not
+# a constant for either local mode or a cluster (guide §2)
+_ROUND_ROWS_PER_PARTITION = 50_000
+
+
 def _shuffle_partitions(spark) -> int:
     """The session's shuffle partition count as an int, falling back to
     ``defaultParallelism`` when the conf is non-numeric — platforms with
@@ -275,11 +316,13 @@ def connected_components(
     bound or pre-split the graph).
 
     When the node table is small (``<= broadcast_max_nodes``, counted
-    once after the input checkpoint), the per-round label join and the
-    merge join run as BROADCAST hash joins — one keyed shuffle per
-    round (the min-aggregate) instead of three.  Near-dup graphs are
-    sized by the duplicate population, not the corpus, so this is the
-    common case.  A larger graph takes the CO-PARTITIONED shuffle path:
+    once after the input checkpoint), each round is ONE FUSED
+    min-aggregate: the broadcast label join's neighbor contributions
+    union the labels' own rows and a single keyed shuffle takes the
+    min per id (``_round_broadcast`` — provably equal to the classic
+    neighbor-min + merge-join round, with one broadcast build instead
+    of two and no second join).  Near-dup graphs are sized by the
+    duplicate population, not the corpus, so this is the common case.  A larger graph takes the CO-PARTITIONED shuffle path:
     edges are hash-partitioned by source and labels by id once at setup
     (under :func:`_aqe_disabled`, so the checkpoints keep their
     partitioning), the per-round label relation inherits hash(id)
@@ -332,38 +375,80 @@ def connected_components(
     )
     n_nodes = labels.count()
 
-    def _rounds(edges: DataFrame, labels: DataFrame) -> DataFrame:
-        for _ in range(max_iterations):
-            neighbor_min = (
-                edges.join(
-                    _maybe_broadcast(labels, n_nodes, broadcast_max_nodes),
-                    edges.a == labels.id,
-                )
-                .groupBy(F.col("b").alias("id"))
-                .agg(F.min("comp").alias("__n_comp"))
+    def _round_broadcast(edges: DataFrame, labels: DataFrame) -> DataFrame:
+        """One FUSED propagation round for the broadcast regime: the
+        neighbor contributions ``(b, comp_of_a)`` UNION the nodes' own
+        ``(id, comp)`` rows feed a single min-aggregate keyed by id —
+        ``min(own, neighbor mins)`` in one shuffle with NO second join
+        (the classic round's neighbor-min agg + label merge join cost
+        two broadcast builds + a join per round).  The old label rides
+        along as ``__own`` (exactly one non-null per group — labels
+        hold each id once), so the changed flag is computed in the
+        same aggregate.  Result provably identical: min over {own} ∪
+        {neighbor comps} = least(own, coalesce(min(neighbors), own)).
+
+        (A Shiloach-Vishkin pointer-jumping variant was measured and
+        REJECTED in r13: on the diameter-17 cosine-0.4 graph it cut
+        rounds 17 -> 11 but cost a broadcast self-join per round —
+        6 jobs/round vs 4 and a higher per-round wall, net slower.
+        One jump per round only shortcuts one chase level; the log-
+        diameter bound needs per-round compression to a fixpoint,
+        which costs more joins than the rounds it saves here.)"""
+        contrib = edges.join(
+            F.broadcast(labels), edges.a == labels.id
+        ).select(F.col("b").alias("id"), "comp", F.lit(None).cast(
+            labels.schema["comp"].dataType
+        ).alias("__own"))
+        own = labels.select("id", "comp", F.col("comp").alias("__own"))
+        return (
+            own.unionByName(contrib)
+            .groupBy("id")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min("__own").alias("__own"),
             )
-            new_labels = (
-                labels.join(
-                    _maybe_broadcast(
-                        neighbor_min, n_nodes, broadcast_max_nodes
-                    ),
-                    "id",
-                    "left",
-                )
-                .select(
-                    "id",
-                    F.least(
-                        F.col("comp"),
-                        F.coalesce(F.col("__n_comp"), F.col("comp")),
-                    ).alias("comp"),
-                    (F.col("__n_comp") < F.col("comp")).alias("__changed"),
-                )
-                # LAZY checkpoint: the changed-count below is the round's
-                # one and only action — it materializes and stores the
-                # checkpoint blocks as a side effect, halving the
-                # per-round job count (an eager checkpoint + separate
-                # count was two full jobs)
-                .localCheckpoint(eager=False)
+            .select(
+                "id",
+                "comp",
+                (F.col("comp") < F.col("__own")).alias("__changed"),
+            )
+        )
+
+    def _round_copartitioned(edges: DataFrame, labels: DataFrame) -> DataFrame:
+        # past the cutover the classic two-step round is load-bearing:
+        # the neighbor-min agg exchanges only the (partial-aggregated)
+        # contributions and the label merge join is exchange-free on
+        # the co-partitioned sides — a fused union-agg would re-shuffle
+        # the node-scale label relation every round
+        neighbor_min = (
+            edges.join(labels.hint("shuffle_hash"), edges.a == labels.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("comp").alias("__n_comp"))
+        )
+        return labels.join(
+            neighbor_min.hint("shuffle_hash"), "id", "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"),
+                F.coalesce(F.col("__n_comp"), F.col("comp")),
+            ).alias("comp"),
+            (F.col("__n_comp") < F.col("comp")).alias("__changed"),
+        )
+
+    def _rounds(edges: DataFrame, labels: DataFrame) -> DataFrame:
+        one_round = (
+            _round_broadcast
+            if n_nodes <= broadcast_max_nodes
+            else _round_copartitioned
+        )
+        for _ in range(max_iterations):
+            # LAZY checkpoint: the changed-count below is the round's
+            # one and only action — it materializes and stores the
+            # checkpoint blocks as a side effect (an eager checkpoint +
+            # separate count was two full jobs)
+            new_labels = one_round(edges, labels).localCheckpoint(
+                eager=False
             )
             changed = new_labels.filter(F.col("__changed")).count()
             labels = new_labels.drop("__changed")
@@ -384,7 +469,24 @@ def connected_components(
         with _aqe_disabled(spark):
             out = _rounds(edges, _keyed_checkpoint(labels, "id"))
     else:
-        out = _rounds(edges, labels)
+        # broadcast-regime rounds: every loop query is one node-scale
+        # min-aggregate whose output row count is KNOWN (n_nodes), so
+        # pin the shuffle width to the data and drop AQE for the loop —
+        # AQE's only per-round contribution is re-deriving that width
+        # as an extra scheduled query-stage job, and the rounds are a
+        # serial driver-bound chain (measured at sf0.1: 4 -> 2 jobs and
+        # ~0.5 -> ~0.25 s per round; labels bit-identical)
+        n_part = max(
+            1,
+            min(
+                _shuffle_partitions(spark),
+                -(-n_nodes // _ROUND_ROWS_PER_PARTITION),
+            ),
+        )
+        with _aqe_disabled(spark), _conf_pinned(
+            spark, "spark.sql.shuffle.partitions", str(n_part)
+        ):
+            out = _rounds(edges, labels)
     return _rebind(out, caller_spark) if graph_session else out
 
 
@@ -439,11 +541,12 @@ def pagerank(
     :func:`_aqe_disabled` so it keeps its partitioning.  The per-edge
     ``rank/outdeg`` weight is NOT pre-joined onto the edges (an
     edge-scale second materialization, measured 59 s of the x100 wall):
-    each round first computes it NODE-scale (ranks ⋈ degree, an
-    exchange-free co-partitioned join) and then streams the edges
-    against that, so per iteration the only work is one shuffle (the
+    the out-degree is joined onto the rank relation ONCE at setup and
+    CARRIED through the iterations, so each round derives the weight
+    NODE-scale with a filter+project (no join) and streams the edges
+    against that — per iteration the only work is one shuffle (the
     per-destination partial-agg sum) plus — only when dangling nodes
-    exist at all — a 1-row mass aggregate.  A LAZY ``localCheckpoint``
+    exist at all — a 1-row mass aggregate over the deg-null rank rows.  A LAZY ``localCheckpoint``
     per iteration keeps the plan flat (same iterative-lineage cure as
     :func:`connected_components`).  When the node table is small
     (``<= broadcast_max_nodes``), the weight and update joins run as
@@ -481,33 +584,42 @@ def pagerank(
         return _rebind(out, caller_spark) if graph_session else out
 
     def _run(nodes: DataFrame) -> DataFrame:
-        # node-scale statics: out-degree per source (exchange-free over
-        # the src-partitioned edges) and the dangling node set
+        # node-scale static: out-degree per source (exchange-free over
+        # the src-partitioned edges).  The degree is joined onto the
+        # rank relation ONCE here and CARRIED through the iterations —
+        # the per-round ranks ⋈ deg join (a broadcast build job per
+        # round under the broadcast regime, a merge/hash join per round
+        # past the cutover) becomes a filter+project on the carried
+        # column (OPTIMIZATION_r13: 2 joins + 2 broadcasts per round ->
+        # 1 + 1).  Dangling detection is a COUNT comparison (a source
+        # with out-edges has a deg row; n_deg < n_nodes iff some node
+        # has no out-edges) instead of materializing an anti-join
+        # node set — and the per-round dangling mass, when needed at
+        # all, is a filter on the carried deg (IS NULL), not a join.
         deg = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .select(F.col("src").alias("id"), "deg")
             .localCheckpoint(eager=True)
         )
-        dangling_nodes = nodes.join(
-            deg.select("id"), "id", "left_anti"
-        ).localCheckpoint(eager=True)
-        has_dangling = dangling_nodes.count() > 0
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        has_dangling = deg.count() < n_nodes
+        ranks = nodes.join(
+            _maybe_broadcast(deg, n_nodes, broadcast_max_nodes), "id", "left"
+        ).select("id", "deg", F.lit(1.0 / n_nodes).alias("rank"))
         base = (1.0 - damping) / n_nodes
         for _ in range(iterations):
             dangling = (
-                dangling_nodes.join(ranks, "id")
+                ranks.filter(F.col("deg").isNull())
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .first()[0]
                 if has_dangling
                 else 0.0
             )
-            # per-source weight, node-scale (inner join: zero-outdegree
-            # nodes contribute through the dangling term instead)
-            rdeg = ranks.join(
-                _maybe_broadcast(deg, n_nodes, broadcast_max_nodes), "id"
-            ).select("id", (F.col("rank") / F.col("deg")).alias("w"))
+            # per-source weight, node-scale (deg-null rows excluded:
+            # zero-outdegree nodes contribute through the dangling term)
+            rdeg = ranks.filter(F.col("deg").isNotNull()).select(
+                "id", (F.col("rank") / F.col("deg")).alias("w")
+            )
             contrib = (
                 e.join(
                     _maybe_broadcast(rdeg, n_nodes, broadcast_max_nodes),
@@ -517,13 +629,14 @@ def pagerank(
                 .agg(F.sum(F.col("w")).alias("c"))
             )
             ranks = (
-                nodes.join(
+                ranks.join(
                     _maybe_broadcast(contrib, n_nodes, broadcast_max_nodes),
-                    nodes["id"] == contrib["dst"],
+                    ranks["id"] == contrib["dst"],
                     "left",
                 )
                 .select(
                     "id",
+                    "deg",
                     (
                         F.lit(base)
                         + F.lit(damping)
@@ -538,7 +651,7 @@ def pagerank(
         # every round is PLANNED here (localCheckpoint builds its RDD at
         # call time, lazy only in materialization), so the whole loop's
         # plans are captured inside the caller's scope
-        return ranks
+        return ranks.select("id", "rank")
 
     if n_nodes > broadcast_max_nodes:
         with _aqe_disabled(spark):
@@ -606,24 +719,25 @@ def pagerank_quantized(
         return _rebind(out, caller_spark) if graph_session else out
 
     def _run(nodes: DataFrame) -> DataFrame:
-        # node-scale statics — same shapes as :func:`pagerank`
+        # node-scale static — deg carried on the rank relation and
+        # dangling detection by count comparison, exactly as in
+        # :func:`pagerank` (see the comment there; OPTIMIZATION_r13)
         deg = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .select(F.col("src").alias("id"), "deg")
             .localCheckpoint(eager=True)
         )
-        dangling_nodes = nodes.join(
-            deg.select("id"), "id", "left_anti"
-        ).localCheckpoint(eager=True)
-        has_dangling = dangling_nodes.count() > 0
-        ranks = nodes.withColumn(
-            "rank_q", F.lit(scale // n_nodes).cast("bigint")
+        has_dangling = deg.count() < n_nodes
+        ranks = nodes.join(
+            _maybe_broadcast(deg, n_nodes, broadcast_max_nodes), "id", "left"
+        ).select(
+            "id", "deg", F.lit(scale // n_nodes).cast("bigint").alias("rank_q")
         )
         base = (15 * (scale // n_nodes)) // 100
         for _ in range(iterations):
             dangling = (
-                dangling_nodes.join(ranks, "id")
+                ranks.filter(F.col("deg").isNull())
                 .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("bigint"))
                 .first()[0]
                 if has_dangling
@@ -633,9 +747,9 @@ def pagerank_quantized(
             # double quotient can misround for large operands.  Computed
             # once per NODE; the per-edge contribution is identical to
             # dividing per edge, so the recurrence is unchanged.
-            rdeg = ranks.join(
-                _maybe_broadcast(deg, n_nodes, broadcast_max_nodes), "id"
-            ).select("id", F.expr("rank_q div deg").alias("w"))
+            rdeg = ranks.filter(F.col("deg").isNotNull()).select(
+                "id", F.expr("rank_q div deg").alias("w")
+            )
             contrib = (
                 e.join(
                     _maybe_broadcast(rdeg, n_nodes, broadcast_max_nodes),
@@ -645,14 +759,15 @@ def pagerank_quantized(
                 .agg(F.sum(F.col("w")).alias("c"))
             )
             ranks = (
-                nodes.join(
+                ranks.join(
                     _maybe_broadcast(contrib, n_nodes, broadcast_max_nodes),
-                    nodes["id"] == contrib["dst"],
+                    ranks["id"] == contrib["dst"],
                     "left",
                 )
                 .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
                 .select(
                     "id",
+                    "deg",
                     F.expr(
                         f"CAST({base} + (85 * (c + {dangling // n_nodes}))"
                         " div 100 AS BIGINT)"
@@ -660,7 +775,7 @@ def pagerank_quantized(
                 )
                 .localCheckpoint(eager=False)
             )
-        return ranks
+        return ranks.select("id", "rank_q")
 
     if n_nodes > broadcast_max_nodes:
         with _aqe_disabled(spark):

@@ -214,6 +214,8 @@ def train_bpe(
     end-of-word marker — merges never cross word boundaries because
     words are separate rows).
     """
+    from bdq_spark.operators.components import _aqe_disabled
+
     spark = df.sparkSession
     words = word_freq if word_freq is not None else word_frequencies(
         df, text_column
@@ -227,57 +229,72 @@ def train_bpe(
     # vocab spread over the session's full shuffle-partition count pays
     # 30x the task-scheduling overhead for no work.  ~50k words per
     # partition keeps tasks meaningful at any scale (10M-word corpus ->
-    # 200 partitions; test-scale -> 1-2).
+    # 200 partitions; test-scale -> 1-2).  The coalesce is a narrow wrap
+    # over the checkpoint blocks — no second checkpoint job; every loop
+    # query replans the (trivial) coalesce from the local blocks.
     n_part = max(1, min(
         spark.sparkContext.defaultParallelism, (words.count() + 49_999) // 50_000
     ))
     if n_part < words.rdd.getNumPartitions():
-        words = words.coalesce(n_part).localCheckpoint(eager=True)
+        words = words.coalesce(n_part)
 
     merges: List[tuple] = []
     prev = words
     # the collected pair-list window: big enough that real batches never
     # hit the coverage guard, still a bounded driver materialization
     window = max(64, 16 * max_batch)
-    while len(merges) < n_merges:
-        pair_counts = (
-            words.select(
-                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+    # AQE off for the ITERATION LOOP only (depth-counted session scope
+    # shared with the graph operators): every loop query is one
+    # pair-count shuffle over the vocabulary table whose partitioning
+    # the coalesce above already right-sized, so AQE's only effect is
+    # materializing that shuffle as an extra scheduled query-stage job
+    # per round — and the rounds are a SERIAL driver-bound chain, so
+    # each extra job is pure wall time at any scale (measured at sf0.1:
+    # 42 -> 22 jobs, 19.4 -> 9.1 s same-box for 30 merges; merge table
+    # bit-identical — AQE never changes results, only stage planning).
+    with _aqe_disabled(spark):
+        while len(merges) < n_merges:
+            pair_counts = (
+                words.select(
+                    "freq",
+                    F.explode(_adjacent_pairs(F.col("syms"))).alias("p"),
+                )
+                .groupBy("p.left", "p.right")
+                .agg(F.sum("freq").alias("pair_count"))
+                .filter(F.col("pair_count") >= min_pair_count)
             )
-            .groupBy("p.left", "p.right")
-            .agg(F.sum("freq").alias("pair_count"))
-            .filter(F.col("pair_count") >= min_pair_count)
-        )
-        # bounded top-window collect; ties break lexicographically for
-        # determinism.  _select_safe_batch then takes the longest prefix
-        # sequential BPE would provably merge in this exact order, so
-        # one fold applies up to max_batch merges — ~batch× fewer jobs,
-        # bit-identical merge table (equivalence pinned in
-        # tests/test_tokenizer.py against the Sennrich reference).
-        top = pair_counts.orderBy(
-            F.col("pair_count").desc(), "left", "right"
-        ).limit(window).collect()
-        if not top:
-            break
-        batch = _select_safe_batch(
-            top,
-            complete=len(top) < window,
-            cap=min(max_batch, n_merges - len(merges)),
-        )
-        rules = []
-        for left, right, cnt in batch:
-            merges.append((len(merges), left, right, left + right, cnt))
-            rules.append((left, right, left + right))
-        # LAZY checkpoint: next iteration's collect is the action that
-        # materializes it — one job per BATCH, lineage stays flat
-        words = words.withColumn(
-            "syms", _merge_pairs_multi(F.col("syms"), rules)
-        ).localCheckpoint(eager=False)
-        prev = words
+            # bounded top-window collect; ties break lexicographically
+            # for determinism.  _select_safe_batch then takes the
+            # longest prefix sequential BPE would provably merge in this
+            # exact order, so one fold applies up to max_batch merges —
+            # ~batch× fewer jobs, bit-identical merge table (equivalence
+            # pinned in tests/test_tokenizer.py against the Sennrich
+            # reference).
+            top = pair_counts.orderBy(
+                F.col("pair_count").desc(), "left", "right"
+            ).limit(window).collect()
+            if not top:
+                break
+            batch = _select_safe_batch(
+                top,
+                complete=len(top) < window,
+                cap=min(max_batch, n_merges - len(merges)),
+            )
+            rules = []
+            for left, right, cnt in batch:
+                merges.append((len(merges), left, right, left + right, cnt))
+                rules.append((left, right, left + right))
+            # LAZY checkpoint: next iteration's collect is the action
+            # that materializes it — one job per BATCH, lineage flat
+            words = words.withColumn(
+                "syms", _merge_pairs_multi(F.col("syms"), rules)
+            ).localCheckpoint(eager=False)
+            prev = words
 
-    # make sure the final fold is materialized before returning (callers
-    # may unpersist upstream blocks); cheap if the loop already did it
-    prev.count()
+        # make sure the final fold is materialized before returning
+        # (callers may unpersist upstream blocks); cheap if the loop
+        # already did it
+        prev.count()
     return merges, prev
 
 
