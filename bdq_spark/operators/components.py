@@ -972,10 +972,16 @@ def kcore(
     if n_edges <= broadcast_max_nodes:
         for _ in range(max_rounds):
             deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+            # LAZY checkpoint + count as the round's single action (the
+            # count materializes the blocks; an eager checkpoint + a
+            # separate isEmpty was two jobs), and the previous round's
+            # lazily-checkpointed cur materializes inside the same job
+            # (OPTIMIZATION_r13 — the peel is a serial job chain, so
+            # every job saved is wall time at any scale)
             bad = deg.where(F.col("degree") < k).select(
                 "src"
-            ).localCheckpoint(eager=True)
-            if bad.isEmpty():
+            ).localCheckpoint(eager=False)
+            if bad.count() == 0:
                 return deg.select(F.col("src").alias("id"), "degree")
             cur = (
                 cur.join(F.broadcast(bad), "src", "left_anti")
@@ -984,7 +990,7 @@ def kcore(
                     "dst",
                     "left_anti",
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         if deg.where(F.col("degree") < k).isEmpty():

@@ -30,6 +30,7 @@ from typing import Iterable, List
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = ["running_counter", "running_zscore", "sessionize"]
 
@@ -112,18 +113,10 @@ def running_counter(
 _ZSCORE_STATE = "n bigint, s bigint, q bigint"
 
 
-def _zscore_rows(pdf: pd.DataFrame, state, value_column, scale):
-    """Score a sorted batch against the carried (n, Σc, Σc²) state,
-    folding each event in AFTER it is scored (prior-only statistics).
-    Values are scaled to exact integers, so the accumulated sums are
-    exact and every engine derives the identical doubles — the same
-    portability contract the LM scorers use with decimals.
-
-    The sums are converted to double BEFORE dividing (``float(s) / n``,
-    not Python's correctly-rounded big-int division) so the rounding
-    order matches a SQL engine's ``CAST(s AS DOUBLE) / n`` even once a
-    key's Σc² exceeds 2^53 — below that the two are identical anyway.
-    """
+def _zscore_rows_loop(pdf: pd.DataFrame, state, value_column, scale):
+    """Exact-arbitrary-precision fallback fold (Python bigints) — the
+    pre-r13 row loop, kept for keys whose scaled sums could overflow
+    int64 (see :func:`_zscore_rows`)."""
     n, s, q = state
     n_priors, zs = [], []
     for v in pdf[value_column]:
@@ -144,6 +137,70 @@ def _zscore_rows(pdf: pd.DataFrame, state, value_column, scale):
     return out, (n, s, q)
 
 
+def _zscore_rows(pdf: pd.DataFrame, state, value_column, scale):
+    """Score a sorted batch against the carried (n, Σc, Σc²) state,
+    folding each event in AFTER it is scored (prior-only statistics).
+    Values are scaled to exact integers, so the accumulated sums are
+    exact and every engine derives the identical doubles — the same
+    portability contract the LM scorers use with decimals.
+
+    The sums are converted to double BEFORE dividing (``float(s) / n``,
+    not Python's correctly-rounded big-int division) so the rounding
+    order matches a SQL engine's ``CAST(s AS DOUBLE) / n`` even once a
+    key's Σc² exceeds 2^53 — below that the two are identical anyway.
+
+    VECTORIZED (OPTIMIZATION_r13, guide §4.2): the per-row Python fold
+    becomes numpy prefix sums — ``s_prior = cumsum(c) - c`` etc. — with
+    every float op preserved bit-for-bit: int64 -> float64 conversion,
+    ``/ n``, ``- mean*mean`` and ``sqrt`` are the same correctly-rounded
+    IEEE operations elementwise that the loop performed scalar-wise, and
+    the final 6-decimal rounding stays PYTHON's correctly-rounded
+    ``round`` (numpy's can differ on representation ties).  Exactness
+    guard: the prefix sums must stay exact, so batches whose worst-case
+    ``|state| + n * max(c^2)`` could exceed int64 take the bigint loop
+    instead — same results, just slower (unreachable for 2-decimal money
+    under ~9e18 aggregate mass).
+    """
+    import numpy as np
+
+    n0, s0, q0 = state
+    vals = pdf[value_column].to_numpy(dtype="float64")
+    if not len(vals):
+        out = pdf.copy()
+        out["n_prior"] = pd.array([], dtype="int64")
+        out["zscore"] = pd.array([], dtype="Float64")
+        return out, state
+    c = np.rint(vals * scale)  # half-even, same as Python round()
+    cmax = float(np.max(np.abs(c)))
+    # conservative int64-exactness bound for the running (s, q) sums
+    if (
+        not np.isfinite(cmax)
+        or abs(s0) + len(c) * cmax >= 2**62
+        or abs(q0) + len(c) * cmax * cmax >= 2**62
+    ):
+        return _zscore_rows_loop(pdf, state, value_column, scale)
+    ci = c.astype("int64")
+    sq = ci * ci
+    n_prior = n0 + np.arange(len(ci), dtype="int64")
+    s_prior = s0 + np.cumsum(ci) - ci
+    q_prior = q0 + np.cumsum(sq) - sq
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = s_prior.astype("float64") / n_prior
+        var = q_prior.astype("float64") / n_prior - mean * mean
+        z = (ci.astype("float64") - mean) / np.sqrt(var)
+    ok = (n_prior >= 2) & (var > 0)
+    # Python round (correctly rounded) for the emitted 6-decimal value
+    zs = [round(float(v), 6) if k else None for v, k in zip(z, ok)]
+    out = pdf.copy()
+    out["n_prior"] = n_prior
+    out["zscore"] = pd.array(zs, dtype="Float64")
+    return out, (
+        n0 + len(ci),
+        s0 + int(np.sum(ci)),
+        q0 + int(np.sum(sq)),
+    )
+
+
 def running_zscore(
     df: DataFrame,
     key_column: str = "user_id",
@@ -151,6 +208,7 @@ def running_zscore(
     value_column: str = "value",
     order_columns: List[str] = None,
     scale: int = 100,
+    n_buckets: "int | None" = None,
 ) -> DataFrame:
     """Per-key streaming anomaly score: each event's z-score against the
     statistics of all PRIOR events of the same key — the standard
@@ -217,13 +275,69 @@ def running_zscore(
             )
         )
 
-    def one_shot(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        scored, _ = _zscore_rows(pdf, (0, 0, 0), value_column, scale)
-        return scored[out_cols]
+    # BATCH path (OPTIMIZATION_r13, guide §4): grouping by the raw key
+    # called the UDF once per key — ~67-row pandas frames whose per-call
+    # machinery (Arrow slice, sort, copy) dwarfed the fold.  Instead,
+    # group by a DETERMINISTIC hash bucket sized from the row count
+    # (~100k rows per bucket, floored at defaultParallelism buckets for
+    # cluster width — data-derived, not a local-mode constant) and fold
+    # ALL keys of a bucket in one vectorized pass: pandas groupby prefix
+    # sums over exact int64 (order-independent by design, so bucketing
+    # cannot change any value; per-key results are bit-identical and
+    # the oracle hash is order-insensitive).  Null keys survive via
+    # dropna=False — Spark's groupBy keeps a null-key group, so the
+    # bucketed twin must too.
+    # ``n_buckets``: pass explicitly when the input is an expensive
+    # derived frame — the default sizing runs one count() over it.
+    import numpy as np
 
-    return df.groupBy(key_column).applyInPandas(
-        one_shot, schema=output_schema
+    if n_buckets is None:
+        n_rows = df.count()
+        n_buckets = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n_rows // 100_000),
+        )
+
+    def one_shot(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [key_column] + sort_cols, kind="mergesort"
+        )
+        vals = pdf[value_column].to_numpy(dtype="float64")
+        c = np.rint(vals * scale)
+        cmax = float(np.max(np.abs(c))) if len(c) else 0.0
+        if not np.isfinite(cmax) or len(c) * cmax * cmax >= 2**62:
+            # int64 could overflow: per-key exact bigint fallback
+            pieces = []
+            for _, g in pdf.groupby(key_column, sort=False, dropna=False):
+                scored, _ = _zscore_rows_loop(
+                    g, (0, 0, 0), value_column, scale
+                )
+                pieces.append(scored[out_cols])
+            return pd.concat(pieces, ignore_index=True)
+        ci = c.astype("int64")
+        sq = ci * ci
+        keys = pdf[key_column]
+        gb = pd.DataFrame({"k": keys.to_numpy(), "ci": ci, "sq": sq}) \
+            .groupby("k", sort=False, dropna=False)
+        n_prior = gb.cumcount().to_numpy(dtype="int64")
+        s_prior = gb["ci"].cumsum().to_numpy() - ci
+        q_prior = gb["sq"].cumsum().to_numpy() - sq
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = s_prior.astype("float64") / n_prior
+            var = q_prior.astype("float64") / n_prior - mean * mean
+            z = (ci.astype("float64") - mean) / np.sqrt(var)
+        ok = (n_prior >= 2) & (var > 0)
+        zs = [round(float(v), 6) if k else None for v, k in zip(z, ok)]
+        out = pdf.copy()
+        out["n_prior"] = n_prior
+        out["zscore"] = pd.array(zs, dtype="Float64")
+        return out[out_cols]
+
+    bucket = F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_buckets))
+    return (
+        df.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .applyInPandas(one_shot, schema=output_schema)
     )
 
 
