@@ -9480,10 +9480,18 @@ def streaming_ingest_dedup_index(
         if new_files:
             # the two sidecar appends are INDEPENDENT jobs over the
             # same new files — overlap them so the trigger pays one
-            # round of fixed job latency, not two (guide §2.6)
+            # round of fixed job latency, not two (guide §2.6);
+            # count_appended=False skips the summary-only census count
+            # job (the return value is unused here)
             with ThreadPoolExecutor(max_workers=2) as pool:
-                fz = pool.submit(append_zonemap, s, corpus, new_files)
-                fb = pool.submit(append_bloom, s, corpus, new_files)
+                fz = pool.submit(
+                    append_zonemap, s, corpus, new_files,
+                    count_appended=False,
+                )
+                fb = pool.submit(
+                    append_bloom, s, corpus, new_files,
+                    count_appended=False,
+                )
                 fz.result(), fb.result()
 
     try:

@@ -210,9 +210,13 @@ def write_zonemap(
         )
     )
     census.write.mode("overwrite").parquet(sidecar)
-    n_files = spark.read.parquet(sidecar).count()  # 1-row driver read
+    # file count from a Hadoop-FS LISTING of the data dir (metadata,
+    # no job) instead of re-reading the just-written sidecar: the
+    # census keys are input_file_name over exactly the non-hidden
+    # files of ``path``, so the counts agree by construction
+    # (OPTIMIZATION_r13)
     return {
-        "files": n_files,
+        "files": _count_data_files(spark, path),
         "stats_cols": list(stats_cols),
         "sidecar": sidecar,
     }
@@ -223,6 +227,22 @@ def _fs_exists(spark, path: str, name: str) -> bool:
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path, name)
     return p.getFileSystem(conf).exists(p)
+
+
+def _count_data_files(spark, path: str) -> int:
+    """Number of DATA files of a parquet directory via one Hadoop-FS
+    ``listStatus`` — the same universe a Spark scan (and therefore an
+    ``input_file_name`` census) sees: every file not hidden by a
+    leading ``_`` or ``.``.  A driver metadata call, not a job."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    n = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            n += 1
+    return n
 
 
 def zonemap_manifest(spark, path: str) -> dict:
@@ -245,7 +265,9 @@ def zonemap_manifest(spark, path: str) -> dict:
     return _fs_read_json(spark, path, "_ZONEMAP.json")
 
 
-def append_zonemap(spark, path: str, new_files: List[str]) -> dict:
+def append_zonemap(
+    spark, path: str, new_files: List[str], count_appended: bool = True
+) -> dict:
     """Incrementally extend an existing zonemap sidecar with the
     min/max census of ``new_files`` — the streaming-ingest maintenance
     path: an appender that just wrote a batch of parquet files into
@@ -333,7 +355,11 @@ def append_zonemap(spark, path: str, new_files: List[str]) -> dict:
             ]
         )
     )
-    n = census.count()  # 1-row driver read, BEFORE the sidecar grows
+    # the count exists only for the returned summary and re-executes the
+    # census subtree; callers that ignore it (per-trigger streaming
+    # maintenance) pass count_appended=False and pay ONE job — the
+    # write — per append (OPTIMIZATION_r13)
+    n = census.count() if count_appended else None
     census.write.mode("append").parquet(sidecar)
     return {"files_appended": n, "sidecar": sidecar}
 
@@ -563,10 +589,11 @@ def write_bloom_index(
     filters.unionByName(census).write.mode("overwrite").parquet(sidecar)
     meta = {"bits": bits, "hashes": hashes, "bloom_cols": list(bloom_cols)}
     _fs_write_json(spark, path, "_BLOOM_META.json", meta)
-    n_files = (  # 1-row driver read
-        spark.read.parquet(sidecar).where("__col IS NULL").count()
-    )
-    return {**meta, "files": n_files, "sidecar": sidecar}
+    # census rows (__col NULL) = distinct input_file_name over path =
+    # its non-hidden files; count them with one FS listing instead of
+    # a sidecar re-read job (OPTIMIZATION_r13)
+    return {**meta, "files": _count_data_files(spark, path),
+            "sidecar": sidecar}
 
 
 def _pack_bits(positions, bits: int) -> str:
@@ -641,7 +668,9 @@ def bloom_manifest(spark, path: str) -> dict:
     return _fs_read_json(spark, path, "_BLOOM.json")
 
 
-def append_bloom(spark, path: str, new_files: List[str]) -> dict:
+def append_bloom(
+    spark, path: str, new_files: List[str], count_appended: bool = True
+) -> dict:
     """Incrementally extend an existing Bloom sidecar with filters for
     ``new_files`` — :func:`append_zonemap`'s equality-index sibling:
     the appender that just wrote a batch indexes exactly those files
@@ -727,7 +756,8 @@ def append_bloom(spark, path: str, new_files: List[str]) -> dict:
             F.lit(None).cast("bigint").alias("__word"),
         )
     )
-    n = census.count()  # 1-row driver read, BEFORE the sidecar grows
+    # see append_zonemap: the count only feeds the returned summary
+    n = census.count() if count_appended else None
     filters.unionByName(census).write.mode("append").parquet(sidecar)
     return {"files_appended": n, "sidecar": sidecar}
 
