@@ -2465,7 +2465,8 @@ def streaming_ingest_vector_index(
 
     from bdq_spark.operators.similarity import (
         _table_seed,
-        cosine_similarity,
+        cosine_from_norms,
+        l2_norm,
         lsh_bucket_vectors_md5,
     )
 
@@ -2541,11 +2542,22 @@ def streaming_ingest_vector_index(
 
     index_dir = tempfile.mkdtemp(prefix="entry_svi_index_")
     ckpt = tempfile.mkdtemp(prefix="entry_svi_ckpt_")
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    # per-ROW L2 norms staged below the verify joins so per-PAIR work
+    # is one dot product (cosine_from_norms keeps cosine_similarity's
+    # exact multiplication/guard order — bit-identical values; the
+    # knn_bruteforce trick, OPTIMIZATION_r13).  The norm column rides
+    # the persisted index so cross-batch probes never recompute it.
+    cosn = cosine_from_norms(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+    )
 
     def ingest(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
-        bb = _buckets(batch_df).localCheckpoint(eager=True)
+        bb = (
+            _buckets(batch_df)
+            .withColumn("__n", l2_norm(F.col("vec")))
+            .localCheckpoint(eager=True)
+        )
         # (b) within-batch: drop the larger id of every bucket-sharing
         # pair that verifies at >= threshold
         pairs = (
@@ -2555,9 +2567,11 @@ def streaming_ingest_vector_index(
             .select(
                 F.col("l.vec").alias("va"),
                 F.col("r.vec").alias("vb"),
+                F.col("l.__n").alias("na"),
+                F.col("r.__n").alias("nb"),
                 F.col("r.id").alias("id"),
             )
-            .filter(F.round(cos, 6) >= geo_thresh)
+            .filter(F.round(cosn, 6) >= geo_thresh)
             .select("id")
             .distinct()
         )
@@ -2578,14 +2592,17 @@ def streaming_ingest_vector_index(
                 .select(
                     F.col("q.vec").alias("va"),
                     F.col("c.vec").alias("vb"),
+                    F.col("q.__n").alias("na"),
+                    F.col("c.__n").alias("nb"),
                     F.col("q.id").alias("id"),
                 )
-                .filter(F.round(cos, 6) >= geo_thresh)
+                .filter(F.round(cosn, 6) >= geo_thresh)
                 .select("id")
                 .distinct()
             )
             kept = kept.join(hits, "id", "left_anti")
-        # (d) incremental index append — survivors' bucket rows only
+        # (d) incremental index append — survivors' bucket rows (with
+        # their precomputed norms) only
         kept.write.mode("append").parquet(index_dir)
 
     try:
