@@ -9928,6 +9928,12 @@ _DRIVER_PRIORITY = [
     "doc_bpe_packing",
     "corpus_prepare_neardup",
     "docs_kcore_graph",
+    # pk.py's shared-count sweep (O8 default path gated by the two
+    # in-prefix pk_validate_* entries)
+    "pk_minimal_combinations",
+    # triangle_counts' shared degree checkpoint (the jaccard pair
+    # funnel feeding it is gated by the in-prefix near_dup_* entries)
+    "near_dup_triangles",
 ]
 
 

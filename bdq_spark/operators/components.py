@@ -821,6 +821,12 @@ def triangle_counts(
     verts = und.select(F.col("a").alias("id")).union(
         und.select(F.col("b").alias("id"))
     )
+    # deg is referenced three times, but its duplicate subtrees share
+    # one exchange via ReuseExchange (canonically identical aggregates)
+    # and the remaining recompute is a cheap agg over the edge
+    # checkpoint — a lazy localCheckpoint here was measured and
+    # REJECTED in r13 (+2 scheduled jobs, construct wall up ~1 s: the
+    # persist materialization costs more than the agg it saves)
     deg = verts.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     # total order: (degree, id) packed into one sortable key
     keyed = (
@@ -853,10 +859,18 @@ def triangle_counts(
         F.least("u", "v").alias("w1"), F.greatest("u", "v").alias("w2")
     )
     tris = wedges.join(closer, ["w1", "w2"])
+    # credit all three corners via ONE explode: the pre-r13 union of
+    # three selects referenced tris three times, and a DataFrame
+    # referenced N times is planned as N independent subtrees — the
+    # wedge enumeration join (the expensive O(m^1.5) step the
+    # orientation exists to bound) ran three times per query.
+    # explode(array(u, w1, w2)) is multiset-identical to the union
+    # (3 rows per triangle either way) and plans the join once
+    # (OPTIMIZATION_r13, guide §2.4).
     credit = (
-        tris.select(F.col("u").alias("id"))
-        .union(tris.select(F.col("w1").alias("id")))
-        .union(tris.select(F.col("w2").alias("id")))
+        tris.select(
+            F.explode(F.array("u", "w1", "w2")).alias("id")
+        )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

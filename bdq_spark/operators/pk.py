@@ -35,12 +35,23 @@ __all__ = [
 ]
 
 
-def validate_primary_key_candidate(df: DataFrame, key_columns: List[str]) -> dict:
+def validate_primary_key_candidate(
+    df: DataFrame,
+    key_columns: List[str],
+    record_count: "int | None" = None,
+) -> dict:
     """Check whether ``key_columns`` uniquely identify every row.
 
     Returns ``{'record_count', 'failed_records', 'failed_df'}`` where
     ``failed_records`` is the total number of rows participating in
     duplicate key groups (0 means the candidate is a valid PK).
+
+    ``record_count`` skips the full-table count when the caller already
+    knows it — the combination sweep below validates many candidates
+    over ONE df, and the row count is a property of the df, not the
+    candidate, so re-counting per candidate is a full-table scan wasted
+    per combination (OPTIMIZATION_r13, guide §1.2: don't compute things
+    you already have).
 
     Deviation from the reference (SURVEY.md §7.0 sanctioned bug-fix): the
     reference returns the *original* df as ``failed_df``
@@ -48,7 +59,8 @@ def validate_primary_key_candidate(df: DataFrame, key_columns: List[str]) -> dic
     lazy DataFrame of offending key groups with their duplicate counts —
     the thing a user actually inspects.
     """
-    record_count = df.count()
+    if record_count is None:
+        record_count = df.count()
 
     duplicate_groups = (
         df.groupBy(*key_columns)
@@ -87,10 +99,17 @@ def validate_primary_key_candidate_combinations(
     registered: dict = {}
     solutions: List[Sequence[str]] = []
 
+    # one full-table count shared by every validator (the count is a
+    # property of df, not of the candidate — pre-r13 each of the N
+    # concurrent validators re-ran it, N-1 wasted full-table scans)
+    record_count = df.count()
+
     for combo in combinations:
         def make_validator(key_columns):
             def _validate():
-                outcome = validate_primary_key_candidate(df, list(key_columns))
+                outcome = validate_primary_key_candidate(
+                    df, list(key_columns), record_count=record_count
+                )
                 if outcome["failed_records"] == 0:
                     solutions.append(key_columns)
                     return graph.BREAK

@@ -388,6 +388,7 @@ def sessionize(
     ts_column: str = "ts",
     gap: str = "1 hour",
     watermark: str = "0 seconds",
+    n_buckets: "int | None" = None,
 ) -> DataFrame:
     """Custom session machine over ``applyInPandasWithState`` with
     EVENT-TIME TIMEOUT — the arbitrary-state path Spark's native
@@ -480,22 +481,73 @@ def sessionize(
             )
         )
 
-    def one_shot(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = sorted(
-            int(v.value // 1_000_000) for v in pd.to_datetime(pdf[ts_column])
+    # BATCH path (OPTIMIZATION_r13, guide §4.2): grouping by the raw key
+    # called the splitter once per key — tiny pandas frames whose
+    # per-call machinery (Arrow slice, datetime coercion, frame build)
+    # dwarfed the fold, the same shape running_zscore had.  Group by a
+    # DETERMINISTIC hash bucket sized from the row count instead
+    # (~100k rows per bucket, floored at defaultParallelism — data-
+    # derived, not a local-mode constant) and split ALL keys of a
+    # bucket in one vectorized gaps-and-islands pass.  Sessionization
+    # is per-key order-dependent only, so bucketing cannot change any
+    # session; null keys keep Spark's null-group semantics via
+    # groupby(dropna=False).  ``n_buckets``: pass explicitly when the
+    # input is an expensive derived frame — the default sizing runs one
+    # count() over it.
+    import numpy as np
+
+    if n_buckets is None:
+        n_rows = df.count()
+        n_buckets = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n_rows // 100_000),
         )
-        closed, (start, last, n) = _split(ts, None, None, 0)
-        if last is not None:
-            closed.append((start, last + gap_ms, n))
+
+    def one_shot(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {
+                    key_column: pd.array([], dtype="object"),
+                    "session_start_ms": pd.array([], dtype="int64"),
+                    "session_end_ms": pd.array([], dtype="int64"),
+                    "n_events": pd.array([], dtype="int64"),
+                }
+            )
+        # ns-normalized epoch millis — identical to the per-row
+        # Timestamp.value // 1e6 the pre-r13 loop computed
+        t = (
+            pd.to_datetime(pdf[ts_column])
+            .to_numpy(dtype="datetime64[ns]")
+            .astype("int64")
+            // 1_000_000
+        )
+        work = pd.DataFrame(
+            {"k": pdf[key_column].to_numpy(), "t": t}
+        ).sort_values(["k", "t"], kind="mergesort")
+        # islands: a session starts at a key's first event or after a
+        # silence STRICTLY longer than the gap (merge rule s - pe <=
+        # gap_ms, same as _fold_sessions)
+        prev_gap = work.groupby("k", sort=False, dropna=False)["t"].diff()
+        sid = np.cumsum(
+            (prev_gap.isna() | (prev_gap > gap_ms)).to_numpy()
+        )
+        g = work.groupby(sid, sort=False)
+        tg = g["t"]
         return pd.DataFrame(
             {
-                key_column: [pdf[key_column].iloc[0]] * len(closed),
-                "session_start_ms": [c[0] for c in closed],
-                "session_end_ms": [c[1] for c in closed],
-                "n_events": [c[2] for c in closed],
+                # within a session the key is constant (possibly the
+                # null group), so first() per group is the key itself
+                key_column: g["k"].first().to_numpy(),
+                "session_start_ms": tg.first().to_numpy(dtype="int64"),
+                "session_end_ms": tg.last().to_numpy(dtype="int64")
+                + gap_ms,
+                "n_events": g.size().to_numpy(dtype="int64"),
             }
         )
 
-    return df.groupBy(key_column).applyInPandas(
-        one_shot, schema=session_output
+    bucket = F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_buckets))
+    return (
+        df.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .applyInPandas(one_shot, schema=session_output)
     )

@@ -97,7 +97,9 @@ TOUCHED = {
     # Optimization: fused broadcast-regime CC round (one min-aggregate,
     # no merge join) + node-count-derived round conf pin; pagerank deg
     # carried on the rank relation + count-based dangling detection;
-    # kcore small-regime peel actions halved.  Past-cutover paths
+    # kcore small-regime peel actions halved; triangle_counts credits
+    # corners via one explode instead of a 3-way union that planned
+    # the wedge join three times.  Past-cutover paths
     # byte-unchanged.  Gated by the full graph family.
     "bdq_spark/operators/components.py": [
         "embedding_dedup_clusters",
@@ -106,6 +108,7 @@ TOUCHED = {
         "pagerank_part_supplier",
         "near_dup_kcore",
         "docs_kcore_graph",
+        "near_dup_triangles",
     ],
     # Optimization: train_bpe iteration loop under the AQE-off scope
     # (42 -> 22 jobs for 30 merges, merge table bit-identical) and the
@@ -119,12 +122,24 @@ TOUCHED = {
     ],
     # Optimization: running_zscore's batch path folds hash-bucketed key
     # groups in one vectorized pass (exact int64 prefix sums, overflow
-    # fallback, Python round); counter/sessionize logic untouched but
-    # module-gated alongside.
+    # fallback, Python round); sessionize's batch path gets the same
+    # bucketed vectorization (gaps-and-islands over sorted (key, ts)
+    # per bucket instead of one applyInPandas call per key).
     "bdq_spark/streaming/stateful.py": [
         "events_running_zscore",
         "stateful_running_counter",
         "stateful_sessionize",
+    ],
+    # Optimization: the combination sweep counts the table ONCE and
+    # shares it across validators (record_count parameter) — the
+    # per-candidate full-table count was a property of the df, not the
+    # candidate.  pk_minimal_combinations exercises the shared-count
+    # path end to end; the two O8 entries pin the default (count-
+    # inside) path.
+    "bdq_spark/operators/pk.py": [
+        "pk_minimal_combinations",
+        "pk_validate_lineitem_orderkey",
+        "pk_validate_lineitem_composite",
     ],
     # Optimization: write/append sidecar summary counts from FS
     # listings (no sidecar re-read job) + count_appended opt-out.
