@@ -9934,6 +9934,9 @@ _DRIVER_PRIORITY = [
     # triangle_counts' shared degree checkpoint (the jaccard pair
     # funnel feeding it is gated by the in-prefix near_dup_* entries)
     "near_dup_triangles",
+    # sinks.py's explicit-schema sidecar reads (zonemap twin gated by
+    # the in-prefix zonemap_pruned_scan / indexed_scan_orders)
+    "bloom_pruned_scan",
 ]
 
 

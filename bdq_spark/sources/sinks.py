@@ -210,6 +210,18 @@ def write_zonemap(
         )
     )
     census.write.mode("overwrite").parquet(sidecar)
+    # the census schema as DDL in a meta sidecar: every later probe /
+    # append reads the sidecar with an EXPLICIT schema instead of
+    # paying a footer-inference job first (OPTIMIZATION_r13, guide
+    # §1.2 — a per-probe scheduled job is latency at any scale; pre-
+    # meta sidecars still fall back to inference)
+    _fs_write_json(
+        spark, path, "_ZONEMAP_META.json",
+        {"schema_ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in census.schema.fields
+        )},
+    )
     # file count from a Hadoop-FS LISTING of the data dir (metadata,
     # no job) instead of re-reading the just-written sidecar: the
     # census keys are input_file_name over exactly the non-hidden
@@ -243,6 +255,17 @@ def _count_data_files(spark, path: str) -> int:
         if st.isFile() and not name.startswith(("_", ".")):
             n += 1
     return n
+
+
+def _read_zonemap_sidecar(spark, path: str):
+    """The zonemap sidecar as a DataFrame — with the explicit schema
+    from ``_ZONEMAP_META.json`` when present (skips the per-read
+    footer-inference job), else plain inference (pre-meta sidecars)."""
+    sidecar = path.rstrip("/") + "/_ZONEMAP"
+    if _fs_exists(spark, path, "_ZONEMAP_META.json"):
+        ddl = _fs_read_json(spark, path, "_ZONEMAP_META.json")["schema_ddl"]
+        return spark.read.schema(ddl).parquet(sidecar)
+    return spark.read.parquet(sidecar)
 
 
 def zonemap_manifest(spark, path: str) -> dict:
@@ -295,7 +318,7 @@ def append_zonemap(
             "write_zonemap first (append extends, it does not create)"
         )
     sidecar = path.rstrip("/") + "/_ZONEMAP"
-    existing = spark.read.parquet(sidecar)
+    existing = _read_zonemap_sidecar(spark, path)
     stats_cols = sorted(
         c[3:] for c in existing.columns if c.startswith("lo_")
     )
@@ -381,7 +404,7 @@ def zonemap_candidate_files(spark, path: str, predicates: dict) -> dict:
     from pyspark.sql import functions as F
 
     if _fs_exists(spark, path, "_ZONEMAP"):
-        sm = spark.read.parquet(path.rstrip("/") + "/_ZONEMAP")
+        sm = _read_zonemap_sidecar(spark, path)
         have = set(sm.columns)
         cond = F.lit(True)
         for col, (lo, hi) in predicates.items():
@@ -596,6 +619,12 @@ def write_bloom_index(
             "sidecar": sidecar}
 
 
+# the bloom sidecar's schema is STATIC (unlike the zonemap's, whose
+# lo_/hi_ columns follow the indexed table) — declare it at every read
+# so probes/appends never pay a footer-inference job (OPTIMIZATION_r13)
+_BLOOM_SIDECAR_SCHEMA = "__file string, __col string, __w int, __word bigint"
+
+
 def _pack_bits(positions, bits: int) -> str:
     """Pack set positions into a base64 LSB-first bitmap — ~20x smaller
     than a JSON int list and O(bits/8) to test, so the sidecar READ
@@ -639,7 +668,9 @@ def bloom_manifest(spark, path: str) -> dict:
         meta = _fs_read_json(spark, path, "_BLOOM_META.json")
         bits = meta["bits"]
         nbytes = (bits + 7) // 8
-        rows = spark.read.parquet(path.rstrip("/") + "/_BLOOM").collect()
+        rows = spark.read.schema(_BLOOM_SIDECAR_SCHEMA).parquet(
+            path.rstrip("/") + "/_BLOOM"
+        ).collect()
         words: dict = {}
         files = []
         for r in rows:
@@ -699,7 +730,7 @@ def append_bloom(
         meta["bits"], meta["hashes"], meta["bloom_cols"],
     )
     sidecar = path.rstrip("/") + "/_BLOOM"
-    existing = spark.read.parquet(sidecar)
+    existing = spark.read.schema(_BLOOM_SIDECAR_SCHEMA).parquet(sidecar)
     batch = spark.read.parquet(*new_files)
     missing = [c for c in bloom_cols if c not in batch.columns]
     if missing:
@@ -791,7 +822,9 @@ def bloom_candidate_files(spark, path: str, equals: dict) -> dict:
         for col in equals:
             if col not in known:
                 raise ValueError(f"column {col!r} not in bloom index")
-        sm = spark.read.parquet(path.rstrip("/") + "/_BLOOM")
+        sm = spark.read.schema(_BLOOM_SIDECAR_SCHEMA).parquet(
+            path.rstrip("/") + "/_BLOOM"
+        )
         # per probed column: the distinct words its positions land in,
         # each with the required bitmask.  A file survives iff EVERY
         # required (col, word) row exists with all required bits set —

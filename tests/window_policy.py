@@ -142,12 +142,16 @@ TOUCHED = {
         "pk_validate_lineitem_composite",
     ],
     # Optimization: write/append sidecar summary counts from FS
-    # listings (no sidecar re-read job) + count_appended opt-out.
+    # listings (no sidecar re-read job) + count_appended opt-out;
+    # sidecar reads with EXPLICIT schemas (static bloom DDL; zonemap
+    # DDL recorded in _ZONEMAP_META.json at write time) so probes and
+    # appends skip the footer-inference job.
     # Gated by the sidecar-indexed scan entries + the streaming ingest.
     "bdq_spark/sources/sinks.py": [
         "streaming_ingest_dedup_index",
         "zonemap_pruned_scan",
         "indexed_scan_orders",
+        "bloom_pruned_scan",
     ],
 }
 
