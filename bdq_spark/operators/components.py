@@ -984,31 +984,56 @@ def kcore(
     n_edges = cur.count()
 
     if n_edges <= broadcast_max_nodes:
-        for _ in range(max_rounds):
-            deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-            # LAZY checkpoint + count as the round's single action (the
-            # count materializes the blocks; an eager checkpoint + a
-            # separate isEmpty was two jobs), and the previous round's
-            # lazily-checkpointed cur materializes inside the same job
-            # (OPTIMIZATION_r13 — the peel is a serial job chain, so
-            # every job saved is wall time at any scale)
-            bad = deg.where(F.col("degree") < k).select(
-                "src"
-            ).localCheckpoint(eager=False)
-            if bad.count() == 0:
-                return deg.select(F.col("src").alias("id"), "degree")
-            cur = (
-                cur.join(F.broadcast(bad), "src", "left_anti")
-                .join(
-                    F.broadcast(bad.withColumnRenamed("src", "dst")),
-                    "dst",
-                    "left_anti",
+        # same round-loop conf pin as the CC broadcast regime: every
+        # peel round's only shuffle is the degree aggregate, whose
+        # input row count is KNOWN (n_edges, counted above), so pin
+        # the shuffle width to the data and drop AQE for the loop —
+        # AQE's per-round contribution was re-deriving that width as
+        # extra scheduled query-stage jobs in a SERIAL job chain
+        # (OPTIMIZATION_r13; data-derived, not a local-mode constant).
+        # The anti-joins are explicit broadcasts, so AQE had no join
+        # strategy left to improve here.
+        spark = edges.sparkSession
+        n_part = max(
+            1,
+            min(
+                _shuffle_partitions(spark),
+                -(-n_edges // _ROUND_ROWS_PER_PARTITION),
+            ),
+        )
+        with _aqe_disabled(spark), _conf_pinned(
+            spark, "spark.sql.shuffle.partitions", str(n_part)
+        ):
+            for _ in range(max_rounds):
+                deg = cur.groupBy("src").agg(
+                    F.count(F.lit(1)).alias("degree")
                 )
-                .localCheckpoint(eager=False)
+                # LAZY checkpoint + count as the round's single action
+                # (the count materializes the blocks; an eager
+                # checkpoint + a separate isEmpty was two jobs), and
+                # the previous round's lazily-checkpointed cur
+                # materializes inside the same job (OPTIMIZATION_r13 —
+                # the peel is a serial job chain, so every job saved
+                # is wall time at any scale)
+                bad = deg.where(F.col("degree") < k).select(
+                    "src"
+                ).localCheckpoint(eager=False)
+                if bad.count() == 0:
+                    return deg.select(F.col("src").alias("id"), "degree")
+                cur = (
+                    cur.join(F.broadcast(bad), "src", "left_anti")
+                    .join(
+                        F.broadcast(bad.withColumnRenamed("src", "dst")),
+                        "dst",
+                        "left_anti",
+                    )
+                    .localCheckpoint(eager=False)
+                )
+            deg = cur.groupBy("src").agg(
+                F.count(F.lit(1)).alias("degree")
             )
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-        if deg.where(F.col("degree") < k).isEmpty():
-            return deg.select(F.col("src").alias("id"), "degree")
+            if deg.where(F.col("degree") < k).isEmpty():
+                return deg.select(F.col("src").alias("id"), "degree")
         raise RuntimeError(
             f"kcore: peel did not converge within {max_rounds} rounds"
         )
