@@ -9937,6 +9937,8 @@ _DRIVER_PRIORITY = [
     # sinks.py's explicit-schema sidecar reads (zonemap twin gated by
     # the in-prefix zonemap_pruned_scan / indexed_scan_orders)
     "bloom_pruned_scan",
+    # cdc_sink.py's per-trigger empty-batch guard reorder
+    "streaming_cdc_merge",
 ]
 
 

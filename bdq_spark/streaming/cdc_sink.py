@@ -546,7 +546,13 @@ def cdc_merge_sink_partitioned(
 
     def merge(batch_df: DataFrame, batch_id: int, *_ignored) -> None:
         fs, Path = _hadoop_fs(spark, path)
-        if batch_df.isEmpty():
+        # with caller-fixed columns the empty-batch noop falls out of
+        # the touched-bucket collect below (an empty batch touches no
+        # bucket), so the separate isEmpty job — one scheduled job per
+        # trigger, forever — is only needed on the inferred-columns
+        # path, where the schema-divergence check must keep its
+        # pre-r13 skip-on-empty semantics (OPTIMIZATION_r13)
+        if out_cols is None and batch_df.isEmpty():
             return
 
         batch_cols = [
@@ -614,6 +620,12 @@ def cdc_merge_sink_partitioned(
                 bucket_of(batch_df).alias("b")
             ).distinct().collect()  # bounded: ≤ num_buckets rows
         )
+        if not touched:
+            # empty batch on the fixed-columns path (evolve_all is
+            # only reachable with inferred columns, which the isEmpty
+            # guard above already returned for): same noop as before,
+            # one job cheaper
+            return
         if evolve_all:
             touched = sorted(
                 set(touched) | {int(b) for b in cur["buckets"]}

@@ -153,6 +153,14 @@ TOUCHED = {
         "indexed_scan_orders",
         "bloom_pruned_scan",
     ],
+    # Optimization: the partitioned CDC merge's empty-batch noop falls
+    # out of the touched-bucket collect when the caller fixes the
+    # column set — the separate per-trigger isEmpty job survives only
+    # on the inferred-columns path, whose skip-on-empty schema-check
+    # semantics it preserves.
+    "bdq_spark/streaming/cdc_sink.py": [
+        "streaming_cdc_merge",
+    ],
 }
 
 # modules whose in-round change has no relational queries() surface —
