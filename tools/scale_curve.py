@@ -19,6 +19,17 @@ intra-copy duplicate structure while making cross-copy text unrelated;
 these synthetic corpora — oracle correctness is judged at sf0.01 on the
 driver's own testdata as usual.
 
+CAVEAT (measured in r13): the embeddings synthesis's constant-density
+property degrades at LOW cosine thresholds — rolled copies retain
+lag-autocorrelation mass, so the population of pairs above ~0.3 grows
+super-linearly with the factor (measured 9.2M pairs at x100 -> 53.6M
+at x300 for threshold 0.3; the 0.95-style near-dup regime is
+unaffected in the factors swept).  For low-threshold curves read the
+exponent against the OUTPUT pair count before attributing it to the
+operator: at x300 the lsh path's per-output-pair cost FELL (5.5 ->
+4.4 us/pair) while the curve's wall exponent read 1.4 — output-bound,
+not compute-bound.
+
 Usage::
 
     python tools/scale_curve.py                  # default heavy set
