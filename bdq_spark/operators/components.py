@@ -164,6 +164,12 @@ def _conf_pinned(spark, key: str, value: str):
 # a constant for either local mode or a cluster (guide §2)
 _ROUND_ROWS_PER_PARTITION = 50_000
 
+# largest round gap between convergence-count checks in the CC
+# broadcast-regime loop (OPTIMIZATION_r14): checks run at rounds
+# 1, 2, 4, 8, 12, 16, ... — geometric ramp-up capped so a mid-depth
+# graph never pays more overshoot rounds than the check jobs it saves
+_MAX_CHECK_GAP = 4
+
 
 def _shuffle_partitions(spark) -> int:
     """The session's shuffle partition count as an int, falling back to
@@ -436,28 +442,64 @@ def connected_components(
             (F.col("__n_comp") < F.col("comp")).alias("__changed"),
         )
 
-    def _rounds(edges: DataFrame, labels: DataFrame) -> DataFrame:
-        one_round = (
-            _round_broadcast
-            if n_nodes <= broadcast_max_nodes
-            else _round_copartitioned
+    def _done(labels: DataFrame) -> DataFrame:
+        return labels.select(
+            "id",
+            F.col("comp").alias("cluster_id"),
+            (F.col("id") == F.col("comp")).alias("is_keeper"),
         )
-        for _ in range(max_iterations):
-            # LAZY checkpoint: the changed-count below is the round's
-            # one and only action — it materializes and stores the
-            # checkpoint blocks as a side effect (an eager checkpoint +
-            # separate count was two full jobs)
-            new_labels = one_round(edges, labels).localCheckpoint(
-                eager=False
-            )
-            changed = new_labels.filter(F.col("__changed")).count()
-            labels = new_labels.drop("__changed")
-            if changed == 0:
-                return labels.select(
-                    "id",
-                    F.col("comp").alias("cluster_id"),
-                    (F.col("id") == F.col("comp")).alias("is_keeper"),
-                )
+
+    def _rounds(edges: DataFrame, labels: DataFrame) -> DataFrame:
+        if n_nodes <= broadcast_max_nodes:
+            # GEOMETRIC convergence checks (OPTIMIZATION_r14, guide
+            # §2.6/§1.2): the changed-count is scheduled only at rounds
+            # 1, 2, 4, 8, ... (bounded by max_iterations), not every
+            # round — label mins are monotone and propagation past the
+            # fixpoint is a no-op, so detecting convergence a few
+            # no-op rounds late returns IDENTICAL labels while the
+            # skipped rounds' lazy checkpoints all materialize inside
+            # the next check's single count job (the rounds are a
+            # serial driver-bound chain: each count job saved is wall
+            # time at any scale; the overshoot rounds are node-scale
+            # no-op aggregates, bounded-cheap in this regime by
+            # n_nodes <= broadcast_max_nodes).  The past-cutover path
+            # below keeps its every-round check: there an overshoot
+            # round is a full node-scale exchange, which at cutover
+            # scale costs more than the count job it saves.
+            rounds_run = 0
+            next_check = 1
+            while rounds_run < max_iterations:
+                target = min(next_check, max_iterations)
+                while rounds_run < target:
+                    new_labels = _round_broadcast(
+                        edges, labels
+                    ).localCheckpoint(eager=False)
+                    labels = new_labels.drop("__changed")
+                    rounds_run += 1
+                if new_labels.filter(F.col("__changed")).count() == 0:
+                    return _done(labels)
+                # gap capped at _MAX_CHECK_GAP: an overshoot round costs
+                # one broadcast-build job, a skipped check saves one
+                # count job — uncapped doubling can overshoot by up to
+                # the whole diameter (net loss on mid-depth graphs,
+                # e.g. diameter 9 detected at round 16), while the cap
+                # bounds the overshoot at 3 rounds and keeps nearly all
+                # of the deep-graph check savings (measured at sf0.1:
+                # embedding_dedup_clusters 50 -> 42 construct jobs)
+                next_check = rounds_run + min(rounds_run, _MAX_CHECK_GAP)
+        else:
+            for _ in range(max_iterations):
+                # LAZY checkpoint: the changed-count below is the
+                # round's one and only action — it materializes and
+                # stores the checkpoint blocks as a side effect (an
+                # eager checkpoint + separate count was two full jobs)
+                new_labels = _round_copartitioned(
+                    edges, labels
+                ).localCheckpoint(eager=False)
+                changed = new_labels.filter(F.col("__changed")).count()
+                labels = new_labels.drop("__changed")
+                if changed == 0:
+                    return _done(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "rounds (graph diameter exceeds the bound)"
@@ -1001,9 +1043,22 @@ def kcore(
                 -(-n_edges // _ROUND_ROWS_PER_PARTITION),
             ),
         )
+        # NOTE on the pin vs the shrinking peel (ADVICE r13): n_part is
+        # derived once from the INITIAL n_edges while cur only shrinks,
+        # so late rounds run wider than their data — but this regime is
+        # entered only when n_edges <= broadcast_max_nodes, which caps
+        # the over-partitioning at ceil(bound / 50k) tasks (a handful);
+        # re-deriving would cost the very count jobs this loop removes.
         with _aqe_disabled(spark), _conf_pinned(
             spark, "spark.sql.shuffle.partitions", str(n_part)
         ):
+            # (geometric convergence checks were measured here and
+            # REJECTED in r14: a kcore overshoot round costs broadcast-
+            # build jobs that outweigh the one count job a skipped
+            # check saves — docs_kcore_graph read 33 -> 42 construct
+            # jobs with the doubling schedule.  The CC broadcast loop
+            # keeps them because its overshoot rounds cost exactly one
+            # job each.)
             for _ in range(max_rounds):
                 deg = cur.groupBy("src").agg(
                     F.count(F.lit(1)).alias("degree")
@@ -1020,6 +1075,13 @@ def kcore(
                 ).localCheckpoint(eager=False)
                 if bad.count() == 0:
                     return deg.select(F.col("src").alias("id"), "degree")
+                # (Sharing ONE broadcast build between the two anti-
+                # joins — identical aliased children so ReuseExchange
+                # canonicalizes them — was measured in r14 and
+                # REJECTED: the final plan does show ReusedExchange,
+                # but the localCheckpoint construction still submits
+                # two broadcast-build jobs at runtime, so the round's
+                # job count is unchanged and the rename is simpler.)
                 cur = (
                     cur.join(F.broadcast(bad), "src", "left_anti")
                     .join(

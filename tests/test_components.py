@@ -43,6 +43,46 @@ def test_convergence_bound_raises(spark):
     assert {v[0] for v in out.values()} == {0}
 
 
+def test_geometric_check_boundaries(spark):
+    """The broadcast-regime loops count their convergence flag only at
+    geometrically spaced rounds (OPTIMIZATION_r14).  Pin the boundary
+    semantics: a diameter that lands BETWEEN two check rounds is
+    detected late but returns identical labels (overshoot rounds are
+    no-ops), and the max_iterations raise fires at exactly the same
+    bound as the every-round loop did."""
+    from bdq_spark.operators.components import kcore
+
+    # 5-node path: fixpoint after round 4, first changed==0 at round 5
+    # -> geometric checks (1, 2, 4, 8) detect at round 8; labels must
+    # still be the every-round answer
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    out = _collect(connected_components(pairs))
+    assert {k: v[0] for k, v in out.items()} == {i: 0 for i in range(5)}
+    # raise boundary unchanged: an 8-node path needs 7 propagation
+    # rounds + 1 no-change round; max_iterations=7 must still raise,
+    # 8 must converge (the final geometric check is pinned to the bound)
+    path8 = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path8, max_iterations=7)
+    out8 = _collect(connected_components(path8, max_iterations=8))
+    assert {v[0] for v in out8.values()} == {0}
+    # kcore boundary (every-round checks + shared-broadcast anti-joins):
+    # a 3-level pendant path peels in exactly 3 rounds — max_rounds=4
+    # converges, max_rounds=2 raises
+    edges = [(i, i % 6 + 1) for i in range(1, 7)] + [
+        (1, 10), (10, 11), (11, 12)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.id, r.degree) for r in kcore(df, k=2, max_rounds=4).collect()}
+    assert got == {(i, 2) for i in range(1, 7)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_rounds=2).collect()
+
+
 def _union_find(edges):
     parent = {}
 
