@@ -54,6 +54,28 @@ def _dec(col: str, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})")
 
 
+def _spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a NARROW scan across the session's cores before an
+    expensive per-row compute stage (payload synthesis + Python decode
+    in the multimodal entries).  A small parquet table arrives as ONE
+    split, so everything downstream of it — including a heavyweight
+    mapInPandas — runs in one task (measured: the whole
+    multimodal_mjpeg_pixel_stats entry was a single-task job).
+    Repartitioning the id-only projection moves a few bytes per row and
+    buys full-width decode (guide §8: move the lightweight proxy,
+    synthesize the heavy bytes after; §2.6: fill the idle cores).
+    Scale-adaptive, not a local-mode constant: when the scan already
+    has >= session-parallelism splits (any real at-scale table) this is
+    the identity — no exchange is added.  Keyless repartition is
+    deterministic here (sort-before-repartition over a deterministic
+    scan, guide §2.5)."""
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
+
+
 def _plan_has_exchange(plan: str) -> bool:
     """True iff a formatted physical plan contains a shuffle Exchange.
 
@@ -2550,6 +2572,20 @@ def streaming_ingest_vector_index(
     cosn = cosine_from_norms(
         F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
     )
+    # the index's schema, derived from an EMPTY frame through the same
+    # bucket/norm projection (plan analysis only — no job): every later
+    # read of index_dir states it explicitly, so no trigger (and not
+    # the final probe) pays spark.read.parquet's footer-inference job
+    # (OPTIMIZATION_r14, guide §1.2)
+    idx_schema = (
+        _buckets(
+            spark.createDataFrame(
+                [], "vec_id bigint, embedding array<float>"
+            )
+        )
+        .withColumn("__n", l2_norm(F.col("vec")))
+        .schema
+    )
 
     def ingest(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -2579,7 +2615,7 @@ def streaming_ingest_vector_index(
         # (c) cross-batch: probe the persisted index (survivors only)
         first = not os.path.exists(os.path.join(index_dir, "_SUCCESS"))
         if not first:
-            idx = s.read.parquet(index_dir)
+            idx = s.read.schema(idx_schema).parquet(index_dir)
             hits = (
                 kept.alias("q")
                 .join(idx.alias("c"), "bucket")
@@ -2625,7 +2661,7 @@ def streaming_ingest_vector_index(
                 "streaming_ingest_vector_index: stream did not finish "
                 "within 300 s — refusing to read a partial index"
             )
-        idx = spark.read.parquet(index_dir)
+        idx = spark.read.schema(idx_schema).parquet(index_dir)
         survivors = idx.select(F.col("id").alias("vec_id")).distinct()
         # one aggregation job for both consistency counts (was two
         # separate count() jobs over the same tiny index)
@@ -4084,9 +4120,11 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         he(F.lit(8 + 100), 8), F.lit("6D766864"), mvhd_body,
     )
     payload = F.unhex(F.when(did % 5 == 0, mp4).otherwise(avi))
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", payload.alias("payload")
-    )
+    # see multimodal_mjpeg_pixel_stats: synthesize + walk at session
+    # width instead of inside the scan's single task
+    docs = _spread_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    ).select("doc_id", payload.alias("payload"))
     media = attach_media_metadata(
         docs, content_column="payload", media_type="video", id_column="doc_id"
     )
@@ -4231,9 +4269,13 @@ def multimodal_mjpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     avi = F.concat(
         F.lit("52494646"), le32(riff_len), F.lit("41564920"), hdrl, movi
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.unhex(avi).alias("payload")
-    )
+    # spread the id-only scan BEFORE synthesizing payloads: the AVI
+    # bytes and the per-frame huffman+IDCT decode then run at session
+    # width instead of inside the scan's single task
+    # (OPTIMIZATION_r14; see _spread_narrow_scan)
+    docs = _spread_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    ).select("doc_id", F.unhex(avi).alias("payload"))
     media = attach_media_metadata(
         docs, content_column="payload", media_type="video", id_column="doc_id"
     )
@@ -4485,9 +4527,10 @@ def multimodal_rle8_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     avi = F.concat(
         F.lit("52494646"), le32(riff_len), F.lit("41564920"), hdrl, movi
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.unhex(avi).alias("payload")
-    )
+    # see multimodal_mjpeg_pixel_stats: decode at session width
+    docs = _spread_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    ).select("doc_id", F.unhex(avi).alias("payload"))
     media = attach_media_metadata(
         docs, content_column="payload", media_type="video", id_column="doc_id"
     )
@@ -9459,6 +9502,16 @@ def streaming_ingest_dedup_index(
                 out[name] = st.getPath().toUri().toString()
         return out
 
+    # the corpus schema is fixed by the ingest projection below — state
+    # it at every read so no trigger (and no final probe) pays the
+    # footer-inference job spark.read.parquet schedules per schema-less
+    # read (OPTIMIZATION_r14, guide §1.2: at any scale that job is a
+    # serial round of driver latency per trigger)
+    corpus_ddl = (
+        "doc_id bigint, text string, lang string, n_chars bigint, "
+        "fingerprint string"
+    )
+
     def ingest(batch_df, batch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -9472,7 +9525,7 @@ def streaming_ingest_dedup_index(
         prior = (
             batch_df.limit(0).withColumn("fingerprint", F.lit(""))
             if first
-            else s.read.parquet(corpus)
+            else s.read.schema(corpus_ddl).parquet(corpus)
         )
         kept_batch = incremental_fingerprint_dedup(
             prior, batch_df, corpus_fingerprint_column="fingerprint"
@@ -9486,7 +9539,10 @@ def streaming_ingest_dedup_index(
         clustered = kept_batch.repartitionByRange(4, "n_chars")
         if first:
             write_zonemap(s, clustered, corpus, ["n_chars", "doc_id"])
-            write_bloom_index(s, corpus, ["doc_id"], bits=bits, hashes=5)
+            write_bloom_index(
+                s, corpus, ["doc_id"], bits=bits, hashes=5,
+                schema_ddl=corpus_ddl,
+            )
             return
         before = set(_data_files(s))
         clustered.write.mode("append").parquet(corpus)
@@ -9503,11 +9559,11 @@ def streaming_ingest_dedup_index(
             with ThreadPoolExecutor(max_workers=2) as pool:
                 fz = pool.submit(
                     append_zonemap, s, corpus, new_files,
-                    count_appended=False,
+                    count_appended=False, schema_ddl=corpus_ddl,
                 )
                 fb = pool.submit(
                     append_bloom, s, corpus, new_files,
-                    count_appended=False,
+                    count_appended=False, schema_ddl=corpus_ddl,
                 )
                 fz.result(), fb.result()
 
@@ -9531,7 +9587,7 @@ def streaming_ingest_dedup_index(
                 "streaming_ingest_dedup_index: stream did not finish "
                 "within 300 s — refusing to probe a partial corpus"
             )
-        n_kept = spark.read.parquet(corpus).count()
+        n_kept = spark.read.schema(corpus_ddl).parquet(corpus).count()
         if n_kept != expected_kept:
             raise RuntimeError(
                 f"incremental dedup regressed — corpus holds {n_kept} "
@@ -9558,8 +9614,14 @@ def streaming_ingest_dedup_index(
                 f"{len(cz['files'])}/{cz['total']}, bloom "
                 f"{len(cb['files'])}/{cb['total']}"
             )
-        band = read_indexed(spark, corpus, ranges=ranges, candidates=cz)
-        point = read_indexed(spark, corpus, equals=equals, candidates=cb)
+        band = read_indexed(
+            spark, corpus, ranges=ranges, candidates=cz,
+            schema_ddl=corpus_ddl,
+        )
+        point = read_indexed(
+            spark, corpus, equals=equals, candidates=cb,
+            schema_ddl=corpus_ddl,
+        )
         cols = ["doc_id", "lang", "n_chars"]
         return (
             band.select(*cols)
@@ -9939,6 +10001,11 @@ _DRIVER_PRIORITY = [
     "bloom_pruned_scan",
     # cdc_sink.py's per-trigger empty-batch guard reorder
     "streaming_cdc_merge",
+    # r14 changed-code gates: multimodal decode parallelization
+    # (_spread_narrow_scan + select-before-mapInPandas)
+    "multimodal_mjpeg_pixel_stats",
+    "multimodal_rle8_pixel_stats",
+    "multimodal_video_frames",
 ]
 
 

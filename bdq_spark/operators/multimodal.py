@@ -1498,7 +1498,10 @@ def decode_video(df: DataFrame, content_column: str = "content") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(decode, schema=_VIDEO_SCHEMA)
+    # see video_pixel_stats: ship only what the parser reads
+    return df.select("media_id", content_column).mapInPandas(
+        decode, schema=_VIDEO_SCHEMA
+    )
 
 
 _FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary"
@@ -1534,7 +1537,10 @@ def sample_container_frames(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )
 
-    return df.mapInPandas(sample, schema=_FRAMES_SCHEMA)
+    # see video_pixel_stats: ship only what the sampler reads
+    return df.select("media_id", content_column).mapInPandas(
+        sample, schema=_FRAMES_SCHEMA
+    )
 
 
 _VIDEO_PIXEL_SCHEMA = (
@@ -1775,7 +1781,13 @@ def video_pixel_stats(
                          "mean_brightness", "decode_ok"],
             )
 
-    return df.mapInPandas(stats, schema=_VIDEO_PIXEL_SCHEMA)
+    # project to exactly the two columns the decoder touches BEFORE the
+    # Python boundary: mapInPandas is opaque to the optimizer, so
+    # without this every media column (mime, meta, ...) is computed and
+    # shipped across Arrow for nothing (guide §4.1/OPTIMIZATION_r14)
+    return df.select("media_id", content_column).mapInPandas(
+        stats, schema=_VIDEO_PIXEL_SCHEMA
+    )
 
 
 def sample_video_frames(

@@ -201,7 +201,11 @@ def write_zonemap(
 
     sidecar = path.rstrip("/") + "/_ZONEMAP"
     census = (
-        spark.read.parquet(path)
+        # read-back with the schema of the frame just written — the
+        # files ARE df's rows, so inference could only rediscover it;
+        # skipping it removes one scheduled job per write
+        # (OPTIMIZATION_r14, guide §1.2)
+        spark.read.schema(df.schema).parquet(path)
         .withColumn("__file", F.input_file_name())
         .groupBy("__file")
         .agg(
@@ -289,7 +293,8 @@ def zonemap_manifest(spark, path: str) -> dict:
 
 
 def append_zonemap(
-    spark, path: str, new_files: List[str], count_appended: bool = True
+    spark, path: str, new_files: List[str], count_appended: bool = True,
+    schema_ddl: Optional[str] = None,
 ) -> dict:
     """Incrementally extend an existing zonemap sidecar with the
     min/max census of ``new_files`` — the streaming-ingest maintenance
@@ -307,6 +312,14 @@ def append_zonemap(
     (parquet append of census shards; no driver collect).  Returns
     ``{"files_appended": n, "sidecar": ...}`` (n from a 1-row count
     of the appended frame).
+
+    ``schema_ddl``: the new files' schema, when the appender knows it
+    (it wrote them) — skips the footer-inference job that
+    ``spark.read.parquet`` otherwise schedules per append
+    (OPTIMIZATION_r14, guide §1.2: a per-trigger scheduled job is
+    latency at any scale).  Must match what inference would return;
+    the type-alignment guard below still validates the indexed columns
+    against the sidecar either way.
     """
     from pyspark.sql import functions as F
 
@@ -322,7 +335,11 @@ def append_zonemap(
     stats_cols = sorted(
         c[3:] for c in existing.columns if c.startswith("lo_")
     )
-    batch = spark.read.parquet(*new_files)
+    batch = (
+        spark.read.schema(schema_ddl).parquet(*new_files)
+        if schema_ddl
+        else spark.read.parquet(*new_files)
+    )
     missing = [c for c in stats_cols if c not in batch.columns]
     if missing:
         raise ValueError(
@@ -513,6 +530,7 @@ def write_bloom_index(
     bloom_cols: List[str],
     bits: int = 8192,
     hashes: int = 5,
+    schema_ddl: Optional[str] = None,
 ) -> dict:
     """Build a FILE-LEVEL Bloom-filter sidecar (``<path>/_BLOOM``) over an
     EXISTING parquet directory — the EQUALITY-predicate complement of
@@ -564,7 +582,13 @@ def write_bloom_index(
 
     if not bloom_cols:
         raise ValueError("bloom_cols must be non-empty")
-    base = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    # schema_ddl: callers that know the table's schema (they just wrote
+    # it) skip the footer-inference job (OPTIMIZATION_r14, guide §1.2)
+    base = (
+        spark.read.schema(schema_ddl).parquet(path)
+        if schema_ddl
+        else spark.read.parquet(path)
+    ).withColumn("__file", F.input_file_name())
     stack = "stack({}, {}) AS (__col, __v)".format(
         len(bloom_cols),
         ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in bloom_cols),
@@ -700,7 +724,8 @@ def bloom_manifest(spark, path: str) -> dict:
 
 
 def append_bloom(
-    spark, path: str, new_files: List[str], count_appended: bool = True
+    spark, path: str, new_files: List[str], count_appended: bool = True,
+    schema_ddl: Optional[str] = None,
 ) -> dict:
     """Incrementally extend an existing Bloom sidecar with filters for
     ``new_files`` — :func:`append_zonemap`'s equality-index sibling:
@@ -713,6 +738,10 @@ def append_bloom(
     Idempotent (already-censused files are anti-joined away
     executor-side) and executor-side end to end.  Returns
     ``{"files_appended": n, "sidecar": ...}``.
+
+    ``schema_ddl``: the new files' schema, when the appender knows it —
+    skips the per-append footer-inference job (see
+    :func:`append_zonemap`).
     """
     from pyspark.sql import functions as F
 
@@ -731,7 +760,11 @@ def append_bloom(
     )
     sidecar = path.rstrip("/") + "/_BLOOM"
     existing = spark.read.schema(_BLOOM_SIDECAR_SCHEMA).parquet(sidecar)
-    batch = spark.read.parquet(*new_files)
+    batch = (
+        spark.read.schema(schema_ddl).parquet(*new_files)
+        if schema_ddl
+        else spark.read.parquet(*new_files)
+    )
     missing = [c for c in bloom_cols if c not in batch.columns]
     if missing:
         raise ValueError(
@@ -928,9 +961,13 @@ def read_bloom(
     from pyspark.sql import functions as F
 
     cand = candidates or bloom_candidate_files(spark, path, equals)
-    full = spark.read.parquet(path)
+    # the full-table frame exists only for its schema on the empty-
+    # candidates path — construct it lazily so the hit path never pays
+    # its footer-inference job (OPTIMIZATION_r14, guide §1.2)
     out = (
-        spark.read.parquet(*cand["files"]) if cand["files"] else full.limit(0)
+        spark.read.parquet(*cand["files"])
+        if cand["files"]
+        else spark.read.parquet(path).limit(0)
     )
     for col, value in equals.items():
         out = out.filter(F.col(col) == value)
@@ -964,6 +1001,7 @@ def indexed_candidate_files(
 def read_indexed(
     spark, path: str, ranges: Optional[dict] = None,
     equals: Optional[dict] = None, candidates: Optional[dict] = None,
+    schema_ddl: Optional[str] = None,
 ) -> DataFrame:
     """Scan only the files that BOTH sidecar indexes admit, then apply
     every predicate exactly (superset pruning — results identical to a
@@ -971,14 +1009,26 @@ def read_indexed(
     :func:`write_zonemap` (+ optionally Z-order) and
     :func:`write_bloom_index`.  ``candidates`` accepts an
     :func:`indexed_candidate_files` result for the SAME predicates so
-    callers that already resolved don't pay the resolution jobs twice."""
+    callers that already resolved don't pay the resolution jobs twice.
+    ``schema_ddl``: the table's schema when the caller knows it — skips
+    the footer-inference job of the candidate scan AND the eager
+    inference of the empty-result frame (OPTIMIZATION_r14, guide
+    §1.2)."""
     from pyspark.sql import functions as F
 
     cand = candidates or indexed_candidate_files(spark, path, ranges, equals)
-    full = spark.read.parquet(path)
-    out = (
-        spark.read.parquet(*cand["files"]) if cand["files"] else full.limit(0)
-    )
+    if schema_ddl:
+        out = (
+            spark.read.schema(schema_ddl).parquet(*cand["files"])
+            if cand["files"]
+            else spark.createDataFrame([], schema_ddl)
+        )
+    else:
+        out = (
+            spark.read.parquet(*cand["files"])
+            if cand["files"]
+            else spark.read.parquet(path).limit(0)
+        )
     for col, (lo, hi) in (ranges or {}).items():
         if lo is not None:
             out = out.filter(F.col(col) >= lo)

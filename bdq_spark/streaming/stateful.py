@@ -50,6 +50,7 @@ def running_counter(
     key_column: str = "user_id",
     value_column: str = "value",
     timeout: str = "NoTimeout",
+    n_buckets: "int | None" = None,
 ) -> DataFrame:
     """Per-key running (count, sum, max) maintained across micro-batches.
 
@@ -96,18 +97,50 @@ def running_counter(
             )
         )
 
+    # BATCH path (OPTIMIZATION_r14, guide §4.2 — the same shape
+    # running_zscore/sessionize got in r13): grouping by the raw key
+    # called the UDF once per key (~tiny frames whose Arrow/call
+    # machinery dwarfed the three aggregates).  Group by a
+    # DETERMINISTIC hash bucket sized from the row count instead
+    # (~100k rows/bucket, floored at defaultParallelism — data-derived,
+    # not a local-mode constant) and aggregate ALL keys of a bucket in
+    # one pandas groupby pass.  count/max are order-free; the float
+    # total's last-ulp accumulation order was never deterministic under
+    # the per-key path either (post-shuffle row order), and every
+    # declared consumer rounds it over exact fixed-point inputs.  Null
+    # keys keep Spark's null-group semantics via dropna=False.
+    if n_buckets is None:
+        n_rows = df.count()
+        n_buckets = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n_rows // 100_000),
+        )
+
     def one_shot(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[value_column].astype(float)
+        agg = (
+            pd.DataFrame(
+                {"key": pdf[key_column].to_numpy(), "v": vals.to_numpy()}
+            )
+            .groupby("key", sort=False, dropna=False)["v"]
+            .agg(["size", "sum", "max"])
+            .reset_index()
+        )
         return pd.DataFrame(
             {
-                "key": [pdf[key_column].iloc[0]],
-                "n_events": [len(vals)],
-                "total": [float(vals.sum())],
-                "max_value": [float(vals.max()) if len(vals) else None],
+                "key": agg["key"],
+                "n_events": agg["size"].astype("int64"),
+                "total": agg["sum"].astype("float64"),
+                "max_value": agg["max"].astype("float64"),
             }
         )
 
-    return df.groupBy(key_column).applyInPandas(one_shot, schema=output_schema)
+    bucket = F.pmod(F.xxhash64(F.col(key_column)), F.lit(n_buckets))
+    return (
+        df.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .applyInPandas(one_shot, schema=output_schema)
+    )
 
 
 _ZSCORE_STATE = "n bigint, s bigint, q bigint"
