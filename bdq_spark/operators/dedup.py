@@ -633,13 +633,19 @@ def minhash_signatures(
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5': {hash_fn!r}")
     # one selectExpr (a single py4j round trip) instead of num_hashes
     # Python-assembled pmod trees — the per-column construction measured
-    # ~0.6 s of driver time per call at 64 hashes (OPTIMIZATION_r13);
-    # codegen subexpression elimination evaluates the shared base hash
-    # once per row either way
-    hashed = sh.selectExpr(
+    # ~0.6 s of driver time per call at 64 hashes (OPTIMIZATION_r13).
+    # The base hash is STAGED in its own projection (OPTIMIZATION_r14,
+    # guide §7.2 "duplicated subtrees"): inlining it into the 64 affine
+    # columns re-evaluated the md5/conv tree 64x PER SHINGLE — measured
+    # 23.0 s vs 8.3 s for the staged shape on a 2M-row hashed
+    # projection (subexpression elimination provably did NOT fire; the
+    # optimizer keeps the two projections apart because a non-cheap
+    # expression consumed 64x is excluded from CollapseProject).
+    # Same values bit-for-bit — the affine family reads one shared base.
+    hashed = sh.selectExpr("id", f"{base_sql} as __base").selectExpr(
         "id",
         *[
-            f"pmod({base_sql} * {a}L + {b}L, {p}) as h{i}"
+            f"pmod(__base * {a}L + {b}L, {p}) as h{i}"
             for i, (a, b) in enumerate(coef)
         ],
     )

@@ -219,10 +219,14 @@ def write_zonemap(
     # paying a footer-inference job first (OPTIMIZATION_r13, guide
     # §1.2 — a per-probe scheduled job is latency at any scale; pre-
     # meta sidecars still fall back to inference)
+    # field names BACKTICK-QUOTED (ADVICE r13): an indexed column whose
+    # name is not a bare DDL identifier (space, hyphen) would otherwise
+    # produce lo_/hi_ names that make every later schema(ddl) parse
+    # throw where the pre-meta inference path worked
     _fs_write_json(
         spark, path, "_ZONEMAP_META.json",
         {"schema_ddl": ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
+            f"`{f.name}` {f.dataType.simpleString()}"
             for f in census.schema.fields
         )},
     )
@@ -264,11 +268,18 @@ def _count_data_files(spark, path: str) -> int:
 def _read_zonemap_sidecar(spark, path: str):
     """The zonemap sidecar as a DataFrame — with the explicit schema
     from ``_ZONEMAP_META.json`` when present (skips the per-read
-    footer-inference job), else plain inference (pre-meta sidecars)."""
+    footer-inference job), else plain inference (pre-meta sidecars).
+    A meta file whose DDL does not parse (e.g. written by a version
+    that did not quote exotic column names) falls back to inference —
+    a bad meta file must never brick an otherwise-valid sidecar
+    (ADVICE r13)."""
     sidecar = path.rstrip("/") + "/_ZONEMAP"
     if _fs_exists(spark, path, "_ZONEMAP_META.json"):
         ddl = _fs_read_json(spark, path, "_ZONEMAP_META.json")["schema_ddl"]
-        return spark.read.schema(ddl).parquet(sidecar)
+        try:
+            return spark.read.schema(ddl).parquet(sidecar)
+        except Exception:
+            return spark.read.parquet(sidecar)
     return spark.read.parquet(sidecar)
 
 

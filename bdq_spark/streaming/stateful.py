@@ -441,6 +441,17 @@ def sessionize(
     Real uses of this shape add custom per-session state the native
     operator can't express (distinct pages, conversion flags, decayed
     scores) — the plumbing is identical.
+
+    KEY-TYPE LIMITATION (ADVICE r13): the batch path groups inside
+    pandas with ``groupby(dropna=False)``, which treats ``None`` and
+    ``NaN`` as ONE NA group, while Spark's ``groupBy`` keeps null and
+    NaN (float/double keys) distinct — a double-typed key column
+    containing BOTH null and NaN would merge their event streams.
+    Integer/string/timestamp keys (every caller here) are unaffected;
+    normalize NaN to a sentinel upstream if double keys are ever in
+    scope.  Likewise ``pd.to_datetime(...).to_numpy('datetime64[ns]')``
+    raises on tz-aware inputs the old per-row ``Timestamp.value`` path
+    accepted.
     """
     import re as _re
 

@@ -99,6 +99,20 @@ TOUCHED = {
     "bdq_spark/streaming/stateful.py": [
         "stateful_running_counter",
     ],
+    # Optimization: minhash_signatures stages the shared base hash in
+    # its own projection — inlined, the md5/conv (or pmod(xxhash64))
+    # tree re-evaluated 64x per shingle (measured 23.0 -> 8.3 s on a 2M
+    # row hashed projection; subexpression elimination provably does
+    # not fire across the 64 affine columns).  Identical values; sf0.1
+    # walls flat (A/B) because shingle volume doesn't dominate there.
+    "bdq_spark/operators/dedup.py": [
+        "incremental_minhash_md5",
+        "minhash_md5_near_dup",
+        "minhash_lsh_near_dup",
+        "incremental_minhash_near_dup",
+        "near_dup_jaccard",
+        "near_dup_clusters",
+    ],
 }
 
 # modules whose in-round change has no relational queries() surface —
@@ -116,4 +130,5 @@ BENCH_AB = {
     "bdq_spark/operators/components.py": "BENCH_AB_r14.json",
     "bdq_spark/sources/sinks.py": "BENCH_AB_r14.json",
     "bdq_spark/entry_queries.py": "BENCH_AB_r14.json",
+    "bdq_spark/operators/dedup.py": "BENCH_AB_r14.json",
 }

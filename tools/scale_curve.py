@@ -111,6 +111,8 @@ QUERY_TABLE = {
     "multimodal_mp3_stream_stats": "documents",
     "knn_quantized_embeddings": "embeddings",
     "events_running_zscore": "events",
+    "stateful_sessionize": "events",
+    "docs_kcore_graph": "documents",
 }
 
 
