@@ -2302,7 +2302,8 @@ def persisted_vector_index_probe(
     from bdq_spark.operators._checkpoint import data_checkpoint
     from bdq_spark.operators.similarity import (
         _table_seed,
-        cosine_similarity,
+        cosine_from_norms,
+        l2_norm,
         lsh_bucket_vectors_md5,
     )
     from bdq_spark.plans.plan_lint import plan_text
@@ -2346,13 +2347,25 @@ def persisted_vector_index_probe(
         _stage_index_atomic(
             _buckets(corpus).repartition(8, "bucket"), path, expected_marker
         )
-    index = spark.read.parquet(path)
+    # norms once per ROW below the bucket join (the knn_bruteforce
+    # trick; OPTIMIZATION_r14): per candidate PAIR only the dot product
+    # remains, and the checkpointed batch side materializes its norms —
+    # cosine_from_norms keeps cosine_similarity's exact multiplication/
+    # guard order, so values are bit-identical
+    index = spark.read.parquet(path).withColumn(
+        "__n", l2_norm(F.col("vec"))
+    )
     # the batch side's single embeddings read hides behind this lazy
     # checkpoint — the plan assertion below would otherwise see it
     batch = data_checkpoint(
-        _buckets(emb.filter(F.col("vec_id") % 3 == 0)), eager=False
+        _buckets(emb.filter(F.col("vec_id") % 3 == 0)).withColumn(
+            "__n", l2_norm(F.col("vec"))
+        ),
+        eager=False,
     )
-    cos = cosine_similarity(F.col("qv"), F.col("cv"))
+    cos = cosine_from_norms(
+        F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+    )
     out = (
         batch.alias("q")
         .join(index.alias("c"), "bucket")
@@ -2361,6 +2374,8 @@ def persisted_vector_index_probe(
             F.col("c.id").alias("id_b"),
             F.col("q.vec").alias("qv"),
             F.col("c.vec").alias("cv"),
+            F.col("q.__n").alias("__qn"),
+            F.col("c.__n").alias("__cn"),
         )
         .dropDuplicates(["id_a", "id_b"])  # cross-table re-surfacing
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

@@ -1280,7 +1280,8 @@ def embedding_cosine_pairs(
         raise ValueError(f"unknown mode: {mode!r} (auto|exact|lsh)")
 
     from bdq_spark.operators.similarity import (
-        cosine_similarity,
+        cosine_from_norms,
+        l2_norm,
         lsh_probe_buckets,
     )
 
@@ -1325,9 +1326,21 @@ def embedding_cosine_pairs(
         # the same pair can surface from several shared probe buckets
         cand = cand.dropDuplicates(["id_a", "id_b"])
 
-    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    # norms once per ROW below the verify joins (the knn_bruteforce
+    # trick; OPTIMIZATION_r14): per candidate PAIR only the dot product
+    # remains — cosine_from_norms keeps cosine_similarity's exact
+    # multiplication/guard order, so values are bit-identical
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        l2_norm(F.col("vec")).alias("__na"),
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        l2_norm(F.col("vec")).alias("__nb"),
+    )
+    cos = cosine_from_norms(
+        F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -1373,7 +1386,8 @@ def embedding_cosine_pairs_md5(
     from bdq_spark.operators.similarity import (
         _check_lsh_geometry,
         _table_seed,
-        cosine_similarity,
+        cosine_from_norms,
+        l2_norm,
         lsh_bucket_vectors_md5,
     )
 
@@ -1396,11 +1410,33 @@ def embedding_cosine_pairs_md5(
             )
         )
         cand = ct if cand is None else cand.unionByName(ct)
-    cand = cand.distinct()  # the same pair surfaces from several tables
+    # the same pair surfaces from several tables — dedup ON an
+    # explicit-width keyed repartition (OPTIMIZATION_r14, guide §2.2):
+    # the candidate relation is a few MB but each row costs an
+    # INTERPRETED 64-dim HOF dot downstream, so AQE's byte-based
+    # coalescing packed the whole verify into 1-2 tasks.  A
+    # user-specified repartition is exempt from AQE coalescing, and the
+    # dropDuplicates reuses its hash partitioning (no extra exchange) —
+    # the verify then runs at session width.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(width, "id_a", "id_b").dropDuplicates()
 
-    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    # per-ROW norms below the verify joins (the knn_bruteforce trick):
+    # per candidate PAIR only the dot product remains — was dot + two
+    # norm aggregates per pair; cosine_from_norms keeps
+    # cosine_similarity's exact multiplication/guard order, so values
+    # are bit-identical (OPTIMIZATION_r14)
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        l2_norm(F.col("vec")).alias("na"),
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        l2_norm(F.col("vec")).alias("nb"),
+    )
+    cos = cosine_from_norms(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -253,7 +253,6 @@ def knn_ivf_quantized(
         _q_expr,
         kmeans_fit_quantized,
     )
-    from bdq_spark.operators.similarity import cosine_similarity
 
     centroids = kmeans_fit_quantized(
         corpus, corpus_vec, corpus_id, k=n_clusters, iters=iters,
@@ -274,7 +273,7 @@ def knn_ivf_quantized(
         ),
         centroids,
         ["id", "vec"],
-    ).select("id", "vec", "cluster")
+    ).select("id", "vec", "cluster", l2_norm(F.col("vec")).alias("__n"))
 
     # probe order: the n_probe nearest centroids by exact (d2, j) —
     # array_sort on (d2, j) structs is deterministic in any engine.
@@ -296,10 +295,15 @@ def knn_ivf_quantized(
             "id", "vec", F.expr(_dists_sql("q", centroids)).alias("__d")
         )
         .withColumn("cluster", F.explode(F.expr(probe_cells_sql)))
-        .select("id", "vec", "cluster")
+        .select("id", "vec", "cluster", l2_norm(F.col("vec")).alias("__n"))
     )
 
-    cos = cosine_similarity(F.col("q.vec"), F.col("c.vec"))
+    # norms once per ROW below the join (same rationale as knn_ivf /
+    # knn_bruteforce): per candidate pair only the dot remains; same
+    # arithmetic order as cosine_similarity, so values bit-identical
+    cos = cosine_from_norms(
+        F.col("q.vec"), F.col("c.vec"), F.col("q.__n"), F.col("c.__n")
+    )
     scored = (
         cells.alias("c")
         .join(

@@ -69,12 +69,16 @@ TOUCHED = {
     # final census count, the sidecar-pruned probes) — no trigger pays
     # the footer-inference job (dedup index 57 -> 44 construct jobs,
     # vector index 31 -> 28).
+    # (second r14 change: persisted_vector_index_probe stages per-ROW
+    # L2 norms below its bucket join — same cosine_from_norms pattern
+    # as the dedup.py/ivf.py entries below.)
     "bdq_spark/entry_queries.py": [
         "streaming_ingest_dedup_index",
         "streaming_ingest_vector_index",
         "multimodal_mjpeg_pixel_stats",
         "multimodal_rle8_pixel_stats",
         "multimodal_video_frames",
+        "persisted_vector_index_probe",
     ],
     # Optimization: the three heavyweight decode operators project to
     # exactly (media_id, content) BEFORE their mapInPandas (the Python
@@ -105,6 +109,13 @@ TOUCHED = {
     # row hashed projection; subexpression elimination provably does
     # not fire across the 64 affine columns).  Identical values; sf0.1
     # walls flat (A/B) because shingle volume doesn't dominate there.
+    # ALSO (second r14 change): embedding_cosine_pairs and its md5 twin
+    # stage per-ROW L2 norms below the verify joins (per candidate PAIR
+    # only the dot product remains — cosine_from_norms keeps the exact
+    # multiplication/guard order so values are bit-identical), and the
+    # md5 twin's candidate dedup runs on an explicit-width keyed
+    # repartition so AQE's byte-based coalescing can't serialize the
+    # interpreted-HOF verify into 1-2 tasks (guide §2.2/§4).
     "bdq_spark/operators/dedup.py": [
         "incremental_minhash_md5",
         "minhash_md5_near_dup",
@@ -112,6 +123,19 @@ TOUCHED = {
         "incremental_minhash_near_dup",
         "near_dup_jaccard",
         "near_dup_clusters",
+        "embedding_near_dup_pairs",
+        "embedding_near_dup_pairs_multitable",
+        "embedding_dedup_clusters",
+    ],
+    # Optimization: knn_ivf_quantized stages per-ROW L2 norms on both
+    # sides of the cell join (cells in the assignment projection,
+    # probes in the probe-explode projection) and scores candidates
+    # with cosine_from_norms — per candidate pair only the dot product
+    # remains, same arithmetic order, values bit-identical (the float
+    # knn_ivf already had this; guide §4.2 evaluate-once).
+    "bdq_spark/operators/ivf.py": [
+        "knn_ivf_quantized",
+        "knn_ivf_embeddings",
     ],
 }
 
@@ -131,4 +155,5 @@ BENCH_AB = {
     "bdq_spark/sources/sinks.py": "BENCH_AB_r14.json",
     "bdq_spark/entry_queries.py": "BENCH_AB_r14.json",
     "bdq_spark/operators/dedup.py": "BENCH_AB_r14.json",
+    "bdq_spark/operators/ivf.py": "BENCH_AB_r14.json",
 }
