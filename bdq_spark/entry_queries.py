@@ -4140,6 +4140,16 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread_narrow_scan(
         load_table(spark, sf_dir, "documents").select("doc_id")
     ).select("doc_id", payload.alias("payload"))
+    # NOTE (OPTIMIZATION_r14, measured and REJECTED): the meta and
+    # frame-walk branches below fork the plan, so the AVI/MP4
+    # hex-synthesis expression runs twice per row (RIFF literal appears
+    # 2x in the committed plan).  A lazy data_checkpoint of the
+    # synthesized payloads removes the second evaluation but ADDS a
+    # materialization job — measured 1.11 -> 1.35 s at sf0.1 (twice,
+    # same box) because the per-row synthesis (~0.05 s/branch at this
+    # SF) is far below the job floor (~0.3 s); the ids-only scan alone
+    # is 0.89 s.  The double synthesis stays until payload volume, not
+    # job latency, dominates.
     media = attach_media_metadata(
         docs, content_column="payload", media_type="video", id_column="doc_id"
     )
@@ -9566,21 +9576,35 @@ def streaming_ingest_dedup_index(
             uri for name, uri in after.items() if name not in before
         )
         if new_files:
-            # the two sidecar appends are INDEPENDENT jobs over the
-            # same new files — overlap them so the trigger pays one
+            # ONE scan of the just-written batch files feeds BOTH
+            # sidecar censuses (guide §6: the batch bytes cross the
+            # disk once, not once per sidecar — __file staged from
+            # input_file_name BEFORE the persist, which an in-memory
+            # scan cannot recover), and the two appends remain
+            # INDEPENDENT jobs overlapped so the trigger pays one
             # round of fixed job latency, not two (guide §2.6);
             # count_appended=False skips the summary-only census count
             # job (the return value is unused here)
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                fz = pool.submit(
-                    append_zonemap, s, corpus, new_files,
-                    count_appended=False, schema_ddl=corpus_ddl,
-                )
-                fb = pool.submit(
-                    append_bloom, s, corpus, new_files,
-                    count_appended=False, schema_ddl=corpus_ddl,
-                )
-                fz.result(), fb.result()
+            shared = (
+                s.read.schema(corpus_ddl).parquet(*new_files)
+                .withColumn("__file", F.input_file_name())
+                .persist()
+            )
+            try:
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fz = pool.submit(
+                        append_zonemap, s, corpus, new_files,
+                        count_appended=False, schema_ddl=corpus_ddl,
+                        batch=shared,
+                    )
+                    fb = pool.submit(
+                        append_bloom, s, corpus, new_files,
+                        count_appended=False, schema_ddl=corpus_ddl,
+                        batch=shared,
+                    )
+                    fz.result(), fb.result()
+            finally:
+                shared.unpersist()
 
     try:
         stream = (

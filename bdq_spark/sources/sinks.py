@@ -306,6 +306,7 @@ def zonemap_manifest(spark, path: str) -> dict:
 def append_zonemap(
     spark, path: str, new_files: List[str], count_appended: bool = True,
     schema_ddl: Optional[str] = None,
+    batch: Optional[DataFrame] = None,
 ) -> dict:
     """Incrementally extend an existing zonemap sidecar with the
     min/max census of ``new_files`` — the streaming-ingest maintenance
@@ -331,6 +332,15 @@ def append_zonemap(
     latency at any scale).  Must match what inference would return;
     the type-alignment guard below still validates the indexed columns
     against the sidecar either way.
+
+    ``batch``: a pre-scanned (typically persisted) frame of exactly
+    ``new_files`` CARRYING a ``__file`` column from
+    ``input_file_name()`` — lets a caller maintaining several sidecars
+    feed all their censuses from ONE scan of the new data
+    (OPTIMIZATION_r14, guide §6: the batch bytes are read once, not
+    once per sidecar).  The ``__file`` column must come from the
+    original file scan: ``input_file_name()`` over an already-cached
+    relation silently returns empty strings.
     """
     from pyspark.sql import functions as F
 
@@ -346,11 +356,12 @@ def append_zonemap(
     stats_cols = sorted(
         c[3:] for c in existing.columns if c.startswith("lo_")
     )
-    batch = (
-        spark.read.schema(schema_ddl).parquet(*new_files)
-        if schema_ddl
-        else spark.read.parquet(*new_files)
-    )
+    if batch is None:
+        batch = (
+            spark.read.schema(schema_ddl).parquet(*new_files)
+            if schema_ddl
+            else spark.read.parquet(*new_files)
+        ).withColumn("__file", F.input_file_name())
     missing = [c for c in stats_cols if c not in batch.columns]
     if missing:
         raise ValueError(
@@ -386,7 +397,7 @@ def append_zonemap(
             f"drop files from pruning)"
         )
     census = (
-        batch.withColumn("__file", F.input_file_name())
+        batch
         .groupBy("__file")
         .agg(
             *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
@@ -737,6 +748,7 @@ def bloom_manifest(spark, path: str) -> dict:
 def append_bloom(
     spark, path: str, new_files: List[str], count_appended: bool = True,
     schema_ddl: Optional[str] = None,
+    batch: Optional[DataFrame] = None,
 ) -> dict:
     """Incrementally extend an existing Bloom sidecar with filters for
     ``new_files`` — :func:`append_zonemap`'s equality-index sibling:
@@ -752,6 +764,10 @@ def append_bloom(
 
     ``schema_ddl``: the new files' schema, when the appender knows it —
     skips the per-append footer-inference job (see
+    :func:`append_zonemap`).
+
+    ``batch``: a pre-scanned frame of exactly ``new_files`` carrying a
+    ``__file`` column — one scan feeds every sidecar census (see
     :func:`append_zonemap`).
     """
     from pyspark.sql import functions as F
@@ -771,18 +787,19 @@ def append_bloom(
     )
     sidecar = path.rstrip("/") + "/_BLOOM"
     existing = spark.read.schema(_BLOOM_SIDECAR_SCHEMA).parquet(sidecar)
-    batch = (
-        spark.read.schema(schema_ddl).parquet(*new_files)
-        if schema_ddl
-        else spark.read.parquet(*new_files)
-    )
+    if batch is None:
+        batch = (
+            spark.read.schema(schema_ddl).parquet(*new_files)
+            if schema_ddl
+            else spark.read.parquet(*new_files)
+        ).withColumn("__file", F.input_file_name())
     missing = [c for c in bloom_cols if c not in batch.columns]
     if missing:
         raise ValueError(
             f"new files lack indexed column(s) {missing}; the sidecar "
             f"indexes {bloom_cols}"
         )
-    base = batch.withColumn("__file", F.input_file_name())
+    base = batch
     known = existing.select("__file").where("__col IS NULL")
     stack = "stack({}, {}) AS (__col, __v)".format(
         len(bloom_cols),
